@@ -1,0 +1,33 @@
+"""mydatasyncer_spark — a PySpark-native data-sync & analytics engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference tool ``yoRyuuuuu/mydatasyncer`` (a Go batch ETL that diffs
+CSV/JSON snapshots against RDBMS tables by primary key and applies
+INSERT/UPDATE/DELETE in dependency-ordered transactions), extended
+with the operators a large-scale (100 TB-class) training-data
+pipeline needs: deduplication, similarity search, text analysis, and
+multimodal column plumbing.
+
+Design stance (see SURVEY.md §7):
+- Everything is declared with the DataFrame API so Catalyst owns
+  predicate pushdown, column pruning, join strategy, and codegen.
+- The diff "query" is a composition of anti/inner joins on a
+  canonicalized key column — no hand-rolled hash maps.
+- Writes go through a staging-table + single-connection transactional
+  applier, keeping the heavy lifting distributed and the ACID
+  boundary narrow.
+"""
+
+from mydatasyncer_spark.config import SyncConfig, TableSpec
+from mydatasyncer_spark.operators.diff import DiffResult, diff_snapshots
+from mydatasyncer_spark.session import get_spark
+
+__all__ = [
+    "SyncConfig",
+    "TableSpec",
+    "DiffResult",
+    "diff_snapshots",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,159 @@
+"""Snapshot diff engine — the reference's central "query".
+
+``diffData`` (ref: dbsync.go:762-780) iterates file records and
+probes a driver-RAM hash map of the DB snapshot. Re-expressed
+Spark-first, that dataflow is three declarative joins on a
+canonicalized primary-key column:
+
+- **insert**  = file LEFT ANTI db      (ref: dbsync.go:731-733, J2)
+- **update**  = file INNER db, any column differs in canonical string
+  space (ref: dbsync.go:734-739 + compareRecords 695-715, J3)
+- **delete**  = db LEFT ANTI file, gated on ``delete_not_in_file``
+  (ref: findRecordsToDelete, dbsync.go:746-758, J4)
+
+Cross-type key equality (JSON ``123`` == DB ``"123"``, ref:
+dbsync.go:28-48, J5) comes from joining on ``canonical_str(pk)``
+rather than the raw column.
+
+Scale notes: all three joins share the same join key, so at 100 TB
+they hash-partition identically and AQE can reuse the shuffle; a
+small DB side gets broadcast automatically (autoBroadcastJoinThreshold
+/ AQE local-join conversion). Nothing is materialized on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.functions.canonical import canonical_col, row_fingerprint
+
+_KEY = "_pk_canon"
+BEFORE_COL = "_before"
+
+
+@dataclass
+class DiffResult:
+    """The plan-level triple (ref: DiffOperations, dbsync.go:138-142).
+
+    ``to_update`` carries the *after* (file-side) values in the sync
+    columns plus a ``_before`` struct with the DB-side values
+    (ref: UpdateOperation, dbsync.go:132-135).
+    """
+
+    to_insert: DataFrame
+    to_update: DataFrame
+    to_delete: DataFrame
+
+    def counts(self) -> dict[str, int]:
+        return {
+            "insert": self.to_insert.count(),
+            "update": self.to_update.count(),
+            "delete": self.to_delete.count(),
+        }
+
+
+def with_canonical_key(df: DataFrame, primary_key: str) -> DataFrame:
+    """Append the canonical join-key column (J5)."""
+    return df.withColumn(_KEY, canonical_col(df, primary_key))
+
+
+def detect_inserts(
+    file_df: DataFrame, db_df: DataFrame, primary_key: str
+) -> DataFrame:
+    """File rows whose canonical PK is absent from the DB (J2)."""
+    f = with_canonical_key(file_df, primary_key)
+    d = with_canonical_key(db_df, primary_key).select(_KEY)
+    return f.join(d, _KEY, "left_anti").drop(_KEY)
+
+
+def detect_deletes(
+    file_df: DataFrame, db_df: DataFrame, primary_key: str
+) -> DataFrame:
+    """DB rows whose canonical PK is absent from the file (J4)."""
+    d = with_canonical_key(db_df, primary_key)
+    f = with_canonical_key(file_df, primary_key).select(_KEY)
+    return d.join(f, _KEY, "left_anti").drop(_KEY)
+
+
+def row_differs(
+    file_df: DataFrame, db_df: DataFrame, columns: list[str]
+) -> Column:
+    """Canonical-string row inequality over ``columns`` (J3 predicate).
+
+    Compares via per-side 64-bit fingerprints of the canonical string
+    tuple — one xxhash64 each side instead of an OR-chain of N
+    null-safe comparisons, which keeps the predicate cheap and
+    codegen-friendly at wide schemas.
+    """
+    return row_fingerprint(file_df, columns) != row_fingerprint(db_df, columns)
+
+
+def detect_updates(
+    file_df: DataFrame,
+    db_df: DataFrame,
+    primary_key: str,
+    columns: list[str],
+) -> DataFrame:
+    """PK present in both and any column differs (J3).
+
+    Output: after-values in ``columns`` + ``_before`` struct of the
+    DB-side values.
+    """
+    f = with_canonical_key(file_df.select(*columns), primary_key)
+    d = with_canonical_key(db_df.select(*columns), primary_key)
+    joined = f.alias("f").join(d.alias("d"), _KEY, "inner")
+    fa, da = joined.select("f.*").drop(_KEY), joined.select("d.*").drop(_KEY)
+    differs = row_fingerprint(fa, columns) != row_fingerprint(da, columns)
+    return (
+        joined.filter(differs)
+        .select(
+            *[F.col(f"f.{c}").alias(c) for c in columns],
+            F.struct(*[F.col(f"d.{c}").alias(c) for c in columns]).alias(
+                BEFORE_COL
+            ),
+        )
+    )
+
+
+def changed_columns(
+    file_df: DataFrame, db_df: DataFrame, columns: list[str]
+) -> Column:
+    """Array of column names whose canonical values differ — used by
+    the dry-run report's changed-vs-unchanged display
+    (ref: dbsync.go:207-218)."""
+    flags = [
+        F.when(
+            canonical_col(file_df, c) != canonical_col(db_df, c), F.lit(c)
+        )
+        for c in columns
+    ]
+    return F.array_compact(F.array(*flags))
+
+
+def diff_snapshots(
+    file_df: DataFrame,
+    db_df: DataFrame,
+    primary_key: str,
+    columns: list[str] | None = None,
+    delete_not_in_file: bool = True,
+) -> DiffResult:
+    """Full diff (J1): insert/update/delete triple over sync columns.
+
+    When ``delete_not_in_file`` is false the delete leg is an empty
+    DataFrame and the J4 join is never built at all (the reference
+    gates it the same way, ref: dbsync.go:746-749).
+    """
+    if columns is None:
+        columns = [c for c in file_df.columns if c in set(db_df.columns)]
+    file_p = file_df.select(*columns)
+    db_p = db_df.select(*columns)
+    to_insert = detect_inserts(file_p, db_p, primary_key)
+    to_update = detect_updates(file_p, db_p, primary_key, columns)
+    if delete_not_in_file:
+        to_delete = detect_deletes(file_p, db_p, primary_key)
+    else:
+        to_delete = db_p.limit(0)
+    return DiffResult(to_insert, to_update, to_delete)

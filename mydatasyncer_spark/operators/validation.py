@@ -1,0 +1,148 @@
+"""Primary-key validation as a distributed dataflow (V1-V5).
+
+The reference runs a mandatory single-pass validator before diff sync
+(ref: primary_key_validator.go:57-136): missing column, null/empty
+(with a null-token list), duplicates, and format lint (line breaks,
+tabs, length cap, untrimmed whitespace). Re-expressed as one
+DataFrame pass that attaches a ``reason`` column, plus aggregates for
+the report — fully distributed, no driver materialization beyond the
+10-sample listing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.errors import ValidationError
+from mydatasyncer_spark.functions.canonical import is_nullish
+
+MAX_KEY_LENGTH = 255  # ref: primary_key_validator.go:37-53
+SAMPLE_LIMIT = 10  # ref: primary_key_validator.go:248-263
+
+R_MISSING = "missing_column"
+R_NULLISH = "null_or_empty"
+R_DUPLICATE = "duplicate"
+R_LINEBREAK = "contains_line_break"
+R_TAB = "contains_tab"
+R_TOO_LONG = "too_long"
+R_UNTRIMMED = "untrimmed_whitespace"
+
+
+def format_issue(key: Column, max_length: int = MAX_KEY_LENGTH) -> Column:
+    """First failing format check, or NULL if the key is clean
+    (ref: validatePrimaryKeyFormat, primary_key_validator.go:164-185)."""
+    s = key.cast("string")
+    return (
+        F.when(s.rlike(r"[\n\r]"), F.lit(R_LINEBREAK))
+        .when(s.contains("\t"), F.lit(R_TAB))
+        .when(F.length(s) > max_length, F.lit(R_TOO_LONG))
+        .when(F.trim(s) != s, F.lit(R_UNTRIMMED))
+    )
+
+
+def annotate_issues(
+    df: DataFrame, primary_key: str, max_length: int = MAX_KEY_LENGTH
+) -> DataFrame:
+    """Attach ``reason`` (first failing check, NULL = valid) and
+    ``is_duplicate``. Check order mirrors the reference: null/empty →
+    duplicate → format (ref: primary_key_validator.go:74-118).
+
+    Duplicate detection marks *all later occurrences* of a repeated
+    key as invalid while the first-seen row stays valid (first-seen
+    map semantics, ref: primary_key_validator.go:96-106) — expressed
+    as a row_number window over the canonical key. At scale this is
+    one shuffle on the PK, the same partitioning the diff joins use.
+    """
+    if primary_key not in df.columns:
+        return df.withColumn("reason", F.lit(R_MISSING))
+    key = F.col(primary_key).cast("string")
+    w = Window.partitionBy(key).orderBy(F.monotonically_increasing_id())
+    occurrence = F.when(is_nullish(F.col(primary_key)), F.lit(1)).otherwise(
+        F.row_number().over(w)
+    )
+    return (
+        df.withColumn("_occ", occurrence)
+        .withColumn(
+            "reason",
+            F.when(is_nullish(F.col(primary_key)), F.lit(R_NULLISH))
+            .when(F.col("_occ") > 1, F.lit(R_DUPLICATE))
+            .otherwise(format_issue(key, max_length)),
+        )
+        .drop("_occ")
+    )
+
+
+@dataclass
+class ValidationReport:
+    """Counts + per-reason histogram + duplicate keys + samples
+    (ref: ReportValidationFailure, primary_key_validator.go:188-270)."""
+
+    total: int
+    invalid: int
+    by_reason: dict[str, int] = field(default_factory=dict)
+    duplicate_keys: list[tuple[str, int]] = field(default_factory=list)
+    samples: list[dict] = field(default_factory=list)
+
+    @property
+    def valid(self) -> int:
+        return self.total - self.invalid
+
+    def summary(self) -> str:
+        lines = [
+            f"validated {self.total} records: {self.valid} valid, "
+            f"{self.invalid} invalid"
+        ]
+        for reason, n in sorted(self.by_reason.items()):
+            lines.append(f"  - {reason}: {n}")
+        if self.duplicate_keys:
+            lines.append(f"  duplicate keys ({len(self.duplicate_keys)}):")
+            for key, n in self.duplicate_keys[:SAMPLE_LIMIT]:
+                lines.append(f"    {key!r} x{n}")
+        return "\n".join(lines)
+
+
+def validate_primary_keys(
+    df: DataFrame,
+    primary_key: str,
+    strict: bool = True,
+    max_length: int = MAX_KEY_LENGTH,
+) -> ValidationReport:
+    """Run the validator; in strict mode raise on any invalid record
+    (ref: ValidateAllRecords, primary_key_validator.go:57-136)."""
+    annotated = annotate_issues(df, primary_key, max_length)
+    agg = (
+        annotated.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_reason = {r["reason"]: r["n"] for r in agg if r["reason"] is not None}
+    total = sum(r["n"] for r in agg)
+    invalid = sum(by_reason.values())
+    dup_rows = []
+    if primary_key in df.columns:
+        dup_rows = (
+            df.groupBy(F.col(primary_key).cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter("n > 1")
+            .orderBy(F.desc("n"), "key")
+            .limit(SAMPLE_LIMIT)
+            .collect()
+        )
+    samples = (
+        annotated.filter(F.col("reason").isNotNull())
+        .limit(SAMPLE_LIMIT)
+        .collect()
+    )
+    report = ValidationReport(
+        total=total,
+        invalid=invalid,
+        by_reason=by_reason,
+        duplicate_keys=[(r["key"], r["n"]) for r in dup_rows],
+        samples=[r.asDict() for r in samples],
+    )
+    if strict and invalid:
+        raise ValidationError(report.summary(), report)
+    return report

@@ -1,0 +1,41 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the same configuration keys are
+what you would set on a 1000-executor cluster — AQE handles runtime
+re-planning (coalescing post-shuffle partitions, skew-join splitting),
+and Arrow makes the few pandas-UDF paths batch-transfer instead of
+row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the local[32] test harness; on a real cluster these come
+# from spark-submit/cluster conf and AQE re-plans partition counts at
+# runtime anyway.
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "mydatasyncer-spark", **extra_conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for key, value in {**_DEFAULT_CONF, **extra_conf}.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,162 @@
+"""File-side snapshot readers with format dispatch by extension.
+
+Reference behaviors preserved (ref: loader.go):
+- dispatch on lowercased extension, unsupported → error
+  (ref: GetLoader, loader.go:203-213); parquet added beyond parity;
+- CSV: header row, configurable delimiter, strict per-row column
+  count (FAILFAST), all values string-typed unless a schema is given
+  (ref: loader.go:76-136);
+- JSON: whole-file array of flat objects → multiLine read; empty
+  array → empty relation (ref: loader.go:153-199);
+- RFC3339 strings → timestamps via schema-driven casts, the typed
+  replacement for convertValue (ref: loader.go:28-43);
+- optional column projection applied at read so Catalyst prunes the
+  scan (ref: loader.go:104-132).
+
+At scale these readers take directories / globs of files, not single
+files — Spark parallelizes the scan per file split; nothing is
+materialized on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mydatasyncer_spark.errors import SyncError
+
+# RFC3339 detector equivalent to the reference's time.Parse probe
+# (ref: loader.go:33-39) — applied as a column expression, not per-row.
+_RFC3339_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    delimiter: str = ",",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    reader = (
+        spark.read.option("header", True)
+        .option("sep", delimiter)
+        .option("mode", "FAILFAST")
+    )
+    df = reader.schema(schema).csv(path) if schema else reader.csv(path)
+    return _project(df, columns)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    reader = spark.read.option("multiLine", True).option("mode", "FAILFAST")
+    df = reader.schema(schema).json(path) if schema else reader.json(path)
+    return _project(df, columns)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    return _project(spark.read.parquet(path), columns)
+
+
+_READERS = {".csv": read_csv, ".json": read_json, ".parquet": read_parquet}
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+    fmt: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format dispatch by extension (ref: loader.go:203-213).
+
+    Beyond parity: ``fmt`` overrides dispatch, and a directory path
+    (the normal shape for distributed datasets — a folder of part
+    files) is sniffed by its first data file's extension.
+    """
+    ext = f".{fmt.lstrip('.')}".lower() if fmt else os.path.splitext(path)[1].lower()
+    if not ext and os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            cand = os.path.splitext(entry)[1].lower()
+            if cand in _READERS:
+                ext = cand
+                break
+    reader = _READERS.get(ext)
+    if reader is None:
+        raise SyncError(f"unsupported file format {ext!r} for {path!r}")
+    if ext == ".parquet":
+        return reader(spark, path, columns=columns)
+    return reader(spark, path, schema=schema, columns=columns, **options)
+
+
+def coerce_rfc3339(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Convert string columns that hold RFC3339 values to timestamps.
+
+    The typed counterpart of the reference's per-value probe
+    (ref: convertValue, loader.go:28-43): a column is converted only
+    where the value matches; non-matching strings stay as-is in a
+    string column (mixed columns keep strings — schema-first design
+    means real pipelines should declare schemas instead).
+    """
+    out = df
+    targets = columns or [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    for name in targets:
+        if not isinstance(df.schema[name].dataType, T.StringType):
+            continue
+        all_rfc = F.min(
+            F.col(name).isNull() | F.col(name).rlike(_RFC3339_RE)
+        )
+        # cheap single-pass probe: convert the column only if every
+        # non-null value is RFC3339 (mirrors the all-or-nothing column
+        # typing the reference converges to in practice)
+        if out.select(all_rfc.alias("ok")).first()["ok"]:
+            has_any = out.select(
+                F.max(F.col(name).isNotNull()).alias("any")
+            ).first()["any"]
+            if has_any:
+                out = out.withColumn(name, F.to_timestamp(name))
+    return out
+
+
+def validate_file_paths(paths: list[str]) -> None:
+    """Upfront existence check before any work
+    (ref: ValidateFilePaths, loader.go:281-288)."""
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise SyncError(f"missing input files: {missing!r}")
+
+
+def load_tables(
+    spark: SparkSession,
+    specs: dict[str, str],
+    schemas: dict[str, T.StructType] | None = None,
+) -> dict[str, DataFrame]:
+    """Multi-source scan: name → path map to name → DataFrame
+    (ref: MultiTableLoader.LoadAll, loader.go:232-257). Lazy — nothing
+    reads until an action, unlike the reference's load-all-into-RAM."""
+    validate_file_paths(list(specs.values()))
+    schemas = schemas or {}
+    return {
+        name: read_file(spark, path, schema=schemas.get(name))
+        for name, path in specs.items()
+    }
+
+
+def _project(df: DataFrame, columns: list[str] | None) -> DataFrame:
+    if not columns:
+        return df
+    keep = [c for c in columns if c in df.columns]
+    return df.select(*keep)

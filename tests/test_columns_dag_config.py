@@ -1,0 +1,125 @@
+"""Pure-Python units: column resolution, dependency DAG, config
+validation (mirrors the reference's config_test.go / dbsync_test.go
+column suites)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mydatasyncer_spark.config import SyncConfig, TableSpec
+from mydatasyncer_spark.dag import DependencyGraph
+from mydatasyncer_spark.errors import (
+    ConfigError,
+    CycleError,
+    DependencyError,
+    PrimaryKeyMissingError,
+    SchemaError,
+)
+from mydatasyncer_spark.operators.columns import (
+    determine_sync_columns,
+    filter_columns_by_config,
+    find_common_columns,
+)
+
+
+class TestColumns:
+    def test_intersection_sorted_file_order(self):
+        # ref: dbsync.go:282-292 + sorted headers dbsync.go:436
+        got = find_common_columns(["b", "a", "c"], ["a", "b", "x"])
+        assert got == ["a", "b"]
+
+    def test_dedup(self):
+        assert find_common_columns(["a", "a", "b"], ["a", "b"]) == ["a", "b"]
+
+    def test_config_filter_preserves_order(self):
+        assert filter_columns_by_config(["a", "b", "c"], ["c", "a"]) == ["a", "c"]
+
+    def test_empty_config_keeps_all(self):
+        assert filter_columns_by_config(["a", "b"], []) == ["a", "b"]
+
+    def test_full_pipeline(self):
+        got = determine_sync_columns(["id", "name", "extra"], ["id", "name", "db_only"], [], "id")
+        assert got == ["id", "name"]
+
+    def test_no_common_columns_raises(self):
+        with pytest.raises(SchemaError):
+            determine_sync_columns(["a"], ["b"], [], "a")
+
+    def test_pk_must_survive(self):
+        with pytest.raises(PrimaryKeyMissingError):
+            determine_sync_columns(["id", "name"], ["id", "name"], ["name"], "id")
+
+    def test_empty_file_falls_back_to_db_columns(self):
+        # ref: dbsync.go:447-459
+        got = determine_sync_columns([], ["id", "name"], [], "id")
+        assert got == ["id", "name"]
+
+
+class TestDag:
+    def test_topo_parent_first(self):
+        g = DependencyGraph(
+            {
+                "order_items": ["orders", "products"],
+                "orders": ["categories"],
+                "products": ["categories"],
+                "categories": [],
+            }
+        )
+        ins, dels = g.sync_order()
+        assert ins.index("categories") < ins.index("orders") < ins.index("order_items")
+        assert ins.index("products") < ins.index("order_items")
+        assert dels == list(reversed(ins))
+
+    def test_deterministic_tie_break(self):
+        g = DependencyGraph({"b": [], "a": [], "c": []})
+        assert g.topological_order() == ["a", "b", "c"]
+
+    def test_cycle_has_concrete_path(self):
+        with pytest.raises(CycleError) as err:
+            DependencyGraph({"a": ["b"], "b": ["a"]}).topological_order()
+        cycle = err.value.cycle
+        assert cycle[0] == cycle[-1] and set(cycle) == {"a", "b"}
+
+    def test_unknown_dependency(self):
+        with pytest.raises(DependencyError) as err:
+            DependencyGraph({"a": ["ghost"]})
+        assert "ghost" in str(err.value) and "a" in str(err.value)
+
+
+class TestConfig:
+    def test_valid_multi_table(self):
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(name="p", file_path="p.csv"),
+                TableSpec(name="c", file_path="c.csv", dependencies=["p"]),
+            ]
+        )
+        cfg.validate()
+        assert cfg.is_multi_table
+
+    def test_duplicate_table_names(self):
+        cfg = SyncConfig(
+            tables=[TableSpec(name="t", file_path="a"), TableSpec(name="t", file_path="b")]
+        )
+        with pytest.raises(ConfigError):
+            cfg.validate()
+
+    def test_invalid_mode(self):
+        with pytest.raises(ConfigError):
+            TableSpec(name="t", file_path="f", sync_mode="upsert").validate()
+
+    def test_diff_requires_pk(self):
+        with pytest.raises(ConfigError):
+            TableSpec(name="t", file_path="f", sync_mode="diff", primary_key="").validate()
+
+    def test_missing_dependency(self):
+        cfg = SyncConfig(tables=[TableSpec(name="t", file_path="f", dependencies=["x"])])
+        with pytest.raises(DependencyError):
+            cfg.validate()
+
+    def test_from_dict_single_table_defaults(self):
+        cfg = SyncConfig.from_dict(
+            {"sync": {"tableName": "t", "filePath": "f.csv"}}
+        )
+        assert cfg.tables[0].sync_mode == "overwrite"
+        assert not cfg.is_multi_table

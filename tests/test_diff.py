@@ -1,0 +1,91 @@
+"""Diff-engine algebra, mirroring the reference's golden triple
+(ref: TestDiffData, dbsync_test.go:541-577): file = {1 changed,
+2 unchanged, 4 new}, db = {1, 2, 3} ⇒ insert [4], update [1], delete [3]."""
+
+from __future__ import annotations
+
+import pytest
+
+from mydatasyncer_spark.operators.diff import (
+    BEFORE_COL,
+    changed_columns,
+    detect_deletes,
+    detect_inserts,
+    detect_updates,
+    diff_snapshots,
+)
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    file_df = spark.createDataFrame(
+        [(1, "Alice", 30.0), (2, "Bob", 25.0), (4, "Dave", 40.0)],
+        "id long, name string, score double",
+    )
+    db_df = spark.createDataFrame(
+        [(1, "Alice", 99.0), (2, "Bob", 25.0), (3, "Carol", 35.0)],
+        "id long, name string, score double",
+    )
+    return file_df, db_df
+
+
+def test_golden_triple(spark, snapshots):
+    file_df, db_df = snapshots
+    result = diff_snapshots(file_df, db_df, "id")
+    assert [r["id"] for r in result.to_insert.collect()] == [4]
+    updates = result.to_update.collect()
+    assert [r["id"] for r in updates] == [1]
+    assert updates[0][BEFORE_COL]["score"] == 99.0
+    assert updates[0]["score"] == 30.0
+    assert [r["id"] for r in result.to_delete.collect()] == [3]
+    assert result.counts() == {"insert": 1, "update": 1, "delete": 1}
+
+
+def test_delete_gating(snapshots):
+    file_df, db_df = snapshots
+    result = diff_snapshots(file_df, db_df, "id", delete_not_in_file=False)
+    assert result.to_delete.count() == 0
+
+
+def test_cross_type_pk(spark):
+    """JSON-style float 42.0 key matches DB string "42" (J5)."""
+    file_df = spark.createDataFrame([(42.0, "x")], "id double, v string")
+    db_df = spark.createDataFrame([("42", "x")], "id string, v string")
+    assert detect_inserts(file_df, db_df, "id").count() == 0
+    assert detect_deletes(file_df, db_df, "id").count() == 0
+
+
+def test_null_vs_empty_update(spark):
+    """NULL and "" both canonicalize to "" (ref: dbsync.go:654) —
+    so NULL→"" is NOT an update, matching the reference's stringify."""
+    file_df = spark.createDataFrame([(1, "")], "id long, v string")
+    db_df = spark.createDataFrame([(1, None)], "id long, v string")
+    assert detect_updates(file_df, db_df, "id", ["id", "v"]).count() == 0
+
+
+def test_changed_columns(spark, snapshots):
+    file_df, db_df = snapshots
+    f = file_df.alias("f")
+    d = db_df.alias("d")
+    joined = f.join(d, f["id"] == d["id"]).filter(f["id"] == 1)
+    got = joined.select(
+        changed_columns(f, d, ["name", "score"]).alias("chg")
+    ).first()["chg"]
+    assert got == ["score"]
+
+
+def test_empty_file_diff(spark, snapshots):
+    _, db_df = snapshots
+    empty = spark.createDataFrame([], "id long, name string, score double")
+    result = diff_snapshots(empty, db_df, "id")
+    assert result.to_insert.count() == 0
+    assert result.to_update.count() == 0
+    assert result.to_delete.count() == 3
+
+
+def test_column_subset_diff(spark, snapshots):
+    """Diff restricted to (id, name) ignores score changes."""
+    file_df, db_df = snapshots
+    result = diff_snapshots(file_df, db_df, "id", columns=["id", "name"])
+    assert result.to_update.count() == 0
+    assert [r["id"] for r in result.to_insert.collect()] == [4]

@@ -1,0 +1,72 @@
+"""PK validator dataflow (ref: primary_key_validator_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mydatasyncer_spark.errors import ValidationError
+from mydatasyncer_spark.operators.validation import (
+    R_DUPLICATE,
+    R_MISSING,
+    R_NULLISH,
+    R_TOO_LONG,
+    R_UNTRIMMED,
+    annotate_issues,
+    validate_primary_keys,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        ("1", "ok"),
+        ("2", "ok"),
+        ("2", "dup of 2"),
+        ("", "empty"),
+        ("null", "token"),
+        (" 9 ", "untrimmed"),
+        ("x" * 300, "long"),
+        (None, "none"),
+    ]
+    return spark.createDataFrame(rows, "id string, note string")
+
+
+def test_reasons(spark, dirty):
+    got = {
+        r["note"]: r["reason"]
+        for r in annotate_issues(dirty, "id").collect()
+    }
+    assert got["ok"] is None
+    assert got["dup of 2"] == R_DUPLICATE
+    assert got["empty"] == R_NULLISH
+    assert got["token"] == R_NULLISH
+    assert got["untrimmed"] == R_UNTRIMMED
+    assert got["long"] == R_TOO_LONG
+    assert got["none"] == R_NULLISH
+
+
+def test_first_occurrence_valid(spark, dirty):
+    rows = annotate_issues(dirty, "id").filter("id = '2'").collect()
+    reasons = sorted((r["reason"] is None) for r in rows)
+    assert reasons == [False, True]  # exactly one of the two is valid
+
+
+def test_missing_column(spark, dirty):
+    got = annotate_issues(dirty.drop("id"), "id").select("reason").distinct().collect()
+    assert [r["reason"] for r in got] == [R_MISSING]
+
+
+def test_strict_raises_with_report(spark, dirty):
+    with pytest.raises(ValidationError) as err:
+        validate_primary_keys(dirty, "id", strict=True)
+    report = err.value.report
+    assert report.total == 8
+    assert report.invalid == 6
+    assert report.by_reason[R_NULLISH] == 3
+    assert report.duplicate_keys[0] == ("2", 2)
+
+
+def test_clean_data_passes(spark):
+    df = spark.createDataFrame([("1",), ("2",)], "id string")
+    report = validate_primary_keys(df, "id", strict=True)
+    assert report.invalid == 0 and report.total == 2
