@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced end-to-end with a count over its result (no
+collect of payload rows — the measured work is the distributed plan,
+not driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from mydatasyncer_spark.session import get_spark
+
+# Headline subset: the heavier/representative queries. Kept explicit
+# so bench timings stay comparable across rounds even as queries()
+# grows.
+HEADLINE = [
+    "q1_pricing_summary",
+    "diff_insert",
+    "diff_update",
+    "diff_delete",
+    "canonical_stringify",
+    "pk_validation_histogram",
+    "duplicate_key_detection",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("mydatasyncer-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = entry_mod.queries()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in sorted(registry) if n not in HEADLINE
+    ]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        # warm the reader metadata once so timings measure execution
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

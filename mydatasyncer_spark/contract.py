@@ -1,0 +1,81 @@
+"""Shared helpers for the driver contract (`__spark_entry__.py`).
+
+Cross-engine determinism rules used by every query/oracle pair:
+
+- **Money math in exact decimals, surfaced as doubles.** ``SUM`` over
+  doubles is order-dependent; both Spark and DuckDB sum DECIMALs
+  exactly, and casting the identical exact decimal to double is the
+  same IEEE value in both engines. So aggregates are computed as
+  ``CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE)`` on both sides.
+- **Counts as BIGINT** (DuckDB ``SUM(int)`` widens to HUGEINT — always
+  cast).
+- **Stable snapshot derivations.** The diff-parity queries derive the
+  file/db snapshot pair from ``orders`` with pure modular-arithmetic
+  mutations so the SQL oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col, precision: int = 12, scale: int = 2):
+    """Exact-decimal view of a money column."""
+    return F.col(col).cast(f"decimal({precision},{scale})") if isinstance(col, str) else col.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col, alias: str):
+    """Exact decimal sum surfaced as double (see module docstring)."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+# --- snapshot pair used by the diff-parity queries ------------------
+# db side   = orders with keys % 10 != 5
+# file side = orders with keys % 10 != 3, price +10.00 where key % 7 == 0
+# => inserts are %10==5 keys, deletes are %10==3 keys, updates %7==0.
+
+
+def snapshot_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 != 5)
+
+
+def snapshot_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 != 3)
+    return o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+
+SNAPSHOT_SQL = """
+db_side AS (
+    SELECT * FROM orders WHERE o_orderkey % 10 <> 5
+),
+file_side AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 3
+)
+"""
