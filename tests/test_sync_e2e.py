@@ -1,0 +1,335 @@
+"""E2E sync-state tests against a real (sqlite) database, mirroring
+the reference's golden-state layer (ref: main_test.go:201-513,
+dbsync_test.go:106-738): run the full pipeline, assert exact final
+table contents, verify dry-run mutates nothing and failures roll back
+everything."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from mydatasyncer_spark.config import SyncConfig, TableSpec
+from mydatasyncer_spark.sinks.applier import (
+    DbApiBackend,
+    Transaction,
+    apply_diff,
+    stage_and_apply,
+)
+from mydatasyncer_spark.syncer import sync
+
+
+@pytest.fixture()
+def db():
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE test_table (id INTEGER PRIMARY KEY, name TEXT, value TEXT)"
+    )
+    conn.executemany(
+        "INSERT INTO test_table VALUES (?, ?, ?)",
+        [(1, "Alice", "old"), (2, "Bob", "keep"), (3, "Carol", "gone")],
+    )
+    conn.commit()
+    yield conn
+    conn.close()
+
+
+def rows(conn, table="test_table", order="id"):
+    return conn.execute(f"SELECT * FROM {table} ORDER BY {order}").fetchall()
+
+
+def write_csv(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+CSV_DIFF = "id,name,value\n1,Alice,new\n2,Bob,keep\n4,Dave,fresh\n"
+
+
+class TestSingleTableDiff:
+    def test_diff_with_delete(self, spark, db, tmp_path):
+        path = write_csv(tmp_path, "data.csv", CSV_DIFF)
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=path,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                )
+            ]
+        )
+        out = sync(spark, DbApiBackend(db), cfg)
+        assert rows(db) == [
+            (1, "Alice", "new"),
+            (2, "Bob", "keep"),
+            (4, "Dave", "fresh"),
+        ]
+        stats = out.stats["test_table"]
+        assert (stats.inserted, stats.updated, stats.deleted) == (1, 1, 1)
+
+    def test_diff_without_delete_keeps_db_only_rows(self, spark, db, tmp_path):
+        path = write_csv(tmp_path, "data.csv", CSV_DIFF)
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=path,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=False,
+                )
+            ]
+        )
+        sync(spark, DbApiBackend(db), cfg)
+        assert (3, "Carol", "gone") in rows(db)
+        assert (4, "Dave", "fresh") in rows(db)
+
+
+class TestOverwrite:
+    def test_overwrite_replaces_all(self, spark, db, tmp_path):
+        path = write_csv(tmp_path, "data.csv", "id,name,value\n7,Zoe,only\n")
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=path,
+                    primary_key="id",
+                    sync_mode="overwrite",
+                )
+            ]
+        )
+        sync(spark, DbApiBackend(db), cfg)
+        assert rows(db) == [(7, "Zoe", "only")]
+
+    def test_overwrite_empty_file_wipes_table(self, spark, db, tmp_path):
+        # O11 sharp edge (ref: main_test.go:306-325)
+        path = write_csv(tmp_path, "data.csv", "id,name,value\n")
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table", file_path=path, sync_mode="overwrite"
+                )
+            ]
+        )
+        sync(spark, DbApiBackend(db), cfg)
+        assert rows(db) == []
+
+
+class TestEmptyFilePolicies:
+    def _cfg(self, path, delete):
+        return SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=path,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=delete,
+                )
+            ]
+        )
+
+    def test_empty_diff_no_delete_is_noop(self, spark, db, tmp_path):
+        path = write_csv(tmp_path, "data.csv", "id,name,value\n")
+        before = rows(db)
+        sync(spark, DbApiBackend(db), self._cfg(path, delete=False))
+        assert rows(db) == before
+
+    def test_empty_diff_with_delete_wipes(self, spark, db, tmp_path):
+        path = write_csv(tmp_path, "data.csv", "id,name,value\n")
+        sync(spark, DbApiBackend(db), self._cfg(path, delete=True))
+        assert rows(db) == []
+
+
+class TestDryRun:
+    def test_dry_run_mutates_nothing(self, spark, db, tmp_path):
+        # ref: TestE2EMultiTableSync_DryRun main_test.go:1133-1194
+        path = write_csv(tmp_path, "data.csv", CSV_DIFF)
+        before = rows(db)
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=path,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                )
+            ],
+            dry_run=True,
+        )
+        out = sync(spark, DbApiBackend(db), cfg)
+        assert rows(db) == before
+        plan = out.plans["test_table"]
+        assert (plan.insert_count, plan.update_count, plan.delete_count) == (1, 1, 1)
+        assert "1 inserts" in plan.render()
+        # after-values come from the file side: CSV strings
+        assert plan.update_samples[0]["id"] == "1"
+        assert plan.update_samples[0]["_before"]["value"] == "old"
+
+
+class TestMultiTable:
+    @pytest.fixture()
+    def fk_db(self):
+        conn = sqlite3.connect(":memory:")
+        conn.execute("PRAGMA foreign_keys = ON")
+        conn.execute("CREATE TABLE categories (id INTEGER PRIMARY KEY, name TEXT)")
+        conn.execute(
+            "CREATE TABLE products (id INTEGER PRIMARY KEY, name TEXT, "
+            "category_id INTEGER REFERENCES categories(id))"
+        )
+        conn.executemany("INSERT INTO categories VALUES (?, ?)", [(1, "a"), (2, "b")])
+        conn.executemany(
+            "INSERT INTO products VALUES (?, ?, ?)", [(10, "p1", 1), (20, "p2", 2)]
+        )
+        conn.commit()
+        yield conn
+        conn.close()
+
+    def test_fk_ordered_two_phase(self, spark, fk_db, tmp_path):
+        """Category 2 and its product disappear; a new product arrives
+        referencing a new category: deletes must run child→parent
+        (product 20 before category 2), inserts parent→child
+        (category 3 before product 30). Any other ordering violates
+        the FK constraints (PRAGMA foreign_keys=ON enforces them)."""
+        cat = write_csv(tmp_path, "cat.csv", "id,name\n1,a\n3,c\n")
+        prod = write_csv(tmp_path, "prod.csv", "id,name,category_id\n10,p1,1\n30,p3,3\n")
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="products",
+                    file_path=prod,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                    dependencies=["categories"],
+                ),
+                TableSpec(
+                    name="categories",
+                    file_path=cat,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                ),
+            ]
+        )
+        sync(spark, DbApiBackend(fk_db), cfg)
+        assert rows(fk_db, "categories") == [(1, "a"), (3, "c")]
+        assert rows(fk_db, "products") == [(10, "p1", 1), (30, "p3", 3)]
+
+    def test_rollback_all_or_nothing(self, spark, fk_db, tmp_path):
+        """A failure in the second table rolls back the first too
+        (ref: all-or-nothing, dbsync.go:928-930)."""
+        cat = write_csv(tmp_path, "cat.csv", "id,name\n1,a\n3,c\n")
+        # product references category 99 which won't exist -> FK error
+        prod = write_csv(tmp_path, "prod.csv", "id,name,category_id\n10,p1,1\n20,p2,99\n")
+        before_cat = rows(fk_db, "categories")
+        before_prod = rows(fk_db, "products")
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="products",
+                    file_path=prod,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                    dependencies=["categories"],
+                ),
+                TableSpec(
+                    name="categories",
+                    file_path=cat,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                ),
+            ]
+        )
+        with pytest.raises(Exception):
+            sync(spark, DbApiBackend(fk_db), cfg)
+        assert rows(fk_db, "categories") == before_cat
+        assert rows(fk_db, "products") == before_prod
+
+
+class TestStagingApplier:
+    def test_stage_and_apply_set_based(self, spark, db):
+        to_insert = spark.createDataFrame(
+            [(4, "Dave", "fresh")], "id long, name string, value string"
+        )
+        to_update = spark.createDataFrame(
+            [(1, "Alice", "new")], "id long, name string, value string"
+        )
+        to_delete = spark.createDataFrame([(3,)], "id long")
+        backend = DbApiBackend(db)
+        with Transaction(db):
+            stats = stage_and_apply(
+                backend,
+                "test_table",
+                ["id", "name", "value"],
+                "id",
+                to_insert,
+                to_update,
+                to_delete,
+            )
+        assert rows(db) == [
+            (1, "Alice", "new"),
+            (2, "Bob", "keep"),
+            (4, "Dave", "fresh"),
+        ]
+        assert (stats.inserted, stats.updated, stats.deleted) == (1, 1, 1)
+
+    def test_immutable_column_excluded(self, spark, db):
+        backend = DbApiBackend(db)
+        to_update = spark.createDataFrame(
+            [(1, "Malicious", "new")], "id long, name string, value string"
+        )
+        empty = to_update.limit(0)
+        with Transaction(db):
+            apply_diff(
+                backend,
+                "test_table",
+                ["id", "name", "value"],
+                "id",
+                empty,
+                to_update,
+                empty.select("id"),
+                immutable_columns=["name"],
+            )
+        assert rows(db)[0] == (1, "Alice", "new")  # name untouched, value updated
+
+
+class TestTimestampInjection:
+    def test_timestamps_set_on_insert_and_update(self, spark):
+        conn = sqlite3.connect(":memory:")
+        conn.execute(
+            "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT, "
+            "created_at TEXT, updated_at TEXT)"
+        )
+        conn.execute("INSERT INTO t VALUES (1, 'old', 'orig', 'orig')")
+        conn.commit()
+        backend = DbApiBackend(conn)
+        to_insert = spark.createDataFrame([(2, "new")], "id long, v string")
+        to_update = spark.createDataFrame([(1, "upd")], "id long, v string")
+        empty = to_insert.limit(0)
+        with Transaction(conn):
+            apply_diff(
+                backend,
+                "t",
+                ["id", "v"],
+                "id",
+                to_insert,
+                to_update,
+                empty.select("id"),
+                timestamp_columns=["created_at", "updated_at"],
+                immutable_columns=["created_at"],
+                now_fn=lambda: "NOW",
+            )
+        got = conn.execute("SELECT * FROM t ORDER BY id").fetchall()
+        # update: created_at immutable stays, updated_at set
+        assert got[0] == (1, "upd", "orig", "NOW")
+        # insert: both timestamp columns set
+        assert got[1] == (2, "new", "NOW", "NOW")
+        conn.close()
