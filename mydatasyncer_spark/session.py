@@ -24,6 +24,9 @@ _DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # the events fixture stores TIMESTAMP(NANOS) which Spark rejects;
+    # read as long and convert at the table loader
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
@@ -35,6 +38,16 @@ def get_spark(app_name: str = "mydatasyncer-spark", **extra_conf: str) -> SparkS
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Python workers (pandas UDF / mapInPandas) unpickle closures that
+    # reference this package — make sure they can import it regardless
+    # of the driver's cwd. (On a cluster, ship the package with
+    # --py-files instead.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     for key, value in {**_DEFAULT_CONF, **extra_conf}.items():
         builder = builder.config(key, value)

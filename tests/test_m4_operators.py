@@ -1,0 +1,128 @@
+"""Units for the training-data pipeline operators (dedup, similarity,
+text, multimodal) — the scale paths the SQL oracles can't cover."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators import multimodal as M
+from mydatasyncer_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash,
+)
+from mydatasyncer_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "THE QUICK  BROWN FOX JUMPS OVER THE LAZY DOG"),  # dup after normalize
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1
+    assert groups[0]["group_size"] == 3  # 1, 2, 5 collapse
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sig = minhash_signature(docs).orderBy("doc_id").collect()
+    s1, s2 = sig[0], sig[1]
+    assert all(s1[f"mh{i}"] == s2[f"mh{i}"] for i in range(16))
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup always pairs
+    # near-dup (1,3) should pair with high estimated jaccard; doc 4
+    # must never pair with anything
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_near_dup_closer_than_unrelated(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0], 0),  # near 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0], 1),
+        (5, [0.98, 0.15, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = cosine_topk(vectors.filter("vec_id = 1"), vectors, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 5]
+    assert out[0]["rank"] == 1 and out[0]["cosine"] > 0.99
+
+
+def test_lsh_ann_candidates_subset_of_exact(spark, vectors):
+    """LSH results must be a subset of brute-force candidates with
+    identical cosines for shared pairs (approximation loses recall,
+    never correctness)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(vectors, vectors, k=4).collect()
+    }
+    approx = lsh_ann_topk(vectors, vectors, dim=3, k=4, n_planes=2).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert exact[key] == r["cosine"]
+
+
+def test_embedding_near_dup_blocked_by_label(spark, vectors):
+    pairs = embedding_near_dup_pairs(vectors, "label", threshold=0.9).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got      # same label 0, cosine ~0.995
+    assert (1, 5) not in got  # would match but different label (blocked)
+
+
+class TestMultimodal:
+    def test_payload_roundtrip_and_stats(self, spark, docs):
+        media = M.attach_binary_payload(docs)
+        stats = M.media_stats(media).orderBy("media_id").collect()
+        assert stats[0]["n_bytes"] == len(docs.first()["text"].encode())
+        assert len(stats[0]["sha256"]) == 64
+
+    def test_extract_features_batch_shape(self, spark, docs):
+        media = M.attach_binary_payload(docs)
+        feats = M.extract_features(media).orderBy("media_id").collect()
+        assert len(feats) == 5
+        row = feats[0]
+        assert row["n_bytes"] == row["feature"][0]
+        assert len(row["feature"]) == 4
+
+    def test_real_codec_is_explicit_stub(self):
+        with pytest.raises(NotImplementedError, match="image/png"):
+            M.decode_with_real_codec("image/png")
+
+    def test_custom_decoder_plugs_in(self, spark, docs):
+        media = M.attach_binary_payload(docs)
+        feats = M.extract_features(
+            media, decode_fn=lambda p: [1.0, 2.0, 3.0, 4.0]
+        ).first()
+        assert feats["feature"] == [1.0, 2.0, 3.0, 4.0]
