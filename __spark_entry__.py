@@ -68,6 +68,225 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dec(col: str):
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _revenue():
+    """Exact-decimal line revenue: extprice * (1 - discount)."""
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority top-k: 3-way join (broadcast
+    dims), aggregate, total-order top 10."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-30")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: 6-way join with region/
+    nation/supplier broadcast, grouped by nation."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over region -> nation with order counts."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def grouping_sets_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (by-brand and by-type rollups
+    in one pass)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_gs_v")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, COUNT(*) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM part_gs_v
+        GROUP BY GROUPING SETS ((p_brand), (p_type))
+        """
+    )
+
+
+def window_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 customers by order revenue per segment."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("cust_rev")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cust_rev"), F.asc("c_custkey")
+    )
+    return (
+        c.join(rev, c.c_custkey == rev.o_custkey)
+        .select("c_mktsegment", "c_custkey", "cust_rev")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running value total in event-time
+    order (exact-decimal accumulation so engines agree)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: lag -> new-session flag ->
+    cumulative session id -> per-session aggregates. The batch twin of
+    the streaming sessionizer in mydatasyncer_spark/streaming/."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 1800.0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(cum).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))).alias(
+            "duration_sec"
+        ),
+    )
+
+
+def tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (the batch
+    shape of a streaming windowed aggregation)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: per-order custkeys of big orders minus
+    BUILDING-segment customers."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return big.exceptAll(building)
+
+
+def distinct_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group: distinct ordering customers and
+    order-priority cardinality per market segment."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 # ------------------------------------------------------------- diff engine
 
 
@@ -320,10 +539,10 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(k: int = 16) -> str:
-    from mydatasyncer_spark.functions.hashing import seeded_hash48_sql
+    from mydatasyncer_spark.functions.hashing import hash48_sql, permuted_hash_sql
 
     mins = ",\n               ".join(
-        f"min({seeded_hash48_sql('sh', s)}) AS mh{s}" for s in range(k)
+        f"min({permuted_hash_sql('h', s)}) AS mh{s}" for s in range(k)
     )
     return f"""
         norm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
@@ -334,10 +553,11 @@ def _minhash_sig_sql(k: int = 16) -> str:
                 END) AS sh
             FROM norm
         ),
+        hashed AS (SELECT doc_id, {hash48_sql('sh')} AS h FROM sh),
         sig AS (
             SELECT doc_id,
                {mins}
-            FROM sh GROUP BY doc_id
+            FROM hashed GROUP BY doc_id
         )"""
 
 
@@ -408,6 +628,16 @@ _DVEC_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "rollup_revenue": rollup_revenue,
+        "grouping_sets_parts": grouping_sets_parts,
+        "window_topk_customers": window_topk_customers,
+        "running_total_events": running_total_events,
+        "sessionization": sessionization,
+        "tumbling_windows": tumbling_windows,
+        "set_ops_except": set_ops_except,
+        "distinct_agg_segments": distinct_agg_segments,
         "diff_insert": diff_insert,
         "diff_update": diff_update,
         "diff_delete": diff_delete,
@@ -448,6 +678,118 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": f"""
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": f"""
+            SELECT n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "grouping_sets_parts": """
+            SELECT p_brand, p_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+            FROM part
+            GROUP BY GROUPING SETS ((p_brand), (p_type))
+        """,
+        "window_topk_customers": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS cust_rev
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_mktsegment, c_custkey, cust_rev,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT c_mktsegment, c_custkey, cust_rev,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY cust_rev DESC, c_custkey) AS rnk
+                FROM customer JOIN rev ON c_custkey = o_custkey
+            )
+            WHERE rnk <= 3
+        """,
+        "running_total_events": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+                        PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+            FROM events
+        """,
+        "sessionization": """
+            WITH ordered AS (
+                SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800.0
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM ordered
+            ), sess AS (
+                SELECT user_id, event_id, ts,
+                       CAST(SUM(new_sess) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   max(epoch(ts)) - min(epoch(ts)) AS duration_sec
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "tumbling_windows": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "set_ops_except": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+            EXCEPT ALL
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "distinct_agg_segments": """
+            SELECT c_mktsegment,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(DISTINCT o_orderpriority) AS n_priorities,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "diff_insert": f"""
             WITH {SNAPSHOT_SQL}

@@ -24,12 +24,17 @@ from mydatasyncer_spark.session import get_spark
 # grows.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
     "diff_insert",
     "diff_update",
     "diff_delete",
     "canonical_stringify",
     "pk_validation_histogram",
     "duplicate_key_detection",
+    "sessionization",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 

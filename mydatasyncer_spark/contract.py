@@ -42,9 +42,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer `div`, not float division: epoch-nanos exceed
+            # 2^53 so a double round-trip would corrupt low digits;
+            # truncation matches DuckDB's ns->us cast semantics
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

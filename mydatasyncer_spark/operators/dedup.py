@@ -83,13 +83,16 @@ def minhash_signature(
     aggregates: a single shuffle keyed by document id. The k hash
     family comes from seed-suffixing (see functions/hashing.py).
     """
+    from mydatasyncer_spark.functions.hashing import hash48, permuted_hash
+
     sh = (
         df.select(
             F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("sh")
         )
+        .select(id_col, hash48(F.col("sh")).alias("h"))
         .select(
             id_col,
-            *[seeded_hash48(F.col("sh"), s).alias(f"h{s}") for s in range(k)],
+            *[permuted_hash(F.col("h"), s).alias(f"h{s}") for s in range(k)],
         )
     )
     return sh.groupBy(id_col).agg(
@@ -133,7 +136,10 @@ def minhash_lsh_pairs(
     The pair join is per-(band, band_key) — the only shuffle beyond
     the signature build — and candidates are deduped across bands.
     """
-    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
+    # cached: the signature table feeds the band join AND both sides
+    # of the estimated-Jaccard verification — without this the whole
+    # shingle+hash pipeline runs three times
+    sig = minhash_signature(df, text_col, id_col, k, shingle_n).persist()
     bands = lsh_bands(sig, id_col, k, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (

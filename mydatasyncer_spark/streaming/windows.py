@@ -1,0 +1,169 @@
+"""Streaming counterparts of the batch event-time operators.
+
+The reference is strictly batch (whole-file snapshots,
+SURVEY.md §2.5 notes "Streaming: None"), so these are beyond-parity
+operators: the same event-time semantics as the batch
+``tumbling_windows`` / ``sessionization`` queries, expressed as
+Structured Streaming so a pipeline can run continuous ingestion with
+late-data handling.
+
+Scale notes: watermarks bound state; the windowed aggregate is an
+incremental partial-agg (no full-history shuffle); sessionization
+keeps one state row per active (user) key and times out via the
+watermark, so state is O(active users), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_SECONDS = 1800
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based event stream (each arriving file = a micro-batch)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows per event type with a watermark for
+    late data — the streaming twin of the batch ``tumbling_windows``
+    query (same output columns)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful session assembly for one user key.
+
+    State = (next_session_id, last_ts_epoch, open_n, open_start,
+    open_last). Emits every *closed* session; the open session flushes
+    on state timeout (watermark passes the gap).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        next_id, _, open_n, open_start, open_last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [next_id - 1],
+                "n_events": [open_n],
+                "duration_sec": [open_last - open_start],
+            }
+        )
+        return
+
+    rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    ts = rows["ts"].map(lambda t: t.timestamp())
+    if state.exists:
+        next_id, last_ts, open_n, open_start, open_last = state.get
+    else:
+        next_id, last_ts, open_n, open_start, open_last = 1, None, 0, 0.0, 0.0
+
+    closed: list[tuple[int, int, float]] = []
+    for t in ts:
+        if last_ts is None or t - last_ts > SESSION_GAP_SECONDS:
+            if open_n:
+                closed.append((next_id - 1, open_n, open_last - open_start))
+            open_n, open_start = 0, t
+            next_id += 1
+        open_n += 1
+        open_last = last_ts = t
+
+    state.update((next_id, last_ts, open_n, open_start, open_last))
+    state.setTimeoutTimestamp(int((last_ts + SESSION_GAP_SECONDS) * 1000))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_id": [c[0] for c in closed],
+                "n_events": [c[1] for c in closed],
+                "duration_sec": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming 30-minute-gap sessionization via
+    ``applyInPandasWithState`` — one state row per active user, timed
+    out by event-time watermark. Batch twin: the ``sessionization``
+    contract query."""
+    state_schema = (
+        "next_id long, last_ts double, open_n long, open_start double, open_last double"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain all available input into an in-memory sink (test/dev
+    helper): processes everything pending, then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,89 @@
+"""Structured Streaming operators: the streaming results must agree
+with their batch twins on the same data (single availableNow drain)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.contract import table
+from mydatasyncer_spark.streaming.windows import (
+    read_event_stream,
+    run_to_memory,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Re-materialize the events fixture as clean TIMESTAMP(us)
+    parquet split into several files (streaming micro-batches)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    run_to_memory(
+        windowed_event_counts(stream), "win_counts", output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    )
+    expected = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == expected
+
+
+def test_streaming_sessionization_closed_sessions(spark, sf_dir, event_dir):
+    """Sessions closed during the drain must match the batch
+    sessionizer exactly (the still-open tail sessions only flush on a
+    later watermark advance, so compare the closed prefix)."""
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=4)
+    run_to_memory(sessionize_stream(stream), "sessions", output_mode="append")
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], round(r["duration_sec"], 3))
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # batch twin (same algorithm as the sessionization contract query)
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800.0),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
+            ).alias("duration_sec"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_id"]): (r["n_events"], round(r["duration_sec"], 3))
+        for r in sess.collect()
+    }
+    assert got, "no sessions closed during drain"
+    for key, val in got.items():
+        assert expected[key] == val, f"session {key}: {val} != {expected[key]}"
