@@ -36,6 +36,10 @@ from mydatasyncer_spark.operators.text import (
     tokens,
 )
 
+from mydatasyncer_spark.operators.partitioning import (
+    fanout_repartition as _fanout_repartition,
+)
+
 MINHASH_K = 16
 LSH_BAND_SIZE = 4  # 16 hashes -> 4 bands of 4
 SIMHASH_BITS = 16
@@ -79,15 +83,26 @@ def minhash_signature(
 ) -> DataFrame:
     """id → k min-hash columns ``mh0..mh{k-1}``.
 
-    One explode of the shingle array + one groupBy(id) with k ``min``
-    aggregates: a single shuffle keyed by document id. The k hash
-    family comes from seed-suffixing (see functions/hashing.py).
+    The single shuffle happens BEFORE the shingle fan-out: documents
+    are repartitioned by id while each row is still one small (id,
+    normalized-text) pair, then explode + hash + groupBy(id) all run
+    partition-local (the groupBy reuses the id partitioning). Moving
+    the shuffle after the explode would move ~|text| × k times more
+    bytes; leaving it out entirely ties parallelism to the input
+    file's split count (a single small parquet = one core doing all
+    the hashing). Normalization is projected once per document — see
+    char_shingles's lambda-re-evaluation note.
     """
     from mydatasyncer_spark.functions.hashing import hash48, permuted_hash
 
+    norm_docs = _fanout_repartition(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")),
+        id_col,
+    )
     sh = (
-        df.select(
-            F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("sh")
+        norm_docs.select(
+            F.col(id_col),
+            F.explode(char_shingles(F.col("_norm"), shingle_n)).alias("sh"),
         )
         .select(id_col, hash48(F.col("sh")).alias("h"))
         .select(
@@ -192,10 +207,13 @@ def simhash(
     (+1/−1) votes across tokens is positive. One explode + one
     groupBy(id) — single shuffle.
     """
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    )
+    tok = _fanout_repartition(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+        ),
+        id_col,
+    ).select(F.col(id_col), F.explode("_toks").alias("tok"))
     h = seeded_hash48(F.col("tok"), 0)
     votes = tok.groupBy(id_col).agg(
         *[
@@ -244,16 +262,16 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard for given (id_a, id_b) pairs —
     the verification stage after any blocking scheme."""
     grams = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
         F.col(id_col),
         F.array_distinct(
             F.transform(
                 F.sequence(
                     F.lit(1),
-                    F.greatest(F.size(tokens(F.col(text_col))) - F.lit(n - 1), F.lit(1)),
+                    F.greatest(F.size("_t") - F.lit(n - 1), F.lit(1)),
                 ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(tokens(F.col(text_col)), i, n)
-                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n)),
             )
         ).alias("grams"),
     )

@@ -106,7 +106,13 @@ def extract_features(
                 }
             )
 
-    return df.select("media_id", "payload").mapInPandas(process, FEATURE_SCHEMA)
+    from mydatasyncer_spark.operators.partitioning import ensure_min_parallelism
+
+    # widen a narrow source so the Python decode pool sees every core;
+    # no-op when the input already has cluster-width splits
+    return ensure_min_parallelism(df.select("media_id", "payload")).mapInPandas(
+        process, FEATURE_SCHEMA
+    )
 
 
 def decode_with_real_codec(media_type: str) -> Callable[[bytes], list[float]]:

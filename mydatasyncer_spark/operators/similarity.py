@@ -20,6 +20,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mydatasyncer_spark.functions.hashing import hash48
+from mydatasyncer_spark.operators.partitioning import (
+    cluster_parallelism,
+    fanout_spread,
+)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -52,11 +56,21 @@ def cosine_topk(
     Output: (query_id, neighbor_id, rank, cosine). Deterministic
     tie-break: higher cosine first, then smaller neighbor id.
     """
+    # Norms are projected per vector BEFORE the join — inside the
+    # pair space they would be recomputed |corpus| times per query.
+    # The corpus side is round-robin spread so the per-pair work is
+    # as wide as the cluster even when the input is one small split.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = fanout_spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),
+        )
     )
     scored = (
         F.broadcast(q)
@@ -65,7 +79,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -119,12 +135,16 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    c = fanout_spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),
+            lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
     )
     scored = (
         F.broadcast(q)
@@ -133,7 +153,9 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -152,26 +174,46 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_factor: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold within a blocking
-    key (label here; LSH bucket or coarse quantizer at scale)."""
+    key (label here; LSH bucket or coarse quantizer at scale).
+
+    The within-block self-join is SALTED: side a is keyed by
+    ``id % salt_factor``, side b replicated to every salt, and the
+    join runs on (block, salt). Join parallelism is then
+    #blocks × salt_factor instead of #blocks — a handful of hot
+    blocks would otherwise serialize the O(block²) cosine work no
+    matter how many executors exist. Both sides are repartitioned to
+    a pinned width on the join key so AQE (which only sees the small
+    pre-pair-space bytes) cannot coalesce the stage. Norms are
+    projected per vector, not per pair."""
+    n = cluster_parallelism(df)
     a = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-    )
+        norm(F.col(vec_col)).alias("na"),
+        (F.col(id_col) % salt_factor).cast("int").alias("salt"),
+    ).repartition(n, "blk", "salt")
     b = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-    )
+        norm(F.col(vec_col)).alias("nb"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<int>")
+        ).alias("salt"),
+    ).repartition(n, "blk", "salt")
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -126,12 +126,17 @@ def fingerprint64(col: Column) -> Column:
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
-    """Array of character n-grams of the normalized text; documents
-    shorter than ``n`` yield one whole-text shingle."""
-    norm = normalize_text(col)
-    return F.when(F.length(norm) < n, F.array(norm)).otherwise(
+    """Array of character n-grams of ``col``; strings shorter than
+    ``n`` yield one whole-string shingle.
+
+    Callers normalize first and MUST pass a projected attribute (a
+    real column), not an expression tree: anything referenced inside
+    the ``transform`` lambda is re-evaluated once per array element,
+    so an embedded ``normalize_text(...)`` would run its regex per
+    shingle instead of per document."""
+    return F.when(F.length(col) < n, F.array(col)).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.length(norm) - F.lit(n - 1)),
-            lambda i: F.substring(norm, i, F.lit(n)),
+            F.sequence(F.lit(1), F.length(col) - F.lit(n - 1)),
+            lambda i: F.substring(col, i, F.lit(n)),
         )
     )
