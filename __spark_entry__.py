@@ -508,6 +508,32 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing (4 planes ->
+    16 buckets), exact cosine re-rank within the query's bucket."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    out = S.lsh_ann_topk(q, e, dim=64, k=5, n_planes=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _lsh_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 4) -> str:
+    """DuckDB bucket id identical to similarity.lsh_bucket: the
+    hyperplane doubles are the same driver-computed literals."""
+    from mydatasyncer_spark.operators.similarity import hyperplane_values
+
+    terms = []
+    for p in range(n_planes):
+        plane = ", ".join(repr(v) for v in hyperplane_values(dim, p))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{plane}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata, extracted JVM-side."""
     media = M.attach_binary_payload(table(spark, sf_dir, "documents"))
@@ -659,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_near_dup": embedding_near_dup,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
         "json_extract_events": json_extract_events,
@@ -953,6 +980,26 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
                 SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
                 FROM q CROSS JOIN c
+                WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "ann_lsh_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, {_DVEC_SQL} AS qv
+                       FROM embeddings WHERE vec_id % 97 = 0),
+            c AS (SELECT vec_id AS neighbor_id, {_DVEC_SQL} AS cv FROM embeddings),
+            qb AS (SELECT query_id, qv, {_lsh_bucket_sql('qv')} AS bucket FROM q),
+            cb AS (SELECT neighbor_id, cv, {_lsh_bucket_sql('cv')} AS bucket FROM c),
+            scored AS (
+                SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+                FROM qb JOIN cb USING (bucket)
                 WHERE query_id <> neighbor_id
             ),
             ranked AS (

@@ -47,10 +47,24 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry] + [
         n for n in sorted(registry) if n not in HEADLINE
     ]
+    # Untimed warm-up: scan every table once and run one tiny
+    # aggregate, so the timed loop measures query execution, not
+    # first-use JVM/codegen warm-up (which otherwise lands entirely
+    # on whichever query happens to run first).
+    from mydatasyncer_spark.contract import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
+    registry["q1_pricing_summary"](spark, sf_dir).count()
+    # ... and spin up the Python worker pool (mapInPandas paths fork
+    # one interpreter per core on first use — session setup, not query
+    # execution)
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
-        # warm the reader metadata once so timings measure execution
         start = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 4)

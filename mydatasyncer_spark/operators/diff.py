@@ -56,7 +56,13 @@ class DiffResult:
 
 
 def with_canonical_key(df: DataFrame, primary_key: str) -> DataFrame:
-    """Append the canonical join-key column (J5)."""
+    """Append the canonical join-key column (J5).
+
+    Deliberately NOT pre-repartitioned: canonicalization is a cheap
+    scalar projection, the join exchange right after redistributes
+    anyway, and a forced widening here measurably added more exchange
+    + planning cost than it saved (see operators/partitioning.py for
+    the fan-out cases where widening IS worth it)."""
     return df.withColumn(_KEY, canonical_col(df, primary_key))
 
 

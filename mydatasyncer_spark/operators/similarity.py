@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mydatasyncer_spark.functions.hashing import hash48
 from mydatasyncer_spark.operators.partitioning import (
     cluster_parallelism,
     fanout_spread,
@@ -94,16 +93,22 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> Column:
+def hyperplane_values(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component i of plane p
-    maps hash48("p:i") into [-1, 1). Reproducible everywhere."""
-    comps = [
-        (hash48(F.lit(f"{plane}:{i}")) % F.lit(2_000_001)).cast("double")
-        / F.lit(1_000_000.0)
-        - F.lit(1.0)
-        for i in range(dim)
-    ]
-    return F.array(*comps)
+    maps a 48-bit md5 of ``"p:i"`` into [-1, 1). Computed driver-side
+    (the inputs are constants) so Spark and any SQL oracle inline the
+    IDENTICAL double literals — bucket ids then agree bit-for-bit."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:12], 16)
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane)])
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
