@@ -567,6 +567,27 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the latest
+    view (per user, ts <= purchase ts). Union+window plan — one
+    shuffle, no range-join pair blow-up."""
+    from mydatasyncer_spark.operators.asof import asof_join_backward
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join_backward(
+        purchases, views, ["user_id"], "ts", ["view_value"], ts_out="view_ts"
+    )
+    return out.select("event_id", "user_id", "view_ts", "view_value")
+
+
 def _minhash_sig_sql(k: int = 16) -> str:
     from mydatasyncer_spark.functions.hashing import hash48_sql, permuted_hash_sql
 
@@ -689,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
         "json_extract_events": json_extract_events,
+        "asof_purchase_view": asof_purchase_view,
     }
 
 
@@ -1010,6 +1032,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "asof_purchase_view": """
+            WITH p AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            v AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       max(value) AS view_value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   v.ts AS view_ts, v.view_value
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id,

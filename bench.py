@@ -35,6 +35,7 @@ HEADLINE = [
     "sessionization",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "asof_purchase_view",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Backward as-of join — a time-series operator Spark has no native
+primitive for (beyond-parity; the reference is pure batch snapshots,
+SURVEY.md §2.5 "no theta/range/as-of joins").
+
+Semantics: for every left row, attach the single right row with the
+LARGEST right timestamp ≤ the left timestamp, per key (DuckDB/kdb
+``ASOF JOIN`` with ``left.ts >= right.ts``).
+
+Implemented as a composition of built-ins — union + one window pass —
+rather than a range join:
+
+- A naive ``left.join(right, key AND r.ts <= l.ts)`` explodes to all
+  qualifying pairs and re-filters (O(|matches|) per row, a shuffle of
+  the blow-up).
+- Here both sides are tagged and unioned, then a single
+  ``last(value, ignorenulls=True)`` running window ordered by
+  (ts, side) carries each right row forward to exactly the left rows
+  it is as-of for. ONE shuffle (hash by key), sort within partition,
+  zero pair-space blow-up, and skewed keys behave no worse than the
+  window itself.
+
+The right side must be unique per (key, ts) — pre-aggregate if not
+(the contract query does) — otherwise "which same-timestamp row wins"
+is undefined in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    ts_out: str = "asof_ts",
+) -> DataFrame:
+    """Left as-of-backward join: all left columns + each right
+    ``value_cols`` (null when no right row precedes) + ``ts_out`` =
+    the matched right timestamp."""
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in set(key_cols) | {ts_col}
+        ]
+    left_cols = left.columns
+    clash = set(value_cols) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"right value columns {sorted(clash)} collide with left "
+            "columns — rename the right side first"
+        )
+    l = left.withColumn(_SIDE, F.lit(1))
+    for c in value_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None))
+    r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c) for c in value_cols],
+    )
+    for c in left_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    unioned = l.unionByName(r.select(*l.columns))
+    # right rows sort BEFORE left rows at an equal timestamp, so
+    # `>=` (inclusive) as-of semantics hold
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *unioned.columns,
+        F.last(
+            F.when(F.col(_SIDE) == 0, F.col(ts_col)), ignorenulls=True
+        ).over(w).alias(ts_out),
+        *[
+            F.last(
+                F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True
+            ).over(w).alias(f"_filled_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *left_cols,
+        F.col(ts_out),
+        *[F.col(f"_filled_{c}").alias(c) for c in value_cols],
+    )

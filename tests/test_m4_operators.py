@@ -126,3 +126,53 @@ class TestMultimodal:
             media, decode_fn=lambda p: [1.0, 2.0, 3.0, 4.0]
         ).first()
         assert feats["feature"] == [1.0, 2.0, 3.0, 4.0]
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from datetime import datetime as dt
+
+        left = spark.createDataFrame(
+            [
+                (1, 10, dt(2024, 1, 1, 10, 0, 0)),
+                (2, 10, dt(2024, 1, 1, 12, 0, 0)),
+                (3, 10, dt(2024, 1, 1, 9, 0, 0)),   # before any right row
+                (4, 20, dt(2024, 1, 1, 11, 0, 0)),  # key with no right rows
+                (5, 10, dt(2024, 1, 1, 11, 30, 0)),  # exactly equal ts
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, dt(2024, 1, 1, 9, 30, 0), 1.0),
+                (10, dt(2024, 1, 1, 11, 30, 0), 2.0),
+            ],
+            "user_id long, ts timestamp, v double",
+        )
+        return left, right
+
+    def test_backward_semantics(self, spark):
+        from mydatasyncer_spark.operators.asof import asof_join_backward
+
+        left, right = self._frames(spark)
+        out = {
+            r["event_id"]: (r["v"], r["asof_ts"])
+            for r in asof_join_backward(
+                left, right, ["user_id"], "ts", ["v"]
+            ).collect()
+        }
+        assert out[1][0] == 1.0          # latest right <= 10:00 is 09:30
+        assert out[2][0] == 2.0          # 11:30 row wins at 12:00
+        assert out[3] == (None, None)    # nothing precedes 09:00
+        assert out[4] == (None, None)    # no right rows for key 20
+        assert out[5][0] == 2.0          # equal ts is inclusive (>=)
+
+    def test_collision_guard(self, spark):
+        from mydatasyncer_spark.operators.asof import asof_join_backward
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="collide"):
+            asof_join_backward(
+                left, right.withColumnRenamed("v", "ts2"), ["user_id"], "ts",
+                ["ts2", "user_id"],
+            )

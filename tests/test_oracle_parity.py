@@ -26,7 +26,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for col in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[col]):
-            df[col] = pd.to_datetime(df[col]).dt.tz_localize(None)
+            # unify the unit too: Spark yields datetime64[ns], DuckDB
+            # [us], and assert_frame_equal compares raw representations
+            df[col] = (
+                pd.to_datetime(df[col])
+                .dt.tz_localize(None)
+                .astype("datetime64[ns]")
+            )
         # DuckDB returns decimals as objects sometimes; unify numerics
         if df[col].dtype == object:
             sample = df[col].dropna()
