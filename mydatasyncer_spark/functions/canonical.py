@@ -101,5 +101,10 @@ def row_fingerprint(df: DataFrame, cols: list[str]) -> Column:
 
 
 def is_nullish(col: Column) -> Column:
-    """True for NULL or any null-token string (ref: primary_key_validator.go:151-161)."""
-    return col.isNull() | F.lower(F.trim(col.cast("string"))).isin(NULL_TOKENS)
+    """True for NULL or any null-token string (ref: primary_key_validator.go:151-161).
+
+    Trims ALL leading/trailing whitespace (tabs/newlines included) —
+    Spark's ``trim`` strips only spaces, but the reference uses Go's
+    ``strings.TrimSpace``; found by the hypothesis property test."""
+    stripped = F.regexp_replace(col.cast("string"), r"^\s+|\s+$", "")
+    return col.isNull() | F.lower(stripped).isin(NULL_TOKENS)
