@@ -287,6 +287,23 @@ def distinct_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistics per group: median/p90/p99 of order value
+    by market segment (Spark `percentile` == DuckDB `quantile_cont`
+    on identical doubles)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(price, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(price, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(price, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ------------------------------------------------------------- diff engine
 
 
@@ -688,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_windows": tumbling_windows,
         "set_ops_except": set_ops_except,
         "distinct_agg_segments": distinct_agg_segments,
+        "percentiles_by_segment": percentiles_by_segment,
         "diff_insert": diff_insert,
         "diff_update": diff_update,
         "diff_delete": diff_delete,
@@ -839,6 +857,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment,
                    COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(DISTINCT o_orderpriority) AS n_priorities,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "percentiles_by_segment": """
+            SELECT c_mktsegment,
+                   round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+                   round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90,
+                   round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) AS p99,
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
