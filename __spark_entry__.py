@@ -287,6 +287,18 @@ def distinct_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having at least one
+    high-quantity line item — completes the join-type family next to
+    the diff engine's anti/inner legs."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-statistics per group: median/p90/p99 of order value
     by market segment (Spark `percentile` == DuckDB `quantile_cont`
@@ -706,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_except": set_ops_except,
         "distinct_agg_segments": distinct_agg_segments,
         "percentiles_by_segment": percentiles_by_segment,
+        "semi_join_big_orders": semi_join_big_orders,
         "diff_insert": diff_insert,
         "diff_update": diff_update,
         "diff_delete": diff_delete,
@@ -860,6 +873,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "semi_join_big_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48
+            )
         """,
         "percentiles_by_segment": """
             SELECT c_mktsegment,

@@ -154,6 +154,23 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous twin of
+    ``operators.dedup.exact_dedup``.
+
+    ``dropDuplicatesWithinWatermark`` keeps state only for keys whose
+    event time is still inside the watermark horizon, so state is
+    bounded by arrival spread rather than stream history (a plain
+    streaming ``dropDuplicates`` would grow state forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -87,3 +87,20 @@ def test_streaming_sessionization_closed_sessions(spark, sf_dir, event_dir):
     assert got, "no sessions closed during drain"
     for key, val in got.items():
         assert expected[key] == val, f"session {key}: {val} != {expected[key]}"
+
+
+def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path_factory):
+    """Replaying the same events into the stream (duplicate files)
+    must yield each event exactly once."""
+    from mydatasyncer_spark.streaming.windows import dedup_stream
+
+    out = str(tmp_path_factory.mktemp("events_dup"))
+    ev = table(spark, sf_dir, "events").limit(300).cache()
+    n = ev.count()
+    ev.write.mode("overwrite").parquet(out)
+    ev.write.mode("append").parquet(out)  # exact replay
+    stream = read_event_stream(spark, out, max_files_per_trigger=1)
+    run_to_memory(dedup_stream(stream), "dedup_events", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_events").first()
+    assert got["n"] == n
+    assert got["d"] == n
