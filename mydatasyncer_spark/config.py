@@ -123,6 +123,30 @@ class SyncConfig:
         cfg.validate()
         return cfg
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "SyncConfig":
+        """Load the reference's YAML config file directly
+        (ref: config.go:79-113 — including fallback-to-defaults on a
+        missing file, which the reference logs and continues with)."""
+        try:
+            import yaml
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ConfigError(
+                "pyyaml is required for YAML configs; pass a dict to "
+                "from_dict instead"
+            ) from exc
+        import os
+
+        if not os.path.exists(path):
+            # ref: config.go:82-87 — missing file falls back to defaults,
+            # which then fail validation loudly (no silent half-configs)
+            raise ConfigError(f"config file not found: {path}")
+        with open(path, encoding="utf-8") as fh:
+            raw = yaml.safe_load(fh) or {}
+        if not isinstance(raw, dict):
+            raise ConfigError(f"config root must be a mapping, got {type(raw).__name__}")
+        return cls.from_dict(raw)
+
 
 def _table_from_dict(t: dict[str, Any], sync_defaults: dict[str, Any]) -> TableSpec:
     return TableSpec(

@@ -115,6 +115,101 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: truncates/pads the
+    byte stream to width*height bytes (a real impl decodes, resamples
+    to the canonical resolution, re-encodes)."""
+    if payload is None:
+        return b""
+    target = width * height
+    if len(payload) >= target:
+        return bytes(payload[:target])
+    return bytes(payload) + b"\x00" * (target - len(payload))
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Arrow-batched resize over the payload column — binary in,
+    binary out, constant metadata columns attached."""
+    from mydatasyncer_spark.operators.partitioning import ensure_min_parallelism
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "payload": batch["payload"].map(
+                        lambda p: resize_fn(p, width, height)
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return ensure_min_parallelism(df.select("media_id", "payload")).mapInPandas(
+        process, RESIZED_SCHEMA
+    )
+
+
+def fake_frame_sample(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: n_frames even
+    byte slices (a real impl seeks keyframes at a fixed stride)."""
+    if not payload:
+        return []
+    step = max(len(payload) // n_frames, 1)
+    return [bytes(payload[i * step : (i + 1) * step]) for i in range(n_frames)]
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    sample_fn: Callable[[bytes, int], list[bytes]] = fake_frame_sample,
+) -> DataFrame:
+    """One output row per sampled frame (media_id, frame_idx, frame).
+
+    Emitting exploded rows rather than an array column keeps a frame,
+    not a whole video, as the unit of downstream parallelism."""
+    from mydatasyncer_spark.operators.partitioning import ensure_min_parallelism
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                for i, fr in enumerate(sample_fn(payload, n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return ensure_min_parallelism(df.select("media_id", "payload")).mapInPandas(
+        process, FRAME_SCHEMA
+    )
+
+
 def decode_with_real_codec(media_type: str) -> Callable[[bytes], list[float]]:
     """Contract for real codecs (not available in this container).
 

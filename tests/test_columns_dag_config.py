@@ -123,3 +123,61 @@ class TestConfig:
         )
         assert cfg.tables[0].sync_mode == "overwrite"
         assert not cfg.is_multi_table
+
+
+class TestYamlConfig:
+    def test_single_table_yaml(self, tmp_path):
+        from mydatasyncer_spark.config import SyncConfig
+
+        p = tmp_path / "cfg.yml"
+        p.write_text(
+            """
+db:
+  url: jdbc:sqlite:/tmp/x.db
+sync:
+  filePath: ./data.csv
+  tableName: users
+  primaryKey: id
+  syncMode: diff
+  deleteNotInFile: true
+  timestampColumns: [updated_at]
+  immutableColumns: [created_at]
+dryRun: true
+"""
+        )
+        cfg = SyncConfig.from_yaml(str(p))
+        assert not cfg.is_multi_table
+        assert cfg.dry_run
+        t = cfg.tables[0]
+        assert (t.name, t.primary_key, t.sync_mode) == ("users", "id", "diff")
+        assert t.delete_not_in_file
+        assert t.timestamp_columns == ["updated_at"]
+
+    def test_multi_table_yaml_with_dependencies(self, tmp_path):
+        from mydatasyncer_spark.config import SyncConfig
+
+        p = tmp_path / "cfg.yml"
+        p.write_text(
+            """
+sync:
+  syncMode: diff
+  primaryKey: id
+  tables:
+    - name: parents
+      filePath: ./parents.csv
+    - name: children
+      filePath: ./children.csv
+      dependencies: [parents]
+"""
+        )
+        cfg = SyncConfig.from_yaml(str(p))
+        assert cfg.is_multi_table
+        assert cfg.tables[1].dependencies == ["parents"]
+
+    def test_missing_file_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from mydatasyncer_spark.config import ConfigError, SyncConfig
+
+        with _pytest.raises(ConfigError, match="not found"):
+            SyncConfig.from_yaml(str(tmp_path / "absent.yml"))

@@ -176,3 +176,31 @@ class TestAsofJoin:
                 left, right.withColumnRenamed("v", "ts2"), ["user_id"], "ts",
                 ["ts2", "user_id"],
             )
+
+
+class TestMultimodalPlumbing:
+    def test_resize_schema_and_determinism(self, spark, docs):
+        media = M.attach_binary_payload(docs)
+        out = M.resize_media(media, width=8, height=4)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert set(out.columns) == {"media_id", "payload", "width", "height"}
+        assert all(len(r["payload"]) == 32 for r in rows.values())
+        assert all((r["width"], r["height"]) == (8, 4) for r in rows.values())
+        # deterministic: same input -> same bytes
+        again = {r["media_id"]: r["payload"] for r in M.resize_media(media, 8, 4).collect()}
+        assert {k: v["payload"] for k, v in rows.items()} == again
+
+    def test_frame_sampling_explodes_per_frame(self, spark, docs):
+        media = M.attach_binary_payload(docs)
+        out = M.sample_frames(media, n_frames=3).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert all(sorted(v) == [0, 1, 2] for v in by_id.values())
+        # frames re-concatenate to a prefix of the original payload
+        first = sorted(
+            (r for r in out if r["media_id"] == 1), key=lambda r: r["frame_idx"]
+        )
+        joined = b"".join(r["frame"] for r in first)
+        original = media.filter(F.col("media_id") == 1).first()["payload"]
+        assert bytes(original).startswith(joined)
