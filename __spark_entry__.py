@@ -497,6 +497,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash near-dup pairs (est_jaccard
+    >= 0.5): per-doc cluster assignment via iterative min-label
+    propagation (DuckDB oracle: recursive-CTE transitive closure)."""
+    pairs = D.minhash_lsh_pairs(table(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return D.dedup_clusters(pairs)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures."""
     return D.simhash(table(spark, sf_dir, "documents"))
@@ -733,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_cluster_assign": dedup_cluster_assign,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_near_dup": embedding_near_dup,
@@ -1017,6 +1028,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_cluster_assign": f"""
+            WITH RECURSIVE base AS ({_minhash_lsh_sql()}),
+            prs AS (SELECT id_a, id_b FROM base WHERE est_jaccard >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM prs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM prs
+            ),
+            walk(src, reach) AS (
+                SELECT DISTINCT src, src AS reach FROM edges
+                UNION
+                SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+            )
+            SELECT src AS doc_id, min(reach) AS cluster_id
+            FROM walk GROUP BY src
+        """,
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

@@ -191,6 +191,67 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pair_df: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    where cluster_id = the minimum doc id transitively reachable.
+    Turns pairwise match output (MinHash/SimHash/embedding) into the
+    keep-one-per-cluster decision a dedup pipeline actually needs.
+
+    Iterative min-label propagation, the scalable Spark shape for CC:
+    each round is one join + one aggregate (both hash-partitioned on
+    the node id), labels are localCheckpoint'ed so lineage doesn't
+    grow with iterations, and the loop stops when an iteration changes
+    nothing. Rounds needed = longest shortest-path in a cluster —
+    near-dup clusters are shallow, so this converges in a handful of
+    rounds even at corpus scale. Only nodes that appear in some pair
+    are labeled (singletons are their own trivial cluster)."""
+    fwd = pair_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pair_df.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(
+                labels.select("id", F.col("label").alias("old_label")), "id"
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -204,3 +204,16 @@ class TestMultimodalPlumbing:
         joined = b"".join(r["frame"] for r in first)
         original = media.filter(F.col("media_id") == 1).first()["payload"]
         assert bytes(original).startswith(joined)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from mydatasyncer_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
