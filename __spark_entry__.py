@@ -487,6 +487,15 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.fingerprint64(F.col("text")).alias("fp"))
 
 
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (h*31 + code mod 1e9+7) of normalized
+    text — folded JVM-side with `aggregate`, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.rolling_fingerprint(F.col("text")).alias("rh")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: content hash -> survivor + group size."""
     return D.exact_dedup(table(spark, sf_dir, "documents"))
@@ -741,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "lang_id_pred": lang_id_pred,
         "doc_fingerprint": doc_fingerprint,
+        "doc_rolling_hash": doc_rolling_hash,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_assign": dedup_cluster_assign,
@@ -1019,6 +1029,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    ('0x' || substr(md5({_NORM_SQL}), 1, 12))::BIGINT AS fp
             FROM documents
+        """,
+        "doc_rolling_hash": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           [CAST(ord(norm[x]) AS BIGINT)
+                            for x in generate_series(1, length(norm))]),
+                       (acc, c) -> (acc * 31 + c) % 1000000007
+                   ) AS rh
+            FROM norm
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM_SQL}) AS content_hash,

@@ -125,6 +125,27 @@ def fingerprint64(col: Column) -> Column:
     return hash48(normalize_text(col))
 
 
+ROLLING_PRIME = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """True polynomial rolling hash of the normalized text:
+    ``h = (h * 31 + codepoint) mod 1e9+7``, folded JVM-side with
+    ``aggregate`` over the character array — no UDF, and exactly
+    reproducible in any engine with a list-reduce (the DuckDB oracle
+    folds the identical recurrence). Intermediate values stay below
+    31 * (p-1) + codepoint < 2^35, so 64-bit arithmetic never
+    overflows in either engine."""
+    norm = normalize_text(col)
+    codes = F.filter(F.split(norm, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_PRIME,
+    )
+
+
 def char_shingles(col: Column, n: int = 5) -> Column:
     """Array of character n-grams of ``col``; strings shorter than
     ``n`` yield one whole-string shingle.
