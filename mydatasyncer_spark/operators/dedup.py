@@ -228,6 +228,7 @@ def dedup_clusters(
         )
         propagated = labels.join(nbr, labels.id == nbr.src, "left").select(
             "id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
                 "label"
             ),
@@ -236,6 +237,8 @@ def dedup_clusters(
         lol = propagated.select(
             F.col("id").alias("lid"), F.col("label").alias("label2")
         )
+        # the old label rides along so convergence is a flag scan of
+        # the checkpointed result, not another join+shuffle
         updated = (
             propagated.join(lol, propagated.label == lol.lid, "left")
             .select(
@@ -243,18 +246,15 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("label2", "label")
                 ).alias("label"),
+                (
+                    F.least(F.col("label"), F.coalesce("label2", "label"))
+                    != F.col("old_label")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(
-                labels.select("id", F.col("label").alias("old_label")), "id"
-            )
-            .filter(F.col("label") != F.col("old_label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("chg")).count()
+        labels = updated.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
