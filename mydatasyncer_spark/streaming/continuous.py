@@ -1,0 +1,114 @@
+"""Continuous snapshot sync — the streaming form of the engine's core
+job (beyond-parity: the reference is one-shot batch, run per file).
+
+A directory of snapshot files becomes a stream; every micro-batch is
+treated as ONE complete table snapshot and diff-synced into the DB
+exactly like a batch run: canonical-key diff → insert/update/delete
+inside one transaction. Semantics notes:
+
+- ``maxFilesPerTrigger=1`` keeps batch == snapshot (diff semantics
+  need the whole table state, not an increment); a batch containing
+  several files is still correct when each file is a superset of the
+  previous (last-writer-wins per key via full-snapshot diff).
+- The diff runs distributed per batch; only the DML application
+  crosses to the driver connection — same split as batch mode.
+- The empty-batch policies mirror O11: an empty micro-batch is a
+  no-op (it means "no new snapshot", unlike an explicit empty file in
+  batch mode).
+- Restart safety: the stream checkpoint replays unprocessed files and
+  the diff is idempotent (re-syncing the same snapshot produces an
+  empty triple), so at-least-once delivery converges to the right DB
+  state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mydatasyncer_spark.config import SYNC_MODE_DIFF, TableSpec
+from mydatasyncer_spark.operators.columns import determine_sync_columns
+from mydatasyncer_spark.operators.diff import diff_snapshots
+from mydatasyncer_spark.sinks.applier import (
+    ApplyStats,
+    DbApiBackend,
+    Transaction,
+    apply_diff,
+)
+
+
+def sync_batch(
+    spark: SparkSession,
+    snapshot_df: DataFrame,
+    spec: TableSpec,
+    backend: DbApiBackend,
+) -> ApplyStats:
+    """Diff-sync one complete snapshot DataFrame into the DB — the
+    shared core of a foreachBatch sink and a one-shot batch run."""
+    cols = determine_sync_columns(
+        file_cols=snapshot_df.columns,
+        db_cols=backend.table_columns(spec.name),
+        config_cols=spec.columns,
+        primary_key=spec.primary_key,
+    )
+    db_df = backend.read_snapshot(spark, spec.name, cols)
+    diff = diff_snapshots(
+        snapshot_df.select(*[c for c in cols if c in snapshot_df.columns]),
+        db_df,
+        spec.primary_key,
+        columns=cols,
+        delete_not_in_file=spec.delete_not_in_file,
+    )
+    diff.to_insert.persist()
+    diff.to_update.persist()
+    diff.to_delete.persist()
+    try:
+        with Transaction(backend.conn):
+            return apply_diff(
+                backend,
+                spec.name,
+                cols,
+                spec.primary_key,
+                diff.to_insert,
+                diff.to_update,
+                diff.to_delete,
+                timestamp_columns=spec.timestamp_columns,
+                immutable_columns=spec.immutable_columns,
+            )
+    finally:
+        diff.to_insert.unpersist()
+        diff.to_update.unpersist()
+        diff.to_delete.unpersist()
+
+
+def continuous_sync(
+    stream_df: DataFrame,
+    spec: TableSpec,
+    backend_factory: Callable[[], DbApiBackend],
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_sync",
+):
+    """Attach the diff-sync sink to a snapshot stream; returns the
+    started StreamingQuery (caller stops/awaits it).
+
+    ``backend_factory`` builds the driver-side DB connection lazily so
+    restarts reconnect cleanly.
+    """
+    if spec.sync_mode != SYNC_MODE_DIFF:
+        raise ValueError("continuous sync requires diff mode")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no new snapshot this trigger
+        backend = backend_factory()
+        sync_batch(batch_df.sparkSession, batch_df, spec, backend)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

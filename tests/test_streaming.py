@@ -104,3 +104,62 @@ def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path_factory):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_events").first()
     assert got["n"] == n
     assert got["d"] == n
+
+
+class TestContinuousSync:
+    """Streaming form of the core sync job: each arriving snapshot
+    file is diff-synced into the DB; the DB converges to the latest
+    snapshot's state."""
+
+    def test_two_snapshots_converge(self, spark, tmp_path_factory):
+        import sqlite3
+        import time as _time
+
+        from mydatasyncer_spark.config import TableSpec
+        from mydatasyncer_spark.sinks.applier import DbApiBackend
+        from mydatasyncer_spark.streaming.continuous import continuous_sync
+
+        conn = sqlite3.connect(":memory:", check_same_thread=False)
+        conn.execute(
+            "CREATE TABLE t (id INTEGER PRIMARY KEY, name TEXT, value TEXT)"
+        )
+        conn.executemany(
+            "INSERT INTO t VALUES (?, ?, ?)",
+            [(1, "Alice", "old"), (3, "Carol", "gone")],
+        )
+        conn.commit()
+        spec = TableSpec(
+            name="t",
+            file_path="<stream>",
+            primary_key="id",
+            sync_mode="diff",
+            delete_not_in_file=True,
+        )
+        snap_dir = tmp_path_factory.mktemp("snaps")
+        ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+        def drain(csv_text: str, fname: str):
+            (snap_dir / fname).write_text(csv_text)
+            stream = (
+                spark.readStream.schema("id long, name string, value string")
+                .option("header", True)
+                .option("maxFilesPerTrigger", 1)
+                .csv(str(snap_dir))
+            )
+            q = continuous_sync(stream, spec, lambda: DbApiBackend(conn), ckpt)
+            q.awaitTermination(120)
+            _time.sleep(0.1)
+
+        drain("id,name,value\n1,Alice,new\n2,Bob,add\n", "snap1.csv")
+        assert conn.execute("SELECT * FROM t ORDER BY id").fetchall() == [
+            (1, "Alice", "new"),
+            (2, "Bob", "add"),
+        ]
+        # second snapshot: update 2, drop 1, add 4 — checkpoint makes
+        # the restarted stream process only the new file
+        drain("id,name,value\n2,Bob,changed\n4,Dave,fresh\n", "snap2.csv")
+        assert conn.execute("SELECT * FROM t ORDER BY id").fetchall() == [
+            (2, "Bob", "changed"),
+            (4, "Dave", "fresh"),
+        ]
+        conn.close()
