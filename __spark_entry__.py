@@ -287,6 +287,28 @@ def distinct_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: every predicate (date range,
+    discount band, quantity cap) pushes into the parquet scan; the
+    aggregate is a single map-side-combinable sum."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join (EXISTS): orders having at least one
     high-quantity line item — completes the join-type family next to
@@ -738,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_segments": distinct_agg_segments,
         "percentiles_by_segment": percentiles_by_segment,
         "semi_join_big_orders": semi_join_big_orders,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "diff_insert": diff_insert,
         "diff_update": diff_update,
         "diff_delete": diff_delete,
@@ -894,6 +917,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
         """,
         "semi_join_big_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice

@@ -61,3 +61,10 @@ def test_minhash_band_join_is_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_pushes_all_predicates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed

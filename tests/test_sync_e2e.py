@@ -333,3 +333,29 @@ class TestTimestampInjection:
         # insert: both timestamp columns set
         assert got[1] == (2, "new", "NOW", "NOW")
         conn.close()
+
+
+def test_global_timeout_enforced(spark, db, tmp_path):
+    """O12: a run past its deadline aborts with SyncError before any
+    writes (ref: 5-minute deadline, main.go:60-62)."""
+    from mydatasyncer_spark.config import SyncConfig, TableSpec
+    from mydatasyncer_spark.errors import SyncError
+    from mydatasyncer_spark.sinks.applier import DbApiBackend
+    from mydatasyncer_spark.syncer import Syncer
+
+    path = write_csv(tmp_path, "t.csv", CSV_DIFF)
+    cfg = SyncConfig(
+        tables=[
+            TableSpec(
+                name="test_table",
+                file_path=path,
+                primary_key="id",
+                sync_mode="diff",
+            )
+        ],
+        timeout_seconds=0,
+    )
+    before = rows(db)
+    with pytest.raises(SyncError, match="timeout"):
+        Syncer(spark, DbApiBackend(db), cfg).run()
+    assert rows(db) == before
