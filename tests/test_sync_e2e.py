@@ -359,3 +359,17 @@ def test_global_timeout_enforced(spark, db, tmp_path):
     with pytest.raises(SyncError, match="timeout"):
         Syncer(spark, DbApiBackend(db), cfg).run()
     assert rows(db) == before
+
+
+def test_csv_strict_column_count(spark, tmp_path):
+    """S1 parity: any row with the wrong field count aborts the read
+    (ref: strict per-row count check, loader.go:120-122) — FAILFAST
+    surfaces it as a read error in both directions."""
+    from mydatasyncer_spark.sources.readers import read_csv
+
+    extra = write_csv(tmp_path, "extra.csv", "id,name\n1,Alice\n2,Bob,EXTRA\n")
+    with pytest.raises(Exception, match="(?i)malformed|failed_read"):
+        read_csv(spark, extra).collect()
+    short = write_csv(tmp_path, "short.csv", "id,name\n1,Alice\n2\n")
+    with pytest.raises(Exception, match="(?i)malformed|failed_read"):
+        read_csv(spark, short).collect()
