@@ -54,6 +54,11 @@ def asof_join_backward(
             f"right value columns {sorted(clash)} collide with left "
             "columns — rename the right side first"
         )
+    if ts_out in left_cols or ts_out in value_cols:
+        raise ValueError(
+            f"ts_out={ts_out!r} collides with an existing column — "
+            "pick a different name"
+        )
     l = left.withColumn(_SIDE, F.lit(1))
     for c in value_cols:
         if c not in l.columns:

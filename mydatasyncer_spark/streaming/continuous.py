@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mydatasyncer_spark.config import SYNC_MODE_DIFF, TableSpec
 from mydatasyncer_spark.operators.columns import determine_sync_columns
 from mydatasyncer_spark.operators.diff import diff_snapshots
+from mydatasyncer_spark.operators.validation import validate_primary_keys
 from mydatasyncer_spark.sinks.applier import (
     ApplyStats,
     DbApiBackend,
@@ -52,6 +53,9 @@ def sync_batch(
         config_cols=spec.columns,
         primary_key=spec.primary_key,
     )
+    # same mandatory pre-pass as batch mode (V1): a bad snapshot must
+    # fail the batch, not corrupt the table
+    validate_primary_keys(snapshot_df, spec.primary_key, strict=True)
     db_df = backend.read_snapshot(spark, spec.name, cols)
     diff = diff_snapshots(
         snapshot_df.select(*[c for c in cols if c in snapshot_df.columns]),
