@@ -45,6 +45,8 @@ def write_csv(tmp_path, name, text):
     return str(p)
 
 
+SF_DIR_FOR_WRITER = "/root/testdata/sf0.001"
+
 CSV_DIFF = "id,name,value\n1,Alice,new\n2,Bob,keep\n4,Dave,fresh\n"
 
 
@@ -373,3 +375,35 @@ def test_csv_strict_column_count(spark, tmp_path):
     short = write_csv(tmp_path, "short.csv", "id,name\n1,Alice\n2\n")
     with pytest.raises(Exception, match="(?i)malformed|failed_read"):
         read_csv(spark, short).collect()
+
+
+class TestPartitionedWriter:
+    def test_one_file_per_partition(self, spark, tmp_path):
+        import glob
+
+        from mydatasyncer_spark.contract import table
+        from mydatasyncer_spark.sources.writers import write_partitioned
+
+        out = str(tmp_path / "events_by_type")
+        ev = table(spark, SF_DIR_FOR_WRITER, "events")
+        write_partitioned(ev, out, ["event_type"])
+        dirs = sorted(glob.glob(f"{out}/event_type=*"))
+        assert len(dirs) == 5
+        for d in dirs:
+            files = glob.glob(f"{d}/*.parquet")
+            assert len(files) == 1, d
+        assert spark.read.parquet(out).count() == ev.count()
+
+    def test_salted_multi_file_partitions(self, spark, tmp_path):
+        import glob
+
+        from mydatasyncer_spark.contract import table
+        from mydatasyncer_spark.sources.writers import write_partitioned
+
+        out = str(tmp_path / "events_salted")
+        ev = table(spark, SF_DIR_FOR_WRITER, "events")
+        write_partitioned(ev, out, ["event_type"], files_per_partition=3)
+        for d in glob.glob(f"{out}/event_type=*"):
+            n = len(glob.glob(f"{d}/*.parquet"))
+            assert 1 <= n <= 3, (d, n)
+        assert spark.read.parquet(out).count() == ev.count()
