@@ -19,15 +19,37 @@ Design stance (see SURVEY.md §7):
 """
 
 from mydatasyncer_spark.config import SyncConfig, TableSpec
+from mydatasyncer_spark.operators.asof import asof_join_backward
+from mydatasyncer_spark.operators.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+)
 from mydatasyncer_spark.operators.diff import DiffResult, diff_snapshots
+from mydatasyncer_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
 from mydatasyncer_spark.session import get_spark
+from mydatasyncer_spark.syncer import sync
 
 __all__ = [
     "SyncConfig",
     "TableSpec",
     "DiffResult",
     "diff_snapshots",
+    "sync",
     "get_spark",
+    "asof_join_backward",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "dedup_clusters",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "embedding_near_dup_pairs",
 ]
 
 __version__ = "0.1.0"
