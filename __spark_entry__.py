@@ -309,6 +309,44 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery, decorrelated the
+    Spark way: per-part average quantity via groupBy, broadcast back
+    against lineitem, filter below 20% of the part's average."""
+    l = table(spark, sf_dir, "lineitem")
+    # exact-decimal accumulation everywhere so neither engine's
+    # float-summation order can shift a value or a filter decision
+    avg_q = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(avg_q), l.l_partkey == avg_q.pk)
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 4
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: customers who placed both an urgent and a
+    low-priority order."""
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
 def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join (EXISTS): orders having at least one
     high-quantity line item — completes the join-type family next to
@@ -761,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_segment": percentiles_by_segment,
         "semi_join_big_orders": semi_join_big_orders,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "intersect_repeat_buyers": intersect_repeat_buyers,
         "diff_insert": diff_insert,
         "diff_update": diff_update,
         "diff_delete": diff_delete,
@@ -917,6 +957,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q17_small_quantity_revenue": """
+            WITH avg_q AS (
+                SELECT l_partkey AS pk,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                         / 7.0, 4) AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN avg_q ON l_partkey = pk
+            WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+        """,
+        "intersect_repeat_buyers": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
         """,
         "q6_forecast_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
