@@ -359,6 +359,27 @@ def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_sketches_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path next to the exact
+    queries: HyperLogLog distinct counts and t-digest-style
+    approximate percentiles in one pass, constant memory per group.
+    No oracle (sketch internals are engine-specific); the error bound
+    versus the exact values is asserted in tests/test_m4_operators.py."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.percentile_approx(
+                F.col("o_totalprice").cast("double"), 0.5
+            ).alias("approx_p50"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-statistics per group: median/p90/p99 of order value
     by market segment (Spark `percentile` == DuckDB `quantile_cont`
@@ -797,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_except": set_ops_except,
         "distinct_agg_segments": distinct_agg_segments,
         "percentiles_by_segment": percentiles_by_segment,
+        "approx_sketches_segments": approx_sketches_segments,
         "semi_join_big_orders": semi_join_big_orders,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,

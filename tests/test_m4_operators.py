@@ -217,3 +217,33 @@ def test_dedup_clusters_transitive_chain(spark):
         r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """HLL distinct counts and approximate percentiles must sit within
+    tight relative error of the exact answers (the property that makes
+    them usable as the 100 TB substitutes)."""
+    import __spark_entry__ as entry_mod
+
+    approx = {
+        r["c_mktsegment"]: r
+        for r in entry_mod.queries()["approx_sketches_segments"](
+            spark, sf_dir
+        ).collect()
+    }
+    exact = {
+        r["c_mktsegment"]: r
+        for r in entry_mod.queries()["distinct_agg_segments"](spark, sf_dir).collect()
+    }
+    exact_p = {
+        r["c_mktsegment"]: r
+        for r in entry_mod.queries()["percentiles_by_segment"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for seg, row in approx.items():
+        rel = abs(row["approx_customers"] - exact[seg]["n_customers"]) / max(
+            exact[seg]["n_customers"], 1
+        )
+        assert rel < 0.05, (seg, row["approx_customers"], exact[seg]["n_customers"])
+        p_rel = abs(row["approx_p50"] - exact_p[seg]["p50"]) / exact_p[seg]["p50"]
+        assert p_rel < 0.05, (seg, row["approx_p50"], exact_p[seg]["p50"])
