@@ -203,6 +203,30 @@ def running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per-user event value summed over
+    the trailing hour of EVENT TIME (not row count) — the frame moves
+    by time interval, so gaps and bursts are handled correctly."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("epoch"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("double").alias("trailing_hour_value"),
+    )
+
+
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization: lag -> new-session flag ->
     cumulative session id -> per-session aggregates. The batch twin of
@@ -813,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_parts": grouping_sets_parts,
         "window_topk_customers": window_topk_customers,
         "running_total_events": running_total_events,
+        "trailing_hour_value": trailing_hour_value,
         "sessionization": sessionization,
         "tumbling_windows": tumbling_windows,
         "set_ops_except": set_ops_except,
@@ -934,6 +959,15 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id
                         ORDER BY CAST(ts AS TIMESTAMP), event_id
                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+            FROM events
+        """,
+        "trailing_hour_value": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+                        PARTITION BY user_id
+                        ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS trailing_hour_value
             FROM events
         """,
         "sessionization": """
