@@ -592,6 +592,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.fingerprint64(F.col("text")).alias("fp"))
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf aggregate over the corpus: global top-20 (doc, term)
+    pairs by smoothed tf-idf. One token explode (pre-widened, as in
+    MinHash), two aggregations, one broadcast join of the term
+    document-frequency table."""
+    from mydatasyncer_spark.operators.partitioning import fanout_repartition
+    from mydatasyncer_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = fanout_repartition(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df").cast("double") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    return scored.orderBy(
+        F.desc("tfidf"), F.asc("doc_id"), F.asc("term")
+    ).limit(20)
+
+
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash (h*31 + code mod 1e9+7) of normalized
     text — folded JVM-side with `aggregate`, no UDF."""
@@ -861,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_pred": lang_id_pred,
         "doc_fingerprint": doc_fingerprint,
         "doc_rolling_hash": doc_rolling_hash,
+        "tfidf_top_terms": tfidf_top_terms,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_assign": dedup_cluster_assign,
@@ -1176,6 +1206,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    ('0x' || substr(md5({_NORM_SQL}), 1, 12))::BIGINT AS fp
             FROM documents
+        """,
+        "tfidf_top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+            ),
+            df_t AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, term,
+                   round(CAST(tf AS DOUBLE)
+                         * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)),
+                         6) AS tfidf
+            FROM tf JOIN df_t USING (term) CROSS JOIN n
+            ORDER BY tfidf DESC, doc_id, term
+            LIMIT 20
         """,
         "doc_rolling_hash": f"""
             WITH norm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
