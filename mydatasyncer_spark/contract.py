@@ -34,6 +34,13 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The fixture's ts column is TIMESTAMP(NANOS), which vanilla
+        # Spark refuses to read (PARQUET_TYPE_ILLEGAL). The legacy
+        # nanosAsLong conf is runtime-settable, so force it here —
+        # callers may hand us a session built without engine conf
+        # (e.g. the driver's harness). Idempotent.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as
