@@ -153,42 +153,52 @@ def minhash_lsh_pairs(
     """
     # cached: the signature table feeds the band join AND both sides
     # of the estimated-Jaccard verification — without this the whole
-    # shingle+hash pipeline runs three times
+    # shingle+hash pipeline runs three times. The cache is owned by
+    # this function: the result is materialized (localCheckpoint)
+    # before sig is unpersisted in the finally, so repeated calls
+    # don't leak cached partitions for the session lifetime.
     sig = minhash_signature(df, text_col, id_col, k, shingle_n).persist()
-    bands = lsh_bands(sig, id_col, k, band_size)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    try:
+        bands = lsh_bands(sig, id_col, k, band_size)
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        sa = sig.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"mh{s}").alias(f"a{s}") for s in range(k)],
         )
-        .distinct()
-    )
-    sa = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(k)],
-    )
-    sb = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(k)],
-    )
-    matches = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(k)
-    )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+        sb = sig.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"mh{s}").alias(f"b{s}") for s in range(k)],
         )
-    )
+        matches = sum(
+            F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+            for s in range(k)
+        )
+        out = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+            )
+        )
+        # eager: pairs are tiny relative to the corpus; materializing
+        # here lets the signature cache be released deterministically
+        return out.localCheckpoint()
+    finally:
+        sig.unpersist()
 
 
 def dedup_clusters(

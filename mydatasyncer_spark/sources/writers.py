@@ -21,8 +21,9 @@ def write_partitioned(
     fmt: str = "parquet",
     mode: str = "overwrite",
 ) -> None:
-    """Write hive-partitioned output with exactly
-    ``files_per_partition`` files per partition directory.
+    """Write hive-partitioned output with at most
+    ``files_per_partition`` files per partition directory (exactly
+    that many when the salt groups land in distinct tasks).
 
     A repartition on (partition cols [+ salt]) routes all rows of one
     output directory to ``files_per_partition`` tasks — one shuffle,
@@ -32,9 +33,24 @@ def write_partitioned(
     if files_per_partition <= 1:
         shaped = df.repartition(*[F.col(c) for c in partition_cols])
     else:
-        salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % files_per_partition)
+        from mydatasyncer_spark.operators.partitioning import (
+            cluster_parallelism,
+        )
+
+        # pmod, not %: Spark's % keeps the dividend's sign, so a raw
+        # modulo would yield salts in (-(f-1))..(f-1) — up to 2f-1
+        # groups — breaking the files_per_partition contract
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        # pinned width: a bare repartition(cols) is AQE-coalescible
+        # and collapses small inputs to one task, silently reducing
+        # every directory to a single file
         shaped = df.withColumn("_salt", salt).repartition(
-            *[F.col(c) for c in partition_cols], F.col("_salt")
+            max(cluster_parallelism(df), files_per_partition),
+            *[F.col(c) for c in partition_cols],
+            F.col("_salt"),
         ).drop("_salt")
     (
         shaped.write.format(fmt)

@@ -53,6 +53,14 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert all(4 not in p for p in pairs)
 
 
+def test_minhash_lsh_releases_signature_cache(spark, docs):
+    # the signature persist() is owned by minhash_lsh_pairs — after
+    # the call returns (result is eagerly materialized) no DataFrame
+    # cache may linger in the session's CacheManager (round-1 leak)
+    minhash_lsh_pairs(docs).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_simhash_near_dup_closer_than_unrelated(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")

@@ -403,7 +403,12 @@ class TestPartitionedWriter:
         out = str(tmp_path / "events_salted")
         ev = table(spark, SF_DIR_FOR_WRITER, "events")
         write_partitioned(ev, out, ["event_type"], files_per_partition=3)
+        counts = []
         for d in glob.glob(f"{out}/event_type=*"):
             n = len(glob.glob(f"{d}/*.parquet"))
             assert 1 <= n <= 3, (d, n)
+            counts.append(n)
+        # the salt must actually fan out (AQE used to coalesce the
+        # salted repartition back to one task → one file everywhere)
+        assert max(counts) > 1, counts
         assert spark.read.parquet(out).count() == ev.count()
