@@ -212,61 +212,100 @@ def dedup_clusters(
     Turns pairwise match output (MinHash/SimHash/embedding) into the
     keep-one-per-cluster decision a dedup pipeline actually needs.
 
-    Iterative min-label propagation with POINTER DOUBLING: each round
+    Iterative min-label propagation with POINTER DOUBLING: each step
     takes the min over neighbors' labels, then additionally adopts the
     label of the current label (label-of-label contraction), which
-    collapses chains exponentially — rounds ~ log2(diameter) instead
-    of diameter (measured on the sf0.1 fixture: 14 rounds → 6).
-    Labels are localCheckpoint'ed per round so lineage stays flat, and
-    the loop exits when a round changes nothing. Only nodes that
-    appear in some pair are labeled (singletons are their own trivial
-    cluster)."""
+    collapses chains exponentially. On small graphs the loop cost is
+    driver-coordination overhead (plan + job scheduling), not compute,
+    so the structure minimizes jobs and shuffles per step:
+
+    - **self-loops**: every node carries an (id, id) edge, so the
+      neighbor-min aggregate already includes the node's own label —
+      no separate labels-side join to re-attach it. Self-loop (and
+      any other) edge duplicates are harmless under min-aggregation,
+      so the edge build needs NO distinct: one repartition shuffle
+      total, persisted in the layout the per-step join wants.
+    - **labels from the edge cache**: the initial label table is the
+      distinct self-loop subset of the cached edges — a cache scan,
+      not a second pass over ``pair_df``.
+    - **sized width**: the label/edge tables are pair-graph-sized —
+      orders of magnitude smaller than the corpus — so the loop runs
+      on ``ceil(4·|pairs| / 200k)`` partitions (floor 4, cap 4×
+      cluster parallelism) instead of the session shuffle width; on
+      small graphs this halves step wall time, at scale the
+      bytes-based term dominates and width grows with the data.
+    - **two steps per job**: convergence is checked every second
+      step, halving checkpoint+action count; the worst case wastes
+      one already-converged propagation.
+    - **sum-convergence**: per-node labels only ever decrease, so the
+      label sum strictly decreases until the fixed point; equality of
+      consecutive sums == convergence. The sum is a cheap scan of the
+      just-checkpointed round (~80ms) — no extra join, no chg column.
+
+    Labels are localCheckpoint'ed per job so lineage stays flat.
+    Only nodes that appear in some pair are labeled (singletons are
+    their own trivial cluster)."""
+    from mydatasyncer_spark.operators.partitioning import cluster_parallelism
+
+    # width heuristic from one count of the (small, typically already
+    # materialized) pair table: n_edges <= 4 * n_pairs after
+    # symmetrize + self-loops. Callers should hand in a materialized
+    # pair_df (minhash_lsh_pairs returns a checkpointed one) — the
+    # pair plan is re-scanned a handful of times below.
+    n_pairs = pair_df.count()
+    npart = max(
+        4, min(-(-4 * n_pairs // 200_000), 4 * cluster_parallelism(pair_df))
+    )
     fwd = pair_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pair_df.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().persist()
+    loop_a = pair_df.select(F.col(id_a).alias("src"), F.col(id_a).alias("dst"))
+    loop_b = pair_df.select(F.col(id_b).alias("src"), F.col(id_b).alias("dst"))
+    # persist AFTER the repartition so every step's join reads the
+    # already-dst-partitioned cache instead of re-shuffling
+    edges = (
+        fwd.union(rev)
+        .union(loop_a)
+        .union(loop_b)
+        .repartition(npart, "dst")
+        .persist()
+    )
     labels = (
-        edges.select(F.col("src").alias("id"))
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .coalesce(npart)
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        propagated = labels.join(nbr, labels.id == nbr.src, "left").select(
-            "id",
-            F.col("label").alias("old_label"),
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
-                "label"
-            ),
-        )
-        # pointer doubling: follow one hop of label indirection
-        lol = propagated.select(
-            F.col("id").alias("lid"), F.col("label").alias("label2")
-        )
-        # the old label rides along so convergence is a flag scan of
-        # the checkpointed result, not another join+shuffle
-        updated = (
-            propagated.join(lol, propagated.label == lol.lid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("label2", "label")
-                ).alias("label"),
-                (
-                    F.least(F.col("label"), F.coalesce("label2", "label"))
-                    != F.col("old_label")
-                ).alias("chg"),
+        cur = labels
+        for _step in range(2):
+            cur = (
+                edges.join(cur, edges.dst == cur.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("label"))
+                .select(F.col("src").alias("id"), "label")
             )
-            .localCheckpoint()
-        )
-        changed = updated.filter(F.col("chg")).count()
-        labels = updated.select("id", "label")
-        if changed == 0:
+            # pointer doubling: follow one hop of label indirection
+            lol = cur.select(
+                F.col("id").alias("lid"), F.col("label").alias("label2")
+            )
+            cur = cur.join(lol, cur.label == lol.lid, "left").select(
+                "id",
+                F.least(F.col("label"), F.coalesce("label2", "label")).alias(
+                    "label"
+                ),
+            )
+        updated = cur.coalesce(npart).localCheckpoint()
+        # decimal, not long: at 1e10+ nodes a raw long sum could wrap
+        cur_sum = updated.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels = updated
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
