@@ -21,11 +21,13 @@ Two backends:
   also the test path (sqlite). Fine for diff legs that are small
   relative to the table (the common case for incremental sync);
   for huge legs use the JDBC backend.
-- :class:`JdbcBackend` — stages with Spark's parallel JDBC writer,
-  then applies over a single driver connection. Needs a JDBC driver
-  jar on the classpath + a DB-API driver for the apply connection;
-  constructed lazily so environments without drivers can still use
-  everything else.
+- :class:`~mydatasyncer_spark.sinks.jdbc.JdbcBackend` — stages with
+  Spark's parallel JDBC writer, then applies over a single driver
+  connection obtained from the driver JVM; no row ever crosses the
+  Python driver. Lives in ``sinks/jdbc.py``; both backends share
+  :func:`stage_and_apply` through the same staging protocol
+  (``stage_leg`` / ``execute_update`` / ``drop_staging``) and the
+  dialect-aware SQL in ``sinks/dialects.py``.
 
 Operation order within one table is insert → update → delete
 (ref: dbsync.go:534-563); multi-table phase ordering lives in
@@ -39,6 +41,8 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+from mydatasyncer_spark.sinks.dialects import Dialect, get_dialect
 
 BATCH_SIZE = 1000
 
@@ -65,9 +69,15 @@ class DbApiBackend:
     mysql-connector's pyformat needs "%s").
     """
 
-    def __init__(self, connection, placeholder: str = "?"):
+    def __init__(
+        self,
+        connection,
+        placeholder: str = "?",
+        dialect: str | Dialect = "sqlite",
+    ):
         self.conn = connection
         self.ph = placeholder
+        self.dialect = get_dialect(dialect)
 
     # -- DDL helpers -------------------------------------------------
     def table_columns(self, table: str) -> list[str]:
@@ -145,6 +155,36 @@ class DbApiBackend:
     def truncate(self, table: str) -> None:
         """Full clear, step 1 of overwrite (ref: dbsync.go:496-500)."""
         self.conn.execute(f"DELETE FROM {table}")
+
+    # -- staging protocol (shared with JdbcBackend) ------------------
+    def execute_update(self, sql: str) -> int:
+        return self.conn.execute(sql).rowcount
+
+    def stage_leg(
+        self,
+        df: DataFrame,
+        staging: str,
+        columns: list[str],
+        source_table: str | None = None,
+    ) -> None:
+        """Portable staging: empty CTAS clone of the target, then the
+        batched bulk insert. This leg funnels through the driver —
+        acceptable for incremental diffs; the JDBC backend replaces
+        it with Spark's parallel writer for huge legs."""
+        self.drop_staging(staging)
+        self.conn.execute(
+            self.dialect.create_staging_sql(staging, source_table, columns)
+        )
+        self.insert_rows(
+            self.dialect.quote(staging),
+            [self.dialect.quote(c) for c in columns],
+            (tuple(r[c] for c in columns) for r in df.toLocalIterator()),
+        )
+
+    def drop_staging(self, staging: str) -> None:
+        self.conn.execute(
+            f"DROP TABLE IF EXISTS {self.dialect.quote(staging)}"
+        )
 
 
 class Transaction:
@@ -227,7 +267,7 @@ def apply_diff(
 
 
 def stage_and_apply(
-    backend: DbApiBackend,
+    backend,
     table: str,
     columns: list[str],
     primary_key: str,
@@ -235,77 +275,73 @@ def stage_and_apply(
     to_update: DataFrame,
     to_delete: DataFrame,
     immutable_columns: list[str] | None = None,
+    timestamp_columns: list[str] | None = None,
+    now_fn: Callable[[], object] | None = None,
 ) -> ApplyStats:
     """The SURVEY.md §4.3 staging design, end-to-end.
 
-    Each diff leg lands in a staging table first (on a cluster that
-    write is ``df.write.jdbc(mode="append")`` — parallel and batched;
-    here it goes through the backend's bulk insert), then the apply is
-    three *set-based* statements over one connection, so the
-    transaction window covers only the apply:
+    Each diff leg lands in a staging table first — via Spark's
+    parallel JDBC writer (:class:`~mydatasyncer_spark.sinks.jdbc.
+    JdbcBackend`) or the portable batched bulk insert
+    (:class:`DbApiBackend`) — then the apply is three *set-based*
+    statements over one connection, so the transaction window covers
+    only the apply:
 
-        INSERT INTO t SELECT * FROM _stg_ins_t;
-        UPDATE t SET c = s.c, ... FROM _stg_upd_t s WHERE t.pk = s.pk;
-        DELETE FROM t WHERE pk IN (SELECT pk FROM _stg_del_t);
+        INSERT INTO t (...) SELECT ... FROM stg_ins_t;
+        UPDATE t ... stg_upd_t ...      -- dialect-specific join form
+        DELETE FROM t WHERE pk IN (SELECT pk FROM stg_del_t);
+
+    Timestamp columns are injected Spark-side as literals (O9, ref:
+    dbsync.go:793-799, 849-856) — set on insert, refreshed on update
+    unless immutable; immutable columns never appear in the UPDATE
+    SET list (O10, ref: dbsync.go:842-847).
 
     Caller owns the transaction boundary. Staging tables are dropped
     after apply.
     """
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    d = backend.dialect
     immutable = set(immutable_columns or [])
+    ts_cols = [c for c in (timestamp_columns or []) if c not in columns]
+    now = (now_fn or (lambda: datetime.datetime.now(datetime.UTC)))()
     set_cols = [c for c in columns if c != primary_key and c not in immutable]
-    stg_ins, stg_upd, stg_del = (
-        f"_stg_ins_{table}",
-        f"_stg_upd_{table}",
-        f"_stg_del_{table}",
+    upd_ts = [c for c in ts_cols if c not in immutable]
+
+    ins_cols = columns + ts_cols
+    for c in ts_cols:
+        to_insert = to_insert.withColumn(c, F.lit(now))
+    upd_cols = columns + upd_ts
+    for c in upd_ts:
+        to_update = to_update.withColumn(c, F.lit(now))
+
+    stg_ins = d.staging_name("ins", table)
+    stg_upd = d.staging_name("upd", table)
+    stg_del = d.staging_name("del", table)
+    backend.stage_leg(to_insert, stg_ins, ins_cols, source_table=table)
+    backend.stage_leg(to_update, stg_upd, upd_cols, source_table=table)
+    backend.stage_leg(
+        to_delete.select(primary_key), stg_del, [primary_key], source_table=table
     )
-    col_list = ", ".join(columns)
-    cur = self_conn = backend.conn
-    for stg, cols_sql in (
-        (stg_ins, col_list),
-        (stg_upd, col_list),
-        (stg_del, primary_key),
-    ):
-        self_conn.execute(f"DROP TABLE IF EXISTS {stg}")
-        self_conn.execute(
-            f"CREATE TABLE {stg} AS SELECT {cols_sql} FROM {table} LIMIT 0"
+    try:
+        stats = ApplyStats()
+        stats.inserted = backend.execute_update(
+            d.staged_insert_sql(table, ins_cols, stg_ins)
         )
-    backend.insert_rows(
-        stg_ins,
-        columns,
-        (tuple(r[c] for c in columns) for r in to_insert.toLocalIterator()),
-    )
-    backend.insert_rows(
-        stg_upd,
-        columns,
-        (tuple(r[c] for c in columns) for r in to_update.toLocalIterator()),
-    )
-    backend.insert_rows(
-        stg_del,
-        [primary_key],
-        (
-            (r[primary_key],)
-            for r in to_delete.select(primary_key).toLocalIterator()
-        ),
-    )
-    stats = ApplyStats()
-    cur = self_conn.execute(
-        f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {stg_ins}"
-    )
-    stats.inserted = cur.rowcount
-    if set_cols:
-        sets = ", ".join(f"{c} = s.{c}" for c in set_cols)
-        cur = self_conn.execute(
-            f"UPDATE {table} SET {sets} FROM {stg_upd} AS s "
-            f"WHERE {table}.{primary_key} = s.{primary_key}"
+        if set_cols or upd_ts:
+            stats.updated = backend.execute_update(
+                d.staged_update_sql(
+                    table, set_cols + upd_ts, primary_key, stg_upd
+                )
+            )
+        stats.deleted = backend.execute_update(
+            d.staged_delete_sql(table, primary_key, stg_del)
         )
-        stats.updated = cur.rowcount
-    cur = self_conn.execute(
-        f"DELETE FROM {table} WHERE {primary_key} IN "
-        f"(SELECT {primary_key} FROM {stg_del})"
-    )
-    stats.deleted = cur.rowcount
-    for stg in (stg_ins, stg_upd, stg_del):
-        self_conn.execute(f"DROP TABLE IF EXISTS {stg}")
+    finally:
+        for stg in (stg_ins, stg_upd, stg_del):
+            backend.drop_staging(stg)
     return stats
 
 
