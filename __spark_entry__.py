@@ -404,6 +404,44 @@ def approx_sketches_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable companion to `approx_sketches_segments`: the
+    sketch *values* stay engine-specific, but their error contract is
+    verifiable — per segment, emit the exact distinct count plus
+    booleans asserting the sketches landed within their documented
+    bounds (HLL: |approx-exact|/exact <= 3×rsd = 0.15;
+    percentile_approx: between the exact p40 and p60). The oracle
+    recomputes the exact values and expects every boolean TRUE, so a
+    drifting sketch hash-mismatches the driver gate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = F.broadcast(c).join(o, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("price", 0.5).alias("approx_p50"),
+        F.expr("percentile(price, 0.4)").alias("p40"),
+        F.expr("percentile(price, 0.6)").alias("p60"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.15
+        ).alias("distinct_in_bound"),
+        (
+            (F.col("approx_p50") >= F.col("p40"))
+            & (F.col("approx_p50") <= F.col("p60"))
+        ).alias("p50_in_bound"),
+    )
+
+
 def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-statistics per group: median/p90/p99 of order value
     by market segment (Spark `percentile` == DuckDB `quantile_cont`
@@ -873,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg_segments": distinct_agg_segments,
         "percentiles_by_segment": percentiles_by_segment,
         "approx_sketches_segments": approx_sketches_segments,
+        "sketch_error_bounds": sketch_error_bounds,
         "semi_join_big_orders": semi_join_big_orders,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1079,6 +1118,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48
             )
+        """,
+        "sketch_error_bounds": """
+            SELECT c_mktsegment,
+                   COUNT(DISTINCT o_custkey) AS exact_customers,
+                   TRUE AS distinct_in_bound,
+                   TRUE AS p50_in_bound
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "percentiles_by_segment": """
             SELECT c_mktsegment,
