@@ -94,3 +94,82 @@ def test_nullish_tokens(spark):
     )
     got = df.select(is_nullish(F.col("v")).alias("n")).collect()
     assert [r["n"] for r in got] == [True, True, True, True, False, True]
+
+
+# --- type-fidelity matrix edges (ref: main_test.go:465-512) -----------
+
+
+def test_large_int_float64_precision_loss(spark):
+    """The reference parses JSON numbers as float64, so integers past
+    2^53 silently lose precision (its own fixture pins
+    9007199254740000, ref: main_test.go:476). Encode the same
+    contract: the canonical form is the float64-rounded integer, not
+    scientific notation."""
+    # 2^53-1: largest exactly-representable — survives bit-perfect
+    assert (
+        _canon_one(spark, 9007199254740991.0, T.DoubleType())
+        == "9007199254740991"
+    )
+    # 2^53+1 is NOT representable: float64 rounds to 2^53
+    assert (
+        _canon_one(spark, float(9007199254740993), T.DoubleType())
+        == "9007199254740992"
+    )
+    # the reference fixture's own pinned value, positive and negative
+    assert (
+        _canon_one(spark, 9007199254740000.0, T.DoubleType())
+        == "9007199254740000"
+    )
+    assert (
+        _canon_one(spark, -9007199254740000.0, T.DoubleType())
+        == "-9007199254740000"
+    )
+
+
+def test_rfc3339_timezone_offset(spark, tmp_path):
+    """+09:00-offset RFC3339 must equal its UTC instant after
+    coercion (ref: main_test.go:480 pins 15:30:45+09:00 ==
+    06:30:45Z)."""
+    import json
+
+    from mydatasyncer_spark.sources.readers import coerce_rfc3339, read_json
+
+    p = tmp_path / "tz.json"
+    p.write_text(
+        json.dumps(
+            [
+                {"id": 1, "ts": "2023-12-25T15:30:45+09:00"},
+                {"id": 2, "ts": "2023-12-25T06:30:45Z"},
+            ]
+        )
+    )
+    df = coerce_rfc3339(read_json(spark, str(p)))
+    got = {r["id"]: r["ts"] for r in df.collect()}
+    assert got[1] == got[2]
+    canon = df.select(
+        "id", canonical_col(df, "ts").alias("c")
+    ).collect()
+    cs = {r["id"]: r["c"] for r in canon}
+    assert cs[1] == cs[2] == "2023-12-25T06:30:45Z"
+
+
+def test_csv_true_into_int_rejected(spark, tmp_path):
+    """CSV "true" into an int column fails loudly, mirroring the
+    reference's documented MySQL `Error 1366: Incorrect integer
+    value: 'true'` (業務運用における懸念事項レポート.md:18-39) — the
+    strict FAILFAST read surfaces it at scan time instead of
+    mid-transaction."""
+    import pytest
+
+    from mydatasyncer_spark.sources.readers import read_csv
+
+    p = tmp_path / "feat.csv"
+    p.write_text("id,is_featured\n1,true\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("is_featured", T.IntegerType()),
+        ]
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_csv(spark, str(p), schema=schema).collect()
