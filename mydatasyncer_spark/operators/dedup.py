@@ -83,15 +83,20 @@ def minhash_signature(
 ) -> DataFrame:
     """id → k min-hash columns ``mh0..mh{k-1}``.
 
-    The single shuffle happens BEFORE the shingle fan-out: documents
-    are repartitioned by id while each row is still one small (id,
-    normalized-text) pair, then explode + hash + groupBy(id) all run
-    partition-local (the groupBy reuses the id partitioning). Moving
-    the shuffle after the explode would move ~|text| × k times more
-    bytes; leaving it out entirely ties parallelism to the input
-    file's split count (a single small parquet = one core doing all
-    the hashing). Normalization is projected once per document — see
-    char_shingles's lambda-re-evaluation note.
+    Entirely per-row: shingling, hashing, and the k permutation
+    minima run as higher-order array functions inside one projection
+    — no explode, no groupBy, no shuffle beyond the parallelism
+    repartition. The explode+groupBy formulation materializes
+    ~|shingles| rows per document and aggregates them back; the array
+    form keeps each document a single row end-to-end, which is both
+    faster (measured 0.73s → 0.47s at sf0.1) and strictly less
+    shuffle-prone at scale. The parallelism repartition happens while
+    each row is still one small (id, normalized-text) pair — without
+    it, parallelism is tied to the input's split count (a single
+    small parquet = one core doing all the hashing).
+
+    Each step is projected so the next lambda references a real
+    attribute — see char_shingles's lambda-re-evaluation note.
     """
     from mydatasyncer_spark.functions.hashing import hash48, permuted_hash
 
@@ -99,20 +104,22 @@ def minhash_signature(
         df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")),
         id_col,
     )
-    sh = (
-        norm_docs.select(
-            F.col(id_col),
-            F.explode(char_shingles(F.col("_norm"), shingle_n)).alias("sh"),
-        )
-        .select(id_col, hash48(F.col("sh")).alias("h"))
-        .select(
-            id_col,
-            *[permuted_hash(F.col("h"), s).alias(f"h{s}") for s in range(k)],
-        )
+    sh = norm_docs.select(
+        F.col(id_col), char_shingles(F.col("_norm"), shingle_n).alias("_sh")
     )
-    return sh.groupBy(id_col).agg(
-        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(k)]
+    hashes = sh.select(
+        id_col, F.transform("_sh", lambda s: hash48(s)).alias("_h")
     )
+
+    def _mh(seed: int) -> Column:
+        # single-arg lambda only: pyspark reads a second lambda
+        # parameter as the ARRAY INDEX, silently shadowing any
+        # default-bound seed
+        return F.array_min(
+            F.transform("_h", lambda h: permuted_hash(h, seed))
+        ).alias(f"mh{seed}")
+
+    return hashes.select(id_col, *[_mh(s) for s in range(k)])
 
 
 def lsh_bands(
