@@ -266,7 +266,21 @@ def apply_diff(
     return stats
 
 
-def stage_and_apply(
+@dataclass
+class StagedLegs:
+    """Handle to one table's staged diff: what landed where, plus the
+    column lists the set-based apply statements need."""
+
+    table: str
+    primary_key: str
+    ins_cols: list[str]
+    set_cols: list[str]
+    stg_ins: str
+    stg_upd: str
+    stg_del: str
+
+
+def stage_legs(
     backend,
     table: str,
     columns: list[str],
@@ -277,27 +291,31 @@ def stage_and_apply(
     immutable_columns: list[str] | None = None,
     timestamp_columns: list[str] | None = None,
     now_fn: Callable[[], object] | None = None,
-) -> ApplyStats:
-    """The SURVEY.md §4.3 staging design, end-to-end.
+    target_schema=None,
+) -> StagedLegs:
+    """SURVEY.md §4.3 step 2: land each diff leg in a staging table —
+    via Spark's parallel JDBC writer (:class:`~mydatasyncer_spark.
+    sinks.jdbc.JdbcBackend`) or the portable batched bulk insert
+    (:class:`DbApiBackend`).
 
-    Each diff leg lands in a staging table first — via Spark's
-    parallel JDBC writer (:class:`~mydatasyncer_spark.sinks.jdbc.
-    JdbcBackend`) or the portable batched bulk insert
-    (:class:`DbApiBackend`) — then the apply is three *set-based*
-    statements over one connection, so the transaction window covers
-    only the apply:
+    ``target_schema`` (a StructType, typically the DB snapshot's
+    schema) aligns leg column types Spark-side before staging:
+    file snapshots arrive all-string from CSV, and strict engines
+    (Derby, Postgres) won't implicitly cast VARCHAR into BIGINT
+    during ``INSERT … SELECT``, so the cast must happen before the
+    staging write — distributed, not per-row on the driver (the
+    typed replacement for the reference's per-value convertValue,
+    ref: loader.go:28-43).
 
-        INSERT INTO t (...) SELECT ... FROM stg_ins_t;
-        UPDATE t ... stg_upd_t ...      -- dialect-specific join form
-        DELETE FROM t WHERE pk IN (SELECT pk FROM stg_del_t);
+    Runs OUTSIDE the transaction on purpose: staging is pure DDL+load
+    (MySQL DDL implicit-commits, so creating staging tables inside a
+    transaction would silently break atomicity), and keeping it out
+    means the transaction holds locks only for the set-based apply.
 
     Timestamp columns are injected Spark-side as literals (O9, ref:
     dbsync.go:793-799, 849-856) — set on insert, refreshed on update
     unless immutable; immutable columns never appear in the UPDATE
     SET list (O10, ref: dbsync.go:842-847).
-
-    Caller owns the transaction boundary. Staging tables are dropped
-    after apply.
     """
     import datetime
 
@@ -317,31 +335,120 @@ def stage_and_apply(
     for c in upd_ts:
         to_update = to_update.withColumn(c, F.lit(now))
 
-    stg_ins = d.staging_name("ins", table)
-    stg_upd = d.staging_name("upd", table)
-    stg_del = d.staging_name("del", table)
-    backend.stage_leg(to_insert, stg_ins, ins_cols, source_table=table)
-    backend.stage_leg(to_update, stg_upd, upd_cols, source_table=table)
+    if target_schema is not None:
+        types = {f.name: f.dataType for f in target_schema.fields}
+
+        def _align(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        to_insert = _align(to_insert)
+        to_update = _align(to_update)
+        to_delete = _align(to_delete)
+
+    legs = StagedLegs(
+        table=table,
+        primary_key=primary_key,
+        ins_cols=ins_cols,
+        set_cols=set_cols + upd_ts,
+        stg_ins=d.staging_name("ins", table),
+        stg_upd=d.staging_name("upd", table),
+        stg_del=d.staging_name("del", table),
+    )
+    backend.stage_leg(to_insert, legs.stg_ins, ins_cols, source_table=table)
+    backend.stage_leg(to_update, legs.stg_upd, upd_cols, source_table=table)
     backend.stage_leg(
-        to_delete.select(primary_key), stg_del, [primary_key], source_table=table
+        to_delete.select(primary_key),
+        legs.stg_del,
+        [primary_key],
+        source_table=table,
+    )
+    return legs
+
+
+def apply_staged_deletes(backend, legs: StagedLegs) -> int:
+    """Set-based delete from the staged key leg (phase-A half of the
+    two-phase multi-table order). Caller owns the transaction."""
+    return backend.execute_update(
+        backend.dialect.staged_delete_sql(
+            legs.table, legs.primary_key, legs.stg_del
+        )
+    )
+
+
+def apply_staged_upserts(backend, legs: StagedLegs) -> tuple[int, int]:
+    """Set-based insert + update from the staged legs (phase-B half).
+    Caller owns the transaction."""
+    d = backend.dialect
+    inserted = backend.execute_update(
+        d.staged_insert_sql(legs.table, legs.ins_cols, legs.stg_ins)
+    )
+    updated = 0
+    if legs.set_cols:
+        updated = backend.execute_update(
+            d.staged_update_sql(
+                legs.table, legs.set_cols, legs.primary_key, legs.stg_upd
+            )
+        )
+    return inserted, updated
+
+
+def drop_staged(backend, legs: StagedLegs) -> None:
+    """Cleanup, OUTSIDE the transaction (MySQL: DROP TABLE
+    implicit-commits). Commits the drops: on an autocommit-off apply
+    connection, uncommitted DDL keeps catalog locks that would block
+    the next run's staging writers (observed as Derby 40XL1 lock
+    timeouts)."""
+    for stg in (legs.stg_ins, legs.stg_upd, legs.stg_del):
+        backend.drop_staging(stg)
+    backend.conn.commit()
+
+
+def stage_and_apply(
+    backend,
+    table: str,
+    columns: list[str],
+    primary_key: str,
+    to_insert: DataFrame,
+    to_update: DataFrame,
+    to_delete: DataFrame,
+    immutable_columns: list[str] | None = None,
+    timestamp_columns: list[str] | None = None,
+    now_fn: Callable[[], object] | None = None,
+) -> ApplyStats:
+    """Single-table convenience over :func:`stage_legs` →
+    :func:`apply_staged_upserts`/:func:`apply_staged_deletes` →
+    :func:`drop_staged`, applying in the reference's insert → update
+    → delete order (ref: executeSyncOperations, dbsync.go:532-565).
+
+    Caller owns the transaction boundary around this call. Note the
+    MySQL caveat documented on :func:`stage_legs`: for a strict
+    MySQL transaction window, call the three pieces yourself with
+    staging and cleanup outside the transaction (that is exactly what
+    ``Syncer(staging=True)`` does).
+    """
+    legs = stage_legs(
+        backend,
+        table,
+        columns,
+        primary_key,
+        to_insert,
+        to_update,
+        to_delete,
+        immutable_columns,
+        timestamp_columns,
+        now_fn,
     )
     try:
         stats = ApplyStats()
-        stats.inserted = backend.execute_update(
-            d.staged_insert_sql(table, ins_cols, stg_ins)
-        )
-        if set_cols or upd_ts:
-            stats.updated = backend.execute_update(
-                d.staged_update_sql(
-                    table, set_cols + upd_ts, primary_key, stg_upd
-                )
-            )
-        stats.deleted = backend.execute_update(
-            d.staged_delete_sql(table, primary_key, stg_del)
-        )
+        stats.inserted, stats.updated = apply_staged_upserts(backend, legs)
+        stats.deleted = apply_staged_deletes(backend, legs)
     finally:
-        for stg in (stg_ins, stg_upd, stg_del):
-            backend.drop_staging(stg)
+        drop_staged(backend, legs)
     return stats
 
 

@@ -204,3 +204,9 @@ class JdbcBackend:
     # -- apply -------------------------------------------------------
     def execute_update(self, sql: str) -> int:
         return self.conn.execute_update(sql)
+
+    def truncate(self, table: str) -> None:
+        """Full clear, step 1 of overwrite (ref: dbsync.go:496-500).
+        ``DELETE`` rather than ``TRUNCATE`` so it stays inside the
+        transaction (TRUNCATE implicit-commits on MySQL)."""
+        self.execute_update(f"DELETE FROM {self.dialect.quote(table)}")

@@ -45,9 +45,14 @@ from mydatasyncer_spark.plans.dryrun import ExecutionPlan, build_plan
 from mydatasyncer_spark.sinks.applier import (
     ApplyStats,
     DbApiBackend,
+    StagedLegs,
     Transaction,
     apply_diff,
+    apply_staged_deletes,
+    apply_staged_upserts,
+    drop_staged,
     overwrite_table,
+    stage_legs,
 )
 from mydatasyncer_spark.sources.readers import coerce_rfc3339, read_file
 
@@ -73,11 +78,27 @@ class _Prepared:
 
 
 class Syncer:
-    def __init__(self, spark: SparkSession, backend: DbApiBackend, config: SyncConfig):
+    """``staging=True`` switches the write path from the per-row
+    batched apply to the SURVEY.md §4.3 staged design: every diff leg
+    lands in a staging table first (Spark's parallel JDBC writer under
+    a :class:`~mydatasyncer_spark.sinks.jdbc.JdbcBackend` — no row
+    crosses the Python driver), staging and cleanup happen OUTSIDE
+    the global transaction (MySQL DDL implicit-commits), and the
+    transaction wraps only the set-based applies in the two-phase
+    order."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        backend: DbApiBackend,
+        config: SyncConfig,
+        staging: bool = False,
+    ):
         config.validate()
         self.spark = spark
         self.backend = backend
         self.config = config
+        self.staging = staging
         self._deadline = time.monotonic() + config.timeout_seconds
 
     def _check_deadline(self) -> None:
@@ -182,6 +203,11 @@ class Syncer:
             self._unpersist(prepared)
             return outcome
 
+        if self.staging:
+            return self._run_staged(
+                outcome, prepared, insert_order, delete_order
+            )
+
         try:
             with Transaction(self.backend.conn):
                 # Phase A: deletes, child → parent (skip unless
@@ -243,6 +269,85 @@ class Syncer:
             self._unpersist(prepared)
         return outcome
 
+    def _run_staged(
+        self,
+        outcome: SyncOutcome,
+        prepared: dict[str, _Prepared],
+        insert_order: list[str],
+        delete_order: list[str],
+    ) -> SyncOutcome:
+        """Staged write path: stage everything (no tx) → one global
+        transaction over the set-based applies in two-phase order →
+        cleanup (no tx)."""
+        staged: dict[str, StagedLegs] = {}
+        try:
+            for name in insert_order:
+                self._check_deadline()
+                prep = prepared[name]
+                spec = prep.spec
+                empty = prep.db_df.limit(0)
+                if spec.sync_mode == SYNC_MODE_OVERWRITE:
+                    to_insert = (
+                        prep.file_df.select(
+                            *[
+                                c
+                                for c in prep.sync_columns
+                                if c in prep.file_df.columns
+                            ]
+                        )
+                        if not prep.file_empty
+                        else empty
+                    )
+                    to_update, to_delete = empty, empty
+                else:
+                    to_insert = prep.diff.to_insert
+                    to_update = prep.diff.to_update
+                    to_delete = (
+                        prep.diff.to_delete
+                        if spec.delete_not_in_file
+                        else empty
+                    )
+                staged[name] = stage_legs(
+                    self.backend,
+                    spec.name,
+                    prep.sync_columns,
+                    spec.primary_key,
+                    to_insert,
+                    to_update,
+                    to_delete,
+                    spec.immutable_columns,
+                    spec.timestamp_columns,
+                    target_schema=prep.db_df.schema,
+                )
+            with Transaction(self.backend.conn):
+                # Phase A: deletes, child → parent
+                for name in delete_order:
+                    self._check_deadline()
+                    spec = prepared[name].spec
+                    stats = outcome.stats.setdefault(name, ApplyStats())
+                    if spec.sync_mode == SYNC_MODE_OVERWRITE:
+                        continue
+                    if spec.delete_not_in_file:
+                        stats.deleted = apply_staged_deletes(
+                            self.backend, staged[name]
+                        )
+                # Phase B: truncates/inserts/updates, parent → child
+                for name in insert_order:
+                    self._check_deadline()
+                    spec = prepared[name].spec
+                    stats = outcome.stats[name]
+                    if spec.sync_mode == SYNC_MODE_OVERWRITE:
+                        self.backend.truncate(spec.name)
+                    ins, upd = apply_staged_upserts(
+                        self.backend, staged[name]
+                    )
+                    stats.inserted, stats.updated = ins, upd
+        finally:
+            for legs in staged.values():
+                drop_staged(self.backend, legs)
+            self._unpersist(prepared)
+        return outcome
+
     @staticmethod
     def _unpersist(prepared: dict[str, _Prepared]) -> None:
         for prep in prepared.values():
@@ -253,6 +358,9 @@ class Syncer:
 
 
 def sync(
-    spark: SparkSession, backend: DbApiBackend, config: SyncConfig
+    spark: SparkSession,
+    backend: DbApiBackend,
+    config: SyncConfig,
+    staging: bool = False,
 ) -> SyncOutcome:
-    return Syncer(spark, backend, config).run()
+    return Syncer(spark, backend, config, staging=staging).run()

@@ -238,3 +238,170 @@ class TestJdbcStagedApply:
 
     def test_table_columns(self, derby):
         assert derby.table_columns("test_table") == ["id", "name", "value"]
+
+
+# ------------------------------------------------- staged Syncer e2e
+@pytest.fixture
+def derby_fk(spark):
+    """Derby DB with an enforced FK pair, for the staged two-phase
+    multi-table sync (ref: executeMultiTableSync, dbsync.go:1068-98)."""
+    name = f"jdbc_fk_{uuid.uuid4().hex[:8]}"
+    backend = JdbcBackend(
+        spark, f"jdbc:derby:memory:{name};create=true", dialect="derby"
+    )
+    c = backend.conn
+    c.execute_update(
+        'CREATE TABLE "categories" ("id" BIGINT PRIMARY KEY, '
+        '"name" VARCHAR(64))'
+    )
+    c.execute_update(
+        'CREATE TABLE "products" ("id" BIGINT PRIMARY KEY, '
+        '"name" VARCHAR(64), "category_id" BIGINT '
+        'REFERENCES "categories"("id"))'
+    )
+    c.execute_update("INSERT INTO \"categories\" VALUES (1, 'a'), (2, 'b')")
+    c.execute_update(
+        "INSERT INTO \"products\" VALUES (10, 'p1', 1), (20, 'p2', 2)"
+    )
+    c.commit()
+    yield backend
+    backend.close()
+
+
+def _fk_config(tmp_path, cat_rows, prod_rows):
+    from mydatasyncer_spark.config import SyncConfig, TableSpec
+
+    cat = tmp_path / "cat.csv"
+    cat.write_text("id,name\n" + "".join(f"{i},{n}\n" for i, n in cat_rows))
+    prod = tmp_path / "prod.csv"
+    prod.write_text(
+        "id,name,category_id\n"
+        + "".join(f"{i},{n},{c}\n" for i, n, c in prod_rows)
+    )
+    return SyncConfig(
+        tables=[
+            TableSpec(
+                name="products",
+                file_path=str(prod),
+                primary_key="id",
+                sync_mode="diff",
+                delete_not_in_file=True,
+                dependencies=["categories"],
+            ),
+            TableSpec(
+                name="categories",
+                file_path=str(cat),
+                primary_key="id",
+                sync_mode="diff",
+                delete_not_in_file=True,
+            ),
+        ]
+    )
+
+
+class TestStagedSyncer:
+    def test_staged_fk_two_phase(self, spark, derby_fk, tmp_path):
+        """Full staged sync: category 2 + product 20 vanish, category
+        3 + product 30 arrive — deletes child→parent, inserts
+        parent→child, all legs staged by Spark's JDBC writer, one
+        global transaction over the applies."""
+        from mydatasyncer_spark.syncer import sync
+
+        cfg = _fk_config(
+            tmp_path, [(1, "a"), (3, "c")], [(10, "p1", 1), (30, "p3", 3)]
+        )
+        out = sync(spark, derby_fk, cfg, staging=True)
+        assert sorted(
+            derby_fk.conn.query('SELECT "id", "name" FROM "categories"')
+        ) == [(1, "a"), (3, "c")]
+        assert sorted(
+            derby_fk.conn.query(
+                'SELECT "id", "name", "category_id" FROM "products"'
+            )
+        ) == [(10, "p1", 1), (30, "p3", 3)]
+        assert out.stats["categories"].inserted == 1
+        assert out.stats["categories"].deleted == 1
+        assert out.stats["products"].inserted == 1
+        assert out.stats["products"].deleted == 1
+        # staging fully cleaned up
+        for stg in ("stg_ins_products", "stg_upd_products", "stg_del_products"):
+            with pytest.raises(Exception):
+                derby_fk.conn.query(f'SELECT * FROM "{stg}"')
+
+    def test_staged_rollback_all_or_nothing(self, spark, derby_fk, tmp_path):
+        """An FK violation in the last staged apply rolls back every
+        table's deletes and inserts (ref: dbsync_test.go:928-930)."""
+        from mydatasyncer_spark.syncer import sync
+
+        before_cat = sorted(
+            derby_fk.conn.query('SELECT "id", "name" FROM "categories"')
+        )
+        before_prod = sorted(
+            derby_fk.conn.query(
+                'SELECT "id", "name", "category_id" FROM "products"'
+            )
+        )
+        cfg = _fk_config(
+            tmp_path,
+            [(1, "a"), (3, "c")],
+            [(10, "p1", 1), (30, "p3", 99)],  # category 99 doesn't exist
+        )
+        with pytest.raises(Exception):
+            sync(spark, derby_fk, cfg, staging=True)
+        assert (
+            sorted(derby_fk.conn.query('SELECT "id", "name" FROM "categories"'))
+            == before_cat
+        )
+        assert (
+            sorted(
+                derby_fk.conn.query(
+                    'SELECT "id", "name", "category_id" FROM "products"'
+                )
+            )
+            == before_prod
+        )
+
+    def test_staged_update_and_overwrite(self, spark, derby, tmp_path):
+        """Staged diff detects an update cross-type (string CSV vs
+        BIGINT DB), and staged overwrite truncates + reloads."""
+        from mydatasyncer_spark.config import SyncConfig, TableSpec
+        from mydatasyncer_spark.syncer import sync
+
+        f = tmp_path / "t.csv"
+        f.write_text(
+            "id,name,value\n1,Alice,new\n2,Bob,keep\n4,Dave,fresh\n"
+        )
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=str(f),
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                )
+            ]
+        )
+        out = sync(spark, derby, cfg, staging=True)
+        assert target_rows(derby) == [
+            (1, "Alice", "new"),
+            (2, "Bob", "keep"),
+            (4, "Dave", "fresh"),
+        ]
+        st = out.stats["test_table"]
+        assert (st.inserted, st.updated, st.deleted) == (1, 1, 1)
+
+        f2 = tmp_path / "t2.csv"
+        f2.write_text("id,name,value\n7,Zed,only\n")
+        cfg2 = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=str(f2),
+                    primary_key="id",
+                    sync_mode="overwrite",
+                )
+            ]
+        )
+        sync(spark, derby, cfg2, staging=True)
+        assert target_rows(derby) == [(7, "Zed", "only")]
