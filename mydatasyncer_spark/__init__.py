@@ -33,6 +33,8 @@ from mydatasyncer_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from mydatasyncer_spark.session import get_spark
+from mydatasyncer_spark.sinks.jdbc import JdbcBackend
+from mydatasyncer_spark.sinks.table_merge import merge_into_table
 from mydatasyncer_spark.syncer import sync
 
 __all__ = [
@@ -50,6 +52,8 @@ __all__ = [
     "cosine_topk",
     "lsh_ann_topk",
     "embedding_near_dup_pairs",
+    "JdbcBackend",
+    "merge_into_table",
 ]
 
 __version__ = "0.1.0"

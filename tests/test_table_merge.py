@@ -1,0 +1,127 @@
+"""Partition-scoped merge sink over managed parquet tables: upsert +
+delete semantics match the diff applier, and untouched partitions'
+files are physically left alone (the copy-on-write contract)."""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.sinks.table_merge import merge_into_table
+
+
+@pytest.fixture
+def part_table(spark):
+    name = f"merge_t_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01"),
+            (2, "b", "2024-01-01"),
+            (3, "c", "2024-01-02"),
+            (4, "d", "2024-01-03"),
+        ],
+        "id long, v string, day string",
+    )
+    df.write.partitionBy("day").saveAsTable(name)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def rows_of(spark, name):
+    return sorted(
+        (r["id"], r["v"], r["day"])
+        for r in spark.table(name).collect()
+    )
+
+
+def part_files(spark, name, day):
+    [loc] = [
+        r[1]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        if r[0] == "Location"
+    ]
+    path = loc.removeprefix("file:") + f"/day={day}"
+    return {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+
+
+class TestMergeIntoTable:
+    def test_partition_scoped_upsert(self, spark, part_table):
+        """Source touches only 2024-01-01: row 2 updated, row 5
+        inserted; other partitions untouched byte-for-byte."""
+        before_02 = part_files(spark, part_table, "2024-01-02")
+        before_03 = part_files(spark, part_table, "2024-01-03")
+        src = spark.createDataFrame(
+            [(2, "B", "2024-01-01"), (5, "e", "2024-01-01")],
+            "id long, v string, day string",
+        )
+        stats = merge_into_table(
+            spark, part_table, src, "id", partition_column="day"
+        )
+        assert rows_of(spark, part_table) == [
+            (1, "a", "2024-01-01"),
+            (2, "B", "2024-01-01"),
+            (3, "c", "2024-01-02"),
+            (4, "d", "2024-01-03"),
+            (5, "e", "2024-01-01"),
+        ]
+        assert (stats.inserted, stats.updated, stats.deleted) == (1, 1, 0)
+        assert stats.partitions_rewritten == 1
+        # copy-on-write: untouched partitions' files identical
+        assert part_files(spark, part_table, "2024-01-02") == before_02
+        assert part_files(spark, part_table, "2024-01-03") == before_03
+
+    def test_partition_scoped_delete(self, spark, part_table):
+        """delete_not_in_source drops target-only rows, but only
+        inside affected partitions."""
+        src = spark.createDataFrame(
+            [(1, "A", "2024-01-01")], "id long, v string, day string"
+        )
+        stats = merge_into_table(
+            spark,
+            part_table,
+            src,
+            "id",
+            partition_column="day",
+            delete_not_in_source=True,
+        )
+        assert rows_of(spark, part_table) == [
+            (1, "A", "2024-01-01"),
+            (3, "c", "2024-01-02"),  # other partitions untouched
+            (4, "d", "2024-01-03"),
+        ]
+        assert (stats.inserted, stats.updated, stats.deleted) == (0, 1, 1)
+
+    def test_new_partition_insert(self, spark, part_table):
+        """Source rows landing in a partition the target doesn't have
+        yet are plain inserts."""
+        src = spark.createDataFrame(
+            [(9, "z", "2024-01-09")], "id long, v string, day string"
+        )
+        stats = merge_into_table(
+            spark, part_table, src, "id", partition_column="day"
+        )
+        assert (9, "z", "2024-01-09") in rows_of(spark, part_table)
+        assert (stats.inserted, stats.updated) == (1, 0)
+
+    def test_unpartitioned_full_merge(self, spark):
+        name = f"merge_flat_{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).write.saveAsTable(name)
+        try:
+            src = spark.createDataFrame(
+                [(2, "B"), (3, "c")], "id long, v string"
+            )
+            stats = merge_into_table(spark, name, src, "id")
+            assert sorted(
+                (r["id"], r["v"]) for r in spark.table(name).collect()
+            ) == [(1, "a"), (2, "B"), (3, "c")]
+            assert (stats.inserted, stats.updated) == (1, 1)
+            assert stats.partitions_rewritten is None
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
