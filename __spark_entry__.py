@@ -754,6 +754,40 @@ def _lsh_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 4) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: corpus bucketed by nearest deterministic
+    centroid (8 centroids), probe-1 query, exact cosine re-rank in
+    the probed bucket (`operators/similarity.py: ivf_topk`; probing
+    all buckets reproduces the exact answer — pytest-asserted)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    out = S.ivf_topk(q, e, dim=64, k=5, n_centroids=8, n_probe=1)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivf_bucket_sql(vec_expr: str, dim: int = 64, n_centroids: int = 8) -> str:
+    """DuckDB 1-based nearest-centroid id identical to
+    similarity.ivf_buckets(probe=1): same centroid literals, same
+    round-6 scaled-dot score, first-max on ties."""
+    from mydatasyncer_spark.operators.similarity import (
+        _ivf_inv_norms,
+        ivf_centroid_values,
+    )
+
+    cens = [ivf_centroid_values(dim, c) for c in range(n_centroids)]
+    inv = _ivf_inv_norms(cens)
+    scores = ", ".join(
+        f"round(list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(v) for v in cen)}]) * {inv[c]!r}, 6)"
+        for c, cen in enumerate(cens)
+    )
+    return (
+        f"list_position([{scores}], list_max([{scores}]))"
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata, extracted JVM-side."""
     media = M.attach_binary_payload(table(spark, sf_dir, "documents"))
@@ -938,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
         "json_extract_events": json_extract_events,
@@ -1358,6 +1393,26 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT vec_id AS neighbor_id, {_DVEC_SQL} AS cv FROM embeddings),
             qb AS (SELECT query_id, qv, {_lsh_bucket_sql('qv')} AS bucket FROM q),
             cb AS (SELECT neighbor_id, cv, {_lsh_bucket_sql('cv')} AS bucket FROM c),
+            scored AS (
+                SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+                FROM qb JOIN cb USING (bucket)
+                WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, {_DVEC_SQL} AS qv
+                       FROM embeddings WHERE vec_id % 97 = 0),
+            c AS (SELECT vec_id AS neighbor_id, {_DVEC_SQL} AS cv FROM embeddings),
+            qb AS (SELECT query_id, qv, {_ivf_bucket_sql('qv')} AS bucket FROM q),
+            cb AS (SELECT neighbor_id, cv, {_ivf_bucket_sql('cv')} AS bucket FROM c),
             scored AS (
                 SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
                 FROM qb JOIN cb USING (bucket)

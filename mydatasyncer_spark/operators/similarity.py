@@ -173,6 +173,124 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroid_values(dim: int, c: int) -> list[float]:
+    """Deterministic pseudo-random centroid: component i of centroid
+    c maps a 48-bit md5 of ``"ivf:c:i"`` into [-1, 1). Driver-side
+    constants, so Spark and the SQL oracle inline IDENTICAL literals
+    (same trick as :func:`hyperplane_values`). Real deployments train
+    k-means centroids and pass them via the ``centroids`` argument of
+    :func:`ivf_topk`; determinism here is what makes the cross-engine
+    oracle exact."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"ivf:{c}:{i}".encode()).hexdigest()[:12], 16)
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def _ivf_inv_norms(centroids: list[list[float]]) -> list[float]:
+    import math
+
+    return [1.0 / math.sqrt(sum(x * x for x in cen)) for cen in centroids]
+
+
+def _ivf_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<s,nc>> of (rounded scaled dot to centroid,
+    -index). The vector's own norm is constant across centroids so
+    it can't change the argmax and is left out. ``array_sort`` then
+    yields best-score-smallest-index at the END (ascending sort;
+    -index makes the smallest index win score ties, matching the
+    oracle's first-max ``list_position``)."""
+    inv = _ivf_inv_norms(centroids)
+    return F.array(
+        *[
+            F.struct(
+                F.round(
+                    dot(vec, F.array(*[F.lit(v) for v in cen]))
+                    * F.lit(inv[c]),
+                    6,
+                ).alias("s"),
+                F.lit(-c).alias("nc"),
+            )
+            for c, cen in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_buckets(
+    vec: Column, centroids: list[list[float]], n_probe: int = 1
+) -> Column:
+    """The ``n_probe`` nearest centroid ids (1-based, best first)."""
+    n = len(centroids)
+    best_last = F.array_sort(_ivf_scores(vec, centroids))
+    probes = F.reverse(F.slice(best_last, n - n_probe + 1, n_probe))
+    return F.transform(probes, lambda p: -p.getField("nc") + 1)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors live in the bucket
+    of their nearest centroid; each query probes its ``n_probe``
+    nearest buckets and re-ranks exactly within them.
+
+    The coarse-quantizer counterpart to :func:`lsh_ann_topk`. At
+    100 TB the corpus is partitioned/bucketed by centroid id at
+    ingest, so a probe-1 query is a partition-pruned scan of ~1/C of
+    the data; recall tunes with ``n_probe`` and ``n_probe =
+    n_centroids`` degrades gracefully to the exact answer (tested).
+    """
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(ivf_buckets(F.col(vec_col), cens, n_probe)).alias(
+            "bucket"
+        ),
+    )
+    c = fanout_spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),
+            ivf_buckets(F.col(vec_col), cens, 1)[0].alias("bucket"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block_col: str,

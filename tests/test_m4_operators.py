@@ -102,6 +102,44 @@ def test_lsh_ann_candidates_subset_of_exact(spark, vectors):
         assert exact[key] == r["cosine"]
 
 
+def test_ivf_probe_all_equals_exact(spark, vectors):
+    """Probing every centroid bucket covers the whole corpus, so
+    IVF degrades gracefully to the exact brute-force answer."""
+    from mydatasyncer_spark.operators.similarity import ivf_topk
+
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in cosine_topk(vectors, vectors, k=3).collect()
+    )
+    C = 4
+    full = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ivf_topk(
+            vectors, vectors, dim=3, k=3, n_centroids=C, n_probe=C
+        ).collect()
+    )
+    assert full == exact
+
+
+def test_ivf_probe1_subset_of_exact(spark, vectors):
+    """Probe-1 results are a subset of the exact candidate pairs
+    with identical cosines (recall loss, never wrong values), and
+    recall is monotone in n_probe."""
+    from mydatasyncer_spark.operators.similarity import ivf_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(vectors, vectors, k=4).collect()
+    }
+    p1 = ivf_topk(vectors, vectors, dim=3, k=4, n_centroids=4, n_probe=1).collect()
+    assert len(p1) > 0
+    for r in p1:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact and exact[key] == r["cosine"]
+    p2 = ivf_topk(vectors, vectors, dim=3, k=4, n_centroids=4, n_probe=2).collect()
+    assert len(p2) >= len(p1)
+
+
 def test_embedding_near_dup_blocked_by_label(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, "label", threshold=0.9).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
