@@ -61,6 +61,36 @@ def test_minhash_lsh_releases_signature_cache(spark, docs):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_cluster_single_task_matches_iterative(spark):
+    """The small-graph union-find fast path and the iterative
+    label-propagation path must produce identical (doc_id,
+    cluster_id) labels — including chains that force several
+    propagation rounds."""
+    import random
+
+    from mydatasyncer_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    pairs = [(i, i + 1) for i in range(1, 40)]          # long chain
+    pairs += [(100 + 2 * i, 101 + 2 * i) for i in range(20)]  # 2-cliques
+    pairs += [(rng.randint(200, 260), rng.randint(200, 260)) for _ in range(50)]
+    pair_df = spark.createDataFrame(
+        [p for p in pairs if p[0] != p[1]], "id_a long, id_b long"
+    )
+    fast = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(pair_df).collect()
+    )
+    iterative = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(pair_df, single_task_threshold=0).collect()
+    )
+    assert fast == iterative
+    # chain collapses to one cluster labeled by its minimum
+    chain = {c for d, c in fast if 1 <= d <= 40}
+    assert chain == {1}
+
+
 def test_simhash_near_dup_closer_than_unrelated(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
