@@ -181,3 +181,73 @@ sync:
 
         with _pytest.raises(ConfigError, match="not found"):
             SyncConfig.from_yaml(str(tmp_path / "absent.yml"))
+
+
+class TestCli:
+    """CLI surface parity: -config + -dry-run (ref: main.go:40-51),
+    run lifecycle incl. nonzero exit on failure (ref: main.go:59-134)."""
+
+    def _write(self, tmp_path, db_path):
+        import sqlite3
+
+        conn = sqlite3.connect(db_path)
+        conn.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, name TEXT)")
+        conn.executemany(
+            "INSERT INTO items VALUES (?,?)", [(1, "a"), (2, "b"), (3, "c")]
+        )
+        conn.commit()
+        conn.close()
+        csv = tmp_path / "items.csv"
+        csv.write_text("id,name\n1,a\n2,B\n4,d\n")
+        cfg = tmp_path / "sync.yml"
+        cfg.write_text(
+            "sync:\n"
+            "  tableName: items\n"
+            f"  filePath: {csv}\n"
+            "  primaryKey: id\n"
+            "  syncMode: diff\n"
+            "  deleteNotInFile: true\n"
+        )
+        return str(cfg)
+
+    def test_cli_sync_and_dry_run(self, spark, tmp_path, capsys):
+        import sqlite3
+
+        from mydatasyncer_spark.__main__ import main
+
+        db_path = str(tmp_path / "cli.db")
+        cfg = self._write(tmp_path, db_path)
+
+        rc = main(["-config", cfg, "--dry-run", "--sqlite", db_path], spark=spark)
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "DRY RUN" in out and "items" in out
+        conn = sqlite3.connect(db_path)
+        assert conn.execute("SELECT count(*) FROM items").fetchone()[0] == 3
+
+        rc = main(["-config", cfg, "--sqlite", db_path], spark=spark)
+        assert rc == 0
+        assert conn.execute(
+            "SELECT id, name FROM items ORDER BY id"
+        ).fetchall() == [(1, "a"), (2, "B"), (4, "d")]
+        conn.close()
+
+    def test_cli_fails_loudly(self, spark, tmp_path, capsys):
+        from mydatasyncer_spark.__main__ import main
+
+        rc = main(
+            ["-config", str(tmp_path / "missing.yml"), "--sqlite", "x.db"],
+            spark=spark,
+        )
+        assert rc == 1
+        assert "sync failed" in capsys.readouterr().err
+
+    def test_dialect_for_url(self):
+        from mydatasyncer_spark.__main__ import dialect_for_url
+
+        assert dialect_for_url("jdbc:mysql://h/db") == "mysql"
+        assert dialect_for_url("jdbc:postgresql://h/db") == "postgres"
+        assert dialect_for_url("jdbc:derby:memory:x") == "derby"
+        assert dialect_for_url("jdbc:weirddb://h") == "ansi"
+        with pytest.raises(Exception):
+            dialect_for_url("mysql://not-jdbc")
