@@ -769,23 +769,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_bucket_sql(vec_expr: str, dim: int = 64, n_centroids: int = 8) -> str:
     """DuckDB 1-based nearest-centroid id identical to
-    similarity.ivf_buckets(probe=1): same centroid literals, same
-    round-6 scaled-dot score, first-max on ties."""
+    similarity.ivf_buckets(probe=1): the SAME scaled-centroid double
+    literals, round-6 dot score, first-max on ties."""
     from mydatasyncer_spark.operators.similarity import (
-        _ivf_inv_norms,
+        _scaled_centroids,
         ivf_centroid_values,
     )
 
-    cens = [ivf_centroid_values(dim, c) for c in range(n_centroids)]
-    inv = _ivf_inv_norms(cens)
+    cens = _scaled_centroids(
+        [ivf_centroid_values(dim, c) for c in range(n_centroids)]
+    )
     scores = ", ".join(
         f"round(list_dot_product({vec_expr}, "
-        f"[{', '.join(repr(v) for v in cen)}]) * {inv[c]!r}, 6)"
-        for c, cen in enumerate(cens)
+        f"[{', '.join(repr(v) for v in cen)}]), 6)"
+        for cen in cens
     )
-    return (
-        f"list_position([{scores}], list_max([{scores}]))"
-    )
+    return f"list_position([{scores}], list_max([{scores}]))"
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

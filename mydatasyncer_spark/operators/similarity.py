@@ -196,37 +196,52 @@ def _ivf_inv_norms(centroids: list[list[float]]) -> list[float]:
     return [1.0 / math.sqrt(sum(x * x for x in cen)) for cen in centroids]
 
 
-def _ivf_scores(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<struct<s,nc>> of (rounded scaled dot to centroid,
-    -index). The vector's own norm is constant across centroids so
-    it can't change the argmax and is left out. ``array_sort`` then
-    yields best-score-smallest-index at the END (ascending sort;
-    -index makes the smallest index win score ties, matching the
-    oracle's first-max ``list_position``)."""
+def _scaled_centroids(centroids: list[list[float]]) -> list[list[float]]:
+    """Centroids pre-multiplied by their inverse norms (driver-side
+    constants): the per-vector assignment score collapses to one dot
+    product per centroid, and the SAME scaled literals are inlined in
+    the SQL oracle so both engines accumulate identically."""
     inv = _ivf_inv_norms(centroids)
-    return F.array(
+    return [
+        [x * inv[c] for x in cen] for c, cen in enumerate(centroids)
+    ]
+
+
+def _ivf_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of rounded scaled dots to each centroid. The
+    vector's own norm is constant across centroids so it can't change
+    the argmax and is left out."""
+    scaled = F.array(
         *[
-            F.struct(
-                F.round(
-                    dot(vec, F.array(*[F.lit(v) for v in cen]))
-                    * F.lit(inv[c]),
-                    6,
-                ).alias("s"),
-                F.lit(-c).alias("nc"),
-            )
-            for c, cen in enumerate(centroids)
+            F.array(*[F.lit(v) for v in cen])
+            for cen in _scaled_centroids(centroids)
         ]
     )
+    return F.transform(scaled, lambda cen: F.round(dot(vec, cen), 6))
 
 
 def ivf_buckets(
     vec: Column, centroids: list[list[float]], n_probe: int = 1
 ) -> Column:
-    """The ``n_probe`` nearest centroid ids (1-based, best first)."""
+    """The ``n_probe`` nearest centroid ids (1-based, best first).
+    Probe 1 is a plain first-max ``array_position`` — bit-identical
+    to the oracle's ``list_position(scores, list_max(scores))``; for
+    deeper probes the scores are index-tagged (the two-arg transform
+    lambda's SECOND argument is the 0-based array index), sorted
+    ascending on (score, -index) so ties break toward the smaller
+    index, and the top ``n_probe`` are read off the tail."""
+    scores = _ivf_scores(vec, centroids)
+    if n_probe == 1:
+        return F.array(
+            F.array_position(scores, F.array_max(scores)).cast("int")
+        )
     n = len(centroids)
-    best_last = F.array_sort(_ivf_scores(vec, centroids))
+    tagged = F.transform(
+        scores, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
+    )
+    best_last = F.array_sort(tagged)
     probes = F.reverse(F.slice(best_last, n - n_probe + 1, n_probe))
-    return F.transform(probes, lambda p: -p.getField("nc") + 1)
+    return F.transform(probes, lambda p: (-p.getField("ni") + 1).cast("int"))
 
 
 def ivf_topk(
