@@ -68,3 +68,23 @@ def test_q6_pushes_all_predicates(spark, sf_dir):
     pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, pushed
+
+
+def test_ivf_join_is_bucket_equi_join(spark, sf_dir):
+    """IVF probe joins on the bucket key — never a cross product —
+    and the small query side is broadcast."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_bounds_plan_shape(spark, sf_dir):
+    """Spark plans countDistinct + percentile as two aggregation
+    subplans joined on the group key (its standard distinct rewrite)
+    — pin that it stays at that: dims broadcast, no cartesian, and no
+    third pass over orders."""
+    plan = plan_of(spark, sf_dir, "sketch_error_bounds")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 4
