@@ -86,6 +86,64 @@ def sync_batch(
         diff.to_delete.unpersist()
 
 
+def continuous_merge(
+    stream_df: DataFrame,
+    table: str,
+    primary_key: str,
+    partition_column: str | None = None,
+    version_column: str | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_merge",
+):
+    """Continuous upsert of a change stream into a managed Spark
+    table via the partition-scoped merge sink — the lakehouse-side
+    twin of :func:`continuous_sync` (stream → MERGE INTO instead of
+    stream → JDBC DML). Each micro-batch is a set of changed rows
+    (not a full snapshot); with a ``partition_column`` the batch only
+    rewrites the partitions it touches. Restart safety: the merge is
+    idempotent per batch (same rows merge to the same state), so the
+    checkpoint's at-least-once replay converges."""
+    from mydatasyncer_spark.sinks.table_merge import merge_into_table
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within one batch the same key may appear several times; with
+        # a version column the highest version wins deterministically,
+        # otherwise an arbitrary row per key is kept
+        if version_column is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(primary_key).orderBy(
+                F.desc(version_column)
+            )
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            latest = batch_df.dropDuplicates([primary_key])
+        merge_into_table(
+            batch_df.sparkSession,
+            table,
+            latest,
+            primary_key,
+            partition_column=partition_column,
+            compute_stats=False,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def continuous_sync(
     stream_df: DataFrame,
     spec: TableSpec,

@@ -171,6 +171,23 @@ def dedup_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins the (small)
+    static dimension — Spark plans it as a broadcast hash join per
+    batch, no stream-side state. The canonical "attach user/customer
+    attributes to the event firehose" pattern; the dimension is
+    re-resolved every batch, so a reloaded dim table is picked up
+    without restarting the query."""
+    return events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), on=on, how="left"
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

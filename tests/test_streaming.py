@@ -163,3 +163,90 @@ class TestContinuousSync:
             (4, "Dave", "fresh"),
         ]
         conn.close()
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, event_dir):
+    """Stream-static enrichment: every drained event carries its
+    user's segment exactly as the batch broadcast join computes it."""
+    from mydatasyncer_spark.streaming.windows import enrich_stream
+
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    enriched = enrich_stream(stream, dim, on="user_id").select(
+        "event_id", "user_id", "segment"
+    )
+    run_to_memory(enriched, "enriched_events", output_mode="append")
+    got = {
+        r["event_id"]: (r["user_id"], r["segment"])
+        for r in spark.sql("SELECT * FROM enriched_events").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_id", "segment")
+        .collect()
+    )
+    expected = {r["event_id"]: (r["user_id"], r["segment"]) for r in batch}
+    assert got == expected
+
+
+class TestContinuousMerge:
+    def test_change_stream_merges_into_table(self, spark, tmp_path_factory):
+        """A stream of change-rows continuously upserts into a
+        partitioned managed table; within-batch duplicate keys
+        resolve by the version column."""
+        import uuid
+
+        from mydatasyncer_spark.streaming.continuous import continuous_merge
+
+        name = f"cm_tgt_{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(
+            [(1, "a", 0, "d1"), (2, "b", 0, "d1"), (3, "c", 0, "d2")],
+            "id long, v string, ver long, day string",
+        ).write.partitionBy("day").saveAsTable(name)
+
+        src_dir = tmp_path_factory.mktemp("cm_src")
+        ckpt = str(tmp_path_factory.mktemp("cm_ckpt"))
+        # two change files: an update+insert for d1 (with a stale
+        # duplicate for id 2), then an update for d2
+        spark.createDataFrame(
+            [(2, "B-new", 2, "d1"), (2, "B-stale", 1, "d1"), (4, "d", 1, "d1")],
+            "id long, v string, ver long, day string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1"))
+        spark.createDataFrame(
+            [(3, "C", 1, "d2")], "id long, v string, ver long, day string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f2"))
+
+        stream = (
+            spark.readStream.schema("id long, v string, ver long, day string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/*")
+        )
+        q = continuous_merge(
+            stream,
+            name,
+            "id",
+            partition_column="day",
+            version_column="ver",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        try:
+            got = sorted(
+                (r["id"], r["v"], r["day"])
+                for r in spark.table(name).collect()
+            )
+            assert got == [
+                (1, "a", "d1"),
+                (2, "B-new", "d1"),
+                (3, "C", "d2"),
+                (4, "d", "d1"),
+            ]
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
