@@ -158,5 +158,14 @@ def load_tables(
 def _project(df: DataFrame, columns: list[str] | None) -> DataFrame:
     if not columns:
         return df
-    keep = [c for c in columns if c in df.columns]
-    return df.select(*keep)
+    absent = [c for c in columns if c not in df.columns]
+    if absent:
+        # ref: loader.go:117-125, 182-188 — a requested column the
+        # data doesn't carry is an error ("missing required key"),
+        # not a silent narrowing. (Rows that lack the key only
+        # sometimes surface as nulls instead — schema-first callers
+        # should declare schemas; see module docstring.)
+        raise SyncError(
+            f"missing required column(s) {absent!r}; file has {df.columns!r}"
+        )
+    return df.select(*columns)

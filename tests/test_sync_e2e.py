@@ -412,3 +412,21 @@ class TestPartitionedWriter:
         # salted repartition back to one task → one file everywhere)
         assert max(counts) > 1, counts
         assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_projection_of_missing_column_errors(spark, tmp_path):
+    """Requesting a column the file doesn't carry errors loudly
+    (ref: loader_test.go:249-311 'missing required key'), never a
+    silent narrowing."""
+    from mydatasyncer_spark.sources.readers import read_csv, read_json
+
+    c = tmp_path / "p.csv"
+    c.write_text("id,name\n1,a\n")
+    with pytest.raises(Exception, match="missing required column"):
+        read_csv(spark, str(c), columns=["id", "name", "value"])
+    j = tmp_path / "p.json"
+    j.write_text('[{"id": 1, "name": "a"}]')
+    with pytest.raises(Exception, match="missing required column"):
+        read_json(spark, str(j), columns=["id", "value"])
+    # requesting existing columns still projects (and prunes the scan)
+    assert read_csv(spark, str(c), columns=["id"]).columns == ["id"]
