@@ -688,6 +688,22 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final act: apply the cluster labels back
+    to the corpus and keep ONE doc per near-dup cluster (the minimum
+    id — the cluster label itself). Anti-join on the non-survivor
+    set, so the corpus pass stays a pruned scan + one join."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = D.minhash_lsh_pairs(table(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clusters = D.dedup_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures."""
     return D.simhash(table(spark, sf_dir, "documents"))
@@ -966,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_assign": dedup_cluster_assign,
+        "dedup_survivors": dedup_survivors,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_near_dup": embedding_near_dup,
@@ -1341,6 +1358,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY src
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE base AS ({_minhash_lsh_sql()}),
+            prs AS (SELECT id_a, id_b FROM base WHERE est_jaccard >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM prs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM prs
+            ),
+            walk(src, reach) AS (
+                SELECT DISTINCT src, src AS reach FROM edges
+                UNION
+                SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+            ),
+            clusters AS (
+                SELECT src AS doc_id, min(reach) AS cluster_id
+                FROM walk GROUP BY src
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM clusters c
+                WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id
+            )
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""
