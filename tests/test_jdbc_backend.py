@@ -405,3 +405,50 @@ class TestStagedSyncer:
         )
         sync(spark, derby, cfg2, staging=True)
         assert target_rows(derby) == [(7, "Zed", "only")]
+
+
+class TestStagedEmptyPolicies:
+    """O11 empty-input matrix holds on the staged path too
+    (ref: dbsync.go:409-420, 447-459)."""
+
+    def _cfg(self, tmp_path, delete, mode="diff"):
+        from mydatasyncer_spark.config import SyncConfig, TableSpec
+
+        f = tmp_path / "empty.csv"
+        f.write_text("")  # empty snapshot
+        return SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=str(f),
+                    primary_key="id",
+                    sync_mode=mode,
+                    delete_not_in_file=delete,
+                )
+            ]
+        )
+
+    def test_empty_diff_without_delete_is_noop(self, spark, derby, tmp_path):
+        from mydatasyncer_spark.syncer import sync
+
+        before = target_rows(derby)
+        sync(spark, derby, self._cfg(tmp_path, delete=False), staging=True)
+        assert target_rows(derby) == before
+
+    def test_empty_diff_with_delete_wipes(self, spark, derby, tmp_path):
+        from mydatasyncer_spark.syncer import sync
+
+        out = sync(spark, derby, self._cfg(tmp_path, delete=True), staging=True)
+        assert target_rows(derby) == []
+        assert out.stats["test_table"].deleted == 3
+
+    def test_empty_overwrite_wipes(self, spark, derby, tmp_path):
+        from mydatasyncer_spark.syncer import sync
+
+        sync(
+            spark,
+            derby,
+            self._cfg(tmp_path, delete=False, mode="overwrite"),
+            staging=True,
+        )
+        assert target_rows(derby) == []
