@@ -857,6 +857,33 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "view_ts", "view_value")
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each view event picks up the user's NEXT
+    purchase (smallest purchase ts >= view ts) — same union+window
+    plan as the backward query, traversal order flipped (DuckDB
+    oracle: ASOF LEFT JOIN with l.ts <= r.ts)."""
+    from mydatasyncer_spark.operators.asof import asof_join_forward
+
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join_forward(
+        views,
+        purchases,
+        ["user_id"],
+        "ts",
+        ["purchase_value"],
+        ts_out="purchase_ts",
+    )
+    return out.select("event_id", "user_id", "purchase_ts", "purchase_value")
+
+
 def _minhash_sig_sql(k: int = 16) -> str:
     from mydatasyncer_spark.functions.hashing import hash48_sql, permuted_hash_sql
 
@@ -993,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "json_extract_events": json_extract_events,
         "asof_purchase_view": asof_purchase_view,
+        "asof_next_purchase": asof_next_purchase,
     }
 
 
@@ -1465,6 +1493,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "asof_next_purchase": """
+            WITH v AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'view'
+            ),
+            p AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT v.event_id, v.user_id,
+                   p.ts AS purchase_ts, p.purchase_value
+            FROM v ASOF LEFT JOIN p
+              ON v.user_id = p.user_id AND v.ts <= p.ts
         """,
         "asof_purchase_view": """
             WITH p AS (

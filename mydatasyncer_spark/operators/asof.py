@@ -1,10 +1,13 @@
-"""Backward as-of join — a time-series operator Spark has no native
-primitive for (beyond-parity; the reference is pure batch snapshots,
-SURVEY.md §2.5 "no theta/range/as-of joins").
+"""As-of joins (backward + forward, optional tolerance) — time-series
+operators Spark has no native primitive for (beyond-parity; the
+reference is pure batch snapshots, SURVEY.md §2.5 "no
+theta/range/as-of joins").
 
 Semantics: for every left row, attach the single right row with the
-LARGEST right timestamp ≤ the left timestamp, per key (DuckDB/kdb
-``ASOF JOIN`` with ``left.ts >= right.ts``).
+LARGEST right timestamp ≤ the left timestamp (backward; DuckDB/kdb
+``ASOF JOIN`` with ``left.ts >= right.ts``) or the SMALLEST right
+timestamp ≥ it (forward). ``tolerance_seconds`` nulls matches beyond
+a horizon, as in pandas ``merge_asof``.
 
 Implemented as a composition of built-ins — union + one window pass —
 rather than a range join:
@@ -39,10 +42,47 @@ def asof_join_backward(
     ts_col: str = "ts",
     value_cols: list[str] | None = None,
     ts_out: str = "asof_ts",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of-backward join: all left columns + each right
     ``value_cols`` (null when no right row precedes) + ``ts_out`` =
-    the matched right timestamp."""
+    the matched right timestamp. ``tolerance_seconds`` nulls matches
+    older than the horizon (pandas ``merge_asof`` tolerance)."""
+    return _asof_join(
+        left, right, key_cols, ts_col, value_cols, ts_out,
+        direction="backward", tolerance_seconds=tolerance_seconds,
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    ts_out: str = "asof_ts",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Forward twin: attach the right row with the SMALLEST right
+    timestamp ≥ the left timestamp, per key (DuckDB ``ASOF JOIN``
+    with ``left.ts <= right.ts``). Same union + one-window design —
+    only the traversal order flips."""
+    return _asof_join(
+        left, right, key_cols, ts_col, value_cols, ts_out,
+        direction="forward", tolerance_seconds=tolerance_seconds,
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    ts_out: str = "asof_ts",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in set(key_cols) | {ts_col}
@@ -73,11 +113,16 @@ def asof_join_backward(
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
     unioned = l.unionByName(r.select(*l.columns))
-    # right rows sort BEFORE left rows at an equal timestamp, so
-    # `>=` (inclusive) as-of semantics hold
+    # right rows sort BEFORE left rows at an equal timestamp (side
+    # asc in both traversals), so the inclusive semantics hold:
+    # backward walks time ascending (>= match), forward descending
+    # (<= match)
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -92,8 +137,17 @@ def asof_join_backward(
             for c in value_cols
         ],
     )
+    in_tol = F.lit(True)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(ts_col).cast("double") - F.col(ts_out).cast("double")
+        )
+        in_tol = F.col(ts_out).isNotNull() & (gap <= tolerance_seconds)
     return filled.filter(F.col(_SIDE) == 1).select(
         *left_cols,
-        F.col(ts_out),
-        *[F.col(f"_filled_{c}").alias(c) for c in value_cols],
+        F.when(in_tol, F.col(ts_out)).alias(ts_out),
+        *[
+            F.when(in_tol, F.col(f"_filled_{c}")).alias(c)
+            for c in value_cols
+        ],
     )

@@ -243,6 +243,54 @@ class TestAsofJoin:
         assert out[4] == (None, None)    # no right rows for key 20
         assert out[5][0] == 2.0          # equal ts is inclusive (>=)
 
+    def test_forward_semantics(self, spark):
+        from mydatasyncer_spark.operators.asof import asof_join_forward
+
+        left, right = self._frames(spark)
+        out = {
+            r["event_id"]: (r["v"], r["asof_ts"])
+            for r in asof_join_forward(
+                left, right, ["user_id"], "ts", ["v"]
+            ).collect()
+        }
+        assert out[1][0] == 2.0          # next right >= 10:00 is 11:30
+        assert out[2] == (None, None)    # nothing follows 12:00
+        assert out[3][0] == 1.0          # 09:30 is the next after 09:00
+        assert out[4] == (None, None)    # no right rows for key 20
+        assert out[5][0] == 2.0          # equal ts is inclusive (<=)
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from mydatasyncer_spark.operators.asof import asof_join_backward
+
+        left, right = self._frames(spark)
+        out = {
+            r["event_id"]: r["v"]
+            for r in asof_join_backward(
+                left,
+                right,
+                ["user_id"],
+                "ts",
+                ["v"],
+                tolerance_seconds=1800,
+            ).collect()
+        }
+        assert out[1] == 1.0  # 09:30 → 10:00 = exactly 30 min, within
+        assert out[2] == 2.0  # 11:30 → 12:00 = 30 min, within
+        # tighten: 29 minutes cuts both off
+        out29 = {
+            r["event_id"]: r["v"]
+            for r in asof_join_backward(
+                left,
+                right,
+                ["user_id"],
+                "ts",
+                ["v"],
+                tolerance_seconds=29 * 60,
+            ).collect()
+        }
+        assert out29[1] is None and out29[2] is None
+        assert out29[5] == 2.0  # equal-ts match has gap 0
+
     def test_collision_guard(self, spark):
         from mydatasyncer_spark.operators.asof import asof_join_backward
 
