@@ -884,6 +884,56 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_ts", "purchase_value")
 
 
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → view → click → purchase. A user
+    reaches step N when each step's FIRST occurrence happens at or
+    after the previous step's first occurrence — one conditional
+    aggregation per user (single shuffle), then a tiny rollup; no
+    self-joins, no pair space."""
+    e = table(spark, sf_dir, "events")
+    steps = ["signup", "view", "click", "purchase"]
+    firsts = e.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == s, F.col("ts"))
+            ).alias(f"t_{s}")
+            for s in steps
+        ]
+    )
+    reached = F.lit(True)
+    step_flags = []
+    prev = None
+    for s in steps:
+        cur = F.col(f"t_{s}").isNotNull()
+        if prev is not None:
+            cur = cur & (F.col(f"t_{s}") >= F.col(f"t_{prev}"))
+        reached = reached & cur
+        step_flags.append(reached.alias(f"r_{s}"))
+        prev = s
+    flags = firsts.select("user_id", *step_flags)
+    counts = flags.agg(
+        *[
+            F.sum(F.col(f"r_{s}").cast("long")).alias(f"n_{s}")
+            for s in steps
+        ]
+    )
+    # unpivot to (step, step_order, n_users) so the result is tidy
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("step"),
+                F.lit(i + 1).cast("long").alias("step_order"),
+                F.col(f"n_{s}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        counts.select(F.explode(pairs).alias("p"))
+        .select("p.step", "p.step_order", "p.n_users")
+    )
+
+
 def _minhash_sig_sql(k: int = 16) -> str:
     from mydatasyncer_spark.functions.hashing import hash48_sql, permuted_hash_sql
 
@@ -1020,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "json_extract_events": json_extract_events,
         "asof_purchase_view": asof_purchase_view,
+        "funnel_steps": funnel_steps,
         "asof_next_purchase": asof_next_purchase,
     }
 
@@ -1493,6 +1544,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "funnel_steps": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type='signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+                       min(CASE WHEN event_type='view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+                       min(CASE WHEN event_type='click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                       min(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+                FROM events GROUP BY user_id
+            ),
+            flags AS (
+                SELECT
+                    (t_signup IS NOT NULL) AS r_signup,
+                    (t_signup IS NOT NULL AND t_view IS NOT NULL
+                     AND t_view >= t_signup) AS r_view,
+                    (t_signup IS NOT NULL AND t_view IS NOT NULL
+                     AND t_view >= t_signup AND t_click IS NOT NULL
+                     AND t_click >= t_view) AS r_click,
+                    (t_signup IS NOT NULL AND t_view IS NOT NULL
+                     AND t_view >= t_signup AND t_click IS NOT NULL
+                     AND t_click >= t_view AND t_purchase IS NOT NULL
+                     AND t_purchase >= t_click) AS r_purchase
+                FROM firsts
+            ),
+            counts AS (
+                SELECT CAST(sum(CASE WHEN r_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                       CAST(sum(CASE WHEN r_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                       CAST(sum(CASE WHEN r_click THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                       CAST(sum(CASE WHEN r_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+                FROM flags
+            )
+            SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_order, n_signup AS n_users FROM counts
+            UNION ALL
+            SELECT 'view', CAST(2 AS BIGINT), n_view FROM counts
+            UNION ALL
+            SELECT 'click', CAST(3 AS BIGINT), n_click FROM counts
+            UNION ALL
+            SELECT 'purchase', CAST(4 AS BIGINT), n_purchase FROM counts
         """,
         "asof_next_purchase": """
             WITH v AS (
