@@ -371,3 +371,71 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
         assert rel < 0.05, (seg, row["approx_customers"], exact[seg]["n_customers"])
         p_rel = abs(row["approx_p50"] - exact_p[seg]["p50"]) / exact_p[seg]["p50"]
         assert p_rel < 0.05, (seg, row["approx_p50"], exact_p[seg]["p50"])
+
+
+class TestAsofVsPandas:
+    """Property check against an independent oracle: pandas
+    merge_asof implements the same backward/forward semantics
+    (nearest ts at-or-before / at-or-after per key, inclusive,
+    optional tolerance)."""
+
+    def _random_frames(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        left = [
+            (i, rng.randint(1, 4), rng.randint(0, 1000))
+            for i in range(40)
+        ]
+        right_raw = {
+            (rng.randint(1, 4), rng.randint(0, 1000)) for _ in range(25)
+        }
+        right = [(k, t, float(100 * k + t)) for k, t in right_raw]
+        return left, right
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_pandas_merge_asof(self, spark, seed, direction):
+        import pandas as pd
+
+        from mydatasyncer_spark.operators.asof import (
+            asof_join_backward,
+            asof_join_forward,
+        )
+
+        left, right = self._random_frames(seed)
+        from datetime import datetime, timezone
+
+        def _dt(t):
+            return datetime.fromtimestamp(t, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        ldf = spark.createDataFrame(
+            [(i, k, _dt(t)) for i, k, t in left],
+            "event_id long, k long, ts timestamp",
+        )
+        rdf = spark.createDataFrame(
+            [(k, _dt(t), v) for k, t, v in right],
+            "k long, ts timestamp, v double",
+        )
+        fn = asof_join_backward if direction == "backward" else asof_join_forward
+        got = {
+            r["event_id"]: r["v"]
+            for r in fn(ldf, rdf, ["k"], "ts", ["v"]).collect()
+        }
+
+        lp = pd.DataFrame(left, columns=["event_id", "k", "t"]).assign(
+            ts=lambda d: pd.to_datetime(d["t"], unit="s")
+        ).sort_values("ts")
+        rp = pd.DataFrame(right, columns=["k", "t", "v"]).assign(
+            ts=lambda d: pd.to_datetime(d["t"], unit="s")
+        ).sort_values("ts")
+        merged = pd.merge_asof(
+            lp, rp[["k", "ts", "v"]], on="ts", by="k", direction=direction
+        )
+        expected = {
+            int(r.event_id): (None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == expected
