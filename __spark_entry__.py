@@ -404,6 +404,79 @@ def approx_sketches_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join customers→orders, count per
+    customer (outer-null-skipping), then the distribution of those
+    counts — the two-level aggregation + outer-join pattern."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").rlike("^1-")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-gated grouped subquery (orders whose
+    total quantity exceeds a threshold) semi-joined back — the
+    group-filter-then-lookup pattern."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window shape: per-user inter-event gap via lag(ts),
+    aggregated into per-event-type mean/max gap seconds."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap_sec"),
+    ).filter(F.col("gap_sec").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("gap_sec").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_gap_sec"),
+        F.round(F.max("gap_sec"), 4).alias("max_gap_sec"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
 def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable companion to `approx_sketches_segments`: the
     sketch *values* stay engine-specific, but their error contract is
@@ -1038,6 +1111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_segment": percentiles_by_segment,
         "approx_sketches_segments": approx_sketches_segments,
         "sketch_error_bounds": sketch_error_bounds,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "event_gaps": event_gaps,
         "semi_join_big_orders": semi_join_big_orders,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1248,6 +1324,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48
             )
+        """,
+        "q13_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                 AND NOT regexp_matches(o_orderpriority, '^1-')
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+            FROM orders JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 20
+        """,
+        "event_gaps": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch(CAST(ts AS TIMESTAMP))
+                       - lag(epoch(CAST(ts AS TIMESTAMP))) OVER (
+                            PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ) AS gap_sec
+                FROM events
+            )
+            SELECT event_type,
+                   round(CAST(sum(CAST(gap_sec AS DECIMAL(20,6))) AS DOUBLE)
+                         / count(*), 4) AS avg_gap_sec,
+                   round(max(gap_sec), 4) AS max_gap_sec,
+                   count(*) AS n_gaps
+            FROM g
+            WHERE gap_sec IS NOT NULL
+            GROUP BY event_type
         """,
         "sketch_error_bounds": """
             SELECT c_mktsegment,
