@@ -1007,6 +1007,207 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- round-2 pack: relational shapes
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders in a quarter having
+    at least one line shipped >60 days after the order date, counted
+    by priority. The non-equi predicate rides on the equi hash join
+    (left semi on l_orderkey), so there is no pair blow-up and the
+    date filter is pushed to the orders scan."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN anti-subquery + COUNT(DISTINCT).
+    Supplier variety per (brand, type, size) for selected parts,
+    excluding flagged suppliers (negative balance, the 'complaints'
+    stand-in — the fixture lacks partsupp so lineitem provides the
+    part→supplier relation). The exclusion list is tiny → broadcast
+    anti-join; the distinct agg is partial-aggregated map-side."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("STANDARD"))
+        & (F.col("p_size").isin(1, 5, 9, 13))
+    )
+    flagged = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + anti join — customers with
+    above-average (positive-balance) account balance and no URGENT
+    order, rolled up per market segment. The global average is a
+    one-row broadcast cross join; the order check is a left anti
+    join (the fixture gives every customer ≥1 order, so the anti
+    side filters to the urgent subset to stay non-degenerate)."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("double") > F.col("avg_bal")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+def range_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per user, count views in the 10 minutes
+    before each purchase. The join keys on user_id (equi) with the
+    time band as a residual predicate — at 100 TB the equi key keeps
+    this a standard shuffled hash/SMJ join partitioned by user, never
+    a cross product; pair volume is bounded by per-user event rates."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    pairs = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "left",
+    )
+    return (
+        pairs.groupBy("purchase_id", "p_user")
+        .agg(F.count(F.col("v_ts")).alias("n_views_10m"))
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "n_views_10m",
+        )
+    )
+
+
+def histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (bucket = 50 chars,
+    clamped at 11) — the profile query every ingest pipeline runs.
+    Pure arithmetic bucketing so any engine reproduces the bins."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(11)).cast("long")
+    return (
+        d.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# --------------------------------- round-2 pack: splits / sampling / n-grams
+
+from mydatasyncer_spark.operators import sampling as SP
+
+_SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+_STRATA_FRACTIONS = {"en": 0.1, "de": 0.5, "es": 0.25, "fr": 0.25, "zh": 0.5}
+
+
+def train_test_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split over documents. Hash-of-id
+    assignment (not df.sample) — stable under repartitioning and
+    reproducible by the oracle; zero shuffles (fuses into the scan)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SP.train_test_split(d, "doc_id", _SPLIT_FRACTIONS)
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (downsample the dominant
+    language, keep the rest) — the class-rebalancing primitive of a
+    training-data pipeline. One narrow filter pass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return SP.stratified_sample_hash(
+        d, "lang", "doc_id", _STRATA_FRACTIONS, default_fraction=0.0
+    )
+
+
+def repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram repetition signal: 1 − distinct/total trigrams.
+    Flags boilerplate/degenerate text. The gram array is built once
+    per row from a projected token array (array math, no explode, no
+    shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    grams = toks.select("doc_id", X.word_ngrams(F.col("toks"), 3).alias("grams"))
+    return grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.round(X.repetition_ratio(F.col("grams")), 6).alias("repetition"),
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share a
+    word 4-gram with any 'benchmark' document (doc_id % 97 == 0
+    stands in for the benchmark set)? The benchmark gram set is tiny
+    by construction → broadcast to the exploded corpus grams; per-doc
+    dedup happens BEFORE the join so gram multiplicity never inflates
+    the pair space. At 100 TB this is one scan + one broadcast join."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.word_ngrams(F.col("toks"), 4))).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "gram")
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = corpus.join(F.broadcast(bench), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("grams_hit"),
+        F.countDistinct("bench_id").alias("bench_docs_hit"),
+    )
+
+
 def _minhash_sig_sql(k: int = 16) -> str:
     from mydatasyncer_spark.functions.hashing import hash48_sql, permuted_hash_sql
 
@@ -1148,6 +1349,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": asof_purchase_view,
         "funnel_steps": funnel_steps,
         "asof_next_purchase": asof_next_purchase,
+        "q4_order_priority": q4_order_priority,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q22_dormant_customers": q22_dormant_customers,
+        "range_join_view_purchase": range_join_view_purchase,
+        "histogram_doc_lengths": histogram_doc_lengths,
+        "train_test_split_assign": train_test_split_assign,
+        "stratified_sample_docs": stratified_sample_docs,
+        "repetition_ngrams": repetition_ngrams,
+        "contamination_check": contamination_check,
     }
 
 
@@ -1759,5 +1969,123 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type,
                    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
             FROM events
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'STANDARD%'
+              AND p_size IN (1, 5, 9, 13)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q22_dormant_customers": """
+            WITH avg_bal AS (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS n_custs,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+            FROM customer, avg_bal
+            WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+              )
+            GROUP BY c_mktsegment
+        """,
+        "range_join_view_purchase": """
+            WITH p AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            v AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   COUNT(v.ts) AS n_views_10m
+            FROM p LEFT JOIN v
+              ON v.user_id = p.user_id
+             AND v.ts >= p.ts - INTERVAL 10 MINUTE
+             AND v.ts <  p.ts
+            GROUP BY p.event_id, p.user_id
+        """,
+        "histogram_doc_lengths": """
+            SELECT CAST(LEAST(FLOOR(n_chars / 50), 11) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars
+            FROM documents
+            GROUP BY 1
+        """,
+        "train_test_split_assign": f"""
+            SELECT doc_id, lang,
+                   {SP.split_column_sql("doc_id", _SPLIT_FRACTIONS)} AS split
+            FROM documents
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {SP.hash_bucket_sql("doc_id", salt="strata")} <
+                  CASE lang
+                      {" ".join(f"WHEN '{v}' THEN {int(round(f * SP.SPLIT_BUCKETS))}" for v, f in _STRATA_FRACTIONS.items())}
+                      ELSE 0 END
+        """,
+        "repetition_ngrams": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE [array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, len(toks) - 2)]
+                       END AS grams
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / GREATEST(len(grams), 1), 6) AS repetition
+            FROM grams
+        """,
+        "contamination_check": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                         ELSE [array_to_string(toks[i:i+3], ' ')
+                               for i in generate_series(1, len(toks) - 3)]
+                    END)) AS gram
+                FROM toks
+            ),
+            bench AS (
+                SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 97 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
+            )
+            SELECT c.doc_id,
+                   COUNT(DISTINCT c.gram) AS grams_hit,
+                   COUNT(DISTINCT b.bench_id) AS bench_docs_hit
+            FROM corpus c JOIN bench b ON c.gram = b.gram
+            GROUP BY c.doc_id
         """,
     }

@@ -1,0 +1,134 @@
+"""Deterministic sampling / dataset-split operators (SURVEY.md §7 M4).
+
+A 100 TB training-data pipeline cannot use ``df.sample()`` for
+anything that must be reproducible across runs, engines, or
+re-partitions: Spark's sampler is seeded per-partition, so the same
+row lands in a different split whenever the partitioning changes.
+Every operator here derives its decision from a content hash of a
+stable id (:func:`mydatasyncer_spark.functions.hashing.hash48`, an
+md5-derived 48-bit integer), which makes the assignment
+
+- a pure per-row map (no shuffle, runs inside the scan stage),
+- stable under repartitioning / cluster-size changes, and
+- exactly reproducible by any engine with md5 (the DuckDB oracles
+  recompute identical buckets).
+
+Reference parity note: the reference engine has no sampling surface
+at all (SURVEY.md §2.5) — these are beyond-parity operators for the
+training-data pipeline pack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.functions.hashing import hash48, hash48_sql
+
+# Buckets for split arithmetic: fractions are expressed in 1/10000ths
+# so 80/10/10 and 99.5/0.5 style splits are both exact.
+SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, n_buckets: int = SPLIT_BUCKETS, salt: str = "") -> Column:
+    """Deterministic bucket in ``[0, n_buckets)`` for a stable id.
+
+    ``salt`` derives independent bucketings from the same id (e.g. a
+    sampling decision independent of the split decision).
+    """
+    keyed = F.concat(col.cast("string"), F.lit(f"|{salt}")) if salt else col
+    return F.pmod(hash48(keyed), F.lit(n_buckets))
+
+
+def hash_bucket_sql(expr: str, n_buckets: int = SPLIT_BUCKETS, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    keyed = f"CAST({expr} AS VARCHAR) || '|{salt}'" if salt else expr
+    return f"({hash48_sql(keyed)} % {n_buckets})"
+
+
+def split_column(
+    id_col: Column, fractions: dict[str, float], salt: str = "split"
+) -> Column:
+    """Split-name column ('train' / 'valid' / 'test' / ...) from
+    cumulative hash-bucket thresholds. ``fractions`` must sum to 1.0;
+    dict order fixes which split absorbs the rounding remainder (the
+    final split takes every remaining bucket, so assignments are
+    total).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = hash_bucket(id_col, SPLIT_BUCKETS, salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])  # last split takes the remainder
+    cum = 0.0
+    thresholds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        thresholds.append((name, int(round(cum * SPLIT_BUCKETS))))
+    for name, threshold in reversed(thresholds):
+        expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_column_sql(
+    id_expr: str, fractions: dict[str, float], salt: str = "split"
+) -> str:
+    """DuckDB twin of :func:`split_column` (identical thresholds)."""
+    bucket = hash_bucket_sql(id_expr, SPLIT_BUCKETS, salt)
+    names = list(fractions)
+    cases = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(f"WHEN {bucket} < {int(round(cum * SPLIT_BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Annotate ``df`` with a deterministic split assignment.
+
+    Narrow (no shuffle): the split is a projection, so at any scale it
+    fuses into the scan. Default split is 80/10/10.
+    """
+    fractions = fractions or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    return df.withColumn(out_col, split_column(F.col(id_col), fractions))
+
+
+def sample_hash(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose hash bucket
+    falls below ``fraction * SPLIT_BUCKETS``. Unlike ``df.sample``,
+    membership is a row property — stable across runs, partitionings,
+    and engines."""
+    threshold = int(round(fraction * SPLIT_BUCKETS))
+    return df.filter(hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt) < threshold)
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the `sampleBy` analogue).
+
+    ``fractions`` maps stratum value -> keep fraction. Still a pure
+    per-row filter — the stratum lookup is a CASE expression, so the
+    whole operator is one narrow pass with predicate pushdown intact.
+    """
+    bucket = hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt)
+    threshold: Column = F.lit(int(round(default_fraction * SPLIT_BUCKETS)))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * SPLIT_BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -146,6 +146,32 @@ def rolling_fingerprint(col: Column) -> Column:
     )
 
 
+def word_ngrams(tok: Column, n: int = 3) -> Column:
+    """Array of space-joined word ``n``-grams over a token array.
+
+    ``tok`` MUST be a projected attribute (a real array column), not
+    an expression tree — the same per-element re-evaluation caveat as
+    :func:`char_shingles`. Documents with fewer than ``n`` tokens
+    yield one whole-document gram (so every doc has ≥1 gram and
+    ratios never divide by zero)."""
+    return F.when(F.size(tok) < n, F.array(F.concat_ws(" ", tok))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
+        )
+    )
+
+
+def repetition_ratio(gram_col: Column) -> Column:
+    """Repetition quality signal: 1 − distinct-grams / grams. High
+    values flag boilerplate / degenerate generations — a standard
+    training-data filter. Pure array math over an already-built gram
+    array (unrounded; round at the query edge)."""
+    return F.lit(1.0) - F.size(F.array_distinct(gram_col)).cast(
+        "double"
+    ) / F.greatest(F.size(gram_col), F.lit(1)).cast("double")
+
+
 def char_shingles(col: Column, n: int = 5) -> Column:
     """Array of character n-grams of ``col``; strings shorter than
     ``n`` yield one whole-string shingle.

@@ -1,0 +1,136 @@
+"""Unit tests for deterministic sampling / split operators and the
+word n-gram text ops (round-2 training-pipeline additions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators import sampling as SP
+from mydatasyncer_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+class TestHashBucket:
+    def test_range(self, ids):
+        mm = ids.select(
+            F.min(SP.hash_bucket(F.col("doc_id"))).alias("lo"),
+            F.max(SP.hash_bucket(F.col("doc_id"))).alias("hi"),
+        ).first()
+        assert mm["lo"] >= 0 and mm["hi"] < SP.SPLIT_BUCKETS
+
+    def test_salt_gives_independent_bucketing(self, ids):
+        same = ids.select(
+            (
+                SP.hash_bucket(F.col("doc_id"), salt="a")
+                == SP.hash_bucket(F.col("doc_id"), salt="b")
+            ).alias("eq")
+        )
+        n_same = same.filter("eq").count()
+        # independent hashes collide at ~1/10000; 2000 draws ≈ 0-2 hits
+        assert n_same < 10
+
+    def test_stable_under_repartition(self, ids):
+        a = ids.select("doc_id", SP.hash_bucket(F.col("doc_id")).alias("b"))
+        b = ids.repartition(13).select(
+            "doc_id", SP.hash_bucket(F.col("doc_id")).alias("b")
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestSplit:
+    def test_total_and_proportional(self, ids):
+        out = SP.train_test_split(ids, "doc_id")
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == 2000
+        assert set(counts) == {"train", "valid", "test"}
+        # 80/10/10 ± a few percent at n=2000
+        assert 0.75 < counts["train"] / 2000 < 0.85
+        assert 0.06 < counts["valid"] / 2000 < 0.14
+        assert 0.06 < counts["test"] / 2000 < 0.14
+
+    def test_fractions_must_sum_to_one(self, ids):
+        with pytest.raises(ValueError):
+            SP.split_column(F.col("doc_id"), {"train": 0.5, "test": 0.4})
+
+    def test_assignment_total(self, ids):
+        # every row gets a split (the DuckDB-twin equivalence is
+        # covered by test_oracle_parity::train_test_split_assign)
+        out = SP.train_test_split(ids, "doc_id")
+        assert out.filter(F.col("split").isNull()).count() == 0
+
+
+class TestSampling:
+    def test_sample_fraction(self, ids):
+        kept = SP.sample_hash(ids, "doc_id", 0.25).count()
+        assert 0.20 < kept / 2000 < 0.30
+
+    def test_sample_deterministic(self, ids):
+        a = SP.sample_hash(ids, "doc_id", 0.3)
+        b = SP.sample_hash(ids.repartition(7), "doc_id", 0.3)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_stratified_fractions(self, spark):
+        df = spark.range(0, 3000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "a")
+            .when(F.col("id") % 3 == 1, "b")
+            .otherwise("c")
+            .alias("grp"),
+        )
+        out = SP.stratified_sample_hash(
+            df, "grp", "doc_id", {"a": 0.5, "b": 0.1}, default_fraction=0.0
+        )
+        counts = {
+            r["grp"]: r["n"]
+            for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+        }
+        assert "c" not in counts  # default 0.0 drops the stratum
+        assert 0.4 < counts["a"] / 1000 < 0.6
+        assert 0.05 < counts["b"] / 1000 < 0.16
+
+
+class TestWordNgrams:
+    def _grams(self, spark, text: str, n: int):
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(
+            X.word_ngrams(X.tokens(F.col("text")), n).alias("g")
+        ).first()["g"]
+
+    def test_trigrams(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        toks = df.select(X.tokens(F.col("text")).alias("t"))
+        grams = toks.select(X.word_ngrams(F.col("t"), 3).alias("g")).first()["g"]
+        assert grams == ["a b c", "b c d"]
+
+    def test_short_doc_whole_gram(self, spark):
+        df = spark.createDataFrame([("hello world",)], "text string")
+        toks = df.select(X.tokens(F.col("text")).alias("t"))
+        grams = toks.select(X.word_ngrams(F.col("t"), 3).alias("g")).first()["g"]
+        assert grams == ["hello world"]
+
+    def test_repetition_ratio(self, spark):
+        df = spark.createDataFrame([("x y x y x y x y",)], "text string")
+        toks = df.select(X.tokens(F.col("text")).alias("t"))
+        rep = toks.select(
+            F.round(
+                X.repetition_ratio(X.word_ngrams(F.col("t"), 2)), 6
+            ).alias("r")
+        ).first()["r"]
+        # 7 bigrams, 2 distinct ('x y', 'y x') -> 1 - 2/7
+        assert rep == pytest.approx(1 - 2 / 7, abs=1e-6)
+
+    def test_unique_text_zero_repetition(self, spark):
+        df = spark.createDataFrame([("a b c d e f g",)], "text string")
+        toks = df.select(X.tokens(F.col("text")).alias("t"))
+        rep = toks.select(
+            X.repetition_ratio(X.word_ngrams(F.col("t"), 3)).alias("r")
+        ).first()["r"]
+        assert rep == 0.0
