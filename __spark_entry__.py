@@ -1007,6 +1007,18 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline, end-to-end: quality +
+    repetition gate → exact dedup (min-id survivor) → MinHash near-dup
+    removal → deterministic train/valid/test split. One lazy plan, 4
+    shuffles total; filters run before any shuffle so the pair space
+    is built over the smallest corpus (operators/curation.py)."""
+    from mydatasyncer_spark.operators.curation import curate
+
+    d = table(spark, sf_dir, "documents")
+    return curate(d).select("doc_id", "lang", "quality", "split")
+
+
 # ------------------------------------------- round-2 pack: relational shapes
 
 
@@ -1208,14 +1220,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_sql(k: int = 16) -> str:
+def _minhash_sig_sql(k: int = 16, source: str = "documents") -> str:
     from mydatasyncer_spark.functions.hashing import hash48_sql, permuted_hash_sql
 
     mins = ",\n               ".join(
         f"min({permuted_hash_sql('h', s)}) AS mh{s}" for s in range(k)
     )
     return f"""
-        norm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        norm AS (SELECT doc_id, {_NORM_SQL} AS norm FROM {source}),
         sh AS (
             SELECT doc_id, unnest(
                 CASE WHEN length(norm) < 5 THEN [norm]
@@ -1231,7 +1243,7 @@ def _minhash_sig_sql(k: int = 16) -> str:
         )"""
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(source: str = "documents") -> str:
     k, band = 16, 4
     band_selects = "\n            UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
@@ -1244,7 +1256,7 @@ def _minhash_lsh_sql() -> str:
         f"(CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END)" for s in range(k)
     )
     return f"""
-        WITH {_minhash_sig_sql(k)},
+        WITH {_minhash_sig_sql(k, source)},
         bands AS (
             {band_selects}
         ),
@@ -1358,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "repetition_ngrams": repetition_ngrams,
         "contamination_check": contamination_check,
+        "curation_pipeline": curation_pipeline,
     }
 
 
@@ -2087,5 +2100,59 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT b.bench_id) AS bench_docs_hit
             FROM corpus c JOIN bench b ON c.gram = b.gram
             GROUP BY c.doc_id
+        """,
+        "curation_pipeline": f"""
+            WITH RECURSIVE
+            q AS (
+                SELECT doc_id, lang, text,
+                       round(0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                           + 0.4 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                        / greatest(length(text), 1))
+                           + 0.3 * CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                                 / greatest(len({_TOKS_SQL}), 1), 6) AS quality,
+                       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                 / greatest(len(grams), 1), 6) AS repetition
+                FROM (
+                    SELECT *, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                   ELSE [array_to_string(toks[i:i+2], ' ')
+                                         for i in generate_series(1, len(toks) - 2)]
+                              END AS grams
+                    FROM (SELECT *, {_TOKS_SQL} AS toks FROM documents)
+                )
+            ),
+            kept AS (
+                SELECT doc_id, lang, text, quality FROM q
+                WHERE quality >= 0.70 AND repetition <= 0.01
+            ),
+            ex AS (
+                SELECT doc_id, lang, text, quality FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+                    FROM kept
+                ) WHERE rn = 1
+            ),
+            base AS ({_minhash_lsh_sql(source="ex")}),
+            prs AS (SELECT id_a, id_b FROM base WHERE est_jaccard >= 0.5),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM prs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM prs
+            ),
+            walk(src, reach) AS (
+                SELECT DISTINCT src, src AS reach FROM edges
+                UNION
+                SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+            ),
+            clusters AS (
+                SELECT src AS doc_id, min(reach) AS cluster_id
+                FROM walk GROUP BY src
+            )
+            SELECT ex.doc_id, ex.lang, ex.quality,
+                   {SP.split_column_sql("ex.doc_id", _SPLIT_FRACTIONS)} AS split
+            FROM ex
+            WHERE NOT EXISTS (
+                SELECT 1 FROM clusters c
+                WHERE c.doc_id = ex.doc_id AND c.cluster_id <> c.doc_id
+            )
         """,
     }

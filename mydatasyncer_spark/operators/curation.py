@@ -1,0 +1,113 @@
+"""End-to-end corpus-curation pipeline (SURVEY.md §7 M4).
+
+Composes the training-data operators into the shape a real pipeline
+runs over 100 TB of raw text, as one lazy DataFrame plan:
+
+    quality/repetition annotate  (narrow — fuses into the scan)
+      → threshold filter          (narrow; pushed predicates)
+      → exact dedup               (one hash shuffle)
+      → MinHash near-dup removal  (LSH band join; see operators/dedup)
+      → deterministic split       (narrow)
+
+Everything before the near-dup step is a single narrow pass; the
+whole pipeline is 4 shuffles end-to-end (exact-dedup window, band
+self-join, pair dedup, cluster anti-join). Filters run FIRST so the
+expensive pair space is built over the smallest possible corpus —
+at 100 TB the quality gate typically drops 30-50% of raw documents
+before any shuffle happens.
+
+Determinism: thresholds compare 6-dp-rounded scores, survivors are
+minimum-id per group, and the split is a content hash — so the whole
+pipeline is exactly reproducible by the DuckDB oracle
+(``__spark_entry__.curation_pipeline``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+from mydatasyncer_spark.operators.sampling import split_column
+from mydatasyncer_spark.operators.text import (
+    normalize_text,
+    quality_score,
+    repetition_ratio,
+    tokens,
+    word_ngrams,
+)
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Thresholds and split for :func:`curate`. Defaults keep the
+    fixture corpus non-degenerate (~60% survive the quality gate)."""
+
+    min_quality: float = 0.70
+    max_repetition: float = 0.01
+    near_dup_threshold: float = 0.5
+    split_fractions: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+
+
+def annotate_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add 6-dp ``quality`` and ``repetition`` columns (narrow)."""
+    with_toks = df.withColumn("_toks", tokens(F.col(text_col)))
+    with_grams = with_toks.withColumn("_grams", word_ngrams(F.col("_toks"), 3))
+    return with_grams.withColumn(
+        "quality", F.round(quality_score(F.col(text_col)), 6)
+    ).withColumn("repetition", F.round(repetition_ratio(F.col("_grams")), 6)).drop(
+        "_toks", "_grams"
+    )
+
+
+def exact_survivors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the minimum-id document per exact content group (md5 of
+    normalized text). Window formulation: one shuffle, no join-back."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.md5(normalize_text(F.col(text_col))))
+        .orderBy(F.col(id_col))
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def curate(
+    df: DataFrame,
+    config: CurationConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the full curation pipeline; returns surviving documents
+    with their ``quality`` score and ``split`` assignment (all input
+    columns preserved)."""
+    config = config or CurationConfig()
+    annotated = annotate_quality(df, text_col, id_col)
+    kept = annotated.filter(
+        (F.col("quality") >= config.min_quality)
+        & (F.col("repetition") <= config.max_repetition)
+    )
+    exact = exact_survivors(kept, text_col, id_col)
+    pairs = minhash_lsh_pairs(exact, text_col, id_col).filter(
+        F.col("est_jaccard") >= config.near_dup_threshold
+    )
+    clusters = dedup_clusters(pairs)
+    non_survivors = clusters.filter(
+        F.col("cluster_id") != F.col("doc_id")
+    ).select(F.col("doc_id").alias(id_col))
+    survivors = exact.join(non_survivors, id_col, "left_anti")
+    return survivors.withColumn(
+        "split", split_column(F.col(id_col), config.split_fractions)
+    )

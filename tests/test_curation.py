@@ -1,0 +1,91 @@
+"""Step-wise tests for the end-to-end curation pipeline
+(operators/curation.py). Oracle equivalence of the full pipeline is
+covered by test_oracle_parity::curation_pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.curation import (
+    CurationConfig,
+    annotate_quality,
+    curate,
+    exact_survivors,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # unique, high-quality docs
+        (1, "en", "the quick brown fox jumps over the lazy sleeping dog near town"),
+        (
+            2,
+            "en",
+            "a completely different sentence mentioning rivers mountains and "
+            "valleys where travelers wander through forests carrying maps and "
+            "supplies toward distant villages before nightfall settles",
+        ),
+        # exact duplicate of doc 1 (after normalization)
+        (3, "en", "The  quick brown fox jumps over the lazy sleeping dog near town"),
+        # degenerate repetition
+        (4, "en", "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        # near-duplicate of doc 2 (one word changed at the end)
+        (
+            5,
+            "en",
+            "a completely different sentence mentioning rivers mountains and "
+            "valleys where travelers wander through forests carrying maps and "
+            "supplies toward distant villages before daybreak settles",
+        ),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+class TestAnnotate:
+    def test_columns_added(self, corpus):
+        out = annotate_quality(corpus)
+        assert {"quality", "repetition"} <= set(out.columns)
+        vals = {r["doc_id"]: r for r in out.collect()}
+        # the spam doc repeats one token: repetition near 1
+        assert vals[4]["repetition"] > 0.8
+        assert vals[1]["repetition"] == 0.0
+
+    def test_input_columns_preserved(self, corpus):
+        out = annotate_quality(corpus)
+        assert set(corpus.columns) <= set(out.columns)
+
+
+class TestExactSurvivors:
+    def test_min_id_survives_normalized_group(self, corpus):
+        ids = {r["doc_id"] for r in exact_survivors(corpus).collect()}
+        assert 1 in ids and 3 not in ids  # doc 3 == doc 1 normalized
+        assert {2, 4, 5} <= ids
+
+
+class TestCurate:
+    def test_pipeline_drops_spam_dupes_and_near_dupes(self, corpus):
+        cfg = CurationConfig(
+            min_quality=0.2, max_repetition=0.5, near_dup_threshold=0.5
+        )
+        out = curate(corpus, cfg)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 4 not in ids  # repetition gate
+        assert 3 not in ids  # exact dedup
+        assert 5 not in ids  # near-dup of 2 (MinHash)
+        assert {1, 2} == ids
+
+    def test_split_assigned_and_total(self, corpus):
+        cfg = CurationConfig(min_quality=0.0, max_repetition=1.0)
+        out = curate(corpus, cfg)
+        assert out.filter(F.col("split").isNull()).count() == 0
+        assert set(
+            r["split"] for r in out.select("split").distinct().collect()
+        ) <= {"train", "valid", "test"}
+
+    def test_deterministic_across_runs(self, corpus):
+        cfg = CurationConfig(min_quality=0.2, max_repetition=0.5)
+        a = curate(corpus, cfg).select("doc_id", "split")
+        b = curate(corpus.repartition(5), cfg).select("doc_id", "split")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
