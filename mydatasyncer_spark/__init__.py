@@ -20,11 +20,17 @@ Design stance (see SURVEY.md §7):
 
 from mydatasyncer_spark.config import SyncConfig, TableSpec
 from mydatasyncer_spark.operators.asof import asof_join_backward
+from mydatasyncer_spark.operators.curation import CurationConfig, curate
 from mydatasyncer_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     simhash,
+)
+from mydatasyncer_spark.operators.sampling import (
+    sample_hash,
+    stratified_sample_hash,
+    train_test_split,
 )
 from mydatasyncer_spark.operators.diff import DiffResult, diff_snapshots
 from mydatasyncer_spark.operators.similarity import (
@@ -54,6 +60,11 @@ __all__ = [
     "embedding_near_dup_pairs",
     "JdbcBackend",
     "merge_into_table",
+    "CurationConfig",
+    "curate",
+    "train_test_split",
+    "sample_hash",
+    "stratified_sample_hash",
 ]
 
 __version__ = "0.1.0"

@@ -151,6 +151,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     band_size: int = LSH_BAND_SIZE,
     shingle_n: int = 5,
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band,
     with their estimated Jaccard (fraction of matching min-hashes).
@@ -216,10 +217,13 @@ def minhash_lsh_pairs(
             F.min("est_jaccard").alias("est_jaccard")
         )
         # eager: pairs are tiny relative to the corpus; materializing
-        # here lets the signature cache be released deterministically
-        return out.localCheckpoint()
+        # here lets the signature cache be released deterministically.
+        # eager=False keeps the lazy plan (and the signature cache
+        # alive!) — for plan inspection only.
+        return out.localCheckpoint() if eager else out
     finally:
-        sig.unpersist()
+        if eager:
+            sig.unpersist()
 
 
 def _clusters_single_task(

@@ -79,6 +79,78 @@ def test_ivf_join_is_bucket_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q4_exists_is_semi_join_no_blowup(spark, sf_dir):
+    """Q4's EXISTS rides the equi hash join as a left semi — the
+    non-equi date predicate must stay a residual, never a loop join."""
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_exclusion_list_broadcast_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_keys_on_user_never_cross(spark, sf_dir):
+    """The banded range join must key on user_id (equi) with the time
+    band as residual — a cross product here would be quadratic in the
+    event count at scale."""
+    plan = plan_of(spark, sf_dir, "range_join_view_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_and_sample_are_narrow(spark, sf_dir):
+    """Split assignment and stratified sampling are pure projections/
+    filters — any Exchange means the hash-bucket design regressed."""
+    for name in ("train_test_split_assign", "stratified_sample_docs"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_verify_has_no_signature_rejoin(spark, sf_dir):
+    """The band join carries signatures inline; the only join in the
+    plan is the single band self-join (no join-back of the signature
+    table, which would add two corpus-sized exchanges at scale).
+    eager=False skips the localCheckpoint that otherwise truncates
+    the explainable lineage."""
+    import contextlib
+    import io
+
+    from mydatasyncer_spark.contract import table
+    from mydatasyncer_spark.operators.dedup import minhash_lsh_pairs
+
+    import re
+
+    docs = table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, eager=False)
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+    finally:
+        # eager=False leaves the signature cache alive by design —
+        # release it so later tests see an empty CacheManager
+        spark.catalog.clearCache()
+    plan = buf.getvalue()
+    # count tree nodes, not substrings: formatted explain repeats
+    # each node name in the per-node details section
+    nodes = re.findall(r"^\s*(?:[:+\-* ]*)\((\d+)\)\s+(\w+)", plan, re.M)
+    joins = [n for _, n in nodes if "Join" in n]
+    assert joins == ["BroadcastHashJoin"] or joins == ["SortMergeJoin"], joins
+    assert "CartesianProduct" not in plan
+
+
 def test_sketch_bounds_plan_shape(spark, sf_dir):
     """Spark plans countDistinct + percentile as two aggregation
     subplans joined on the group key (its standard distinct rewrite)
