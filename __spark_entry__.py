@@ -1103,6 +1103,304 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between two nations by ship
+    year. The 2-row nation subset is broadcast-joined into supplier
+    and customer *before* the big fact joins, so the lineitem/orders
+    shuffle only carries rows that can survive the pair filter — at
+    100 TB that pre-filter is the difference between shuffling the
+    whole fact table and ~8% of it (2 of 25 nations on each side)."""
+    pair = ("NATION_1", "NATION_2")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_5's slice of
+    PROMO-part revenue sold into ASIA, per order year. The part
+    filter lands on the scan; part/supplier/nation/region dims are
+    broadcast; the share is a conditional-sum ratio computed in one
+    aggregate pass (no second join over the fact)."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    asia_nations = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    vol = F.sum(_revenue()).cast("double")
+    target_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", _revenue()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg((target_vol / vol).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted: the fixture has no partsupp, so
+    supply cost is proxied as half the part's retail price. Profit
+    = revenue - cost*qty in exact decimals, grouped by supplier
+    nation and order year. (ref analogue: SURVEY.md §7 M4 analytics
+    pack; fixture lacks ps_supplycost)."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem")
+    amount = _revenue() - (
+        _dec("p_retailprice")
+        * F.lit("0.5").cast("decimal(12,2)")
+        * _dec("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter, top 20. Orders date filter and the returnflag filter
+    both push to their scans; nation broadcasts; one aggregate then
+    a total-order top-k."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted: the fixture has no shipmode or
+    receipt/commit dates, so lines are bucketed by ship delay
+    (shipdate - orderdate) and counted by order-priority class —
+    the same CASE-conditional aggregation Q12 exercises."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "FAST")
+        .when(delay < 90, "NORMAL")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("delay_bucket", bucket)
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month — a
+    conditional-sum ratio over a broadcast part join, single output
+    row."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    total = F.sum(_revenue()).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) hitting the maximum. The max-of-view scalar subquery
+    is expressed as a rank window over the *aggregated* per-supplier
+    table — one lineitem scan and one shuffle; the global window
+    sorts only |suppliers| rows (fact-table cardinality never enters
+    a single partition). rank() keeps ties, matching WHERE rev =
+    (SELECT max…)."""
+    from pyspark.sql.window import Window
+
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_revenue()).cast("double").alias("total_rev")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn(
+            "rnk", F.rank().over(Window.orderBy(F.desc("total_rev")))
+        )
+        .filter(F.col("rnk") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("s_name"),
+            F.col("total_rev").alias("total_rev"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of brand/size/
+    quantity band predicates. Catalyst keeps the whole OR tree as
+    one post-join filter on a single broadcast hash join — no
+    union-of-three-scans blow-up."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & q.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & q.between(20, 40)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
 def range_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join: per user, count views in the 10 minutes
     before each purchase. The join keys on user_id (equi) with the
@@ -1362,7 +1660,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": funnel_steps,
         "asof_next_purchase": asof_next_purchase,
         "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation": q9_profit_by_nation,
+        "q10_returned_items": q10_returned_items,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
         "q16_supplier_variety": q16_supplier_variety,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_dormant_customers": q22_dormant_customers,
         "range_join_view_purchase": range_join_view_purchase,
         "histogram_doc_lengths": histogram_doc_lengths,
@@ -1994,6 +2300,126 @@ def oracle_sql() -> dict[str, str]:
                     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
               )
             GROUP BY o_orderpriority
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                                 THEN {_REV_SQL}
+                                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                   / CAST(SUM({_REV_SQL}) AS DOUBLE) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            WHERE p_type = 'PROMO'
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "q9_profit_by_nation": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM({_REV_SQL}
+                        - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST('0.5' AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+            ORDER BY 1, 2 DESC
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q12_shipping_delay": """
+            SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30
+                        THEN 'FAST'
+                        WHEN datediff('day', o_orderdate, l_shipdate) < 90
+                        THEN 'NORMAL'
+                        ELSE 'SLOW' END AS delay_bucket,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "q14_promo_revenue": f"""
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                         THEN {_REV_SQL}
+                                         ELSE CAST(0 AS DECIMAL(12,2)) END)
+                               AS DOUBLE)
+                         / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_revenue_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey AS suppkey,
+                       CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY 1
+            )
+            SELECT suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+            ORDER BY suppkey
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 40)
         """,
         "q16_supplier_variety": """
             SELECT p_brand, p_type, p_size,

@@ -151,6 +151,61 @@ def test_minhash_verify_has_no_signature_rejoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q7_prefilters_nations_before_fact_join(spark, sf_dir):
+    """Q7 broadcasts the 2-nation-filtered supplier/customer dims; the
+    fact side must never loop-join and the nation filter must not
+    degrade into a post-hoc cross pair check."""
+    plan = plan_of(spark, sf_dir, "q7_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_semi_joins_and_broadcasts(spark, sf_dir):
+    """Q8 reduces part and ASIA-customer checks to semi joins (no
+    payload columns dragged through the fact shuffle)."""
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_pushes_returnflag_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("l_returnflag" in line for line in pushed), pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_pushes_shipdate_and_broadcasts_part(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q14_promo_revenue")
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("l_shipdate" in line for line in pushed), pushed
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_single_fact_scan(spark, sf_dir):
+    """Q15's max-of-view subquery is a rank window over the aggregated
+    per-supplier table — lineitem must be scanned exactly once."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q15_top_supplier")
+    # unique tree nodes: one lineitem scan + one supplier scan
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 2, plan
+    assert "Window" in plan
+
+
+def test_q19_disjunction_stays_one_hash_join(spark, sf_dir):
+    """The OR-of-bands predicate must remain a residual filter on one
+    broadcast hash join — not expand to a union of scans or a loop
+    join."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_sketch_bounds_plan_shape(spark, sf_dir):
     """Spark plans countDistinct + percentile as two aggregation
     subplans joined on the group key (its standard distinct rewrite)
