@@ -28,6 +28,7 @@ from mydatasyncer_spark.operators.diff import (
     detect_deletes,
     detect_inserts,
     detect_updates,
+    diff_counts,
 )
 from mydatasyncer_spark.operators.validation import annotate_issues
 
@@ -561,18 +562,11 @@ def diff_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def diff_plan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O8 dry-run plan: the insert/update/delete counts triple."""
+    """O8 dry-run plan: the insert/update/delete counts triple, via
+    the one-pass classification join (each snapshot collapsed to
+    key+fingerprint before the single full-outer join)."""
     f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
-    ins = detect_inserts(f, d, "o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_insert")
-    )
-    upd = detect_updates(f, d, "o_orderkey", f.columns).agg(
-        F.count(F.lit(1)).alias("n_update")
-    )
-    dele = detect_deletes(f, d, "o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_delete")
-    )
-    return ins.crossJoin(upd).crossJoin(dele)
+    return diff_counts(f, d, "o_orderkey", f.columns)
 
 
 # --------------------------------------------------- canonicalization (P3)

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mydatasyncer_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+from mydatasyncer_spark.operators.partitioning import ensure_min_parallelism
 from mydatasyncer_spark.operators.sampling import split_column
 from mydatasyncer_spark.operators.text import (
     normalize_text,
@@ -94,12 +95,24 @@ def curate(
     with their ``quality`` score and ``split`` assignment (all input
     columns preserved)."""
     config = config or CurationConfig()
-    annotated = annotate_quality(df, text_col, id_col)
+    # The annotate expressions (tokenize + n-grams + quality) are the
+    # per-row-heaviest narrow work in the pipeline; a single-row-group
+    # parquet would run them on one core. Widen first — no-op at
+    # scale, one tiny shuffle on small fixtures (ADR mirrored in
+    # operators/partitioning.py).
+    annotated = annotate_quality(
+        ensure_min_parallelism(df), text_col, id_col
+    )
     kept = annotated.filter(
         (F.col("quality") >= config.min_quality)
         & (F.col("repetition") <= config.max_repetition)
     )
-    exact = exact_survivors(kept, text_col, id_col)
+    # `exact` feeds BOTH the near-dup pair build and the final
+    # survivor anti-join; checkpoint it so the annotate+window chain
+    # runs once, not once per consumer. Corpus-sized but post-filter —
+    # the same cache the reference's "load outside the transaction"
+    # rule (SURVEY §4.1) would demand.
+    exact = exact_survivors(kept, text_col, id_col).localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(exact, text_col, id_col).filter(
         F.col("est_jaccard") >= config.near_dup_threshold
     )

@@ -111,6 +111,72 @@ def sample_hash(
     return df.filter(hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt) < threshold)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: Column | str,
+    budget: int,
+    partition_col: str | None = None,
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Deterministic contiguous sequence packing for training batches.
+
+    Documents are laid out in ``id_col`` order (within
+    ``partition_col`` if given — e.g. pack per language) and cut into
+    bins of ``budget`` size units: a row starting at running offset
+    ``c`` lands in bin ``c div budget``. A row straddling a boundary
+    stays in the bin where it starts, so bins may overflow by at most
+    one row — the standard streaming-packing policy that keeps the
+    operator a single window pass (one shuffle on the partition key,
+    no iterative bin state). At 100 TB the alternative, true first-fit
+    bin packing, is inherently sequential; this contiguous layout is
+    the scalable shape training pipelines actually use.
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_before = F.sum(size).over(w) - size
+    return df.withColumn("offset", cum_before.cast("long")).withColumn(
+        out_col, (F.col("offset") / F.lit(budget)).cast("long")
+    )
+
+
+def mix_weights(
+    df: DataFrame, domain_col: str, targets: dict[str, float] | None = None
+) -> DataFrame:
+    """Per-domain resampling weights to hit a target corpus mixture.
+
+    Returns one row per domain with its observed share and the weight
+    ``target_share / observed_share`` a sampler would apply. With no
+    ``targets``, the target is the uniform mixture over observed
+    domains. Two tiny aggregates (per-domain counts + one global row
+    broadcast back) — nothing driver-side, so the plan is identical at
+    any scale."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+    if targets is None:
+        target = F.lit(1.0) / F.col("_k")
+    else:
+        target = F.lit(0.0)
+        for value, share in targets.items():
+            target = F.when(F.col(domain_col) == value, F.lit(share)).otherwise(
+                target
+            )
+    share = F.col("n_docs").cast("double") / F.col("_total")
+    return (
+        counts.join(F.broadcast(totals))
+        .withColumn("share", share)
+        .withColumn("weight", target / share)
+        .drop("_total", "_k")
+    )
+
+
 def stratified_sample_hash(
     df: DataFrame,
     strata_col: str,
