@@ -1395,6 +1395,81 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted (no receipt/commit dates: late =
+    shipped >90 days after order). The reference Q21 is a correlated
+    EXISTS + NOT EXISTS self-join pair over lineitem; the scale-correct
+    rewrite is ONE aggregation per order — count distinct suppliers
+    and distinct late suppliers, keep orders with ≥2 suppliers where
+    exactly one was late, then count per sole-late supplier. Two
+    shuffles total (order rollup + supplier rollup); the naive
+    translation's two extra lineitem self-joins never happen."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("_late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("_late_supp").alias("n_late"),
+            F.min("_late_supp").alias("sole_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("sole_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("sole_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window family in one pass: ntile, percent_rank,
+    cume_dist, lag, lead, first_value over a single per-customer
+    window — one shuffle, all seven functions share the sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents laid out in
+    id order per language, cut into 8192-char bins by running offset
+    (see operators/sampling.pack_sequences for the policy)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SP.pack_sequences(
+        d, "doc_id", "n_chars", budget=8192, partition_col="lang"
+    ).select("doc_id", "lang", F.col("offset"), F.col("bin_id"))
+
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source resampling weights toward a uniform corpus mixture
+    (the domain-mixing primitive of a training-data pipeline)."""
+    d = table(spark, sf_dir, "documents").select("source")
+    return SP.mix_weights(d, "source").orderBy("source")
+
+
 def range_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join: per user, count views in the 10 minutes
     before each purchase. The join keys on user_id (equi) with the
@@ -1663,7 +1738,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_variety": q16_supplier_variety,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_dormant_customers": q22_dormant_customers,
+        "window_analytics_suite": window_analytics_suite,
+        "pack_sequences_docs": pack_sequences_docs,
+        "domain_mix_weights": domain_mix_weights,
         "range_join_view_purchase": range_join_view_purchase,
         "histogram_doc_lengths": histogram_doc_lengths,
         "train_test_split_assign": train_test_split_assign,
@@ -2427,6 +2506,65 @@ def oracle_sql() -> dict[str, str]:
                   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
               )
             GROUP BY p_brand, p_type, p_size
+        """,
+        "q21_sole_late_supplier": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN l_shipdate >
+                                                o_orderdate + INTERVAL 90 DAY
+                                           THEN l_suppkey END) AS n_late,
+                       MIN(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 90 DAY
+                                THEN l_suppkey END) AS sole_supp
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM per_order
+            JOIN supplier ON sole_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
+        """,
+        "window_analytics_suite": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   lead(o_totalprice) OVER w AS next_price,
+                   first_value(o_totalprice) OVER w AS first_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "pack_sequences_docs": """
+            SELECT doc_id, lang,
+                   CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS "offset",
+                   CAST((SUM(n_chars) OVER w - n_chars) // 8192 AS BIGINT)
+                       AS bin_id
+            FROM documents
+            WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "domain_mix_weights": """
+            WITH counts AS (
+                SELECT source, COUNT(*) AS n_docs
+                FROM documents GROUP BY source
+            ), totals AS (
+                SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+                       CAST(COUNT(*) AS DOUBLE) AS k
+                FROM counts
+            )
+            SELECT source, n_docs,
+                   CAST(n_docs AS DOUBLE) / total AS share,
+                   (1.0 / k) / (CAST(n_docs AS DOUBLE) / total) AS weight
+            FROM counts, totals
+            ORDER BY source
         """,
         "q22_dormant_customers": """
             WITH avg_bal AS (

@@ -28,11 +28,13 @@ from mydatasyncer_spark.operators.dedup import (
     simhash,
 )
 from mydatasyncer_spark.operators.sampling import (
+    mix_weights,
+    pack_sequences,
     sample_hash,
     stratified_sample_hash,
     train_test_split,
 )
-from mydatasyncer_spark.operators.diff import DiffResult, diff_snapshots
+from mydatasyncer_spark.operators.diff import DiffResult, diff_counts, diff_snapshots
 from mydatasyncer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -65,6 +67,9 @@ __all__ = [
     "train_test_split",
     "sample_hash",
     "stratified_sample_hash",
+    "pack_sequences",
+    "mix_weights",
+    "diff_counts",
 ]
 
 __version__ = "0.1.0"

@@ -134,3 +134,61 @@ class TestWordNgrams:
             X.repetition_ratio(X.word_ngrams(F.col("t"), 3)).alias("r")
         ).first()["r"]
         assert rep == 0.0
+
+
+class TestPackSequences:
+    def test_contiguous_bins_and_overflow_policy(self, spark):
+        rows = [(i, 3000) for i in range(1, 9)]  # 8 docs x 3000 chars
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        out = {
+            r["doc_id"]: (r["offset"], r["bin_id"])
+            for r in SP.pack_sequences(df, "doc_id", "n_chars", 8192).collect()
+        }
+        # offsets are the running prefix sums in id order
+        assert out[1] == (0, 0)
+        assert out[2] == (3000, 0)
+        # doc 3 starts at 6000 < 8192: stays in bin 0 (overflow policy)
+        assert out[3] == (6000, 0)
+        assert out[4] == (9000, 1)
+
+    def test_partitioned_packing_restarts_per_group(self, spark):
+        rows = [(1, "a", 5000), (2, "a", 5000), (3, "b", 5000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        out = {
+            r["doc_id"]: r["offset"]
+            for r in SP.pack_sequences(
+                df, "doc_id", "n_chars", 8192, partition_col="lang"
+            ).collect()
+        }
+        assert out[3] == 0  # fresh offset in the 'b' partition
+
+    def test_stable_under_repartition(self, spark):
+        rows = [(i, (i * 37) % 997 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        a = SP.pack_sequences(df, "doc_id", "n_chars", 1024)
+        b = SP.pack_sequences(df.repartition(13), "doc_id", "n_chars", 1024)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestMixWeights:
+    def test_uniform_target_weights(self, spark):
+        rows = [("web",)] * 60 + [("books",)] * 30 + [("code",)] * 10
+        df = spark.createDataFrame(rows, "source string")
+        out = {r["source"]: r for r in SP.mix_weights(df, "source").collect()}
+        assert out["web"]["n_docs"] == 60
+        assert out["web"]["share"] == pytest.approx(0.6)
+        # uniform target = 1/3; weight = (1/3)/0.6
+        assert out["web"]["weight"] == pytest.approx((1 / 3) / 0.6)
+        assert out["code"]["weight"] == pytest.approx((1 / 3) / 0.1)
+
+    def test_explicit_targets(self, spark):
+        rows = [("web",)] * 80 + [("code",)] * 20
+        df = spark.createDataFrame(rows, "source string")
+        out = {
+            r["source"]: r["weight"]
+            for r in SP.mix_weights(
+                df, "source", targets={"web": 0.5, "code": 0.5}
+            ).collect()
+        }
+        assert out["web"] == pytest.approx(0.5 / 0.8)
+        assert out["code"] == pytest.approx(0.5 / 0.2)
