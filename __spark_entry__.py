@@ -1502,6 +1502,85 @@ def range_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread across event-type columns.
+    The value list is given explicitly so Spark skips the extra
+    distinct-scan job and the output schema is static — the form that
+    scales (an unlisted pivot needs a full pass just to learn the
+    columns)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+        .select(
+            "user_id",
+            F.col("click").cast("bigint").alias("n_click"),
+            F.col("purchase").cast("bigint").alias("n_purchase"),
+            F.col("view").cast("bigint").alias("n_view"),
+        )
+    )
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): part's numeric measures to long form — the
+    inverse reshape, a narrow per-row expansion (no shuffle)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', CAST(p_retailprice AS DOUBLE)) "
+            "AS (measure, value)"
+        ),
+    )
+
+
+def array_agg_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each customer's order keys as a
+    sorted array, surfaced as a joined string plus array stats so the
+    cross-engine compare is value-stable."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("_keys"))
+        .select(
+            "o_custkey",
+            F.size("_keys").cast("bigint").alias("n_orders"),
+            F.element_at("_keys", 1).alias("first_key"),
+            F.element_at("_keys", -1).alias("last_key"),
+            F.concat_ws(",", F.col("_keys").cast("array<string>")).alias(
+                "keys_csv"
+            ),
+        )
+    )
+
+
+def scalar_datetime_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/string function family over orders: truncation,
+    part extraction, formatting, padding, casing — all engine-portable
+    forms (P2/§2.5 scalar coverage beyond the reference's
+    lower/trim/RFC3339 trio)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("month_start"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("tagged"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+    )
+
+
 def histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of document lengths (bucket = 50 chars,
     clamped at 11) — the profile query every ingest pipeline runs.
@@ -1745,6 +1824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_weights": domain_mix_weights,
         "range_join_view_purchase": range_join_view_purchase,
         "histogram_doc_lengths": histogram_doc_lengths,
+        "pivot_event_type_counts": pivot_event_type_counts,
+        "unpivot_part_measures": unpivot_part_measures,
+        "array_agg_customer_orders": array_agg_customer_orders,
+        "scalar_datetime_pack": scalar_datetime_pack,
         "train_test_split_assign": train_test_split_assign,
         "stratified_sample_docs": stratified_sample_docs,
         "repetition_ngrams": repetition_ngrams,
@@ -2599,6 +2682,55 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts >= p.ts - INTERVAL 10 MINUTE
              AND v.ts <  p.ts
             GROUP BY p.event_id, p.user_id
+        """,
+        "pivot_event_type_counts": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events
+            GROUP BY user_id
+        """,
+        "unpivot_part_measures": """
+            SELECT p_partkey, 'size' AS measure,
+                   CAST(p_size AS DOUBLE) AS value
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice' AS measure,
+                   CAST(p_retailprice AS DOUBLE) AS value
+            FROM part
+        """,
+        "array_agg_customer_orders": """
+            SELECT o_custkey,
+                   CAST(len(ks) AS BIGINT) AS n_orders,
+                   ks[1] AS first_key,
+                   ks[-1] AS last_key,
+                   array_to_string(
+                       list_transform(ks, k -> CAST(k AS VARCHAR)), ','
+                   ) AS keys_csv
+            FROM (
+                SELECT o_custkey, list_sort(list(o_orderkey)) AS ks
+                FROM orders GROUP BY o_custkey
+            )
+        """,
+        "scalar_datetime_pack": """
+            SELECT o_orderkey,
+                   CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                        AS VARCHAR) AS month_start,
+                   CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+                   substring(o_orderpriority, 1, 1) AS prio_code,
+                   lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+                   lower(o_orderstatus) AS status_lower,
+                   concat_ws('#', o_orderstatus, o_orderpriority) AS tagged,
+                   CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+            FROM orders
+            WHERE o_orderkey % 97 = 0
         """,
         "histogram_doc_lengths": """
             SELECT CAST(LEAST(FLOOR(n_chars / 50), 11) AS BIGINT) AS bucket,
