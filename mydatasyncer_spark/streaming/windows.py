@@ -188,6 +188,44 @@ def enrich_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: int = 0,
+    upper_seconds: int = 3600,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair rows sharing ``on`` whose
+    event times satisfy ``left_ts ∈ [right_ts + lower, right_ts +
+    upper]``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can expire state: each side
+    buffers only rows younger than watermark + interval width (without
+    the time bound, stream-stream join state grows forever). The equi
+    key keeps it a hash join partitioned by ``on`` — the range is a
+    residual predicate, never a pair blow-up — which is the same
+    discipline as the batch ``range_join_view_purchase`` query.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    # suffix right-side name collisions so the joined schema is usable
+    collisions = [c for c in right.columns if c in set(left.columns)]
+    renamed = right.withColumnsRenamed({c: f"{c}_r" for c in collisions})
+    r_on = f"{on}_r" if on in collisions else on
+    r_ts = f"{right_ts}_r" if right_ts in collisions else right_ts
+    rw = renamed.withWatermark(r_ts, watermark)
+    cond = (
+        (lw[on] == rw[r_on])
+        & (lw[left_ts] >= rw[r_ts] + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (lw[left_ts] <= rw[r_ts] + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -89,3 +89,38 @@ def test_column_subset_diff(spark, snapshots):
     result = diff_snapshots(file_df, db_df, "id", columns=["id", "name"])
     assert result.to_update.count() == 0
     assert [r["id"] for r in result.to_insert.collect()] == [4]
+
+
+class TestDiffCounts:
+    """diff_counts must classify identically to the three-join
+    diff_snapshots — same semantics, one-pass plan."""
+
+    def test_matches_golden_triple(self, snapshots):
+        from mydatasyncer_spark.operators.diff import diff_counts
+
+        file_df, db_df = snapshots
+        row = diff_counts(file_df, db_df, "id").first()
+        assert (row["n_insert"], row["n_update"], row["n_delete"]) == (1, 1, 1)
+
+    def test_matches_diff_snapshots_on_random_frames(self, spark):
+        import random
+
+        from mydatasyncer_spark.operators.diff import diff_counts
+
+        rng = random.Random(7)
+        rows_f = [(i, rng.randint(0, 3)) for i in range(200) if rng.random() < 0.8]
+        rows_d = [(i, rng.randint(0, 3)) for i in range(200) if rng.random() < 0.8]
+        f = spark.createDataFrame(rows_f, "id long, v long")
+        d = spark.createDataFrame(rows_d, "id long, v long")
+        expected = diff_snapshots(f, d, "id").counts()
+        row = diff_counts(f, d, "id").first()
+        assert row["n_insert"] == expected["insert"]
+        assert row["n_update"] == expected["update"]
+        assert row["n_delete"] == expected["delete"]
+
+    def test_delete_gating(self, snapshots):
+        from mydatasyncer_spark.operators.diff import diff_counts
+
+        file_df, db_df = snapshots
+        row = diff_counts(file_df, db_df, "id", delete_not_in_file=False).first()
+        assert row["n_delete"] == 0 and row["n_insert"] == 1

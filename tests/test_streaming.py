@@ -250,3 +250,53 @@ class TestContinuousMerge:
             ]
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_interval_join_streams_matches_batch(spark, sf_dir, event_dir):
+    """Stream-stream interval join (purchase within 1h after a view,
+    same user) must agree with the equivalent batch range join."""
+    from mydatasyncer_spark.streaming.windows import interval_join_streams
+
+    views = read_event_stream(spark, event_dir, max_files_per_trigger=2).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_event_stream(
+        spark, event_dir, max_files_per_trigger=2
+    ).filter(F.col("event_type") == "purchase")
+    joined = interval_join_streams(
+        purchases,
+        views,
+        on="user_id",
+        lower_seconds=0,
+        upper_seconds=3600,
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("view_id"),
+    )
+    run_to_memory(joined, "iv_join", output_mode="append")
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM iv_join").collect()
+    }
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    batch = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS")),
+    )
+    expected = {
+        (r["purchase_id"], r["view_id"])
+        for r in batch.select("purchase_id", "view_id").collect()
+    }
+    assert got == expected and len(got) > 0
