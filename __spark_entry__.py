@@ -1395,6 +1395,124 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted (no partsupp): the part↔supplier
+    relation is derived from lineitem shipments, and the correlated
+    MIN subquery picks each part's cheapest eligible supplier by
+    account balance within one region. The min is a per-part
+    aggregate joined back on (part, min) — the standard decorrelation;
+    the region/nation dims broadcast into the supplier side before
+    the distinct, so the pair relation is pruned early."""
+    shippers = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    cand = (
+        shippers.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    )
+    min_bal = (
+        cand.groupBy("l_partkey")
+        .agg(F.min("s_acctbal").alias("min_bal"))
+        .withColumnRenamed("l_partkey", "mb_partkey")
+    )
+    return (
+        cand.join(
+            min_bal,
+            (F.col("l_partkey") == F.col("mb_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            "s_acctbal",
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(20)
+    )
+
+
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted (no partsupp): per-part shipped value
+    from one nation's suppliers, keeping parts above a fraction of
+    the nation total — aggregate + one-row broadcast scalar
+    threshold, no second fact pass (the total derives from the
+    per-part rollup)."""
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    value = F.sum(
+        _dec("l_extendedprice") * _dec("l_quantity")
+    ).cast("double")
+    per_part = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(value.alias("part_value"))
+    )
+    total = per_part.agg(
+        (F.sum("part_value") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q20_heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted: suppliers who shipped >450 units of
+    PROMO parts during 1996 — a grouped HAVING subquery collapsed to
+    a supplier set, then a semi join into the supplier dim. No
+    correlated per-supplier re-scan."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 450)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape, adapted (no receipt/commit dates: late =
     shipped >90 days after order). The reference Q21 is a correlated
@@ -1817,6 +1935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_variety": q16_supplier_variety,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_part_value_concentration": q11_part_value_concentration,
+        "q20_heavy_promo_suppliers": q20_heavy_promo_suppliers,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_dormant_customers": q22_dormant_customers,
         "window_analytics_suite": window_analytics_suite,
@@ -2589,6 +2710,69 @@ def oracle_sql() -> dict[str, str]:
                   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
               )
             GROUP BY p_brand, p_type, p_size
+        """,
+        "q2_min_cost_supplier": """
+            WITH shippers AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), elig AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), cand AS (
+                SELECT l_partkey, s_name, n_name, s_acctbal
+                FROM shippers
+                JOIN elig ON l_suppkey = s_suppkey
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part
+                    WHERE p_type = 'LARGE' AND p_size < 15
+                )
+            )
+            SELECT l_partkey AS p_partkey, s_name, n_name, s_acctbal
+            FROM cand c
+            WHERE s_acctbal = (
+                SELECT min(s_acctbal) FROM cand c2
+                WHERE c2.l_partkey = c.l_partkey
+            )
+            ORDER BY p_partkey, s_name
+            LIMIT 20
+        """,
+        "q11_part_value_concentration": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           AS part_value
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_3'
+                )
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, part_value
+            FROM per_part
+            WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "q20_heavy_promo_suppliers": """
+            WITH heavy AS (
+                SELECT l_suppkey
+                FROM lineitem
+                WHERE l_partkey IN (
+                          SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+                      )
+                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l_suppkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 450
+            )
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+            ORDER BY s_suppkey
         """,
         "q21_sole_late_supplier": """
             WITH per_order AS (
