@@ -64,11 +64,15 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = registry[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # one broken query must not void the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -78,6 +82,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

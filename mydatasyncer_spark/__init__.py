@@ -38,6 +38,8 @@ from mydatasyncer_spark.operators.diff import DiffResult, diff_counts, diff_snap
 from mydatasyncer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    kmeans_centroids,
+    kmeans_inertia,
     lsh_ann_topk,
 )
 from mydatasyncer_spark.session import get_spark
@@ -59,6 +61,8 @@ __all__ = [
     "dedup_clusters",
     "cosine_topk",
     "lsh_ann_topk",
+    "kmeans_centroids",
+    "kmeans_inertia",
     "embedding_near_dup_pairs",
     "JdbcBackend",
     "merge_into_table",

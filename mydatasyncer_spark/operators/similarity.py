@@ -190,6 +190,95 @@ def ivf_centroid_values(dim: int, c: int) -> list[float]:
     return out
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means — the trainer for IVF coarse
+    quantizers (pass the result as ``centroids=`` to
+    :func:`ivf_topk`, whose docstring promises exactly this
+    injection point).
+
+    Scale shape: per iteration, assignment is a pure projection
+    against broadcast centroid literals (the same array-math scoring
+    expression IVF probing uses — no UDF, no shuffle), and the
+    re-estimation is ONE groupBy producing ``dim`` per-component sums
+    + a count per cluster: k×(dim+1) numbers to the driver, never the
+    vectors. Total cost is ``n_iter`` passes over the corpus with a
+    k-row aggregate each — the textbook scalable Lloyd layout.
+
+    Init is deterministic: the ``k`` corpus vectors with the smallest
+    ``hash48(id)`` (stable across runs, partitionings, and cluster
+    sizes). Empty clusters keep their previous centroid.
+    """
+    from mydatasyncer_spark.functions.hashing import hash48
+
+    if init is not None:
+        cens = [list(map(float, cen)) for cen in init]
+    else:
+        seed_rows = (
+            corpus.select(
+                F.col(vec_col).alias("v"),
+                hash48(F.col(id_col).cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        cens = [[float(x) for x in r["v"]] for r in seed_rows]
+    v = F.col(vec_col)
+    for _ in range(n_iter):
+        # nearest centroid by cosine — consistent with how ivf_buckets
+        # assigns corpus vectors at query time
+        assigned = corpus.select(
+            ivf_buckets(v, cens, 1)[0].alias("_c"), v.alias("_v")
+        )
+        stats = (
+            assigned.groupBy("_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at(F.col("_v"), i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cens = [list(cen) for cen in cens]
+        for r in stats:
+            c = r["_c"] - 1  # ivf_buckets ids are 1-based
+            n = r["_n"]
+            mean = [r[f"_s{i}"] / n for i in range(dim)] if n > 0 else None
+            # an exactly-zero mean cannot be norm-scaled — keep the old
+            # centroid (same policy as an empty cluster)
+            if mean is not None and any(x != 0.0 for x in mean):
+                new_cens[c] = mean
+        cens = new_cens
+    return cens
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Sum over the corpus of (1 - cosine to the assigned centroid) —
+    the spherical-k-means objective :func:`kmeans_centroids`
+    minimizes. One aggregate pass; used by tests to pin convergence."""
+    v = F.col(vec_col)
+    scores = _ivf_scores(v, centroids)
+    best = F.array_max(scores) / norm(v)
+    row = corpus.select(
+        F.sum(F.lit(1.0) - best).alias("inertia")
+    ).first()
+    return float(row["inertia"])
+
+
 def _ivf_inv_norms(centroids: list[list[float]]) -> list[float]:
     import math
 

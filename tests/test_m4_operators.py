@@ -439,3 +439,76 @@ class TestAsofVsPandas:
             for r in merged.itertuples()
         }
         assert got == expected
+
+
+class TestKmeans:
+    @pytest.fixture(scope="class")
+    def blobs(self, spark):
+        """Three well-separated directions with small perturbations."""
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        dirs = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        for i in range(90):
+            base = dirs[i % 3]
+            rows.append(
+                (i, [x + rng.uniform(-0.05, 0.05) for x in base])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_inertia_non_increasing(self, blobs):
+        from mydatasyncer_spark.operators.similarity import (
+            kmeans_centroids,
+            kmeans_inertia,
+        )
+
+        prev = None
+        for it in (0, 1, 3):
+            cens = kmeans_centroids(blobs, dim=3, k=3, n_iter=it)
+            inertia = kmeans_inertia(blobs, cens)
+            if prev is not None:
+                assert inertia <= prev + 1e-9, (it, inertia, prev)
+            prev = inertia
+
+    def test_recovers_separated_blobs(self, blobs):
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_buckets,
+            kmeans_centroids,
+        )
+
+        cens = kmeans_centroids(blobs, dim=3, k=3, n_iter=5)
+        assigned = blobs.select(
+            (F.col("vec_id") % 3).alias("truth"),
+            ivf_buckets(F.col("embedding"), cens, 1)[0].alias("c"),
+        )
+        # every true blob maps to exactly one learned cluster
+        purity = (
+            assigned.groupBy("truth")
+            .agg(F.countDistinct("c").alias("k"))
+            .agg(F.max("k").alias("mx"))
+            .first()["mx"]
+        )
+        assert purity == 1
+
+    def test_deterministic_across_partitionings(self, blobs):
+        from mydatasyncer_spark.operators.similarity import kmeans_centroids
+
+        a = kmeans_centroids(blobs, dim=3, k=3, n_iter=2)
+        b = kmeans_centroids(blobs.repartition(7), dim=3, k=3, n_iter=2)
+        for ca, cb in zip(a, b):
+            for xa, xb in zip(ca, cb):
+                assert xa == pytest.approx(xb, abs=1e-9)
+
+    def test_feeds_ivf_topk(self, blobs):
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        cens = kmeans_centroids(blobs, dim=3, k=3, n_iter=3)
+        out = ivf_topk(
+            blobs.filter("vec_id < 3"), blobs, dim=3, k=2, centroids=cens
+        ).collect()
+        assert {r["query_id"] for r in out} == {0, 1, 2}
+        assert all(r["cosine"] > 0.9 for r in out)
