@@ -192,3 +192,61 @@ class TestMixWeights:
         }
         assert out["web"] == pytest.approx(0.5 / 0.8)
         assert out["code"] == pytest.approx(0.5 / 0.2)
+
+
+class TestPackSequencesProperties:
+    """Hypothesis invariants for the packing layout."""
+
+    def test_invariants_random_sizes(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            sizes=st.lists(
+                st.integers(min_value=1, max_value=5000),
+                min_size=1,
+                max_size=60,
+            ),
+            budget=st.integers(min_value=1000, max_value=10000),
+        )
+        def run(sizes, budget):
+            rows = [(i, s) for i, s in enumerate(sizes)]
+            df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+            out = sorted(
+                SP.pack_sequences(df, "doc_id", "n_chars", budget).collect(),
+                key=lambda r: r["doc_id"],
+            )
+            # offsets are exact prefix sums in id order
+            acc = 0
+            for r, s in zip(out, sizes):
+                assert r["offset"] == acc
+                assert r["bin_id"] == acc // budget
+                acc += s
+            # bins are contiguous, start at 0, never skip
+            bins = [r["bin_id"] for r in out]
+            assert bins[0] == 0
+            assert all(b2 - b1 in (0, 1) or b2 > b1 for b1, b2 in zip(bins, bins[1:]))
+            # each bin's start row begins inside the bin's budget span
+            for r in out:
+                assert r["bin_id"] * budget <= r["offset"] < (r["bin_id"] + 1) * budget
+
+        run()
+
+
+class TestMixWeightsProperty:
+    def test_weighted_shares_sum_to_target_mass(self, spark):
+        """sum(share * weight) over domains == sum of target shares
+        (1.0 for the uniform default) — the defining resampling
+        identity."""
+        rows = (
+            [("a",)] * 17 + [("b",)] * 5 + [("c",)] * 71 + [("d",)] * 7
+        )
+        df = spark.createDataFrame(rows, "source string")
+        out = SP.mix_weights(df, "source").collect()
+        mass = sum(r["share"] * r["weight"] for r in out)
+        assert mass == pytest.approx(1.0)
