@@ -163,6 +163,50 @@ def grouping_sets_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id — all four
+    aggregation levels in one pass, the level tagged so consumers can
+    tell subtotal rows apart (completes the rollup / grouping-sets /
+    cube family)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.grouping_id().cast("bigint").alias("lvl"),
+        )
+    )
+
+
+def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column:
+    transform / filter / exists / aggregate — the JVM-side array
+    algebra the similarity operators build on, surfaced directly."""
+    e = table(spark, sf_dir, "embeddings")
+    v = _dvec(F.col("embedding"))  # float -> double before arithmetic
+    return e.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists(v, lambda x: x > 0.99).alias("has_big"),
+        F.round(
+            F.aggregate(
+                v, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+            ),
+            6,
+        ).alias("l1_norm"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sq_norm"),
+    )
+
+
 def window_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 customers by order revenue per segment."""
     from pyspark.sql import Window
@@ -1878,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "rollup_revenue": rollup_revenue,
         "grouping_sets_parts": grouping_sets_parts,
+        "cube_orders_profile": cube_orders_profile,
+        "array_functions_pack": array_functions_pack,
         "window_topk_customers": window_topk_customers,
         "running_total_events": running_total_events,
         "trailing_hour_value": trailing_hour_value,
@@ -2016,6 +2062,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
             FROM part
             GROUP BY GROUPING SETS ((p_brand), (p_type))
+        """,
+        "cube_orders_profile": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS total,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                       AS lvl
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "array_functions_pack": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(len(list_filter(dv, x -> x > 0)) AS BIGINT) AS n_pos,
+                   len(list_filter(dv, x -> x > 0.99)) > 0 AS has_big,
+                   round(list_reduce(list_transform(dv, x -> abs(x)),
+                                     (a, b) -> a + b), 6) AS l1_norm,
+                   round(list_reduce(list_transform(dv, x -> x * x),
+                                     (a, b) -> a + b), 6) AS sq_norm
+            FROM (
+                SELECT vec_id,
+                       embedding,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                FROM embeddings
+            )
         """,
         "window_topk_customers": """
             WITH rev AS (
