@@ -815,6 +815,55 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti")
 
 
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: detect + redact email addresses (counts
+    and a hash of the scrubbed text so the oracle verifies the exact
+    rewrite). Emails are injected deterministically into 1/7th of the
+    corpus first — the fixture text carries none — so the redactor
+    has real positives *and* true negatives to prove out. Pure narrow
+    projection (regexp_replace / regexp_count fuse into the scan)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL_RE)).cast("bigint").alias(
+            "n_emails"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def dedup_exact_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact-dedup survivor selection: per exact content
+    group keep the highest-quality doc (id tiebreak) — the survivor
+    policy production pipelines prefer over minimum-id. Same single
+    window shuffle as the min-id variant."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(X.normalize_text(F.col("text")))).orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("quality", F.round(X.quality_score(F.col("text")), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "quality")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures."""
     return D.simhash(table(spark, sf_dir, "documents"))
@@ -1959,6 +2008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_assign": dedup_cluster_assign,
         "dedup_survivors": dedup_survivors,
+        "pii_redaction": pii_redaction,
+        "dedup_exact_best_quality": dedup_exact_best_quality,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_near_dup": embedding_near_dup,
@@ -3046,6 +3097,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT b.bench_id) AS bench_docs_hit
             FROM corpus c JOIN bench b ON c.gram = b.gram
             GROUP BY c.doc_id
+        """,
+        "pii_redaction": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(injected, '{_EMAIL_RE}'))
+                        AS BIGINT) AS n_emails,
+                   md5(regexp_replace(injected, '{_EMAIL_RE}', '<EMAIL>', 'g'))
+                       AS redacted_md5
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact: user'
+                                 || CAST(doc_id AS VARCHAR) || '@example.com'
+                            ELSE text END AS injected
+                FROM documents
+            )
+        """,
+        "dedup_exact_best_quality": f"""
+            WITH q AS (
+                SELECT doc_id, text,
+                       round(0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                           + 0.4 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                        / greatest(length(text), 1))
+                           + 0.3 * CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                                 / greatest(len({_TOKS_SQL}), 1), 6) AS quality
+                FROM documents
+            )
+            SELECT doc_id, quality FROM (
+                SELECT doc_id, quality,
+                       row_number() OVER (
+                           PARTITION BY md5({_NORM_SQL})
+                           ORDER BY quality DESC, doc_id) AS rn
+                FROM q
+            ) WHERE rn = 1
         """,
         "curation_pipeline": f"""
             WITH RECURSIVE
