@@ -326,6 +326,46 @@ def tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h width, 1h slide): each event
+    lands in two overlapping windows — the native ``F.window``
+    sliding form (tumbling's generalization; same operator Structured
+    Streaming uses)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap sessionization (30-min gap) —
+    Spark's built-in merging-window operator, the scalable form of
+    the lag/cumsum ``sessionization`` query (and the exact operator
+    the streaming path reuses). Output: per (user, session) bounds
+    and event count."""
+    e = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset EXCEPT ALL: per-order custkeys of big orders minus
     BUILDING-segment customers."""
@@ -1978,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_hour_value": trailing_hour_value,
         "sessionization": sessionization,
         "tumbling_windows": tumbling_windows,
+        "sliding_windows_events": sliding_windows_events,
+        "session_window_native": session_window_native,
         "set_ops_except": set_ops_except,
         "distinct_agg_segments": distinct_agg_segments,
         "percentiles_by_segment": percentiles_by_segment,
@@ -2204,6 +2246,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "sliding_windows_events": """
+            WITH ev AS (
+                SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+                       event_type, value
+                FROM events
+                UNION ALL
+                SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                           - INTERVAL 1 HOUR,
+                       event_type, value
+                FROM events
+            )
+            SELECT w AS window_start, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                       AS sum_value
+            FROM ev
+            GROUP BY 1, 2
+        """,
+        "session_window_native": """
+            WITH ordered AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                                 OR epoch(ts) - epoch(prev) >= 1800.0
+                            THEN 1 ELSE 0 END AS new_s
+                FROM ordered
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events
+            FROM sess
+            GROUP BY user_id, sid
         """,
         "set_ops_except": """
             SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
