@@ -74,18 +74,38 @@ def main() -> None:
         except Exception as exc:  # one broken query must not void the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **({"errors": errors} if errors else {}),
+
+    # The driver captures only the LAST 2000 chars of output — a JSON
+    # line longer than that loses its head and becomes unparseable
+    # (this voided BENCH_r02). Emit 2-decimal timings and, if still
+    # too long, keep only the slowest queries plus a suppressed-count
+    # marker; `value` always remains the total over ALL timed queries.
+    def payload(qdict: dict[str, float], suppressed: int) -> dict:
+        out = {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": qdict,
+            "sf": sf,
+        }
+        if suppressed:
+            out["suppressed_fast_queries"] = suppressed
+        if errors:
+            out["errors"] = {
+                k: v[:60] for k, v in list(errors.items())[:5]
             }
-        )
-    )
+        return out
+
+    shown = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps(payload(shown, 0))
+    if len(line) > 1800:
+        by_slow = sorted(timings, key=timings.get, reverse=True)
+        keep = len(by_slow)
+        while keep > 1 and len(line) > 1800:
+            keep -= 5
+            shown = {k: round(timings[k], 2) for k in by_slow[:keep]}
+            line = json.dumps(payload(shown, len(timings) - keep))
+    print(line)
     spark.stop()
 
 

@@ -35,17 +35,20 @@ TABLES = (
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # The fixture's ts column is TIMESTAMP(NANOS), which vanilla
-        # Spark refuses to read (PARQUET_TYPE_ILLEGAL). The legacy
-        # nanosAsLong conf is runtime-settable, so force it here —
-        # callers may hand us a session built without engine conf
-        # (e.g. the driver's harness). Idempotent.
+        # Older fixture generations wrote ts as TIMESTAMP(NANOS),
+        # which vanilla Spark refuses to read (PARQUET_TYPE_ILLEGAL).
+        # The legacy nanosAsLong conf is runtime-settable, so force it
+        # here — callers may hand us a session built without engine
+        # conf (e.g. the driver's harness). Idempotent; a no-op for
+        # the current timestamp[us] fixtures.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as
-        # nanos-since-epoch long (nanosAsLong) — surface as a real
-        # timestamp at micros precision
+        # Current fixtures store ts as naive timestamp[us] → Spark
+        # reads TIMESTAMP_NTZ (kept as-is; wall time IS the UTC
+        # instant — use ts_epoch() for arithmetic). Legacy nanos
+        # fixtures read as long under nanosAsLong — surface those as
+        # a real timestamp at micros precision.
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
@@ -54,6 +57,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # truncation matches DuckDB's ns->us cast semantics
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def ts_epoch(col):
+    """Seconds since epoch as DOUBLE, timezone-independent.
+
+    Works for both TIMESTAMP and TIMESTAMP_NTZ inputs. The fixtures'
+    naive micros wall time IS the UTC instant, and
+    ``to_utc_timestamp(ts, 'UTC')`` pins that wall time to UTC without
+    consulting the session timezone, so the result matches DuckDB's
+    ``epoch(ts)`` under any driver session configuration. (A bare
+    ``CAST(ts AS DOUBLE)`` is illegal on TIMESTAMP_NTZ and
+    session-timezone-dependent after an NTZ→LTZ cast — never do that.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC")) / F.lit(1000000.0)
 
 
 def dec(col, precision: int = 12, scale: int = 2):

@@ -139,9 +139,21 @@ def _asof_join(
     )
     in_tol = F.lit(True)
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col(ts_col).cast("double") - F.col(ts_out).cast("double")
-        )
+        from pyspark.sql import types as T
+
+        ts_type = filled.schema[ts_col].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ can't cast to double; pin wall time to UTC instead
+            # (timezone-independent — see contract.ts_epoch)
+            def _sec(c):
+                return F.unix_micros(F.to_utc_timestamp(c, "UTC")) / F.lit(1e6)
+
+        else:
+
+            def _sec(c):
+                return c.cast("double")
+
+        gap = F.abs(_sec(F.col(ts_col)) - _sec(F.col(ts_out)))
         in_tol = F.col(ts_out).isNotNull() & (gap <= tolerance_seconds)
     return filled.filter(F.col(_SIDE) == 1).select(
         *left_cols,

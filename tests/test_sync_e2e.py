@@ -413,6 +413,51 @@ class TestPartitionedWriter:
         assert max(counts) > 1, counts
         assert spark.read.parquet(out).count() == ev.count()
 
+    def test_clustered_rows_sorted_inside_files(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from mydatasyncer_spark.contract import table
+        from mydatasyncer_spark.sources.writers import write_clustered
+
+        out = str(tmp_path / "events_clustered")
+        ev = table(spark, SF_DIR_FOR_WRITER, "events")
+        write_clustered(ev, out, ["event_type"], ["user_id", "ts"])
+        files = glob.glob(f"{out}/event_type=*/*.parquet")
+        assert files
+        for f in files:
+            t = pq.read_table(f, columns=["user_id"])
+            vals = t.column("user_id").to_pylist()
+            assert vals == sorted(vals), f
+        assert spark.read.parquet(out).count() == ev.count()
+
+    def test_range_sorted_files_nonoverlapping(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from mydatasyncer_spark.contract import table
+        from mydatasyncer_spark.sources.writers import write_range_sorted
+
+        out = str(tmp_path / "orders_range")
+        o = table(spark, SF_DIR_FOR_WRITER, "orders")
+        write_range_sorted(o, out, ["o_orderkey"], num_files=4)
+        files = glob.glob(f"{out}/*.parquet")
+        assert 2 <= len(files) <= 4, files
+        ranges = []
+        for f in files:
+            keys = pq.read_table(f, columns=["o_orderkey"]).column(
+                "o_orderkey"
+            ).to_pylist()
+            assert keys == sorted(keys), f
+            ranges.append((keys[0], keys[-1]))
+        # total order across files: key ranges must not overlap
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, ranges
+        assert spark.read.parquet(out).count() == o.count()
+
 
 def test_projection_of_missing_column_errors(spark, tmp_path):
     """Requesting a column the file doesn't carry errors loudly
