@@ -648,6 +648,28 @@ def diff_plan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_counts(f, d, "o_orderkey", f.columns)
 
 
+def diff_pruned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned diff (operators/diff.diff_snapshots_pruned): the
+    wide three-way diff runs only over key-hash buckets whose
+    (count, bit_xor(fingerprint)) summaries differ between snapshots.
+    The oracle is the PLAIN full-diff counts — pruning must be
+    invisible in the result."""
+    from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+
+    f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
+    res = diff_snapshots_pruned(f, d, "o_orderkey", f.columns, n_buckets=64)
+    ins = res.to_insert.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_insert")
+    )
+    upd = res.to_update.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_update")
+    )
+    dele = res.to_delete.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_delete")
+    )
+    return ins.crossJoin(upd).crossJoin(dele)
+
+
 # --------------------------------------------------- canonicalization (P3)
 
 
@@ -2083,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "curation_pipeline": curation_pipeline,
         # ======== entries past the 50-query driver cap ===========
+        "diff_pruned_counts": diff_pruned_counts,
         "grouping_sets_parts": grouping_sets_parts,
         "distinct_agg_segments": distinct_agg_segments,
         "approx_sketches_segments": approx_sketches_segments,
@@ -2449,6 +2472,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_orderkey = d.o_orderkey)
         """,
         "diff_plan_counts": f"""
+            WITH {SNAPSHOT_SQL}
+            SELECT
+              (SELECT COUNT(*) FROM file_side f
+                WHERE NOT EXISTS (SELECT 1 FROM db_side d WHERE d.o_orderkey = f.o_orderkey)) AS n_insert,
+              (SELECT COUNT(*) FROM file_side f JOIN db_side d USING (o_orderkey)
+                WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
+              (SELECT COUNT(*) FROM db_side d
+                WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_orderkey = d.o_orderkey)) AS n_delete
+        """,
+        "diff_pruned_counts": f"""
             WITH {SNAPSHOT_SQL}
             SELECT
               (SELECT COUNT(*) FROM file_side f

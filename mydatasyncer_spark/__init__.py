@@ -34,7 +34,12 @@ from mydatasyncer_spark.operators.sampling import (
     stratified_sample_hash,
     train_test_split,
 )
-from mydatasyncer_spark.operators.diff import DiffResult, diff_counts, diff_snapshots
+from mydatasyncer_spark.operators.diff import (
+    DiffResult,
+    diff_counts,
+    diff_snapshots,
+    diff_snapshots_pruned,
+)
 from mydatasyncer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -74,6 +79,7 @@ __all__ = [
     "pack_sequences",
     "mix_weights",
     "diff_counts",
+    "diff_snapshots_pruned",
 ]
 
 __version__ = "0.1.0"

@@ -178,6 +178,104 @@ def diff_counts(
     )
 
 
+def bucket_col(df: DataFrame, primary_key: str, n_buckets: int) -> Column:
+    """Stable key-hash bucket id in ``[0, n_buckets)`` — the unit of
+    diff pruning. Canonical-key based, so both snapshot sides bucket
+    identically regardless of physical type (J5)."""
+    return F.pmod(F.xxhash64(canonical_col(df, primary_key)), F.lit(n_buckets))
+
+
+def changed_buckets(
+    file_df: DataFrame,
+    db_df: DataFrame,
+    primary_key: str,
+    columns: list[str] | None = None,
+    n_buckets: int = 256,
+) -> list[int]:
+    """Bucket ids whose content differs between the two snapshots.
+
+    Each side collapses to ``n_buckets`` summary rows of
+    ``(count, bit_xor(row_fingerprint))`` — an order-independent
+    bucket fingerprint computed in one narrow scan with map-side
+    partial aggregation. A bucket matching on both statistics is
+    declared unchanged; mismatch (or one-sided presence) marks it
+    changed. The XOR pairing shares the fingerprint trade-off already
+    documented on :func:`row_differs`: a colliding change pattern
+    (e.g. two rows swapping fingerprints inside one bucket) would go
+    unseen with ~2^-64 probability.
+
+    The returned list is bounded by ``n_buckets`` (a driver-side
+    collect of a few hundred ints, same class as the dry-run's
+    bounded aggregates — never row data).
+    """
+    if columns is None:
+        columns = [c for c in file_df.columns if c in set(db_df.columns)]
+
+    def summarize(df: DataFrame, side: str) -> DataFrame:
+        p = df.select(*columns)
+        return (
+            p.select(
+                bucket_col(p, primary_key, n_buckets).alias("_bucket"),
+                row_fingerprint(p, columns).alias("_fp"),
+            )
+            .groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias(f"_n_{side}"),
+                F.bit_xor("_fp").alias(f"_x_{side}"),
+            )
+        )
+    j = summarize(file_df, "f").join(summarize(db_df, "d"), "_bucket", "full_outer")
+    changed = j.filter(
+        F.col("_n_f").isNull()
+        | F.col("_n_d").isNull()
+        | (F.col("_n_f") != F.col("_n_d"))
+        | (F.col("_x_f") != F.col("_x_d"))
+    ).select("_bucket")
+    return sorted(r["_bucket"] for r in changed.collect())
+
+
+def diff_snapshots_pruned(
+    file_df: DataFrame,
+    db_df: DataFrame,
+    primary_key: str,
+    columns: list[str] | None = None,
+    n_buckets: int = 256,
+    delete_not_in_file: bool = True,
+) -> DiffResult:
+    """:func:`diff_snapshots`, but the three wide joins only read the
+    key-hash buckets whose fingerprints changed.
+
+    Why this matters at 100 TB: a daily sync typically touches a tiny
+    fraction of rows, yet the full diff still shuffles BOTH entire
+    snapshots into the join. The bucket-fingerprint pre-pass costs one
+    narrow scan per side (16 bytes/row into a map-side partial agg,
+    ``n_buckets`` rows out) and then the wide joins run over only the
+    changed slice — with unchanged data never entering an exchange.
+    When the snapshots are *stored* bucketed on the same key hash
+    (``sources/writers.write_partitioned`` on :func:`bucket_col`), the
+    bucket filter also prunes whole files at the scan, making the
+    read itself incremental.
+
+    Result-identical to the full diff (the pruning is invisible in
+    the output, modulo the documented fingerprint collision odds).
+    """
+    if columns is None:
+        columns = [c for c in file_df.columns if c in set(db_df.columns)]
+    file_p = file_df.select(*columns)
+    db_p = db_df.select(*columns)
+    buckets = changed_buckets(file_p, db_p, primary_key, columns, n_buckets)
+    if not buckets:
+        empty = DiffResult(
+            file_p.limit(0),
+            detect_updates(file_p.limit(0), db_p.limit(0), primary_key, columns),
+            db_p.limit(0),
+        )
+        return empty
+    fb = file_p.filter(bucket_col(file_p, primary_key, n_buckets).isin(buckets))
+    db = db_p.filter(bucket_col(db_p, primary_key, n_buckets).isin(buckets))
+    return diff_snapshots(fb, db, primary_key, columns, delete_not_in_file)
+
+
 def diff_snapshots(
     file_df: DataFrame,
     db_df: DataFrame,

@@ -124,3 +124,87 @@ class TestDiffCounts:
         file_df, db_df = snapshots
         row = diff_counts(file_df, db_df, "id", delete_not_in_file=False).first()
         assert row["n_delete"] == 0 and row["n_insert"] == 1
+
+
+class TestPrunedDiff:
+    """diff_snapshots_pruned must produce the exact triple of the full
+    diff — the bucket-fingerprint pre-pass is an optimization, never a
+    semantic change."""
+
+    def _triple_sets(self, result):
+        ins = {tuple(r) for r in result.to_insert.collect()}
+        upd = {tuple(r)[:-1] for r in result.to_update.collect()}
+        dele = {tuple(r) for r in result.to_delete.collect()}
+        return ins, upd, dele
+
+    @pytest.mark.parametrize("n_buckets", [1, 4, 64])
+    def test_matches_full_diff(self, spark, snapshots, n_buckets):
+        from mydatasyncer_spark.operators.diff import (
+            diff_snapshots_pruned,
+        )
+
+        file_df, db_df = snapshots
+        full = diff_snapshots(file_df, db_df, "id")
+        pruned = diff_snapshots_pruned(
+            file_df, db_df, "id", n_buckets=n_buckets
+        )
+        assert self._triple_sets(pruned) == self._triple_sets(full)
+
+    def test_matches_on_random_frames(self, spark):
+        import random
+
+        from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+
+        rng = random.Random(11)
+        rows_f = [(i, rng.randint(0, 3)) for i in range(300) if rng.random() < 0.8]
+        rows_d = [(i, rng.randint(0, 3)) for i in range(300) if rng.random() < 0.8]
+        f = spark.createDataFrame(rows_f, "id long, v long")
+        d = spark.createDataFrame(rows_d, "id long, v long")
+        full = diff_snapshots(f, d, "id").counts()
+        pruned = diff_snapshots_pruned(f, d, "id", n_buckets=16).counts()
+        assert pruned == full
+
+    def test_identical_snapshots_skip_everything(self, spark):
+        from mydatasyncer_spark.operators.diff import (
+            changed_buckets,
+            diff_snapshots_pruned,
+        )
+
+        rows = [(i, i % 5) for i in range(100)]
+        f = spark.createDataFrame(rows, "id long, v long")
+        d = spark.createDataFrame(rows, "id long, v long")
+        assert changed_buckets(f, d, "id", n_buckets=32) == []
+        result = diff_snapshots_pruned(f, d, "id", n_buckets=32)
+        assert result.counts() == {"insert": 0, "update": 0, "delete": 0}
+
+    def test_localized_change_touches_few_buckets(self, spark):
+        from mydatasyncer_spark.operators.diff import changed_buckets
+
+        rows = [(i, 0) for i in range(1000)]
+        f = spark.createDataFrame(rows, "id long, v long")
+        # mutate exactly one row -> exactly one changed bucket
+        d = spark.createDataFrame(
+            [(i, 1 if i == 77 else 0) for i in range(1000)], "id long, v long"
+        )
+        assert len(changed_buckets(f, d, "id", n_buckets=64)) == 1
+
+    def test_delete_gating(self, snapshots):
+        from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+
+        file_df, db_df = snapshots
+        result = diff_snapshots_pruned(
+            file_df, db_df, "id", delete_not_in_file=False
+        )
+        c = result.counts()
+        assert c["delete"] == 0 and c["insert"] == 1
+
+    def test_cross_type_bucketing(self, spark):
+        """int-PK side and string-PK side land in the same buckets
+        (canonical-key bucketing, J5)."""
+        from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+
+        f = spark.createDataFrame([("1", "a"), ("2", "b")], "id string, v string")
+        d = spark.createDataFrame([(1, "a"), (3, "c")], "id long, v string")
+        c = diff_snapshots_pruned(f, d, "id", n_buckets=8).counts()
+        # id=1 identical across types, id=2 insert, id=3 delete
+        assert c == {"insert": 1, "update": 0, "delete": 1}
