@@ -36,6 +36,10 @@ class TableSpec:
     timestamp_columns: list[str] = field(default_factory=list)
     immutable_columns: list[str] = field(default_factory=list)
     dependencies: list[str] = field(default_factory=list)
+    # >0 enables bucket-pruned diff (operators/diff.diff_snapshots_pruned):
+    # the wide diff joins read only key-hash buckets whose fingerprint
+    # summaries changed. Pick ~snapshot_size / healthy_partition_size.
+    prune_buckets: int = 0
 
     def validate(self) -> None:
         if not self.name:
@@ -50,6 +54,11 @@ class TableSpec:
         if self.sync_mode == SYNC_MODE_DIFF and not self.primary_key:
             raise ConfigError(
                 f"table {self.name!r}: primaryKey is required for diff mode"
+            )
+        if self.prune_buckets < 0:
+            raise ConfigError(
+                f"table {self.name!r}: pruneBuckets must be >= 0, got "
+                f"{self.prune_buckets}"
             )
 
 
@@ -113,6 +122,7 @@ class SyncConfig:
                     delete_not_in_file=bool(sync.get("deleteNotInFile", False)),
                     timestamp_columns=list(sync.get("timestampColumns", []) or []),
                     immutable_columns=list(sync.get("immutableColumns", []) or []),
+                    prune_buckets=int(sync.get("pruneBuckets", 0) or 0),
                 )
             )
         cfg = cls(
@@ -161,4 +171,7 @@ def _table_from_dict(t: dict[str, Any], sync_defaults: dict[str, Any]) -> TableS
         timestamp_columns=list(t.get("timestampColumns", []) or []),
         immutable_columns=list(t.get("immutableColumns", []) or []),
         dependencies=list(t.get("dependencies", []) or []),
+        prune_buckets=int(
+            t.get("pruneBuckets", sync_defaults.get("pruneBuckets", 0)) or 0
+        ),
     )

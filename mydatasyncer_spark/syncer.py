@@ -39,7 +39,11 @@ from mydatasyncer_spark.config import (
 from mydatasyncer_spark.dag import DependencyGraph
 from mydatasyncer_spark.errors import SyncError
 from mydatasyncer_spark.operators.columns import determine_sync_columns
-from mydatasyncer_spark.operators.diff import DiffResult, diff_snapshots
+from mydatasyncer_spark.operators.diff import (
+    DiffResult,
+    diff_snapshots,
+    diff_snapshots_pruned,
+)
 from mydatasyncer_spark.operators.validation import validate_primary_keys
 from mydatasyncer_spark.plans.dryrun import ExecutionPlan, build_plan
 from mydatasyncer_spark.sinks.applier import (
@@ -131,13 +135,23 @@ class Syncer:
                 if not file_empty
                 else db_df.limit(0)
             )
-            diff = diff_snapshots(
-                file_proj,
-                db_df,
-                spec.primary_key,
-                columns=cols,
-                delete_not_in_file=spec.delete_not_in_file,
-            )
+            if spec.prune_buckets > 0:
+                diff = diff_snapshots_pruned(
+                    file_proj,
+                    db_df,
+                    spec.primary_key,
+                    columns=cols,
+                    n_buckets=spec.prune_buckets,
+                    delete_not_in_file=spec.delete_not_in_file,
+                )
+            else:
+                diff = diff_snapshots(
+                    file_proj,
+                    db_df,
+                    spec.primary_key,
+                    columns=cols,
+                    delete_not_in_file=spec.delete_not_in_file,
+                )
             # persist: the write tx must not re-trigger the scan/join
             diff.to_insert.persist()
             diff.to_update.persist()

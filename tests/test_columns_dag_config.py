@@ -122,7 +122,34 @@ class TestConfig:
             {"sync": {"tableName": "t", "filePath": "f.csv"}}
         )
         assert cfg.tables[0].sync_mode == "overwrite"
+        assert cfg.tables[0].prune_buckets == 0
         assert not cfg.is_multi_table
+
+    def test_prune_buckets_parse_and_inherit(self):
+        cfg = SyncConfig.from_dict(
+            {
+                "sync": {
+                    "syncMode": "diff",
+                    "primaryKey": "id",
+                    "pruneBuckets": 128,
+                    "tables": [
+                        {"name": "a", "filePath": "a.csv"},
+                        {"name": "b", "filePath": "b.csv", "pruneBuckets": 16},
+                    ],
+                }
+            }
+        )
+        assert cfg.tables[0].prune_buckets == 128  # inherited default
+        assert cfg.tables[1].prune_buckets == 16  # per-table override
+
+    def test_prune_buckets_negative_rejected(self):
+        from mydatasyncer_spark.config import ConfigError
+
+        cfg = SyncConfig(
+            tables=[TableSpec(name="t", file_path="f", prune_buckets=-1)]
+        )
+        with pytest.raises(ConfigError, match="pruneBuckets"):
+            cfg.validate()
 
 
 class TestYamlConfig:

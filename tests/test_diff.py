@@ -208,3 +208,31 @@ class TestPrunedDiff:
         c = diff_snapshots_pruned(f, d, "id", n_buckets=8).counts()
         # id=1 identical across types, id=2 insert, id=3 delete
         assert c == {"insert": 1, "update": 0, "delete": 1}
+
+    def test_bucket_filter_prunes_partitioned_layout(self, spark, tmp_path):
+        """On a snapshot STORED partitioned by bucket_col, a bucket
+        IN-filter must reach the scan as a PartitionFilter — file-level
+        pruning, the reason the pruned diff scales at 100 TB."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.diff import bucket_col
+        from mydatasyncer_spark.sources.writers import write_partitioned
+
+        df = spark.range(0, 500).select(
+            F.col("id"), (F.col("id") % 9).alias("v")
+        )
+        df = df.withColumn("bucket", bucket_col(df, "id", 16))
+        out = str(tmp_path / "bucketed_snapshot")
+        write_partitioned(df, out, ["bucket"])
+        back = spark.read.parquet(out)
+        plan = (
+            back.filter(F.col("bucket").isin([1, 2, 3]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+        seg = plan.split("PartitionFilters")[1][:200]
+        assert "bucket" in seg and "IN (1,2,3)" in seg.replace(" ", "").replace(
+            "IN(", "IN ("
+        )

@@ -90,6 +90,31 @@ class TestSingleTableDiff:
         assert (3, "Carol", "gone") in rows(db)
         assert (4, "Dave", "fresh") in rows(db)
 
+    def test_diff_with_bucket_pruning_same_state(self, spark, db, tmp_path):
+        """pruneBuckets>0 routes through diff_snapshots_pruned; the
+        synced DB state must be byte-identical to the full-diff path."""
+        path = write_csv(tmp_path, "data.csv", CSV_DIFF)
+        cfg = SyncConfig(
+            tables=[
+                TableSpec(
+                    name="test_table",
+                    file_path=path,
+                    primary_key="id",
+                    sync_mode="diff",
+                    delete_not_in_file=True,
+                    prune_buckets=8,
+                )
+            ]
+        )
+        out = sync(spark, DbApiBackend(db), cfg)
+        assert rows(db) == [
+            (1, "Alice", "new"),
+            (2, "Bob", "keep"),
+            (4, "Dave", "fresh"),
+        ]
+        stats = out.stats["test_table"]
+        assert (stats.inserted, stats.updated, stats.deleted) == (1, 1, 1)
+
 
 class TestOverwrite:
     def test_overwrite_replaces_all(self, spark, db, tmp_path):
