@@ -25,6 +25,7 @@ from mydatasyncer_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
     simhash,
 )
 from mydatasyncer_spark.operators.sampling import (
@@ -62,6 +63,7 @@ __all__ = [
     "asof_join_backward",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_incremental",
     "simhash",
     "dedup_clusters",
     "cosine_topk",

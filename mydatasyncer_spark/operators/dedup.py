@@ -171,36 +171,8 @@ def minhash_lsh_pairs(
     # finally, so repeated calls don't leak cached partitions.
     sig = minhash_signature(df, text_col, id_col, k, shingle_n).persist()
     try:
-        n_bands = k // band_size
-        band_structs = []
-        for bi in range(n_bands):
-            cols = [F.col(f"mh{bi * band_size + i}") for i in range(band_size)]
-            band_structs.append(
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.md5(F.concat_ws(",", *cols)).alias("band_key"),
-                )
-            )
-        banded = sig.select(
-            F.col(id_col),
-            F.array(*[F.col(f"mh{s}") for s in range(k)]).alias("_sig"),
-            F.explode(F.array(*band_structs)).alias("bk"),
-        ).select(
-            id_col,
-            "_sig",
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_key").alias("band_key"),
-        )
+        banded = _banded_with_sig(sig, id_col, k, band_size)
         a, b = banded.alias("a"), banded.alias("b")
-        matches = F.aggregate(
-            F.zip_with(
-                F.col("a._sig"),
-                F.col("b._sig"),
-                lambda x, y: F.when(x == y, 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
         scored = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -209,7 +181,7 @@ def minhash_lsh_pairs(
         ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+            _est_jaccard(k),
         )
         # across-band dedup; est_jaccard is identical on every copy of
         # a pair, so min() is just "pick the value"
@@ -224,6 +196,120 @@ def minhash_lsh_pairs(
     finally:
         if eager:
             sig.unpersist()
+
+
+def _banded_with_sig(
+    sig: DataFrame, id_col: str, k: int, band_size: int
+) -> DataFrame:
+    """(id, full signature array, band, band_key) rows — the join-ready
+    form of a signature table. Shared by the batch self-join and the
+    incremental new-vs-index join."""
+    n_bands = k // band_size
+    band_structs = []
+    for bi in range(n_bands):
+        cols = [F.col(f"mh{bi * band_size + i}") for i in range(band_size)]
+        band_structs.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{s}") for s in range(k)]).alias("_sig"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        id_col,
+        "_sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def _est_jaccard(k: int) -> Column:
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("a._sig"),
+                F.col("b._sig"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k)),
+        6,
+    ).alias("est_jaccard")
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    band_size: int = LSH_BAND_SIZE,
+    shingle_n: int = 5,
+    include_new_pairs: bool = True,
+    eager: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs for a NEW document batch against an
+    existing corpus signature index — the daily-ingest shape.
+
+    ``corpus_signatures`` is :func:`minhash_signature` output,
+    typically written once and stored (the "index": k small ints per
+    document — ~128 bytes/doc, reusable every ingest). This joins the
+    new batch's bands against the index's bands plus (optionally) a
+    new-vs-new self-join, so per-ingest cost scales with
+    |batch| × bucket-collisions, never corpus × corpus. The corpus
+    side is banded by pure projection over the stored index — corpus
+    text is NOT re-shingled, and corpus-vs-corpus pairs are never
+    formed.
+
+    Output matches :func:`minhash_lsh_pairs`: ``(id_a, id_b,
+    est_jaccard)``. New-vs-corpus pairs carry the new id in ``id_a``;
+    new-vs-new pairs are ordered ``id_a < id_b``. An id present on
+    both sides (re-ingest of an indexed doc) never pairs with itself.
+
+    After pruning, append the batch's signatures to the index so the
+    next ingest sees them.
+    """
+    sig_new = minhash_signature(new_df, text_col, id_col, k, shingle_n).persist()
+    try:
+        banded_new = _banded_with_sig(sig_new, id_col, k, band_size)
+        banded_idx = _banded_with_sig(corpus_signatures, id_col, k, band_size)
+        a, b = banded_new.alias("a"), banded_idx.alias("b")
+        vs_corpus = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            _est_jaccard(k),
+        )
+        scored = vs_corpus
+        if include_new_pairs:
+            a2, b2 = banded_new.alias("a"), banded_new.alias("b")
+            vs_new = a2.join(
+                b2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                _est_jaccard(k),
+            )
+            scored = vs_corpus.unionByName(vs_new)
+        out = scored.groupBy("id_a", "id_b").agg(
+            F.min("est_jaccard").alias("est_jaccard")
+        )
+        return out.localCheckpoint() if eager else out
+    finally:
+        if eager:
+            sig_new.unpersist()
 
 
 def _clusters_single_task(

@@ -61,6 +61,79 @@ def test_minhash_lsh_releases_signature_cache(spark, docs):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+class TestIncrementalMinhash:
+    """minhash_lsh_pairs_incremental: a new batch against a stored
+    signature index must see exactly the pairs the full batch job
+    would have formed for those documents — without ever building
+    corpus-vs-corpus pairs."""
+
+    def _split(self, spark, sf_dir):
+        from mydatasyncer_spark.contract import table
+
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = d.filter(F.col("doc_id") % 5 != 0)
+        new = d.filter(F.col("doc_id") % 5 == 0)
+        return d, corpus, new
+
+    def test_matches_full_batch_restricted(self, spark, sf_dir):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+            minhash_signature,
+        )
+
+        full_docs, corpus, new = self._split(spark, sf_dir)
+        index = minhash_signature(corpus)
+        inc = minhash_lsh_pairs_incremental(new, index)
+        got = {
+            frozenset((r["id_a"], r["id_b"])): r["est_jaccard"]
+            for r in inc.collect()
+        }
+        new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+        full = minhash_lsh_pairs(full_docs)
+        want = {
+            frozenset((r["id_a"], r["id_b"])): r["est_jaccard"]
+            for r in full.collect()
+            if r["id_a"] in new_ids or r["id_b"] in new_ids
+        }
+        assert got == want
+        assert got, "fixture split produced no cross/new pairs to check"
+
+    def test_excludes_new_new_when_disabled(self, spark, sf_dir):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+            minhash_signature,
+        )
+
+        _, corpus, new = self._split(spark, sf_dir)
+        index = minhash_signature(corpus)
+        inc = minhash_lsh_pairs_incremental(
+            new, index, include_new_pairs=False
+        )
+        new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+        for r in inc.collect():
+            # id_a is always the new side; id_b must be corpus-side
+            assert r["id_a"] in new_ids
+            assert r["id_b"] not in new_ids
+
+    def test_reingested_doc_never_self_pairs(self, spark):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+            minhash_signature,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        index = minhash_signature(corpus)
+        # re-ingest doc 1 unchanged: it must not pair with itself
+        new = spark.createDataFrame([rows[0]], "doc_id long, text string")
+        pairs = minhash_lsh_pairs_incremental(new, index).collect()
+        assert all(r["id_a"] != r["id_b"] for r in pairs)
+        assert pairs == []
+
+
 def test_cluster_single_task_matches_iterative(spark):
     """The small-graph union-find fast path and the iterative
     label-propagation path must produce identical (doc_id,
