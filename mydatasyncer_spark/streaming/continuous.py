@@ -144,6 +144,102 @@ def continuous_merge(
     return writer.start()
 
 
+def continuous_dedup(
+    stream_docs: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_dedup",
+):
+    """Continuous corpus ingestion with near-dup rejection against a
+    GROWING MinHash signature index.
+
+    Per micro-batch: (1) ids already indexed are skipped (makes
+    at-least-once replay idempotent — a replayed batch re-appends
+    nothing); (2) the remaining docs run
+    :func:`~mydatasyncer_spark.operators.dedup.minhash_lsh_pairs_incremental`
+    against the stored index; (3) a doc is REJECTED when it near-dups
+    (est_jaccard >= threshold) any indexed doc, or a smaller-id doc of
+    the same batch (pair-based survivor policy: the smaller id of each
+    near-pair survives — matching the batch ``dedup_survivors``
+    semantics on pairwise-connected docs); (4) survivors append to
+    ``survivors_path`` and their signatures append to ``index_path``,
+    so the next batch dedups against everything accepted so far.
+
+    First batch bootstraps an empty index (within-batch dedup only).
+    Scale: the per-batch cost is batch × bucket-collisions — the index
+    is touched only as (a) an id-projection anti-join and (b) a
+    band-key equi-join; it is never re-shingled or self-joined.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_signature,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        try:
+            index = spark.read.parquet(index_path)
+            index_ids = index.select(id_col)
+        except AnalysisException:
+            index = None
+            index_ids = None
+        if index_ids is not None:
+            batch = batch.join(index_ids, id_col, "left_anti")
+        if batch.isEmpty():
+            return
+        if index is not None:
+            pairs = minhash_lsh_pairs_incremental(
+                batch, index, text_col=text_col, id_col=id_col
+            )
+            near = pairs.filter(F.col("est_jaccard") >= threshold)
+            # id_b from the index -> reject the new doc (id_a);
+            # otherwise it is a within-batch pair (id_a < id_b) ->
+            # reject the larger id
+            vs_idx = near.join(
+                index_ids, near.id_b == index_ids[id_col], "left_semi"
+            ).select(F.col("id_a").alias(id_col))
+            vs_new = near.join(
+                index_ids, near.id_b == index_ids[id_col], "left_anti"
+            ).select(F.col("id_b").alias(id_col))
+            rejected = vs_idx.unionByName(vs_new).distinct()
+        else:
+            near = minhash_lsh_pairs(
+                batch, text_col=text_col, id_col=id_col
+            ).filter(F.col("est_jaccard") >= threshold)
+            rejected = near.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch.join(rejected, id_col, "left_anti")
+        # survivors before signatures: a crash between the writes means
+        # the replayed batch is re-processed (skip-check is against the
+        # INDEX) and may re-append the same survivor rows — so the
+        # index is effectively exactly-once, survivors at-least-once.
+        # The reverse order would LOSE survivor rows instead. Dedup
+        # survivors by id downstream after an unclean shutdown.
+        survivors.write.mode("append").parquet(survivors_path)
+        minhash_signature(
+            survivors, text_col=text_col, id_col=id_col
+        ).write.mode("append").parquet(index_path)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def continuous_sync(
     stream_df: DataFrame,
     spec: TableSpec,

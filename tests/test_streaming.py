@@ -165,6 +165,106 @@ class TestContinuousSync:
         conn.close()
 
 
+class TestContinuousDedup:
+    """Streaming ingestion with near-dup rejection: batch 2's dup of a
+    batch-1 doc must be rejected via the GROWN signature index."""
+
+    DOC_A = "the quick brown fox jumps over the lazy dog in the morning sun"
+    DOC_B = "completely different content describing spark execution engines"
+    DOC_A_NEAR = "the quick brown fox jumped over the lazy dog in the morning sun"
+    DOC_C = "yet another unrelated document about training data pipelines"
+
+    def test_index_grows_and_rejects_across_batches(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import continuous_dedup
+
+        in_dir = tmp_path_factory.mktemp("docs_in")
+        ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+        out = tmp_path_factory.mktemp("dedup_out")
+        index_path = str(out / "index")
+        survivors_path = str(out / "survivors")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).json(str(in_dir))
+            q = continuous_dedup(
+                stream, index_path, survivors_path, checkpoint_dir=ckpt
+            )
+            q.awaitTermination(120)
+
+        # batch 1: A, B, and an exact dup of A -> dup rejected in-batch
+        drain(
+            [
+                {"doc_id": 1, "text": self.DOC_A},
+                {"doc_id": 2, "text": self.DOC_B},
+                {"doc_id": 3, "text": self.DOC_A},
+            ],
+            "b1.json",
+        )
+        s1 = {
+            r["doc_id"]
+            for r in spark.read.parquet(survivors_path).collect()
+        }
+        assert s1 == {1, 2}
+        # batch 2: near-dup of A (cross-batch, caught only via the
+        # index) and a fresh doc
+        drain(
+            [
+                {"doc_id": 10, "text": self.DOC_A_NEAR},
+                {"doc_id": 11, "text": self.DOC_C},
+            ],
+            "b2.json",
+        )
+        s2 = {
+            r["doc_id"]
+            for r in spark.read.parquet(survivors_path).collect()
+        }
+        assert s2 == {1, 2, 11}
+        # index holds exactly the survivors' signatures
+        idx_ids = {
+            r["doc_id"] for r in spark.read.parquet(index_path).collect()
+        }
+        assert idx_ids == {1, 2, 11}
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path_factory):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import continuous_dedup
+
+        in_dir = tmp_path_factory.mktemp("docs_in2")
+        out = tmp_path_factory.mktemp("dedup_out2")
+        index_path = str(out / "index")
+        survivors_path = str(out / "survivors")
+        (in_dir / "b.json").write_text(
+            _json.dumps({"doc_id": 1, "text": self.DOC_A})
+        )
+
+        def run_with_fresh_checkpoint(run: int):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).json(str(in_dir))
+            # fresh checkpoint each run = the same file is replayed
+            q = continuous_dedup(
+                stream,
+                index_path,
+                survivors_path,
+                checkpoint_dir=str(out / f"ckpt_run{run}"),
+            )
+            q.awaitTermination(120)
+
+        run_with_fresh_checkpoint(1)
+        run_with_fresh_checkpoint(2)  # replay: id already indexed -> skip
+        rows = spark.read.parquet(survivors_path).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+
+
 def test_enrich_stream_matches_batch_join(spark, sf_dir, event_dir):
     """Stream-static enrichment: every drained event carries its
     user's segment exactly as the batch broadcast join computes it."""
