@@ -44,6 +44,8 @@ from mydatasyncer_spark.operators.diff import (
 from mydatasyncer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_index,
+    ivf_topk_indexed,
     kmeans_centroids,
     kmeans_inertia,
     lsh_ann_topk,
@@ -68,6 +70,8 @@ __all__ = [
     "dedup_clusters",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_index",
+    "ivf_topk_indexed",
     "kmeans_centroids",
     "kmeans_inertia",
     "embedding_near_dup_pairs",

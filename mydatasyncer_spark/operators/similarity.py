@@ -395,6 +395,84 @@ def ivf_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The storable IVF index: corpus rows annotated with their norm
+    and nearest-centroid bucket — everything :func:`ivf_topk`
+    recomputes per call, computed once.
+
+    Write it partitioned on ``bucket``
+    (``sources.writers.write_partitioned(idx, path, ["bucket"])``) and
+    query the read-back with :func:`ivf_topk_indexed`: the bucket
+    equi-join against the small broadcast query side then prunes index
+    partitions at the scan (Spark dynamic partition pruning), so a
+    probe-1 query reads ~1/C of the corpus files — the on-disk analog
+    of the "partitioned by centroid at ingest" note on
+    :func:`ivf_topk`."""
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        ivf_buckets(F.col(vec_col), cens, 1)[0].alias("bucket"),
+    )
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """:func:`ivf_topk` against a prebuilt :func:`ivf_index` — the
+    corpus is neither re-normed nor re-assigned; only the (tiny)
+    query side computes buckets. Same output, same ranking."""
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(ivf_buckets(F.col(vec_col), cens, n_probe)).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(index, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block_col: str,

@@ -243,6 +243,57 @@ def test_ivf_probe1_subset_of_exact(spark, vectors):
     assert len(p2) >= len(p1)
 
 
+class TestIvfIndexed:
+    """ivf_topk_indexed over a stored ivf_index must reproduce
+    ivf_topk exactly, and a bucket-partitioned index layout must be
+    prunable at the scan."""
+
+    def test_indexed_matches_direct(self, spark, vectors, tmp_path):
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_index,
+            ivf_topk,
+            ivf_topk_indexed,
+        )
+        from mydatasyncer_spark.sources.writers import write_partitioned
+
+        direct = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                vectors, vectors, dim=3, k=3, n_centroids=4, n_probe=2
+            ).collect()
+        )
+        idx = ivf_index(vectors, dim=3, n_centroids=4)
+        out = str(tmp_path / "ivf_index")
+        write_partitioned(idx, out, ["bucket"])
+        back = spark.read.parquet(out)
+        indexed = sorted(
+            tuple(r)
+            for r in ivf_topk_indexed(
+                vectors, back, dim=3, k=3, n_centroids=4, n_probe=2
+            ).collect()
+        )
+        assert indexed == direct
+
+    def test_bucket_partition_layout_prunable(self, spark, vectors, tmp_path):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.similarity import ivf_index
+        from mydatasyncer_spark.sources.writers import write_partitioned
+
+        idx = ivf_index(vectors, dim=3, n_centroids=4)
+        out = str(tmp_path / "ivf_index2")
+        write_partitioned(idx, out, ["bucket"])
+        back = spark.read.parquet(out)
+        plan = (
+            back.filter(F.col("bucket") == 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_embedding_near_dup_blocked_by_label(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, "label", threshold=0.9).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
