@@ -59,6 +59,8 @@ def test_streaming_sessionization_closed_sessions(spark, sf_dir, event_dir):
     # batch twin (same algorithm as the sessionization contract query)
     from pyspark.sql import Window
 
+    from mydatasyncer_spark.contract import ts_epoch
+
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -67,7 +69,7 @@ def test_streaming_sessionization_closed_sessions(spark, sf_dir, event_dir):
             "new_sess",
             F.when(
                 F.lag("ts").over(w).isNull()
-                | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800.0),
+                | (ts_epoch("ts") - ts_epoch(F.lag("ts").over(w)) > 1800.0),
                 1,
             ).otherwise(0),
         )
@@ -75,9 +77,9 @@ def test_streaming_sessionization_closed_sessions(spark, sf_dir, event_dir):
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
-            ).alias("duration_sec"),
+            (F.max(ts_epoch("ts")) - F.min(ts_epoch("ts"))).alias(
+                "duration_sec"
+            ),
         )
     )
     expected = {
