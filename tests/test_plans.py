@@ -215,3 +215,76 @@ def test_sketch_bounds_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 4
+
+
+def test_pruned_diff_summaries_partial_aggregate(spark, sf_dir):
+    """The bucket-fingerprint pre-pass must be a map-side partial
+    aggregation over a narrow projection — one exchange of n_buckets
+    rows per side, never a row-level shuffle of the snapshots."""
+    import contextlib
+    import io
+
+    from mydatasyncer_spark.contract import snapshot_db, snapshot_file
+    from mydatasyncer_spark.operators.diff import (
+        bucket_col,
+        row_fingerprint,
+    )
+    from pyspark.sql import functions as F
+
+    f = snapshot_file(spark, sf_dir)
+    summary = (
+        f.select(
+            bucket_col(f, "o_orderkey", 64).alias("_bucket"),
+            row_fingerprint(f, f.columns).alias("_fp"),
+        )
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"), F.bit_xor("_fp").alias("_x"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        summary.explain("formatted")
+    plan = buf.getvalue()
+    # partial agg before the exchange, final after it
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_incremental_minhash_no_corpus_self_join(spark, sf_dir):
+    """The incremental band join must contain exactly the new-vs-index
+    and new-vs-new equi-joins — no corpus-vs-corpus join, no
+    cartesian fallback."""
+    import contextlib
+    import io
+
+    from mydatasyncer_spark.contract import table
+    from mydatasyncer_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signature,
+    )
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    out = minhash_lsh_pairs_incremental(
+        new, minhash_signature(corpus), eager=False
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two equi-joins exactly: vs-index and vs-new (formatted explain
+    # mentions each join in the tree AND a numbered detail section, so
+    # count only the detail headers)
+    import re
+
+    n_joins = len(
+        re.findall(
+            r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+            plan,
+            re.M,
+        )
+    )
+    assert n_joins == 2, plan
