@@ -735,6 +735,19 @@ def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders (operators/validation.
+    profile_columns): null count, distinct count, min/max — one scan,
+    one expand-aggregate, stack-unpivoted to a row per column. The
+    warehouse-ANALYZE twin for join/partition-key health checks."""
+    from mydatasyncer_spark.operators.validation import profile_columns
+
+    return profile_columns(
+        table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+    )
+
+
 # ------------------------------------------------- column resolution (P4)
 
 
@@ -2106,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         # ======== entries past the 50-query driver cap ===========
         "diff_pruned_counts": diff_pruned_counts,
+        "table_profile": table_profile,
         "grouping_sets_parts": grouping_sets_parts,
         "distinct_agg_segments": distinct_agg_segments,
         "approx_sketches_segments": approx_sketches_segments,
@@ -2480,6 +2494,36 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
               (SELECT COUNT(*) FROM db_side d
                 WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_orderkey = d.o_orderkey)) AS n_delete
+        """,
+        "table_profile": """
+            SELECT 'o_orderkey' AS column_name,
+                   COUNT(*) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   COUNT(DISTINCT o_orderstatus),
+                   CAST(MIN(o_orderstatus) AS VARCHAR),
+                   CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*),
+                   CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+                   COUNT(DISTINCT o_orderdate),
+                   CAST(MIN(o_orderdate) AS VARCHAR),
+                   CAST(MAX(o_orderdate) AS VARCHAR)
+            FROM orders
         """,
         "diff_pruned_counts": f"""
             WITH {SNAPSHOT_SQL}

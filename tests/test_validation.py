@@ -70,3 +70,38 @@ def test_clean_data_passes(spark):
     df = spark.createDataFrame([("1",), ("2",)], "id string")
     report = validate_primary_keys(df, "id", strict=True)
     assert report.invalid == 0 and report.total == 2
+
+
+class TestProfileColumns:
+    def test_profile_stats(self, spark):
+        from mydatasyncer_spark.operators.validation import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (None, "b")],
+            "id long, v string",
+        )
+        prof = {
+            r["column_name"]: r
+            for r in profile_columns(df, ["id", "v"]).collect()
+        }
+        assert prof["id"]["n_rows"] == 4
+        assert prof["id"]["n_nulls"] == 1
+        assert prof["id"]["n_distinct"] == 3
+        assert (prof["id"]["min_val"], prof["id"]["max_val"]) == ("1", "3")
+        assert prof["v"]["n_nulls"] == 1
+        assert prof["v"]["n_distinct"] == 2
+        assert (prof["v"]["min_val"], prof["v"]["max_val"]) == ("a", "b")
+
+    def test_single_scan_plan(self, spark):
+        """All statistics come from ONE pass over the input — the plan
+        must contain exactly one scan of the source."""
+        from mydatasyncer_spark.operators.validation import profile_columns
+
+        df = spark.range(0, 100).selectExpr("id", "id % 7 AS v")
+        plan = (
+            profile_columns(df, ["id", "v"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Range (0, 100") == 1
