@@ -66,7 +66,30 @@ def read_parquet(
     return _project(spark.read.parquet(path), columns)
 
 
-_READERS = {".csv": read_csv, ".json": read_json, ".parquet": read_parquet}
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    return _project(spark.read.orc(path), columns)
+
+
+_READERS = {
+    ".csv": read_csv,
+    ".json": read_json,
+    ".parquet": read_parquet,
+    ".orc": read_orc,
+}
+# transparent-compression suffixes Spark decompresses inline for
+# text-based formats: `snap.csv.gz` must dispatch as CSV
+_COMPRESSION_EXTS = {".gz", ".bz2", ".zst", ".deflate", ".snappy", ".lz4"}
+_SELF_DESCRIBING = {".parquet", ".orc"}
+
+
+def _dispatch_ext(path: str) -> str:
+    base, ext = os.path.splitext(path)
+    ext = ext.lower()
+    if ext in _COMPRESSION_EXTS:
+        ext = os.path.splitext(base)[1].lower()
+    return ext
 
 
 def read_file(
@@ -79,21 +102,23 @@ def read_file(
 ) -> DataFrame:
     """Format dispatch by extension (ref: loader.go:203-213).
 
-    Beyond parity: ``fmt`` overrides dispatch, and a directory path
-    (the normal shape for distributed datasets — a folder of part
-    files) is sniffed by its first data file's extension.
+    Beyond parity: ``fmt`` overrides dispatch; a directory path (the
+    normal shape for distributed datasets — a folder of part files)
+    is sniffed by its first data file's extension; a compression
+    suffix (``snap.csv.gz``) is stripped before dispatch — Spark
+    decompresses text formats inline.
     """
-    ext = f".{fmt.lstrip('.')}".lower() if fmt else os.path.splitext(path)[1].lower()
+    ext = f".{fmt.lstrip('.')}".lower() if fmt else _dispatch_ext(path)
     if not ext and os.path.isdir(path):
         for entry in sorted(os.listdir(path)):
-            cand = os.path.splitext(entry)[1].lower()
+            cand = _dispatch_ext(entry)
             if cand in _READERS:
                 ext = cand
                 break
     reader = _READERS.get(ext)
     if reader is None:
         raise SyncError(f"unsupported file format {ext!r} for {path!r}")
-    if ext == ".parquet":
+    if ext in _SELF_DESCRIBING:
         return reader(spark, path, columns=columns)
     return reader(spark, path, schema=schema, columns=columns, **options)
 

@@ -500,3 +500,38 @@ def test_projection_of_missing_column_errors(spark, tmp_path):
         read_json(spark, str(j), columns=["id", "value"])
     # requesting existing columns still projects (and prunes the scan)
     assert read_csv(spark, str(c), columns=["id"]).columns == ["id"]
+
+
+class TestFormatDispatchExtensions:
+    def test_orc_round_trip(self, spark, tmp_path):
+        from mydatasyncer_spark.contract import table
+        from mydatasyncer_spark.sources.readers import read_file
+
+        o = table(spark, SF_DIR_FOR_WRITER, "orders")
+        out = str(tmp_path / "orders_orc")
+        o.write.orc(out)
+        back = read_file(spark, out, fmt="orc")
+        assert back.count() == o.count()
+        assert set(back.columns) == set(o.columns)
+
+    def test_orc_directory_sniff(self, spark, tmp_path):
+        from mydatasyncer_spark.contract import table
+        from mydatasyncer_spark.sources.readers import read_file
+
+        o = table(spark, SF_DIR_FOR_WRITER, "region")
+        out = str(tmp_path / "region_orc")
+        o.write.orc(out)
+        # no fmt hint: dispatch sniffs part-file extensions
+        assert read_file(spark, out).count() == o.count()
+
+    def test_gzip_csv_dispatches_as_csv(self, spark, tmp_path):
+        import gzip
+
+        from mydatasyncer_spark.sources.readers import read_file
+
+        p = tmp_path / "snap.csv.gz"
+        with gzip.open(p, "wt") as fh:
+            fh.write("id,name\n1,a\n2,b\n")
+        df = read_file(spark, str(p))
+        assert df.count() == 2
+        assert df.columns == ["id", "name"]
