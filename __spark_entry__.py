@@ -735,6 +735,19 @@ def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (operators/text.
+    chunk_documents): chunk k starts at k*(size-overlap); JVM-side
+    sequence+explode+substring, no UDF. The pre-embedding/RAG shape."""
+    from mydatasyncer_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_size=500,
+        overlap=100,
+    )
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of orders (operators/validation.
     profile_columns): null count, distinct count, min/max — one scan,
@@ -2120,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ======== entries past the 50-query driver cap ===========
         "diff_pruned_counts": diff_pruned_counts,
         "table_profile": table_profile,
+        "doc_chunks": doc_chunks,
         "grouping_sets_parts": grouping_sets_parts,
         "distinct_agg_segments": distinct_agg_segments,
         "approx_sketches_segments": approx_sketches_segments,
@@ -2494,6 +2508,14 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
               (SELECT COUNT(*) FROM db_side d
                 WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_orderkey = d.o_orderkey)) AS n_delete
+        """,
+        "doc_chunks": """
+            SELECT d.doc_id,
+                   CAST(s.chunk_id AS BIGINT) AS chunk_id,
+                   CAST(s.chunk_id * 400 AS BIGINT) AS start_offset,
+                   substr(d.text, CAST(s.chunk_id * 400 + 1 AS BIGINT), 500) AS chunk_text
+            FROM documents d,
+                 unnest(range(0, GREATEST(1, CAST(ceil((length(d.text) - 100) / 400.0) AS BIGINT)))) AS s(chunk_id)
         """,
         "table_profile": """
             SELECT 'o_orderkey' AS column_name,

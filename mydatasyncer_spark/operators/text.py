@@ -187,3 +187,55 @@ def char_shingles(col: Column, n: int = 5) -> Column:
             lambda i: F.substring(col, i, F.lit(n)),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the standard pre-embedding/RAG shape.
+
+    Chunk k starts at ``k * (chunk_size - overlap)`` (0-based); the
+    last chunk may be short; a document shorter than one chunk yields
+    exactly one chunk. All JVM-side: a ``sequence`` of start offsets
+    fans out via ``explode`` (one shuffle-free projection — the row
+    explosion is ~len/stride per doc, the same fan-out class as
+    shingling, so repartition beforehand for parallelism on few
+    files), and ``substring`` slices each chunk.
+
+    Output: (id, chunk_id, start_offset, chunk_text) with 0-based
+    ``chunk_id``/``start_offset`` and 1-based slicing internally.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_size "
+            f"({chunk_size})"
+        )
+    stride = chunk_size - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.length(F.col(text_col)) - F.lit(overlap))
+            / F.lit(float(stride))
+        ).cast("int"),
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_t"),
+            F.explode(starts).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_offset"),
+            F.substring(
+                F.col("_t"), F.col("chunk_id") * stride + 1, chunk_size
+            ).alias("chunk_text"),
+        )
+    )

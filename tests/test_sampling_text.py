@@ -250,3 +250,45 @@ class TestMixWeightsProperty:
         out = SP.mix_weights(df, "source").collect()
         mass = sum(r["share"] * r["weight"] for r in out)
         assert mass == pytest.approx(1.0)
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, size, overlap):
+        from mydatasyncer_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            (r["chunk_id"], r["start_offset"], r["chunk_text"])
+            for r in chunk_documents(
+                df, chunk_size=size, overlap=overlap
+            ).collect()
+        )
+
+    def test_overlap_and_coverage(self, spark):
+        text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+        got = self._chunks(spark, text, size=10, overlap=4)
+        # stride 6: starts 0,6,12,18 -> ceil((26-4)/6)=4 chunks
+        assert [g[:2] for g in got] == [(0, 0), (1, 6), (2, 12), (3, 18)]
+        assert got[0][2] == "abcdefghij"
+        assert got[1][2] == "ghijklmnop"  # 4-char overlap with chunk 0
+        assert got[3][2] == "stuvwxyz"    # short tail
+        # reassembling strides reproduces the document
+        assert "".join(c[:6] for _, _, c in got[:-1]) + got[-1][2] == text
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._chunks(spark, "tiny", size=100, overlap=10)
+        assert got == [(0, 0, "tiny")]
+
+    def test_exact_fit_no_phantom_chunk(self, spark):
+        # len == chunk_size: exactly one chunk, no empty tail
+        got = self._chunks(spark, "x" * 10, size=10, overlap=4)
+        assert len(got) == 1
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, chunk_size=10, overlap=10)
