@@ -975,6 +975,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, pairs)
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein verification over adjacent-id pairs (the
+    SQL-reproducible blocking stand-in, as in dedup_ngram_jaccard) —
+    the strictest post-blocking verification measure; O(len²) per
+    pair, so strictly AFTER candidate pruning."""
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).filter(F.col("id_b") % 10 == 0)  # sample: levenshtein is quadratic
+    return D.edit_distance_pairs(d, pairs)
+
+
 def _dvec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -2134,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_pruned_counts": diff_pruned_counts,
         "table_profile": table_profile,
         "doc_chunks": doc_chunks,
+        "dedup_edit_distance": dedup_edit_distance,
         "grouping_sets_parts": grouping_sets_parts,
         "distinct_agg_segments": distinct_agg_segments,
         "approx_sketches_segments": approx_sketches_segments,
@@ -2738,6 +2751,16 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1.0),
                          6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "dedup_edit_distance": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.n, b.n) AS BIGINT) AS edit_distance,
+                   round(1.0 - CAST(levenshtein(a.n, b.n) AS DOUBLE)
+                         / greatest(length(a.n), length(b.n), 1),
+                         6) AS edit_similarity
+            FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
+            WHERE b.doc_id % 10 = 0
         """,
         "embedding_near_dup": f"""
             WITH e AS (SELECT vec_id, label, {_DVEC_SQL} AS v FROM embeddings)

@@ -581,3 +581,41 @@ def ngram_jaccard_pairs(
         .join(gb, "id_b")
         .select("id_a", "id_b", jaccard(F.col("ga"), F.col("gb")).alias("jaccard"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    pair_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Levenshtein distance (plus a length-normalized
+    similarity) for given (id_a, id_b) pairs — the strictest
+    verification measure after any blocking scheme.
+
+    Levenshtein is O(len_a × len_b) PER PAIR, so it belongs strictly
+    AFTER candidate pruning (LSH/SimHash buckets), never on raw pair
+    spaces. Distance is computed on normalized text by the JVM
+    built-in; similarity = 1 - dist/max_len ∈ [0, 1].
+    """
+    norm = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_n")
+    )
+    ta = norm.select(F.col(id_col).alias("id_a"), F.col("_n").alias("ta"))
+    tb = norm.select(F.col(id_col).alias("id_b"), F.col("_n").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    max_len = F.greatest(
+        F.length("ta"), F.length("tb"), F.lit(1)
+    )
+    return (
+        pair_df.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("bigint").alias("edit_distance"),
+            F.round(
+                F.lit(1.0) - dist / max_len.cast("double"), 6
+            ).alias("edit_similarity"),
+        )
+    )

@@ -636,3 +636,26 @@ class TestKmeans:
         ).collect()
         assert {r["query_id"] for r in out} == {0, 1, 2}
         assert all(r["cosine"] > 0.9 for r in out)
+
+
+def test_edit_distance_pairs(spark):
+    from mydatasyncer_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten and friends"),
+            (2, "sitting and friends"),
+            (3, "kitten and friends"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_distance"], r["edit_similarity"])
+        for r in edit_distance_pairs(docs, pairs).collect()
+    }
+    assert got[(1, 3)] == (0, 1.0)  # identical after normalization
+    assert got[(1, 2)][0] == 3  # kitten -> sitting
+    assert 0.0 < got[(1, 2)][1] < 1.0
