@@ -2092,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_update": diff_update,
         "diff_delete": diff_delete,
         "diff_plan_counts": diff_plan_counts,
+        "diff_pruned_counts": diff_pruned_counts,
         "canonical_stringify": canonical_stringify,
         "pk_validation_histogram": pk_validation_histogram,
         "duplicate_key_detection": duplicate_key_detection,
@@ -2104,12 +2105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_except": set_ops_except,
         "array_functions_pack": array_functions_pack,
         "pivot_event_type_counts": pivot_event_type_counts,
-        "unpivot_part_measures": unpivot_part_measures,
         # -- windows & event time ---------------------------------
         "trailing_hour_value": trailing_hour_value,
         "sessionization": sessionization,
         "tumbling_windows": tumbling_windows,
-        "event_gaps": event_gaps,
         "window_analytics_suite": window_analytics_suite,
         # -- special joins ----------------------------------------
         "semi_join_big_orders": semi_join_big_orders,
@@ -2123,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_pred": lang_id_pred,
         "tfidf_top_terms": tfidf_top_terms,
         "pii_redaction": pii_redaction,
+        "doc_chunks": doc_chunks,
         # -- deduplication ----------------------------------------
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2143,10 +2143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "curation_pipeline": curation_pipeline,
         # ======== entries past the 50-query driver cap ===========
-        "diff_pruned_counts": diff_pruned_counts,
         "table_profile": table_profile,
-        "doc_chunks": doc_chunks,
         "dedup_edit_distance": dedup_edit_distance,
+        "event_gaps": event_gaps,
+        "unpivot_part_measures": unpivot_part_measures,
         "grouping_sets_parts": grouping_sets_parts,
         "distinct_agg_segments": distinct_agg_segments,
         "approx_sketches_segments": approx_sketches_segments,
