@@ -748,6 +748,15 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators/partitioning.skew_report):
+    the 10 heaviest l_orderkey values with share and ratio-to-mean —
+    the pre-join check that decides salting vs AQE skew-split."""
+    from mydatasyncer_spark.operators.partitioning import skew_report
+
+    return skew_report(table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of orders (operators/validation.
     profile_columns): null count, distinct count, min/max — one scan,
@@ -2145,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ======== entries past the 50-query driver cap ===========
         "table_profile": table_profile,
         "dedup_edit_distance": dedup_edit_distance,
+        "skew_report_lineitem": skew_report_lineitem,
         "event_gaps": event_gaps,
         "unpivot_part_measures": unpivot_part_measures,
         "grouping_sets_parts": grouping_sets_parts,
@@ -2751,6 +2761,19 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1.0),
                          6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "skew_report_lineitem": """
+            WITH counts AS (
+                SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+            ), totals AS (
+                SELECT CAST(SUM(n) AS DOUBLE) AS total, AVG(n) AS mean FROM counts
+            )
+            SELECT key, CAST(n AS BIGINT) AS n_rows,
+                   round(n / total, 6) AS share,
+                   round(n / mean, 4) AS ratio_to_mean
+            FROM counts, totals
+            ORDER BY n DESC, key ASC
+            LIMIT 10
         """,
         "dedup_edit_distance": f"""
             WITH norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents)

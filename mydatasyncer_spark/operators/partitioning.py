@@ -49,3 +49,37 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the ``top_n`` heaviest keys with
+    their row counts, share of the table, and the ratio to the mean
+    key load — the number that says whether this key needs salting
+    (ratio >> 1) or AQE's skew-join split will carry it.
+
+    One groupBy + one tiny aggregate, broadcast back over the top-N
+    rows; nothing driver-side. Read it as: a 100 TB join shuffling on
+    this key puts ``share`` of the table into one task per listed key;
+    a ``ratio_to_mean`` of R means that task runs ~R× longer than the
+    average — salt by ~ceil(R) to level it.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("_total"),
+        F.avg("n").alias("_mean"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("key"))
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    return top.select(
+        "key",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        F.round(F.col("n") / F.col("_mean"), 4).alias("ratio_to_mean"),
+    )

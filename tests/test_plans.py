@@ -288,3 +288,32 @@ def test_incremental_minhash_no_corpus_self_join(spark, sf_dir):
         )
     )
     assert n_joins == 2, plan
+
+
+def test_large_large_join_is_sort_merge_without_broadcast(spark, sf_dir):
+    """The join-strategy spectrum: two fact tables joined with the
+    merge hint (or above the broadcast threshold at real scale) must
+    plan as a SortMergeJoin — the strategy a 100 TB fact-fact join
+    lands on — with no broadcast of either side."""
+    import contextlib
+    import io
+
+    from mydatasyncer_spark.contract import table
+
+    li = table(spark, sf_dir, "lineitem").hint("merge")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "o_orderdate", "l_quantity"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_skew_report_is_two_aggregates_no_row_collect(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "skew_report_lineitem")
+    assert plan.count("HashAggregate") >= 2  # partial + final per agg
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan

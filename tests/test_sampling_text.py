@@ -292,3 +292,18 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, chunk_size=10, overlap=10)
+
+
+class TestSkewReport:
+    def test_heavy_key_surfaces_with_ratio(self, spark):
+        from mydatasyncer_spark.operators.partitioning import skew_report
+
+        rows = [(1, "x")] * 90 + [(k, "y") for k in range(2, 12)]
+        df = spark.createDataFrame(rows, "k long, v string")
+        rep = skew_report(df, "k", top_n=3).collect()
+        assert rep[0]["key"] == 1
+        assert rep[0]["n_rows"] == 90
+        assert rep[0]["share"] == 0.9
+        # 11 distinct keys, mean load 100/11 ≈ 9.09 -> ratio ≈ 9.9
+        assert 9.0 < rep[0]["ratio_to_mean"] < 11.0
+        assert all(r["n_rows"] == 1 for r in rep[1:])
