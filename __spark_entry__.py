@@ -748,6 +748,23 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling (operators/sampling.cap_per_group): at most 30
+    docs per language, best-quality-first with doc_id tiebreak — the
+    mixture balancer."""
+    from mydatasyncer_spark.operators.sampling import cap_per_group
+    from mydatasyncer_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return cap_per_group(
+        d, "lang", 30, "quality", descending=True, tiebreak_col="doc_id"
+    )
+
+
 def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/partitioning.skew_report):
     the 10 heaviest l_orderkey values with share and ratio-to-mean —
@@ -2155,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": table_profile,
         "dedup_edit_distance": dedup_edit_distance,
         "skew_report_lineitem": skew_report_lineitem,
+        "cap_docs_per_lang": cap_docs_per_lang,
         "event_gaps": event_gaps,
         "unpivot_part_measures": unpivot_part_measures,
         "grouping_sets_parts": grouping_sets_parts,
@@ -2761,6 +2779,23 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1.0),
                          6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "cap_docs_per_lang": f"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       round(0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                             + 0.4 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                            / greatest(length(text), 1))
+                             + 0.3 * CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                                     / greatest(len({_TOKS_SQL}), 1), 6) AS quality
+                FROM documents
+            ), ranked AS (
+                SELECT doc_id, lang, quality,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY quality DESC, doc_id ASC) AS rn
+                FROM q
+            )
+            SELECT doc_id, lang, quality FROM ranked WHERE rn <= 30
         """,
         "skew_report_lineitem": """
             WITH counts AS (

@@ -198,3 +198,35 @@ def stratified_sample_hash(
             F.col(strata_col) == value, F.lit(int(round(frac * SPLIT_BUCKETS)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Quota sampling: keep at most ``n`` rows per group, picked by
+    ``order_col`` (best-first when ``descending``) — the corpus
+    balancer that stops one domain/language from swamping a mixture.
+
+    One rank window per group (single shuffle on ``group_col``);
+    deterministic via the explicit tiebreak (defaults to ``order_col``
+    then ``group_col`` order is NOT enough — pass an id column when
+    ``order_col`` has duplicates).
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.desc(order_col) if descending else F.asc(order_col)
+    ]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank")
+    )

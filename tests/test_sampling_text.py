@@ -307,3 +307,34 @@ class TestSkewReport:
         # 11 distinct keys, mean load 100/11 ≈ 9.09 -> ratio ≈ 9.9
         assert 9.0 < rep[0]["ratio_to_mean"] < 11.0
         assert all(r["n_rows"] == 1 for r in rep[1:])
+
+
+class TestCapPerGroup:
+    def test_caps_and_orders(self, spark):
+        from mydatasyncer_spark.operators.sampling import cap_per_group
+
+        rows = [(i, "a", float(i)) for i in range(10)] + [
+            (100, "b", 1.0)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, score double")
+        kept = cap_per_group(
+            df, "g", 3, "score", descending=True, tiebreak_col="id"
+        ).collect()
+        by_g = {}
+        for r in kept:
+            by_g.setdefault(r["g"], []).append(r["id"])
+        assert sorted(by_g["a"]) == [7, 8, 9]  # top-3 scores
+        assert by_g["b"] == [100]  # under-quota group intact
+
+    def test_deterministic_on_ties(self, spark):
+        from mydatasyncer_spark.operators.sampling import cap_per_group
+
+        rows = [(i, "a", 1.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, g string, score double")
+        a = sorted(
+            r["id"]
+            for r in cap_per_group(
+                df, "g", 5, "score", tiebreak_col="id"
+            ).collect()
+        )
+        assert a == [0, 1, 2, 3, 4]
