@@ -338,3 +338,54 @@ class TestCapPerGroup:
             ).collect()
         )
         assert a == [0, 1, 2, 3, 4]
+
+
+class TestChunkDocumentsProperties:
+    """Chunking invariants over arbitrary ASCII documents: stride
+    reassembly reproduces the text, every chunk respects the size
+    bound, and offsets follow the arithmetic contract."""
+
+    def test_reassembly_and_bounds(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mydatasyncer_spark.operators.text import chunk_documents
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            text=st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0,
+                max_size=300,
+            ),
+            size=st.integers(min_value=2, max_value=50),
+            overlap=st.integers(min_value=0, max_value=49),
+        )
+        def prop(text, size, overlap):
+            if overlap >= size:
+                return
+            stride = size - overlap
+            df = spark.createDataFrame(
+                [(1, text)], "doc_id long, text string"
+            )
+            chunks = sorted(
+                (r["chunk_id"], r["start_offset"], r["chunk_text"])
+                for r in chunk_documents(
+                    df, chunk_size=size, overlap=overlap
+                ).collect()
+            )
+            assert chunks, "at least one chunk always"
+            for cid, off, ctext in chunks:
+                assert off == cid * stride
+                assert len(ctext) <= size
+                assert ctext == text[off : off + size]
+            # stride-prefix reassembly reproduces the document
+            rebuilt = "".join(c[:stride] for _, _, c in chunks[:-1])
+            rebuilt += chunks[-1][2]
+            assert rebuilt == text
+
+        prop()
