@@ -2967,15 +2967,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "multimodal_features": """
+            -- BYTE-accurate twin of fake_decode (hex-pair arithmetic
+            -- over the UTF-8 payload, not codepoints): stays correct
+            -- even if the fixture corpus gains multi-byte text
+            WITH h AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS nb
+                FROM documents
+            )
             SELECT doc_id AS media_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   CAST(length(text) AS DOUBLE) AS f0,
-                   CAST(ord(substr(text, 1, 1)) AS DOUBLE) AS f1,
-                   CAST(ord(substr(text, -1, 1)) AS DOUBLE) AS f2,
-                   CAST(list_reduce([ord(substr(text, x, 1))
-                        for x in generate_series(1, least(64, length(text)))],
-                        (a, b) -> a + b) % 997 AS DOUBLE) AS f3
-            FROM documents
+                   CAST(nb AS BIGINT) AS n_bytes,
+                   CAST(nb AS DOUBLE) AS f0,
+                   CAST(COALESCE(TRY_CAST('0x' || substr(hx, 1, 2) AS INT), 0) AS DOUBLE) AS f1,
+                   CAST(COALESCE(TRY_CAST('0x' || substr(hx, 2 * nb - 1, 2) AS INT), 0) AS DOUBLE) AS f2,
+                   CAST(COALESCE(list_sum(
+                        [TRY_CAST('0x' || substr(hx, 2 * x - 1, 2) AS INT)
+                         for x in generate_series(1, least(64, nb))]), 0) % 997 AS DOUBLE) AS f3
+            FROM h
         """,
         "json_extract_events": """
             SELECT event_id, event_type,
