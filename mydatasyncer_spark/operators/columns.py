@@ -66,3 +66,48 @@ def determine_sync_columns(
     if primary_key not in cols:
         raise PrimaryKeyMissingError(primary_key, cols)
     return cols
+
+
+def schema_drift(
+    old_schema: "list[tuple[str, str]] | object",
+    new_schema: "list[tuple[str, str]] | object",
+) -> list[dict]:
+    """Structured drift report between two snapshot schemas: one entry
+    per added / removed / retyped column, empty when identical.
+
+    Accepts either ``[(name, type_string), ...]`` pairs or Spark
+    ``StructType`` objects (e.g. ``df.schema``). Pure metadata — the
+    natural pre-sync guard: a non-empty report means the file snapshot
+    no longer matches what the triple intersection silently narrows
+    to, so surface it instead of syncing a truncated column set.
+
+    Entries: ``{"column", "status", "old_type", "new_type"}`` with
+    status ∈ {"added", "removed", "type_changed"}; deterministic
+    (sorted by column name).
+    """
+
+    def _pairs(s):
+        if hasattr(s, "fields"):  # StructType
+            return [(f.name, f.dataType.simpleString()) for f in s.fields]
+        return [(n, str(t)) for n, t in s]
+
+    old = dict(_pairs(old_schema))
+    new = dict(_pairs(new_schema))
+    report: list[dict] = []
+    for name in sorted(old.keys() | new.keys()):
+        if name not in new:
+            report.append(
+                {"column": name, "status": "removed",
+                 "old_type": old[name], "new_type": None}
+            )
+        elif name not in old:
+            report.append(
+                {"column": name, "status": "added",
+                 "old_type": None, "new_type": new[name]}
+            )
+        elif old[name] != new[name]:
+            report.append(
+                {"column": name, "status": "type_changed",
+                 "old_type": old[name], "new_type": new[name]}
+            )
+    return report

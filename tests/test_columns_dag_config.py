@@ -278,3 +278,41 @@ class TestCli:
         assert dialect_for_url("jdbc:weirddb://h") == "ansi"
         with pytest.raises(Exception):
             dialect_for_url("mysql://not-jdbc")
+
+
+class TestSchemaDrift:
+    def test_added_removed_retyped(self, spark):
+        from mydatasyncer_spark.operators.columns import schema_drift
+
+        old = [("id", "bigint"), ("name", "string"), ("score", "double")]
+        new = [("id", "bigint"), ("name", "string"), ("score", "string"), ("tag", "string")]
+        rep = schema_drift(old, new)
+        assert rep == [
+            {"column": "score", "status": "type_changed",
+             "old_type": "double", "new_type": "string"},
+            {"column": "tag", "status": "added",
+             "old_type": None, "new_type": "string"},
+        ]
+        assert schema_drift(new, old) == [
+            {"column": "score", "status": "type_changed",
+             "old_type": "string", "new_type": "double"},
+            {"column": "tag", "status": "removed",
+             "old_type": "string", "new_type": None},
+        ]
+
+    def test_identical_schemas_empty(self, spark):
+        from mydatasyncer_spark.operators.columns import schema_drift
+
+        df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s")
+        assert schema_drift(df.schema, df.schema) == []
+
+    def test_structtype_input(self, spark):
+        from mydatasyncer_spark.operators.columns import schema_drift
+
+        a = spark.range(1).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        b = spark.range(1).selectExpr("id", "CAST(id AS STRING) AS v")
+        rep = schema_drift(a.schema, b.schema)
+        assert rep == [
+            {"column": "v", "status": "type_changed",
+             "old_type": "double", "new_type": "string"}
+        ]
