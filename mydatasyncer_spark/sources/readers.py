@@ -72,8 +72,18 @@ def read_orc(
     return _project(spark.read.orc(path), columns)
 
 
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    return read_csv(spark, path, schema=schema, delimiter="\t", columns=columns)
+
+
 _READERS = {
     ".csv": read_csv,
+    ".tsv": read_tsv,
     ".json": read_json,
     ".parquet": read_parquet,
     ".orc": read_orc,

@@ -535,3 +535,13 @@ class TestFormatDispatchExtensions:
         df = read_file(spark, str(p))
         assert df.count() == 2
         assert df.columns == ["id", "name"]
+
+    def test_tsv_dispatches_with_tab_delimiter(self, spark, tmp_path):
+        from mydatasyncer_spark.sources.readers import read_file
+
+        p = tmp_path / "snap.tsv"
+        p.write_text("id\tname\n1\ta,b\n2\tc\n")
+        df = read_file(spark, str(p))
+        assert df.columns == ["id", "name"]
+        rows = {r["id"]: r["name"] for r in df.collect()}
+        assert rows == {"1": "a,b", "2": "c"}  # comma survives in-field
