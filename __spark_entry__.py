@@ -30,6 +30,7 @@ from mydatasyncer_spark.operators.diff import (
     detect_inserts,
     detect_updates,
     diff_counts,
+    diff_snapshots,
 )
 from mydatasyncer_spark.operators.validation import annotate_issues
 
@@ -745,6 +746,28 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"),
         chunk_size=500,
         overlap=100,
+    )
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.maintain_rollup):
+    bootstrap the per-status revenue rollup from the DB snapshot, then
+    apply the file-vs-db diff's deltas — the oracle recomputes the
+    rollup DIRECTLY from the file side, so a hash match proves
+    maintained state == full recompute (including group moves from
+    updates and group drops from deletes)."""
+    from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
+
+    f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
+    state = rollup_state(d, ["o_orderstatus"], "o_totalprice")
+    diff = diff_snapshots(f, d, "o_orderkey", f.columns)
+    new_state = maintain_rollup(
+        state, diff, ["o_orderstatus"], "o_totalprice"
+    )
+    return new_state.select(
+        "o_orderstatus",
+        F.col("sum_val").cast("double").alias("sum_val"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
     )
 
 
@@ -2173,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": dedup_edit_distance,
         "skew_report_lineitem": skew_report_lineitem,
         "cap_docs_per_lang": cap_docs_per_lang,
+        "incremental_rollup": incremental_rollup,
         "event_gaps": event_gaps,
         "unpivot_part_measures": unpivot_part_measures,
         "grouping_sets_parts": grouping_sets_parts,
@@ -2779,6 +2803,14 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1.0),
                          6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "incremental_rollup": f"""
+            WITH {SNAPSHOT_SQL}
+            SELECT o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM file_side
+            GROUP BY o_orderstatus
         """,
         "cap_docs_per_lang": f"""
             WITH q AS (

@@ -41,6 +41,7 @@ from mydatasyncer_spark.operators.diff import (
     diff_snapshots,
     diff_snapshots_pruned,
 )
+from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
 from mydatasyncer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -86,6 +87,8 @@ __all__ = [
     "mix_weights",
     "diff_counts",
     "diff_snapshots_pruned",
+    "maintain_rollup",
+    "rollup_state",
 ]
 
 __version__ = "0.1.0"
