@@ -2142,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_delete": diff_delete,
         "diff_plan_counts": diff_plan_counts,
         "diff_pruned_counts": diff_pruned_counts,
+        "incremental_rollup": incremental_rollup,
         "canonical_stringify": canonical_stringify,
         "pk_validation_histogram": pk_validation_histogram,
         "duplicate_key_detection": duplicate_key_detection,
@@ -2149,7 +2150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- grouping & aggregation -------------------------------
         "rollup_revenue": rollup_revenue,
         "cube_orders_profile": cube_orders_profile,
-        "percentiles_by_segment": percentiles_by_segment,
         "sketch_error_bounds": sketch_error_bounds,
         "set_ops_except": set_ops_except,
         "array_functions_pack": array_functions_pack,
@@ -2196,7 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": dedup_edit_distance,
         "skew_report_lineitem": skew_report_lineitem,
         "cap_docs_per_lang": cap_docs_per_lang,
-        "incremental_rollup": incremental_rollup,
+        "percentiles_by_segment": percentiles_by_segment,
         "event_gaps": event_gaps,
         "unpivot_part_measures": unpivot_part_measures,
         "grouping_sets_parts": grouping_sets_parts,
