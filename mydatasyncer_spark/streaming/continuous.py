@@ -240,6 +240,69 @@ def continuous_dedup(
     return writer.start()
 
 
+def continuous_rollup(
+    stream_df: DataFrame,
+    primary_key: str,
+    group_cols: list[str],
+    value_col: str,
+    state_path: str,
+    snapshot_path: str,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_rollup",
+):
+    """Maintained rollup over a snapshot stream — the streaming form
+    of :mod:`mydatasyncer_spark.operators.ivm`.
+
+    Each micro-batch is ONE complete table snapshot (the
+    :func:`continuous_sync` convention). The batch is diffed against
+    the previously stored snapshot, the diff's deltas maintain the
+    stored rollup state, and both stores are replaced. Per batch the
+    aggregate work is delta-sized (ivm module docstring); only the
+    diff's anti/inner joins touch snapshot-sized data — the rollup is
+    never recomputed from scratch after bootstrap.
+
+    Both stores are parquet directories owned by this query. The new
+    state is materialized (``localCheckpoint``) BEFORE either store is
+    overwritten — Spark plans lazily, so overwriting an input path
+    before materialization would corrupt the very read it feeds.
+    Restart safety: re-processing the last snapshot diffs it against
+    itself (empty triple) — a no-op, so at-least-once replay
+    converges.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            prev = spark.read.parquet(snapshot_path)
+        except AnalysisException:
+            prev = None
+        if prev is None:
+            new_state = rollup_state(batch_df, group_cols, value_col)
+        else:
+            state = spark.read.parquet(state_path)
+            diff = diff_snapshots(batch_df, prev, primary_key)
+            new_state = maintain_rollup(
+                state, diff, group_cols, value_col
+            )
+        new_state = new_state.localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(state_path)
+        batch_df.write.mode("overwrite").parquet(snapshot_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def continuous_sync(
     stream_df: DataFrame,
     spec: TableSpec,

@@ -267,6 +267,58 @@ class TestContinuousDedup:
         assert [r["doc_id"] for r in rows] == [1]
 
 
+class TestContinuousRollup:
+    """Streaming IVM: the stored rollup after each snapshot must equal
+    a direct recompute of that snapshot."""
+
+    def test_state_tracks_snapshots(self, spark, tmp_path_factory):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import continuous_rollup
+
+        in_dir = tmp_path_factory.mktemp("roll_in")
+        out = tmp_path_factory.mktemp("roll_out")
+        ckpt = str(out / "ckpt")
+        state_p, snap_p = str(out / "state"), str(out / "snap")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "id long, g string, v double"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_rollup(
+                stream, "id", ["g"], "v", state_p, snap_p,
+                checkpoint_dir=ckpt,
+            )
+            q.awaitTermination(120)
+
+        snap1 = [
+            {"id": 1, "g": "a", "v": 10.0},
+            {"id": 2, "g": "a", "v": 5.0},
+            {"id": 3, "g": "b", "v": 7.0},
+        ]
+        drain(snap1, "s1.json")
+        got1 = {
+            r["g"]: (float(r["sum_val"]), r["n_rows"])
+            for r in spark.read.parquet(state_p).collect()
+        }
+        assert got1 == {"a": (15.0, 2), "b": (7.0, 1)}
+        # snapshot 2: update 1 (value), move 2 a->b, delete 3, insert 4 in new group
+        snap2 = [
+            {"id": 1, "g": "a", "v": 12.0},
+            {"id": 2, "g": "b", "v": 5.0},
+            {"id": 4, "g": "c", "v": 1.0},
+        ]
+        drain(snap2, "s2.json")
+        got2 = {
+            r["g"]: (float(r["sum_val"]), r["n_rows"])
+            for r in spark.read.parquet(state_p).collect()
+        }
+        assert got2 == {"a": (12.0, 1), "b": (5.0, 1), "c": (1.0, 1)}
+
+
 def test_enrich_stream_matches_batch_join(spark, sf_dir, event_dir):
     """Stream-static enrichment: every drained event carries its
     user's segment exactly as the batch broadcast join computes it."""
