@@ -99,3 +99,18 @@ class TestMaintainRollup:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+    def test_multi_column_groups(self, spark):
+        old_df = spark.createDataFrame(
+            [(1, "x", "p", 2.0), (2, "x", "q", 3.0), (3, "y", "p", 4.0)],
+            "id long, g1 string, g2 string, v double",
+        )
+        new_df = spark.createDataFrame(
+            [(1, "x", "q", 2.0), (3, "y", "p", 6.0), (4, "y", "q", 1.0)],
+            "id long, g1 string, g2 string, v double",
+        )
+        state = rollup_state(old_df, ["g1", "g2"], "v")
+        diff = diff_snapshots(new_df, old_df, "id")
+        maintained = maintain_rollup(state, diff, ["g1", "g2"], "v")
+        recomputed = rollup_state(new_df, ["g1", "g2"], "v")
+        assert _state_map(maintained) == _state_map(recomputed)
