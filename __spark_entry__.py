@@ -749,6 +749,23 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the mixture loop: mix_weights produces per-source
+    resampling weights; apply_mix_weights consumes them with a salted
+    deterministic hash keep-decision (broadcast weight join + narrow
+    filter, no corpus shuffle)."""
+    from mydatasyncer_spark.operators.sampling import (
+        apply_mix_weights,
+        mix_weights,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    w = mix_weights(d, "source")
+    return apply_mix_weights(
+        d, w, "source", "doc_id", base_rate=0.5
+    ).select("doc_id", "source", "lang")
+
+
 def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/ivm.maintain_rollup):
     bootstrap the per-status revenue rollup from the DB snapshot, then
@@ -2196,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": dedup_edit_distance,
         "skew_report_lineitem": skew_report_lineitem,
         "cap_docs_per_lang": cap_docs_per_lang,
+        "mix_resample_docs": mix_resample_docs,
         "percentiles_by_segment": percentiles_by_segment,
         "event_gaps": event_gaps,
         "unpivot_part_measures": unpivot_part_measures,
@@ -2803,6 +2821,23 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1.0),
                          6) AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "mix_resample_docs": f"""
+            WITH counts AS (
+                SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+            ), totals AS (
+                SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+                       CAST(COUNT(*) AS DOUBLE) AS k
+                FROM counts
+            ), w AS (
+                SELECT source,
+                       (1.0 / k) / (CAST(n_docs AS DOUBLE) / total) AS weight
+                FROM counts, totals
+            )
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN w USING (source)
+            WHERE {SP.hash_bucket_sql('doc_id', salt='mix')}
+                  < CAST(floor(least(1.0, 0.5 * weight) * 10000.0) AS BIGINT)
         """,
         "incremental_rollup": f"""
             WITH {SNAPSHOT_SQL}

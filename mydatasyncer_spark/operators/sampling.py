@@ -230,3 +230,40 @@ def cap_per_group(
         .filter(F.col("_rank") <= n)
         .drop("_rank")
     )
+
+
+def apply_mix_weights(
+    df: DataFrame,
+    weights_df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    base_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Consume :func:`mix_weights` output: deterministically keep each
+    document with probability ``min(1, base_rate × weight(domain))``,
+    so the sampled corpus lands on the target mixture (up to weights
+    that exceed 1/base_rate, which saturate at keep-everything —
+    over-represented domains are downsampled exactly; genuinely
+    under-represented ones can only be kept whole, not duplicated).
+
+    Deterministic: the keep decision is a salted hash bucket of the
+    id, so re-runs (and different partitionings) sample the same
+    documents. Plan: one broadcast join of the tiny weight table plus
+    a narrow filter — no shuffle of the corpus.
+    """
+    w = F.broadcast(
+        weights_df.select(domain_col, F.col("weight").alias("_w"))
+    )
+    keep_p = F.least(F.lit(1.0), F.lit(base_rate) * F.col("_w"))
+    bucket = hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt=salt)
+    return (
+        df.join(w, domain_col)
+        .filter(
+            # floor, not round: identical in every engine (round
+            # half-up vs half-even would disagree on exact .5 edges)
+            bucket
+            < F.floor(keep_p * F.lit(float(SPLIT_BUCKETS))).cast("bigint")
+        )
+        .drop("_w")
+    )

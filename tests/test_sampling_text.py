@@ -389,3 +389,32 @@ class TestChunkDocumentsProperties:
             assert rebuilt == text
 
         prop()
+
+
+class TestApplyMixWeights:
+    def test_downsamples_heavy_domain_and_is_deterministic(self, spark):
+        from mydatasyncer_spark.operators.sampling import (
+            apply_mix_weights,
+            mix_weights,
+        )
+
+        rows = [(i, "heavy") for i in range(3000)] + [
+            (10000 + i, "light") for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        w = mix_weights(df, "source")
+        kept = apply_mix_weights(df, w, "source", "doc_id", base_rate=1.0)
+        by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()}
+        # uniform target over 2 domains: heavy weight = 0.5/(3000/3600)=0.6
+        # -> ~1800 kept; light weight = 0.5/(600/3600)=3 -> saturates, all kept
+        assert by["light"] == 600
+        assert 1500 < by["heavy"] < 2100
+        # deterministic under repartitioning
+        again = apply_mix_weights(
+            df.repartition(13), w, "source", "doc_id", base_rate=1.0
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
