@@ -814,6 +814,19 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(table(spark, sf_dir, "lineitem"), "l_orderkey")
 
 
+def doc_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (operators/text.chunk_documents_by_tokens):
+    64-token windows with 8-token overlap — sequence fan-out + array
+    slice, no UDF."""
+    from mydatasyncer_spark.operators.text import chunk_documents_by_tokens
+
+    return chunk_documents_by_tokens(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_tokens=64,
+        overlap_tokens=8,
+    )
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of orders (operators/validation.
     profile_columns): null count, distinct count, min/max — one scan,
@@ -2210,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         # ======== entries past the 50-query driver cap ===========
         "table_profile": table_profile,
+        "doc_chunks_tokens": doc_chunks_tokens,
         "dedup_edit_distance": dedup_edit_distance,
         "skew_report_lineitem": skew_report_lineitem,
         "cap_docs_per_lang": cap_docs_per_lang,
@@ -2876,6 +2890,20 @@ def oracle_sql() -> dict[str, str]:
             FROM counts, totals
             ORDER BY n DESC, key ASC
             LIMIT 10
+        """,
+        "doc_chunks_tokens": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            n AS (
+                SELECT doc_id, t,
+                       GREATEST(1, CAST(ceil((len(t) - 8) / 56.0) AS BIGINT)) AS nc
+                FROM toks
+            )
+            SELECT n.doc_id,
+                   CAST(s.chunk_id AS BIGINT) AS chunk_id,
+                   CAST(s.chunk_id * 56 AS BIGINT) AS start_token,
+                   CAST(len(n.t[s.chunk_id * 56 + 1 : s.chunk_id * 56 + 64]) AS INT) AS n_tokens,
+                   array_to_string(n.t[s.chunk_id * 56 + 1 : s.chunk_id * 56 + 64], ' ') AS chunk_text
+            FROM n, unnest(range(0, n.nc)) AS s(chunk_id)
         """,
         "dedup_edit_distance": f"""
             WITH norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents)

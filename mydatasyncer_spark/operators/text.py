@@ -239,3 +239,56 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def chunk_documents_by_tokens(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget chunking: split on whitespace tokens into windows
+    of ``chunk_tokens`` with ``overlap_tokens`` shared between
+    neighbors — the form a packing/embedding stage with a token budget
+    consumes (char chunks can split mid-word; token chunks can't).
+
+    Same JVM-side shape as :func:`chunk_documents` — sequence fan-out
+    + array ``slice`` (1-based), zero UDFs. Output: (id, chunk_id,
+    start_token, n_tokens, chunk_text) with 0-based chunk ids and
+    token offsets.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be smaller than "
+            f"chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.size("_t") - F.lit(overlap_tokens)) / F.lit(float(stride))
+        ).cast("int"),
+    )
+    sliced = toked.select(
+        id_col,
+        "_t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_token"),
+        F.slice(
+            F.col("_t"), F.col("chunk_id") * stride + 1, chunk_tokens
+        ).alias("_c"),
+    )
+    return sliced.select(
+        id_col,
+        "chunk_id",
+        "start_token",
+        F.size("_c").alias("n_tokens"),
+        F.concat_ws(" ", "_c").alias("chunk_text"),
+    )

@@ -418,3 +418,33 @@ class TestApplyMixWeights:
         assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
             r["doc_id"] for r in again.collect()
         )
+
+
+class TestChunkByTokens:
+    def test_token_windows_and_overlap(self, spark):
+        from mydatasyncer_spark.operators.text import (
+            chunk_documents_by_tokens,
+        )
+
+        text = " ".join(f"w{i}" for i in range(20))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = sorted(
+            (r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents_by_tokens(
+                df, chunk_tokens=8, overlap_tokens=2
+            ).collect()
+        )
+        # stride 6: ceil((20-2)/6)=3 chunks at token offsets 0,6,12
+        assert [(g[0], g[1]) for g in got] == [(0, 0), (1, 6), (2, 12)]
+        assert got[0][3].split() == [f"w{i}" for i in range(8)]
+        assert got[1][3].split()[:2] == ["w6", "w7"]  # 2-token overlap
+        assert got[2][2] == 8 and got[2][3].split()[-1] == "w19"
+
+    def test_short_doc_one_chunk(self, spark):
+        from mydatasyncer_spark.operators.text import (
+            chunk_documents_by_tokens,
+        )
+
+        df = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
+        got = chunk_documents_by_tokens(df, chunk_tokens=50, overlap_tokens=5).collect()
+        assert len(got) == 1 and got[0]["n_tokens"] == 2
