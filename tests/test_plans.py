@@ -317,3 +317,19 @@ def test_skew_report_is_two_aggregates_no_row_collect(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "skew_report_lineitem")
     assert plan.count("HashAggregate") >= 2  # partial + final per agg
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mix_resample_is_broadcast_join_only(spark, sf_dir):
+    """Weight application must broadcast the tiny weight table and
+    never shuffle the corpus — the whole resample is scan + filter."""
+    plan = plan_of(spark, sf_dir, "mix_resample_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_chunking_is_narrow(spark, sf_dir):
+    """Chunk fan-out is a per-row explode — no Exchange anywhere."""
+    plan = plan_of(spark, sf_dir, "doc_chunks_tokens")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
