@@ -1044,6 +1044,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(table(spark, sf_dir, "documents"))
 
 
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=1 SimHash pairs via the bit-flip variant index
+    (operators/dedup.simhash_near_pairs); the oracle recomputes
+    signatures and brute-force joins on bit_count(xor) <= 1 — variant
+    recall must be EXACTLY the brute-force pair set."""
+    return D.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=1
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over adjacent-id pairs (a stand-in
     blocking scheme that is exactly reproducible in SQL)."""
@@ -2224,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ======== entries past the 50-query driver cap ===========
         "table_profile": table_profile,
         "doc_chunks_tokens": doc_chunks_tokens,
+        "dedup_simhash_near": dedup_simhash_near,
         "dedup_edit_distance": dedup_edit_distance,
         "skew_report_lineitem": skew_report_lineitem,
         "cap_docs_per_lang": cap_docs_per_lang,
@@ -2822,6 +2833,13 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_near": f"""
+            WITH sigs AS ({_simhash_sql()})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        """,
         "dedup_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
             grams AS (

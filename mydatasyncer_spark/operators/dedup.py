@@ -540,6 +540,65 @@ def simhash_buckets(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """(id_a < id_b) pairs within ``max_hamming`` signature bits — the
+    bit-flip index that upgrades SimHash from exact-bucket to real
+    near-dup recall.
+
+    Standard variant trick: each doc emits its signature plus every
+    signature within ``max_hamming`` single-bit flips (1 + bits keys
+    for hamming 1; + C(bits,2) for hamming 2), and VARIANT keys
+    equi-join against ORIGINAL keys — a doc at hamming distance h ≤
+    max_hamming from another shares at least one (variant, original)
+    bucket. The pair space stays bucket-bounded (same argument as the
+    MinHash band join); the fan-out factor is the fixed variant count,
+    independent of corpus size. Exact hamming distance is re-computed
+    per candidate (bit_count of the XOR) and pairs are filtered to
+    ``<= max_hamming``, so false bucket collisions never survive.
+    """
+    if max_hamming not in (1, 2):
+        raise ValueError("max_hamming must be 1 or 2")
+    masks = [0] + [1 << b for b in range(bits)]
+    if max_hamming == 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    sig = simhash(df, text_col, id_col, bits)
+    variants = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[F.col("simhash").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("vkey"),
+    )
+    orig = sig.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        variants.join(orig, variants.vkey == orig.sig_b)
+        .filter(F.col(id_col) < F.col("id_b"))
+        .select(
+            F.col(id_col).alias("id_a"),
+            "id_b",
+            F.col("simhash").alias("sig_a"),
+            "sig_b",
+        )
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------- ngram jaccard
 
 

@@ -659,3 +659,48 @@ def test_edit_distance_pairs(spark):
     assert got[(1, 3)] == (0, 1.0)  # identical after normalization
     assert got[(1, 2)][0] == 3  # kitten -> sitting
     assert 0.0 < got[(1, 2)][1] < 1.0
+
+
+class TestSimhashNearPairs:
+    def test_finds_hamming1_pairs_exactly(self, spark):
+        """Brute-force cross-check: the variant join must produce
+        exactly the pairs whose signatures differ by <= max_hamming
+        bits."""
+        from mydatasyncer_spark.operators.dedup import (
+            simhash,
+            simhash_near_pairs,
+        )
+
+        rows = [
+            (i, f"shared tokens alpha beta gamma doc{i % 7} tail{i % 3}")
+            for i in range(1, 41)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        want = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 1
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(docs, max_hamming=1).collect()
+        }
+        assert got == want
+        assert want, "fixture produced no near pairs to check"
+
+    def test_hamming_column_is_exact(self, spark):
+        from mydatasyncer_spark.operators.dedup import (
+            simhash,
+            simhash_near_pairs,
+        )
+
+        rows = [(i, f"alpha beta gamma delta doc{i % 5}") for i in range(1, 30)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        for r in simhash_near_pairs(docs, max_hamming=2).collect():
+            assert r["hamming"] == bin(
+                sigs[r["id_a"]] ^ sigs[r["id_b"]]
+            ).count("1")
+            assert r["hamming"] <= 2
