@@ -91,12 +91,23 @@ def maintain_rollup(
     grouped = deltas.groupBy(*group_cols).agg(
         F.sum("_dv").alias("_dv"), F.sum("_dn").alias("_dn")
     )
+    # null-SAFE join keys: a plain `on=group_cols` treats NULL group
+    # values as non-matching, splitting a NULL group into a stale
+    # state row plus an unmerged delta row (groupBy treats NULL as a
+    # regular group, the join must too)
+    cond = None
+    for c in group_cols:
+        e = F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = e if cond is None else cond & e
     joined = state_df.alias("s").join(
-        grouped.alias("d"), on=group_cols, how="full_outer"
+        grouped.alias("d"), on=cond, how="full_outer"
     )
     zero = F.lit(0).cast(dec)
     return joined.select(
-        *group_cols,
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in group_cols
+        ],
         (
             F.coalesce(F.col(f"s.{_SUM}"), zero)
             + F.coalesce(F.col("d._dv"), zero)

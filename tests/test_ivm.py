@@ -114,3 +114,20 @@ class TestMaintainRollup:
         maintained = maintain_rollup(state, diff, ["g1", "g2"], "v")
         recomputed = rollup_state(new_df, ["g1", "g2"], "v")
         assert _state_map(maintained) == _state_map(recomputed)
+
+    def test_null_group_keys_merge(self, spark):
+        """NULL is a regular group to groupBy — the maintenance join
+        must match it too (a plain join would split the NULL group
+        into a stale state row plus an unmerged delta row)."""
+        old_df = spark.createDataFrame(
+            [(1, None, 5.0), (2, "a", 3.0)], "id long, g string, v double"
+        )
+        new_df = spark.createDataFrame(
+            [(1, None, 7.0), (2, "a", 3.0), (3, None, 1.0)],
+            "id long, g string, v double",
+        )
+        state = rollup_state(old_df, ["g"], "v")
+        diff = diff_snapshots(new_df, old_df, "id")
+        maintained = maintain_rollup(state, diff, ["g"], "v")
+        recomputed = rollup_state(new_df, ["g"], "v")
+        assert _state_map(maintained) == _state_map(recomputed)
