@@ -253,12 +253,18 @@ def apply_mix_weights(
     a narrow filter — no shuffle of the corpus.
     """
     w = F.broadcast(
-        weights_df.select(domain_col, F.col("weight").alias("_w"))
+        weights_df.select(
+            F.col(domain_col).alias("_wd"), F.col("weight").alias("_w")
+        )
     )
     keep_p = F.least(F.lit(1.0), F.lit(base_rate) * F.col("_w"))
     bucket = hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt=salt)
     return (
-        df.join(w, domain_col)
+        # null-safe: mix_weights treats a NULL domain as a regular
+        # group, so the weight application must match it rather than
+        # silently dropping null-domain documents on an inner join
+        df.join(w, F.col(domain_col).eqNullSafe(F.col("_wd")))
+        .drop("_wd")
         .filter(
             # floor, not round: identical in every engine (round
             # half-up vs half-even would disagree on exact .5 edges)

@@ -448,3 +448,17 @@ class TestChunkByTokens:
         df = spark.createDataFrame([(1, "just two")], "doc_id long, text string")
         got = chunk_documents_by_tokens(df, chunk_tokens=50, overlap_tokens=5).collect()
         assert len(got) == 1 and got[0]["n_tokens"] == 2
+
+    def test_null_domain_docs_keep_their_weight(self, spark):
+        from mydatasyncer_spark.operators.sampling import (
+            apply_mix_weights,
+            mix_weights,
+        )
+
+        rows = [(i, None) for i in range(50)] + [(100 + i, "a") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        w = mix_weights(df, "source")
+        kept = apply_mix_weights(df, w, "source", "doc_id", base_rate=1.0)
+        # uniform 2-group target -> both weights 1.0 -> keep everything,
+        # INCLUDING the null-domain docs (an inner join would drop them)
+        assert kept.count() == 100
