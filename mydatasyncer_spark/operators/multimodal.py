@@ -115,6 +115,43 @@ def extract_features(
     )
 
 
+def extract_features_jvm(df: DataFrame) -> DataFrame:
+    """JVM-expression twin of ``extract_features(decode_fn=fake_decode)``.
+
+    The fake codec's four summary floats — byte count, first byte,
+    last byte, sum of the first 64 bytes mod 997 — are pure byte
+    arithmetic, so they compile to whole-stage-codegen expressions
+    (hex → per-pair ``conv`` fold) with no Arrow transfer at all.
+    This is the path contract queries use; ``extract_features`` stays
+    as the Arrow-batched route a *real* codec (pillow/librosa/pyav)
+    must take, since actual decoding cannot be a SQL expression.
+    Byte-accurate: operates on the binary payload, not codepoints.
+    """
+    nb = F.coalesce(F.octet_length("payload"), F.lit(0))
+    # hex of the first 64 bytes: ≤128 chars, one pair per byte
+    hx = F.hex(F.expr("substring(payload, 1, 64)"))
+    first = F.coalesce(
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("double"), F.lit(0.0)
+    )
+    last = F.coalesce(
+        F.conv(F.hex(F.expr("substring(payload, -1, 1)")), 16, 10).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    byte_sum = F.aggregate(
+        F.regexp_extract_all(hx, F.lit("(..)"), 1),
+        F.lit(0).cast("long"),
+        lambda acc, pair: acc + F.conv(pair, 16, 10).cast("long"),
+    )
+    f3 = F.coalesce((byte_sum % 997).cast("double"), F.lit(0.0))
+    return df.select(
+        "media_id",
+        nb.cast("long").alias("n_bytes"),
+        F.array(nb.cast("double"), first, last, f3).alias("feature"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -316,6 +316,28 @@ class TestMultimodal:
         assert row["n_bytes"] == row["feature"][0]
         assert len(row["feature"]) == 4
 
+    def test_jvm_codec_twin_matches_arrow_path(self, spark):
+        # multi-byte UTF-8, empty, >64-byte, and NULL payloads: the
+        # JVM expression twin must be byte-identical to the Arrow path
+        rows = [
+            (1, "plain ascii payload"),
+            (2, "naïve — déjà vu ✓ 日本語"),
+            (3, ""),
+            (4, "x" * 300),
+            (5, None),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        media = M.attach_binary_payload(docs)
+        arrow = {
+            r["media_id"]: (r["n_bytes"], r["feature"])
+            for r in M.extract_features(media).collect()
+        }
+        jvm = {
+            r["media_id"]: (r["n_bytes"], r["feature"])
+            for r in M.extract_features_jvm(media).collect()
+        }
+        assert arrow == jvm
+
     def test_real_codec_is_explicit_stub(self):
         with pytest.raises(NotImplementedError, match="image/png"):
             M.decode_with_real_codec("image/png")
