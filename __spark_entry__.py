@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mydatasyncer_spark.contract import (
+    SNAPSHOT_LOCALIZED_SQL,
     SNAPSHOT_SQL,
     dsum,
     snapshot_db,
@@ -669,6 +670,57 @@ def diff_pruned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_delete")
     )
     return ins.crossJoin(upd).crossJoin(dele)
+
+
+def _diff_counts_triple(res) -> DataFrame:
+    ins = res.to_insert.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_insert")
+    )
+    upd = res.to_update.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_update")
+    )
+    dele = res.to_delete.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_delete")
+    )
+    return ins.crossJoin(upd).crossJoin(dele)
+
+
+def diff_pruned_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned diff on the LOCALIZED-change fixture: mutations confined
+    to 3 of 64 key-range buckets (contract.snapshot_*_localized — the
+    daily-sync shape), pruned with the matching range bucket_fn so the
+    wide joins see ~3/64 of each snapshot. Oracle = the full diff
+    counts: pruning must be invisible. Benchmarked side by side with
+    diff_full_localized — the pair is the measured pruning win."""
+    from mydatasyncer_spark.contract import (
+        localized_bucket,
+        snapshot_db_localized,
+        snapshot_file_localized,
+    )
+    from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+
+    f = snapshot_file_localized(spark, sf_dir)
+    d = snapshot_db_localized(spark, sf_dir)
+    res = diff_snapshots_pruned(
+        f, d, "o_pk", f.columns, n_buckets=64, bucket_fn=localized_bucket
+    )
+    return _diff_counts_triple(res)
+
+
+def diff_full_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNpruned diff over the same localized-change fixture —
+    the baseline diff_pruned_localized is measured against."""
+    from mydatasyncer_spark.contract import (
+        snapshot_db_localized,
+        snapshot_file_localized,
+    )
+    from mydatasyncer_spark.operators.diff import diff_snapshots
+
+    f = snapshot_file_localized(spark, sf_dir)
+    d = snapshot_db_localized(spark, sf_dir)
+    return _diff_counts_triple(
+        diff_snapshots(f, d, "o_pk", f.columns)
+    )
 
 
 # --------------------------------------------------- canonicalization (P3)
@@ -2240,6 +2292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation_pipeline,
         "incremental_rollup": incremental_rollup,
         "diff_pruned_counts": diff_pruned_counts,
+        "diff_pruned_localized": diff_pruned_localized,
+        "diff_full_localized": diff_full_localized,
         "dedup_exact_best_quality": dedup_exact_best_quality,
         "running_total_events": running_total_events,
         "sliding_windows_events": sliding_windows_events,
@@ -2249,10 +2303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_assign": dedup_cluster_assign,
         "dedup_simhash": dedup_simhash,
         "doc_chunks": doc_chunks,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_rolling_hash": doc_rolling_hash,
         # ======== entries past the 50-query driver cap ===========
         # (all green in CORRECTNESS_r03 or earlier and untouched)
+        "doc_fingerprint": doc_fingerprint,
+        "doc_rolling_hash": doc_rolling_hash,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -2637,6 +2691,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
               (SELECT COUNT(*) FROM db_side d
                 WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_orderkey = d.o_orderkey)) AS n_delete
+        """,
+        "diff_pruned_localized": f"""
+            WITH {SNAPSHOT_LOCALIZED_SQL}
+            SELECT
+              (SELECT COUNT(*) FROM file_side f
+                WHERE NOT EXISTS (SELECT 1 FROM db_side d WHERE d.o_pk = f.o_pk)) AS n_insert,
+              (SELECT COUNT(*) FROM file_side f JOIN db_side d USING (o_pk)
+                WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
+              (SELECT COUNT(*) FROM db_side d
+                WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_pk = d.o_pk)) AS n_delete
+        """,
+        "diff_full_localized": f"""
+            WITH {SNAPSHOT_LOCALIZED_SQL}
+            SELECT
+              (SELECT COUNT(*) FROM file_side f
+                WHERE NOT EXISTS (SELECT 1 FROM db_side d WHERE d.o_pk = f.o_pk)) AS n_insert,
+              (SELECT COUNT(*) FROM file_side f JOIN db_side d USING (o_pk)
+                WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
+              (SELECT COUNT(*) FROM db_side d
+                WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_pk = d.o_pk)) AS n_delete
         """,
         "doc_chunks": """
             SELECT d.doc_id,

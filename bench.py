@@ -29,6 +29,8 @@ HEADLINE = [
     "diff_insert",
     "diff_update",
     "diff_delete",
+    "diff_pruned_localized",
+    "diff_full_localized",
     "canonical_stringify",
     "pk_validation_histogram",
     "duplicate_key_detection",
@@ -102,7 +104,7 @@ def main() -> None:
         by_slow = sorted(timings, key=timings.get, reverse=True)
         keep = len(by_slow)
         while keep > 1 and len(line) > 1800:
-            keep -= 5
+            keep = max(1, keep - 5)
             shown = {k: round(timings[k], 2) for k in by_slow[:keep]}
             line = json.dumps(payload(shown, len(timings) - keep))
     print(line)

@@ -16,7 +16,7 @@ Cross-engine determinism rules used by every query/oracle pair:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -114,5 +114,69 @@ file_side AS (
                 ELSE o_totalprice END AS o_totalprice,
            o_orderdate, o_orderpriority
     FROM orders WHERE o_orderkey % 10 <> 3
+)
+"""
+
+
+# --- localized snapshot pair (the daily-sync shape) -----------------
+# Changes confined to 3 of 64 key-RANGE buckets, bucket(k) =
+# (k div 512) % 64: updates in bucket 3, deletes in bucket 7 (file
+# drops them), inserts in bucket 11 (db lacks them). The snapshots
+# amplify orders 8× with derived keys (k*8+i, still unique) so the
+# wide diff is genuinely shuffle-bound at sf0.1 — at 150 k rows the
+# joins cost less than one Spark job barrier and no pruning strategy
+# is measurable. Modular arithmetic keeps the whole pair (and the 8×
+# amplification, a cross join with range(8)) DuckDB-reproducible.
+
+_RANGE_BUCKET = "pmod(o_pk div 512, 64)"
+
+
+def localized_bucket(df: DataFrame) -> Column:
+    return F.expr(_RANGE_BUCKET)
+
+
+def _orders_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rep = o.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(7))))
+    return rep.select(
+        (F.col("o_orderkey") * 8 + F.col("_r")).alias("o_pk"),
+        *[c for c in o.columns if c != "o_orderkey"],
+    )
+
+
+def snapshot_db_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _orders_amplified(spark, sf_dir).filter(
+        F.expr(f"{_RANGE_BUCKET} <> 11")
+    )
+
+
+def snapshot_file_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders_amplified(spark, sf_dir).filter(
+        F.expr(f"{_RANGE_BUCKET} <> 7")
+    )
+    return o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.expr(f"{_RANGE_BUCKET} = 3"), F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+
+SNAPSHOT_LOCALIZED_SQL = """
+amplified AS (
+    SELECT o.o_orderkey * 8 + r.i AS o_pk,
+           o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders o CROSS JOIN (SELECT unnest(range(0, 8)) AS i) r
+),
+db_side AS (
+    SELECT * FROM amplified WHERE ((o_pk // 512) % 64) <> 11
+),
+file_side AS (
+    SELECT o_pk, o_custkey, o_orderstatus,
+           CASE WHEN ((o_pk // 512) % 64) = 3 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM amplified WHERE ((o_pk // 512) % 64) <> 7
 )
 """

@@ -23,6 +23,7 @@ small DB side gets broadcast automatically (autoBroadcastJoinThreshold
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -191,6 +192,7 @@ def changed_buckets(
     primary_key: str,
     columns: list[str] | None = None,
     n_buckets: int = 256,
+    bucket_fn: "Callable[[DataFrame], Column] | None" = None,
 ) -> list[int]:
     """Bucket ids whose content differs between the two snapshots.
 
@@ -207,15 +209,23 @@ def changed_buckets(
     The returned list is bounded by ``n_buckets`` (a driver-side
     collect of a few hundred ints, same class as the dry-run's
     bounded aggregates — never row data).
+
+    ``bucket_fn`` overrides the default key-hash bucketing with any
+    deterministic ``DataFrame -> Column`` in ``[0, n_buckets)`` — e.g.
+    a key-RANGE bucket for data whose daily changes cluster by key
+    (append-mostly tables), where range buckets localize changes that
+    a hash would scatter across every bucket.
     """
     if columns is None:
         columns = [c for c in file_df.columns if c in set(db_df.columns)]
+    if bucket_fn is None:
+        bucket_fn = lambda d: bucket_col(d, primary_key, n_buckets)  # noqa: E731
 
     def summarize(df: DataFrame, side: str) -> DataFrame:
         p = df.select(*columns)
         return (
             p.select(
-                bucket_col(p, primary_key, n_buckets).alias("_bucket"),
+                bucket_fn(p).alias("_bucket"),
                 row_fingerprint(p, columns).alias("_fp"),
             )
             .groupBy("_bucket")
@@ -241,6 +251,7 @@ def diff_snapshots_pruned(
     columns: list[str] | None = None,
     n_buckets: int = 256,
     delete_not_in_file: bool = True,
+    bucket_fn: "Callable[[DataFrame], Column] | None" = None,
 ) -> DiffResult:
     """:func:`diff_snapshots`, but the three wide joins only read the
     key-hash buckets whose fingerprints changed.
@@ -261,9 +272,13 @@ def diff_snapshots_pruned(
     """
     if columns is None:
         columns = [c for c in file_df.columns if c in set(db_df.columns)]
+    if bucket_fn is None:
+        bucket_fn = lambda d: bucket_col(d, primary_key, n_buckets)  # noqa: E731
     file_p = file_df.select(*columns)
     db_p = db_df.select(*columns)
-    buckets = changed_buckets(file_p, db_p, primary_key, columns, n_buckets)
+    buckets = changed_buckets(
+        file_p, db_p, primary_key, columns, n_buckets, bucket_fn
+    )
     if not buckets:
         empty = DiffResult(
             file_p.limit(0),
@@ -271,8 +286,8 @@ def diff_snapshots_pruned(
             db_p.limit(0),
         )
         return empty
-    fb = file_p.filter(bucket_col(file_p, primary_key, n_buckets).isin(buckets))
-    db = db_p.filter(bucket_col(db_p, primary_key, n_buckets).isin(buckets))
+    fb = file_p.filter(bucket_fn(file_p).isin(buckets))
+    db = db_p.filter(bucket_fn(db_p).isin(buckets))
     return diff_snapshots(fb, db, primary_key, columns, delete_not_in_file)
 
 

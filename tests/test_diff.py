@@ -188,6 +188,33 @@ class TestPrunedDiff:
         )
         assert len(changed_buckets(f, d, "id", n_buckets=64)) == 1
 
+    def test_range_bucket_fn_localizes_key_range_changes(self, spark):
+        """A key-range change cluster scatters over ~every hash bucket
+        but lands in ONE range bucket — the bucket_fn override is what
+        makes pruning effective for append-mostly daily syncs."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.diff import (
+            changed_buckets,
+            diff_snapshots,
+            diff_snapshots_pruned,
+        )
+
+        rows_d = [(i, 0) for i in range(1024)]
+        # all 16 mutations inside key range [512, 528)
+        rows_f = [(i, 1 if 512 <= i < 528 else 0) for i in range(1024)]
+        d = spark.createDataFrame(rows_d, "id long, v long")
+        f = spark.createDataFrame(rows_f, "id long, v long")
+        range_fn = lambda df: F.expr("pmod(id div 16, 64)")  # noqa: E731
+        hashed = changed_buckets(f, d, "id", n_buckets=64)
+        ranged = changed_buckets(f, d, "id", n_buckets=64, bucket_fn=range_fn)
+        assert len(ranged) == 1  # keys 512..527 = range bucket 32
+        assert len(hashed) > len(ranged)  # hash scatters the cluster
+        pruned = diff_snapshots_pruned(
+            f, d, "id", n_buckets=64, bucket_fn=range_fn
+        )
+        assert pruned.counts() == diff_snapshots(f, d, "id").counts()
+
     def test_delete_gating(self, snapshots):
         from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
 
