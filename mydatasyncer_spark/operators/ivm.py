@@ -19,7 +19,11 @@ zero are dropped, groups first seen in the delta are created.
 Exactness: values are summed as DECIMAL (same contract as the rest of
 the engine — see contract.py's money-math rule), so maintained state
 is bit-identical to a full recompute, which is exactly what the
-``incremental_rollup`` contract query's oracle checks.
+``incremental_rollup`` contract query's oracle checks. That includes
+SQL NULL-sum semantics: the state tracks the count of NON-NULL values
+(``n_vals``) so a group holding only NULL values yields ``sum_val``
+NULL — exactly what ``SUM`` over that group recomputes — instead of
+the 0 a bare coalesce would fabricate.
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ from mydatasyncer_spark.operators.diff import BEFORE_COL, DiffResult
 
 _SUM = "sum_val"
 _CNT = "n_rows"
+_NNV = "n_vals"
 
 
 def rollup_state(
@@ -41,14 +46,15 @@ def rollup_state(
     scale: int = 2,
 ) -> DataFrame:
     """The full-recompute form of the maintained state:
-    (group_cols..., sum_val DECIMAL, n_rows BIGINT). Run once to
-    bootstrap; afterwards :func:`maintain_rollup` keeps it fresh from
-    diffs."""
+    (group_cols..., sum_val DECIMAL, n_rows BIGINT, n_vals BIGINT).
+    Run once to bootstrap; afterwards :func:`maintain_rollup` keeps it
+    fresh from diffs."""
     return df.groupBy(*group_cols).agg(
         F.sum(F.col(value_col).cast(f"decimal({precision},{scale})")).alias(
             _SUM
         ),
         F.count(F.lit(1)).alias(_CNT),
+        F.count(F.col(value_col)).alias(_NNV),
     )
 
 
@@ -75,6 +81,10 @@ def maintain_rollup(
             *[src[c].alias(c) for c in group_cols],
             (F.lit(sign) * src[value_col].cast(dec)).alias("_dv"),
             F.lit(sign).cast("bigint").alias("_dn"),
+            F.when(src[value_col].isNull(), F.lit(0))
+            .otherwise(F.lit(sign))
+            .cast("bigint")
+            .alias("_dz"),
         )
 
     legs = [leg(diff.to_insert, +1), leg(diff.to_delete, -1)]
@@ -89,7 +99,9 @@ def maintain_rollup(
     for l in legs[1:]:
         deltas = deltas.unionByName(l)
     grouped = deltas.groupBy(*group_cols).agg(
-        F.sum("_dv").alias("_dv"), F.sum("_dn").alias("_dn")
+        F.sum("_dv").alias("_dv"),
+        F.sum("_dn").alias("_dn"),
+        F.sum("_dz").alias("_dz"),
     )
     # null-SAFE join keys: a plain `on=group_cols` treats NULL group
     # values as non-matching, splitting a NULL group into a stale
@@ -103,16 +115,24 @@ def maintain_rollup(
         grouped.alias("d"), on=cond, how="full_outer"
     )
     zero = F.lit(0).cast(dec)
+    new_nnv = (
+        F.coalesce(F.col(f"s.{_NNV}"), F.lit(0))
+        + F.coalesce(F.col("d._dz"), F.lit(0))
+    ).cast("bigint")
     return joined.select(
         *[
             F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
             for c in group_cols
         ],
-        (
-            F.coalesce(F.col(f"s.{_SUM}"), zero)
-            + F.coalesce(F.col("d._dv"), zero)
+        # SQL SUM semantics: no non-null values left -> NULL, not 0
+        F.when(
+            new_nnv > 0,
+            (
+                F.coalesce(F.col(f"s.{_SUM}"), zero)
+                + F.coalesce(F.col("d._dv"), zero)
+            ).cast(dec),
         )
-        .cast(dec)
+        .otherwise(F.lit(None).cast(dec))
         .alias(_SUM),
         (
             F.coalesce(F.col(f"s.{_CNT}"), F.lit(0))
@@ -120,4 +140,5 @@ def maintain_rollup(
         )
         .cast("bigint")
         .alias(_CNT),
+        new_nnv.alias(_NNV),
     ).filter(F.col(_CNT) > 0)

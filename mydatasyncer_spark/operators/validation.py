@@ -161,21 +161,31 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     join or partition on, and read skew (distinct count vs rows) and
     null discipline off the result.
     """
+    def lit_str(s: str) -> str:
+        # SQL string literal: double embedded single quotes
+        return "'" + s.replace("'", "''") + "'"
+
+    def ident(s: str) -> str:
+        # backtick-quoted identifier: double embedded backticks
+        return "`" + s.replace("`", "``") + "`"
+
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in columns:
+        col = F.col(ident(c))  # exact-name resolution, any characters
         aggs.extend(
             [
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                F.sum(F.when(col.isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias(f"_nulls_{c}"),
-                F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
-                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+                F.countDistinct(col).alias(f"_nd_{c}"),
+                F.min(col).cast("string").alias(f"_min_{c}"),
+                F.max(col).cast("string").alias(f"_max_{c}"),
             ]
         )
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _rows, `_nulls_{c}`, `_nd_{c}`, `_min_{c}`, `_max_{c}`"
+        f"{lit_str(c)}, _rows, {ident('_nulls_' + c)}, {ident('_nd_' + c)},"
+        f" {ident('_min_' + c)}, {ident('_max_' + c)}"
         for c in columns
     )
     return one.selectExpr(

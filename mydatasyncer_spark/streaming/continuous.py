@@ -161,13 +161,18 @@ def continuous_dedup(
     at-least-once replay idempotent — a replayed batch re-appends
     nothing); (2) the remaining docs run
     :func:`~mydatasyncer_spark.operators.dedup.minhash_lsh_pairs_incremental`
-    against the stored index; (3) a doc is REJECTED when it near-dups
-    (est_jaccard >= threshold) any indexed doc, or a smaller-id doc of
-    the same batch (pair-based survivor policy: the smaller id of each
-    near-pair survives — matching the batch ``dedup_survivors``
-    semantics on pairwise-connected docs); (4) survivors append to
-    ``survivors_path`` and their signatures append to ``index_path``,
-    so the next batch dedups against everything accepted so far.
+    against the stored index; (3) survivors are resolved with the
+    batch ``dedup_survivors`` CLUSTER semantics applied to the batch's
+    near-pair graph: within-batch connected components keep their
+    minimum id, a component touching any indexed near-dup is rejected
+    entirely (the indexed doc — accepted in an earlier batch — is that
+    cluster's survivor; streaming cannot retroactively reject it, so
+    earlier-accepted wins where batch mode would compare raw ids), and
+    transitive chains collapse exactly as in batch mode — a doc whose
+    only near-neighbour is itself rejected still falls with its
+    component; (4) survivors append to ``survivors_path`` and their
+    signatures append to ``index_path``, so the next batch dedups
+    against everything accepted so far.
 
     First batch bootstraps an empty index (within-batch dedup only).
     Scale: the per-batch cost is batch × bucket-collisions — the index
@@ -178,10 +183,39 @@ def continuous_dedup(
     from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.dedup import (
+        dedup_clusters,
         minhash_lsh_pairs,
         minhash_lsh_pairs_incremental,
         minhash_signature,
     )
+
+    def resolve_rejections(near: DataFrame, vs_idx: DataFrame) -> DataFrame:
+        """Cluster-semantics rejection set for one batch: ``near`` is
+        the within-batch near-pair graph (id_a < id_b), ``vs_idx`` the
+        docs near-dupping an already-indexed doc (1 column: id_col).
+        A component containing any index-rejected doc falls entirely;
+        other components keep their minimum id."""
+        comp = dedup_clusters(near)  # (doc_id, cluster_id=min of comp)
+        poisoned = (
+            comp.join(
+                vs_idx, comp["doc_id"] == vs_idx[id_col], "left_semi"
+            )
+            .select("cluster_id")
+            .distinct()
+        )
+        in_poisoned = comp.join(poisoned, "cluster_id", "left_semi").select(
+            F.col("doc_id").alias(id_col)
+        )
+        non_survivor = (
+            comp.join(poisoned, "cluster_id", "left_anti")
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return (
+            vs_idx.unionByName(in_poisoned)
+            .unionByName(non_survivor)
+            .distinct()
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -203,21 +237,21 @@ def continuous_dedup(
                 batch, index, text_col=text_col, id_col=id_col
             )
             near = pairs.filter(F.col("est_jaccard") >= threshold)
-            # id_b from the index -> reject the new doc (id_a);
-            # otherwise it is a within-batch pair (id_a < id_b) ->
-            # reject the larger id
+            # id_b from the index -> the new doc (id_a) near-dups an
+            # accepted doc; the rest are within-batch pairs
             vs_idx = near.join(
                 index_ids, near.id_b == index_ids[id_col], "left_semi"
             ).select(F.col("id_a").alias(id_col))
-            vs_new = near.join(
+            within = near.join(
                 index_ids, near.id_b == index_ids[id_col], "left_anti"
-            ).select(F.col("id_b").alias(id_col))
-            rejected = vs_idx.unionByName(vs_new).distinct()
+            )
+            rejected = resolve_rejections(within, vs_idx)
         else:
             near = minhash_lsh_pairs(
                 batch, text_col=text_col, id_col=id_col
             ).filter(F.col("est_jaccard") >= threshold)
-            rejected = near.select(F.col("id_b").alias(id_col)).distinct()
+            empty_idx = near.select(F.col("id_a").alias(id_col)).limit(0)
+            rejected = resolve_rejections(near, empty_idx)
         survivors = batch.join(rejected, id_col, "left_anti")
         # survivors before signatures: a crash between the writes means
         # the replayed batch is re-processed (skip-check is against the
@@ -238,6 +272,58 @@ def continuous_dedup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def rollup_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    primary_key: str,
+    group_cols: list[str],
+    value_col: str,
+    state_path: str,
+    snapshot_path: str,
+) -> None:
+    """One :func:`continuous_rollup` micro-batch, exposed standalone
+    so the crash/replay semantics are directly testable. See that
+    function's docstring for the idempotence contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    try:
+        state = spark.read.parquet(state_path)
+    except AnalysisException:
+        state = None
+    if state is not None and "_last_batch_id" in state.columns:
+        last = state.select(F.max("_last_batch_id")).first()[0]
+        if last is not None and last == batch_id:
+            # replay of the batch already folded into the state —
+            # only the snapshot store may be stale; re-point it
+            batch_df.write.mode("overwrite").parquet(snapshot_path)
+            return
+        state = state.drop("_last_batch_id")
+    try:
+        prev = spark.read.parquet(snapshot_path)
+    except AnalysisException:
+        prev = None
+    if state is not None and "n_vals" not in state.columns:
+        # state written before the NULL-sum fix lacks the non-null
+        # value count — rebootstrap once from the full snapshot
+        state = None
+    if prev is None or state is None:
+        new_state = rollup_state(batch_df, group_cols, value_col)
+    else:
+        diff = diff_snapshots(batch_df, prev, primary_key)
+        new_state = maintain_rollup(state, diff, group_cols, value_col)
+    new_state = new_state.withColumn(
+        "_last_batch_id", F.lit(batch_id)
+    ).localCheckpoint(eager=True)
+    new_state.write.mode("overwrite").parquet(state_path)
+    batch_df.write.mode("overwrite").parquet(snapshot_path)
 
 
 def continuous_rollup(
@@ -265,33 +351,35 @@ def continuous_rollup(
     state is materialized (``localCheckpoint``) BEFORE either store is
     overwritten — Spark plans lazily, so overwriting an input path
     before materialization would corrupt the very read it feeds.
-    Restart safety: re-processing the last snapshot diffs it against
-    itself (empty triple) — a no-op, so at-least-once replay
-    converges.
-    """
-    from pyspark.sql.utils import AnalysisException
 
-    from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
+    Restart safety: the state rows carry the streaming ``batch_id``
+    that produced them (``_last_batch_id``). A crash between the two
+    store writes leaves an UPDATED state beside a STALE snapshot; on
+    the checkpoint's at-least-once replay the batch arrives with the
+    SAME batch_id, the marker shows its delta is already folded into
+    the state, and the batch only re-points the snapshot store —
+    without the marker the replay would diff against the old snapshot
+    and double-apply the delta (see
+    :func:`rollup_apply_batch`). Re-processing an already-complete
+    snapshot (both writes landed) remains convergent via the same
+    skip. The marker assumes the stream restarts from its OWN
+    checkpoint (batch ids monotonic per store pair); wiping the
+    checkpoint while keeping the stores is out of contract. A crash
+    *inside* one overwrite is outside this guard — parquet overwrite
+    is not atomic; pair the stores with a transactional table format
+    if that window matters.
+    """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        try:
-            prev = spark.read.parquet(snapshot_path)
-        except AnalysisException:
-            prev = None
-        if prev is None:
-            new_state = rollup_state(batch_df, group_cols, value_col)
-        else:
-            state = spark.read.parquet(state_path)
-            diff = diff_snapshots(batch_df, prev, primary_key)
-            new_state = maintain_rollup(
-                state, diff, group_cols, value_col
-            )
-        new_state = new_state.localCheckpoint(eager=True)
-        new_state.write.mode("overwrite").parquet(state_path)
-        batch_df.write.mode("overwrite").parquet(snapshot_path)
+        rollup_apply_batch(
+            batch_df,
+            batch_id,
+            primary_key,
+            group_cols,
+            value_col,
+            state_path,
+            snapshot_path,
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(apply_batch)

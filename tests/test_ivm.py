@@ -14,10 +14,14 @@ from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
 
 
 def _state_map(df):
+    group_cols = [
+        c for c in df.columns if c not in ("sum_val", "n_rows", "n_vals")
+    ]
     return {
-        tuple(r[c] for c in df.columns[:-2]): (
-            float(r["sum_val"]),
+        tuple(r[c] for c in group_cols): (
+            None if r["sum_val"] is None else float(r["sum_val"]),
             r["n_rows"],
+            r["n_vals"],
         )
         for r in df.collect()
     }
@@ -71,7 +75,7 @@ class TestMaintainRollup:
         state = rollup_state(old_df, ["g"], "v")
         diff = diff_snapshots(new_df, old_df, "id")
         maintained = maintain_rollup(state, diff, ["g"], "v")
-        assert _state_map(maintained) == {("big",): (7.0, 1)}
+        assert _state_map(maintained) == {("big",): (7.0, 1, 1)}
 
     def test_group_move_updates_both_sides(self, spark):
         old_df = spark.createDataFrame(
@@ -83,7 +87,7 @@ class TestMaintainRollup:
         state = rollup_state(old_df, ["g"], "v")
         diff = diff_snapshots(new_df, old_df, "id")
         maintained = maintain_rollup(state, diff, ["g"], "v")
-        assert _state_map(maintained) == {("y",): (8.0, 2)}
+        assert _state_map(maintained) == {("y",): (8.0, 2, 2)}
 
     def test_delta_plan_never_scans_state_wide(self, spark):
         """The maintenance join is keyed on the group columns — the
@@ -131,3 +135,27 @@ class TestMaintainRollup:
         maintained = maintain_rollup(state, diff, ["g"], "v")
         recomputed = rollup_state(new_df, ["g"], "v")
         assert _state_map(maintained) == _state_map(recomputed)
+
+    def test_all_null_value_group_sums_to_null(self, spark):
+        """SQL SUM over a group holding only NULL values is NULL; the
+        maintained state must agree (n_vals tracking), not fabricate
+        a 0 — in both directions: a group BECOMING all-NULL and a
+        group LEAVING the all-NULL condition."""
+        old_df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", None), (3, "b", None)],
+            "id long, g string, v double",
+        )
+        # 'a' loses its only non-null value (update 1 -> NULL);
+        # 'b' gains its first non-null value (insert 4)
+        new_df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", None), (3, "b", None), (4, "b", 2.0)],
+            "id long, g string, v double",
+        )
+        state = rollup_state(old_df, ["g"], "v")
+        diff = diff_snapshots(new_df, old_df, "id")
+        maintained = maintain_rollup(state, diff, ["g"], "v")
+        recomputed = rollup_state(new_df, ["g"], "v")
+        got = _state_map(maintained)
+        assert got == _state_map(recomputed)
+        assert got[("a",)] == (None, 2, 0)
+        assert got[("b",)] == (2.0, 2, 1)

@@ -235,6 +235,57 @@ class TestContinuousDedup:
         }
         assert idx_ids == {1, 2, 11}
 
+    def test_transitive_chain_collapses_like_batch_dedup(
+        self, spark, tmp_path_factory
+    ):
+        """Component {1,2,3} with edges (1,3),(2,3) only: batch
+        cluster semantics keep doc 1 alone. The old pairwise policy
+        kept doc 2 as well (its only near-neighbour, 3, was itself
+        rejected) — the within-batch connected-component resolution
+        must not."""
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import continuous_dedup
+
+        base = ["w%02d" % i for i in range(80)]
+        d1 = " ".join(base)
+        mid = base[:]
+        for i in range(0, 14):
+            mid[i] = "x%02d" % i
+        d3 = " ".join(mid)
+        far = mid[:]
+        for i in range(66, 80):
+            far[i] = "y%02d" % i
+        d2 = " ".join(far)
+
+        in_dir = tmp_path_factory.mktemp("docs_chain_in")
+        out = tmp_path_factory.mktemp("docs_chain_out")
+        (in_dir / "b.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": d1},
+                    {"doc_id": 2, "text": d2},
+                    {"doc_id": 3, "text": d3},
+                ]
+            )
+        )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(in_dir)
+        )
+        q = continuous_dedup(
+            stream,
+            str(out / "index"),
+            str(out / "survivors"),
+            checkpoint_dir=str(out / "ckpt"),
+        )
+        q.awaitTermination(120)
+        s = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        assert s == {1}
+
     def test_replayed_batch_is_noop(self, spark, tmp_path_factory):
         import json as _json
 
@@ -317,6 +368,57 @@ class TestContinuousRollup:
             for r in spark.read.parquet(state_p).collect()
         }
         assert got2 == {"a": (12.0, 1), "b": (5.0, 1), "c": (1.0, 1)}
+
+    def test_replay_after_crash_between_writes_converges(
+        self, spark, tmp_path_factory
+    ):
+        """Crash window: state updated for batch N but snapshot still
+        N-1; the stream replays batch N with the SAME batch_id. The
+        replay must NOT double-apply the delta (the _last_batch_id
+        marker short-circuits maintenance) and must re-point the
+        snapshot store. Driven through rollup_apply_batch — Spark 4's
+        commit-log guard forbids simulating the crash by editing a
+        live stream checkpoint in-JVM."""
+        import shutil
+
+        from mydatasyncer_spark.streaming.continuous import (
+            rollup_apply_batch,
+        )
+
+        out = tmp_path_factory.mktemp("roll_crash_out")
+        state_p, snap_p = str(out / "state"), str(out / "snap")
+
+        def apply(rows, batch_id):
+            df = spark.createDataFrame(rows, "id long, g string, v double")
+            rollup_apply_batch(
+                df, batch_id, "id", ["g"], "v", state_p, snap_p
+            )
+
+        def state_rows():
+            return {
+                r["g"]: (float(r["sum_val"]), r["n_rows"])
+                for r in spark.read.parquet(state_p).collect()
+            }
+
+        apply([(1, "a", 10.0)], 0)
+        stale_snap = str(out / "snap_stale")
+        shutil.copytree(snap_p, stale_snap)
+        apply([(1, "a", 12.0)], 1)
+        assert state_rows() == {"a": (12.0, 1)}
+        # simulate the crash: batch 1's state write landed, its
+        # snapshot write did not
+        shutil.rmtree(snap_p)
+        shutil.copytree(stale_snap, snap_p)
+        apply([(1, "a", 12.0)], 1)  # at-least-once replay, same id
+        assert state_rows() == {"a": (12.0, 1)}  # NOT 14.0
+        snap_rows = {
+            (r["id"], r["g"], float(r["v"]))
+            for r in spark.read.parquet(snap_p).collect()
+        }
+        assert snap_rows == {(1, "a", 12.0)}  # snapshot re-pointed
+        # and a genuinely NEW snapshot after the replay still applies
+        apply([(1, "a", 20.0), (2, "b", 1.0)], 2)
+        assert state_rows() == {"a": (20.0, 1), "b": (1.0, 1)}
 
 
 def test_enrich_stream_matches_batch_join(spark, sf_dir, event_dir):

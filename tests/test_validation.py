@@ -92,6 +92,22 @@ class TestProfileColumns:
         assert prof["v"]["n_distinct"] == 2
         assert (prof["v"]["min_val"], prof["v"]["max_val"]) == ("a", "b")
 
+    def test_hostile_column_names_are_escaped(self, spark):
+        """Quotes/backticks in a column name must not break (or alter)
+        the generated stack() expression."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.validation import profile_columns
+
+        df = spark.createDataFrame([(1,), (2,)], "id long").select(
+            F.col("id").alias("o'quote`tick")
+        )
+        prof = profile_columns(df, ["o'quote`tick"]).collect()
+        assert len(prof) == 1
+        assert prof[0]["column_name"] == "o'quote`tick"
+        assert prof[0]["n_rows"] == 2
+        assert prof[0]["n_distinct"] == 2
+
     def test_single_scan_plan(self, spark):
         """All statistics come from ONE pass over the input — the plan
         must contain exactly one scan of the source."""
