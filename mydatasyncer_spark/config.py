@@ -134,10 +134,35 @@ class SyncConfig:
         return cfg
 
     @classmethod
-    def from_yaml(cls, path: str) -> "SyncConfig":
-        """Load the reference's YAML config file directly
-        (ref: config.go:79-113 — including fallback-to-defaults on a
-        missing file, which the reference logs and continues with)."""
+    def default(cls) -> "SyncConfig":
+        """The reference's built-in default job (ref: config.go:59-75,
+        NewDefaultConfig): sync ./testdata.csv into ``products`` on
+        ``id`` in diff mode with delete-not-in-file on."""
+        return cls(
+            tables=[
+                TableSpec(
+                    name="products",
+                    file_path="./testdata.csv",
+                    primary_key="id",
+                    columns=["id", "name", "price"],
+                    sync_mode=SYNC_MODE_DIFF,
+                    delete_not_in_file=True,
+                )
+            ]
+        )
+
+    @classmethod
+    def from_yaml(cls, path: str, strict: bool = True) -> "SyncConfig":
+        """Load the reference's YAML config file directly.
+
+        ``strict=True`` (default, a deliberate improvement over the
+        reference) raises :class:`ConfigError` on a missing or
+        unparsable file — a typo'd path must not silently sync the
+        default job. ``strict=False`` reproduces the reference's
+        behavior exactly (ref: config.go:79-113, LoadConfig): empty
+        path defaults to ``mydatasyncer.yml``; a missing or unparsable
+        file warns and continues with :meth:`default`.
+        """
         try:
             import yaml
         except ImportError as exc:  # pragma: no cover - env-dependent
@@ -146,15 +171,44 @@ class SyncConfig:
                 "from_dict instead"
             ) from exc
         import os
+        import warnings
 
+        if not strict and not path:
+            path = "mydatasyncer.yml"  # ref: config.go:81-84
         if not os.path.exists(path):
-            # ref: config.go:82-87 — missing file falls back to defaults,
-            # which then fail validation loudly (no silent half-configs)
-            raise ConfigError(f"config file not found: {path}")
+            if strict:
+                raise ConfigError(f"config file not found: {path}")
+            warnings.warn(
+                f"Config file {path!r} not found. Using default "
+                "configuration.",
+                stacklevel=2,
+            )
+            return cls.default()
         with open(path, encoding="utf-8") as fh:
-            raw = yaml.safe_load(fh) or {}
+            try:
+                raw = yaml.safe_load(fh) or {}
+            except yaml.YAMLError as exc:
+                if strict:
+                    raise ConfigError(
+                        f"could not parse config file {path}: {exc}"
+                    ) from exc
+                warnings.warn(
+                    f"Could not parse config file {path!r}: {exc}. Using "
+                    "default configuration.",
+                    stacklevel=2,
+                )
+                return cls.default()
         if not isinstance(raw, dict):
-            raise ConfigError(f"config root must be a mapping, got {type(raw).__name__}")
+            if strict:
+                raise ConfigError(
+                    f"config root must be a mapping, got {type(raw).__name__}"
+                )
+            warnings.warn(
+                f"Config root of {path!r} is not a mapping. Using default "
+                "configuration.",
+                stacklevel=2,
+            )
+            return cls.default()
         return cls.from_dict(raw)
 
 

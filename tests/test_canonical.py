@@ -126,6 +126,26 @@ def test_large_int_float64_precision_loss(spark):
     )
 
 
+def test_float64_extremes_no_long_overflow(spark):
+    """ref: main_test.go:503-506 pins ±1.7976931348623157e+308 and the
+    int32 extremes. Max float64 IS mathematically whole, so the
+    whole-float collapse must explicitly refuse the long cast (it
+    would overflow) and keep Spark's double rendering — internally
+    consistent on both diff sides, which is the actual contract."""
+    big = 1.7976931348623157e308
+    assert _canon_one(spark, big, T.DoubleType()) == "1.7976931348623157E308"
+    assert (
+        _canon_one(spark, -big, T.DoubleType()) == "-1.7976931348623157E308"
+    )
+    # small fractions stay positional, never collapse (ref row: 0.001)
+    assert _canon_one(spark, 0.001, T.DoubleType()) == "0.001"
+    # int32 extremes pass through the integer path untouched
+    assert _canon_one(spark, 2147483647, T.IntegerType()) == "2147483647"
+    assert _canon_one(spark, -2147483648, T.IntegerType()) == "-2147483648"
+    # whole floats just past the long boundary must not wrap negative
+    assert _canon_one(spark, 9.3e18, T.DoubleType()) == "9.3E18"
+
+
 def test_rfc3339_timezone_offset(spark, tmp_path):
     """+09:00-offset RFC3339 must equal its UTC instant after
     coercion (ref: main_test.go:480 pins 15:30:45+09:00 ==

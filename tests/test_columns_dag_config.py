@@ -209,6 +209,46 @@ sync:
         with _pytest.raises(ConfigError, match="not found"):
             SyncConfig.from_yaml(str(tmp_path / "absent.yml"))
 
+    def test_non_strict_missing_file_falls_back_to_defaults(self, tmp_path):
+        """strict=False mirrors the reference exactly (ref:
+        config.go:79-113): missing file -> warn + NewDefaultConfig
+        (products table, ./testdata.csv, diff on id, delete on)."""
+        import warnings
+
+        from mydatasyncer_spark.config import SyncConfig
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            cfg = SyncConfig.from_yaml(
+                str(tmp_path / "absent.yml"), strict=False
+            )
+        assert any("default configuration" in str(w.message).lower()
+                   for w in caught)
+        [t] = cfg.tables
+        assert t.name == "products"
+        assert t.file_path == "./testdata.csv"
+        assert t.primary_key == "id"
+        assert t.columns == ["id", "name", "price"]
+        assert t.sync_mode == "diff"
+        assert t.delete_not_in_file is True
+
+    def test_non_strict_unparsable_file_falls_back(self, tmp_path):
+        import warnings
+
+        from mydatasyncer_spark.config import ConfigError, SyncConfig
+
+        p = tmp_path / "bad.yml"
+        p.write_text("sync: [unclosed")
+        import pytest as _pytest
+
+        with _pytest.raises(ConfigError, match="parse"):
+            SyncConfig.from_yaml(str(p))  # strict default stays loud
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            cfg = SyncConfig.from_yaml(str(p), strict=False)
+        assert any("parse" in str(w.message).lower() for w in caught)
+        assert cfg.tables[0].name == "products"
+
 
 class TestCli:
     """CLI surface parity: -config + -dry-run (ref: main.go:40-51),
