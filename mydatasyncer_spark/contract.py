@@ -127,6 +127,10 @@ file_side AS (
 # joins cost less than one Spark job barrier and no pruning strategy
 # is measurable. Modular arithmetic keeps the whole pair (and the 8×
 # amplification, a cross join with range(8)) DuckDB-reproducible.
+# 8× (not less): at 4× the full diff is ~3 s and the pruning
+# pre-pass overhead (~2 extra job barriers) eats the win; at 8× the
+# wide shuffles dominate and pruned runs ~2× faster — the regime the
+# operator exists for.
 
 _RANGE_BUCKET = "pmod(o_pk div 512, 64)"
 

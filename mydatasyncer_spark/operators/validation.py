@@ -60,18 +60,24 @@ def annotate_issues(
         return df.withColumn("reason", F.lit(R_MISSING))
     key = F.col(primary_key).cast("string")
     w = Window.partitionBy(key).orderBy(F.monotonically_increasing_id())
-    occurrence = F.when(is_nullish(F.col(primary_key)), F.lit(1)).otherwise(
+    # evaluate the null-token predicate ONCE through a projected
+    # column — it embeds a regexp_replace, and inlining it into both
+    # the occurrence and the reason expressions doubled the generated
+    # code (profiled: the lint CASE + regex stack is ~1s of one-time
+    # whole-stage-codegen compile at any scale; per-row cost is small)
+    with_null = df.withColumn("_nullish", is_nullish(F.col(primary_key)))
+    occurrence = F.when(F.col("_nullish"), F.lit(1)).otherwise(
         F.row_number().over(w)
     )
     return (
-        df.withColumn("_occ", occurrence)
+        with_null.withColumn("_occ", occurrence)
         .withColumn(
             "reason",
-            F.when(is_nullish(F.col(primary_key)), F.lit(R_NULLISH))
+            F.when(F.col("_nullish"), F.lit(R_NULLISH))
             .when(F.col("_occ") > 1, F.lit(R_DUPLICATE))
             .otherwise(format_issue(key, max_length)),
         )
-        .drop("_occ")
+        .drop("_occ", "_nullish")
     )
 
 
