@@ -723,6 +723,47 @@ def diff_full_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_orders_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order time)
+    (operators/zorder): pure bit-interleave Column arithmetic, the key
+    write_zordered range-sorts on so parquet footers prune BOTH
+    dimensions. The oracle regenerates the identical bit plan in
+    DuckDB — the key is hash-checked bit-for-bit."""
+    from mydatasyncer_spark.operators.zorder import ZDim, zorder_key
+
+    o = table(spark, sf_dir, "orders")
+    dims = [
+        ZDim(0.0, 200000.0),  # o_custkey (clamps above, same both sides)
+        ZDim(694224000.0, 915148800.0),  # epoch sec, 1992..1999
+    ]
+    key = zorder_key(
+        [F.col("o_custkey").cast("double"), ts_epoch("o_orderdate")], dims
+    )
+    return o.select("o_orderkey", key.alias("zkey"))
+
+
+def corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle (operators/sampling.
+    epoch_shuffle): the training order is a row property (cross-engine
+    hash of id|salt|epoch), reproducible across runs, engines, and
+    partitionings. First 200 positions of epoch 1 with their ranks."""
+    from pyspark.sql import Window
+
+    from mydatasyncer_spark.operators.sampling import (
+        epoch_shuffle,
+        shuffle_order,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    ordered = epoch_shuffle(d, "doc_id", epoch=1).limit(200)
+    w = Window.orderBy(
+        shuffle_order(F.col("doc_id"), epoch=1), F.col("doc_id")
+    )
+    return ordered.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    )
+
+
 # --------------------------------------------------- canonicalization (P3)
 
 
@@ -2363,7 +2404,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_repeat_buyers": intersect_repeat_buyers,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        # new in r4 (never gated yet -> rotate into the window in r5)
+        "zorder_orders_key": zorder_orders_key,
+        "corpus_shuffle_epoch": corpus_shuffle_epoch,
     }
+
+
+def _zorder_orders_sql() -> str:
+    from mydatasyncer_spark.operators.zorder import (
+        ZDim,
+        interleave_sql,
+        quantize_sql,
+    )
+
+    dims = [ZDim(0.0, 200000.0), ZDim(694224000.0, 915148800.0)]
+    q0 = quantize_sql("o_custkey", dims[0])
+    q1 = quantize_sql("epoch(o_orderdate)", dims[1])
+    z = interleave_sql(["q0", "q1"])
+    return f"""
+        WITH q AS (
+            SELECT o_orderkey, {q0} AS q0, {q1} AS q1 FROM orders
+        )
+        SELECT o_orderkey, {z} AS zkey FROM q
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3702,5 +3765,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM clusters c
                 WHERE c.doc_id = ex.doc_id AND c.cluster_id <> c.doc_id
             )
+        """,
+        "zorder_orders_key": _zorder_orders_sql(),
+        "corpus_shuffle_epoch": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       {SP.shuffle_order_sql("doc_id", epoch=1)} AS hk
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT)
+                       AS pos
+            FROM h
+            ORDER BY hk, doc_id
+            LIMIT 200
         """,
     }

@@ -273,3 +273,41 @@ def apply_mix_weights(
         )
         .drop("_w")
     )
+
+
+def shuffle_order(col: Column, epoch: int = 0, salt: str = "shuffle") -> Column:
+    """Deterministic per-epoch shuffle key for a stable id.
+
+    Training-data loaders need the corpus in a pseudo-random order
+    that (a) is reproducible across runs/engines/partitionings, and
+    (b) differs per epoch. A cross-engine hash of ``id|salt|epoch``
+    gives exactly that: ordering by it IS the epoch's shuffle, as a
+    row property rather than an RNG state.
+    """
+    return hash48(
+        F.concat(col.cast("string"), F.lit(f"|{salt}|{epoch}"))
+    )
+
+
+def shuffle_order_sql(
+    id_expr: str, epoch: int = 0, salt: str = "shuffle"
+) -> str:
+    """DuckDB twin of :func:`shuffle_order` (identical key values)."""
+    return hash48_sql(f"CAST({id_expr} AS VARCHAR) || '|{salt}|{epoch}'")
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int = 0, salt: str = "shuffle"
+) -> DataFrame:
+    """The corpus in epoch ``epoch``'s deterministic shuffle order.
+
+    ``orderBy`` on the hash key is a range-partitioned distributed
+    sort (boundary sampling, no driver materialization) — the 100 TB
+    cost is one shuffle, and downstream sequential readers stream
+    partitions in order. Ties cannot occur between distinct ids in
+    48-bit space except with negligible probability; the id tiebreak
+    makes the order total even then.
+    """
+    return df.orderBy(
+        shuffle_order(F.col(id_col), epoch, salt), F.col(id_col)
+    )

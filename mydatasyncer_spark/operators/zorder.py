@@ -1,0 +1,155 @@
+"""Z-order (Morton-curve) multi-dimensional clustering.
+
+A single-column sort lets parquet min/max footers prune ONE dimension;
+any predicate on a second dimension still touches every file. The
+Z-curve interleaves the bits of N quantized dimensions so rows close
+in N-dim space land in the same files — a box predicate on ANY subset
+of the dimensions then skips most row groups at scan time. This is
+the layout move Delta's ``OPTIMIZE ZORDER BY`` and Iceberg sort
+orders make; here it is pure ``Column`` bit arithmetic (floor /
+shiftleft / bitwise-or — whole-stage-codegen, no UDF), plus a
+generated DuckDB SQL twin so the key itself is oracle-checkable
+bit-for-bit.
+
+Scale notes: :func:`write_zordered` is one range-partitioned sort
+(Spark samples range boundaries distributed — no driver collect) and
+the key is a narrow projection; re-clustering 100 TB costs exactly
+one shuffle, the same as any global sort. Quantization bounds are
+caller-provided constants — at scale they come from table-level stats
+(a ``profile_columns`` pass), never a per-write min/max job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension; n_dims * bits must stay < 63 (signed long)
+DEFAULT_BITS = 16
+
+
+@dataclass(frozen=True)
+class ZDim:
+    """One Z-order dimension: a numeric expression plus its fixed
+    quantization range [lo, hi). Values outside clamp to the edge
+    cells (out-of-range data degrades locality, never correctness)."""
+
+    lo: float
+    hi: float
+
+
+def _quantize(col: Column, dim: ZDim, bits: int) -> Column:
+    cells = 1 << bits
+    # FLOOR explicitly: Spark's double->long cast truncates toward
+    # zero but DuckDB's CAST rounds — floor() agrees everywhere
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(dim.lo)))
+        / F.lit(float(dim.hi - dim.lo))
+        * F.lit(float(cells))
+    ).cast("long")
+    return F.least(F.lit(cells - 1), F.greatest(F.lit(0), scaled))
+
+
+def _quantize_sql(expr: str, dim: ZDim, bits: int) -> str:
+    cells = 1 << bits
+    scaled = (
+        f"CAST(FLOOR((CAST({expr} AS DOUBLE) - {float(dim.lo)!r}) "
+        f"/ {float(dim.hi - dim.lo)!r} * {float(cells)!r}) AS BIGINT)"
+    )
+    return f"LEAST({cells - 1}, GREATEST(0, {scaled}))"
+
+
+def _interleave_plan(n_dims: int, bits: int) -> list[tuple[int, int, int]]:
+    """(dim, src_bit, dst_bit) placements; dim 0 owns the most
+    significant bit of each interleave group."""
+    if n_dims * bits >= 63:
+        raise ValueError(
+            f"{n_dims} dims x {bits} bits exceeds a signed 64-bit key"
+        )
+    plan = []
+    for d in range(n_dims):
+        for b in range(bits):
+            dst = b * n_dims + (n_dims - 1 - d)
+            plan.append((d, b, dst))
+    return plan
+
+
+def zorder_key(
+    cols: list[Column], dims: list[ZDim], bits: int = DEFAULT_BITS
+) -> Column:
+    """The Morton key column for ``cols`` quantized by ``dims``."""
+    if len(cols) != len(dims):
+        raise ValueError("one ZDim range per column is required")
+    qs = [_quantize(c, d, bits) for c, d in zip(cols, dims)]
+    key = F.lit(0).cast("long")
+    for d, src, dst in _interleave_plan(len(cols), bits):
+        bit = qs[d].bitwiseAND(F.lit(1 << src))
+        moved = (
+            F.shiftleft(bit, dst - src)
+            if dst >= src
+            else F.shiftright(bit, src - dst)
+        )
+        key = key.bitwiseOR(moved)
+    return key
+
+
+def quantize_sql(expr: str, dim: ZDim, bits: int = DEFAULT_BITS) -> str:
+    """DuckDB SQL for one dimension's quantized cell (bit-identical to
+    the Spark-side quantization) — compose with
+    :func:`interleave_sql` via a CTE to keep the oracle compact."""
+    return _quantize_sql(expr, dim, bits)
+
+
+def interleave_sql(
+    q_exprs: list[str], bits: int = DEFAULT_BITS
+) -> str:
+    """DuckDB SQL interleaving ALREADY-QUANTIZED cell expressions with
+    the exact plan :func:`zorder_key` uses."""
+    parts = []
+    for d, src, dst in _interleave_plan(len(q_exprs), bits):
+        bit = f"(({q_exprs[d]}) & {1 << src})"
+        if dst >= src:
+            parts.append(f"({bit} << {dst - src})")
+        else:
+            parts.append(f"({bit} >> {src - dst})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def zorder_key_sql(
+    exprs: list[str], dims: list[ZDim], bits: int = DEFAULT_BITS
+) -> str:
+    """DuckDB SQL producing bit-identical keys to :func:`zorder_key`
+    (same quantization, same interleave plan, same floor semantics)."""
+    if len(exprs) != len(dims):
+        raise ValueError("one ZDim range per expression is required")
+    qs = [_quantize_sql(e, d, bits) for e, d in zip(exprs, dims)]
+    return interleave_sql(qs, bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    dims: list[ZDim],
+    n_files: int = 32,
+    bits: int = DEFAULT_BITS,
+) -> None:
+    """Write ``df`` clustered along the Z-curve of ``cols``.
+
+    One range shuffle on the key, then a within-partition sort, so
+    every output file covers a compact Z-range — a tight bounding box
+    in EVERY dimension — and parquet footer stats prune box predicates
+    on any of them. Row groups whose stats exclude the predicate are
+    skipped at scan; with file-per-range layouts whole files drop out.
+    """
+    key = zorder_key([F.col(c) for c in cols], dims, bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

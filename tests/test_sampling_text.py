@@ -462,3 +462,41 @@ class TestChunkByTokens:
         # uniform 2-group target -> both weights 1.0 -> keep everything,
         # INCLUDING the null-domain docs (an inner join would drop them)
         assert kept.count() == 100
+
+
+class TestEpochShuffle:
+    def test_order_is_deterministic_and_partition_invariant(self, spark):
+        from mydatasyncer_spark.operators.sampling import epoch_shuffle
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 3).collect()]
+        b = [
+            r["doc_id"]
+            for r in epoch_shuffle(df.repartition(17), "doc_id", 3).collect()
+        ]
+        assert a == b  # row property, not partitioning accident
+        assert sorted(a) == list(range(500))  # a permutation, no loss
+
+    def test_epochs_produce_different_orders(self, spark):
+        from mydatasyncer_spark.operators.sampling import epoch_shuffle
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        e0 = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 0).collect()]
+        e1 = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 1).collect()]
+        assert e0 != e1
+        assert e0 != list(range(500))  # actually shuffled
+
+    def test_order_is_a_distributed_range_sort(self, spark):
+        """The 100 TB contract: one range-partitioned sort, no single
+        collect-everything task and no cartesian anything."""
+        from mydatasyncer_spark.operators.sampling import epoch_shuffle
+
+        df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+        plan = (
+            epoch_shuffle(df, "doc_id", 0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "rangepartitioning" in plan.lower()
+        assert "CartesianProduct" not in plan

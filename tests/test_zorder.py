@@ -1,0 +1,135 @@
+"""Z-order clustering: key correctness against an independent Python
+Morton reference, and the actual payoff — multi-dimensional file
+pruning that a single-column sort cannot deliver."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.zorder import (
+    ZDim,
+    write_zordered,
+    zorder_key,
+)
+
+
+def _py_morton(vals, dims, bits):
+    """Independent reference: quantize + interleave in plain Python."""
+    cells = 1 << bits
+    qs = []
+    for v, d in zip(vals, dims):
+        q = int((float(v) - d.lo) / (d.hi - d.lo) * cells // 1)
+        qs.append(max(0, min(cells - 1, q)))
+    n = len(vals)
+    key = 0
+    for di, q in enumerate(qs):
+        for b in range(bits):
+            if q & (1 << b):
+                key |= 1 << (b * n + (n - 1 - di))
+    return key
+
+
+class TestZorderKey:
+    DIMS = [ZDim(0.0, 100.0), ZDim(0.0, 1000.0)]
+
+    def test_matches_python_reference(self, spark):
+        pts = [
+            (1, 0.0, 0.0),
+            (2, 99.9, 999.9),
+            (3, 50.0, 500.0),
+            (4, 12.34, 876.5),
+            (5, -5.0, 1500.0),  # out of range: clamps, never fails
+            (6, 100.0, 1000.0),  # == hi: clamps to top cell
+        ]
+        df = spark.createDataFrame(pts, "id long, x double, y double")
+        got = {
+            r["id"]: r["z"]
+            for r in df.select(
+                "id",
+                zorder_key([F.col("x"), F.col("y")], self.DIMS, bits=8).alias(
+                    "z"
+                ),
+            ).collect()
+        }
+        for pid, x, y in pts:
+            assert got[pid] == _py_morton([x, y], self.DIMS, 8), pid
+
+    def test_locality_interleaves_dimensions(self, spark):
+        """The defining Morton property: the key's high bits come from
+        BOTH dimensions, so a point far away in y can never sort next
+        to a point near in x only."""
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 0.0, 999.0), (3, 1.0, 1.0)],
+            "id long, x double, y double",
+        )
+        got = {
+            r["id"]: r["z"]
+            for r in df.select(
+                "id",
+                zorder_key([F.col("x"), F.col("y")], self.DIMS).alias("z"),
+            ).collect()
+        }
+        # (0,0) and (1,1) are z-adjacent; (0,999) is far from both
+        assert abs(got[1] - got[3]) < abs(got[1] - got[2])
+        assert abs(got[1] - got[3]) < abs(got[3] - got[2])
+
+    def test_dimension_bit_budget_guard(self, spark):
+        with pytest.raises(ValueError, match="64-bit"):
+            zorder_key(
+                [F.lit(1.0)] * 4, [ZDim(0, 1)] * 4, bits=16
+            )
+
+
+class TestZorderedLayout:
+    def test_box_predicate_prunes_files(self, spark, tmp_path):
+        """A 2-D box predicate over a z-ordered layout must touch far
+        fewer files than over an x-sorted layout (where the y half of
+        the predicate prunes nothing). input_file_name() only lists
+        files that produced rows — pruned files never appear."""
+        n = 40_000
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id"), 10_000) / 100.0).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 10_000) / 10.0).alias("y"),
+        )
+        dims = [ZDim(0.0, 100.0), ZDim(0.0, 1000.0)]
+        zpath, xpath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+        write_zordered(df, zpath, ["x", "y"], dims, n_files=64)
+        (
+            df.repartitionByRange(64, "x")
+            .sortWithinPartitions("x")
+            .write.parquet(xpath)
+        )
+
+        def files_touched(path):
+            return (
+                spark.read.parquet(path)
+                .filter(
+                    (F.col("x") >= 40) & (F.col("x") < 50)
+                    & (F.col("y") >= 400) & (F.col("y") < 500)
+                )
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+
+        z_files, x_files = files_touched(zpath), files_touched(xpath)
+        # the box is 1% of the space: the z-layout isolates it to a
+        # handful of files, the x-sort leaves every x-matching file hot
+        assert z_files < x_files
+        assert z_files <= 16
+
+    def test_layout_roundtrip_preserves_rows(self, spark, tmp_path):
+        df = spark.range(1000).select(
+            F.col("id"),
+            (F.col("id") % 100).cast("double").alias("x"),
+            (F.col("id") % 997).cast("double").alias("y"),
+        )
+        path = str(tmp_path / "z")
+        write_zordered(
+            df, path, ["x", "y"], [ZDim(0, 100), ZDim(0, 1000)], n_files=8
+        )
+        back = spark.read.parquet(path)
+        assert back.count() == 1000
+        assert set(back.columns) == {"id", "x", "y"}
