@@ -1309,6 +1309,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via the JVM-expression twin (sample_frames_jvm):
+    byte-identical slices to the Arrow fake_frame_sample path but pure
+    binary substring + posexplode. Frames surface as hex so the DuckDB
+    oracle byte-compares them without blob hashing."""
+    media = M.attach_binary_payload(table(spark, sf_dir, "documents"))
+    frames = M.sample_frames_jvm(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.octet_length("frame").cast("bigint").alias("n_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: pull props.k out of the JSON column."""
     e = table(spark, sf_dir, "events")
@@ -2407,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 (never gated yet -> rotate into the window in r5)
         "zorder_orders_key": zorder_orders_key,
         "corpus_shuffle_epoch": corpus_shuffle_epoch,
+        "multimodal_frames": multimodal_frames,
     }
 
 
@@ -3767,6 +3783,22 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "multimodal_frames": """
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       hex(encode(text)) AS hx,
+                       GREATEST(CAST(FLOOR(octet_length(encode(text)) / 4.0)
+                                     AS BIGINT), 1) AS st
+                FROM documents
+                WHERE octet_length(encode(text)) > 0
+            )
+            SELECT media_id,
+                   CAST(f.i AS BIGINT) AS frame_idx,
+                   CAST(length(substr(hx, st * 2 * f.i + 1, st * 2)) // 2
+                        AS BIGINT) AS n_bytes,
+                   substr(hx, st * 2 * f.i + 1, st * 2) AS frame_hex
+            FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS i) f
+        """,
         "corpus_shuffle_epoch": f"""
             WITH h AS (
                 SELECT doc_id,

@@ -247,6 +247,38 @@ def sample_frames(
     )
 
 
+def sample_frames_jvm(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """JVM-expression twin of ``sample_frames(fake_frame_sample)``.
+
+    The fake sampler is pure byte slicing (step = max(len/n, 1), frame
+    i = payload[i*step:(i+1)*step]) so it compiles to binary
+    ``substring`` + ``posexplode`` — no Arrow transfer. Byte-identical
+    to the Python path (pinned by test_m4_operators); a real video
+    decoder must still take the ``sample_frames`` mapInPandas route.
+    Same row-per-frame output contract: a frame, not a whole video, is
+    the unit of downstream parallelism.
+    """
+    nb = F.octet_length("payload")
+    step = F.greatest(F.floor(nb / F.lit(n_frames)).cast("int"), F.lit(1))
+    frames = F.array(
+        *[
+            F.expr(
+                f"substring(payload, _step * {i} + 1, _step)"
+            )
+            for i in range(n_frames)
+        ]
+    )
+    return (
+        df.select("media_id", "payload")
+        .filter(nb > 0)  # fake_frame_sample: empty/NULL payload -> no rows
+        .withColumn("_step", step)
+        .select(
+            "media_id",
+            F.posexplode(frames).alias("frame_idx", "frame"),
+        )
+    )
+
+
 def decode_with_real_codec(media_type: str) -> Callable[[bytes], list[float]]:
     """Contract for real codecs (not available in this container).
 

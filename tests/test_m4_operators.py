@@ -338,6 +338,30 @@ class TestMultimodal:
         }
         assert arrow == jvm
 
+    def test_jvm_frame_twin_matches_arrow_path(self, spark):
+        # payloads exercising every slicing edge: shorter than
+        # n_frames, not divisible, exact multiple, empty, NULL
+        rows = [
+            (1, "ab"),
+            (2, "abcdefghijk"),
+            (3, "abcdefgh"),
+            (4, ""),
+            (5, None),
+            (6, "日本語テキスト混入"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        media = M.attach_binary_payload(docs)
+
+        def key(df):
+            return {
+                (r["media_id"], r["frame_idx"]): bytes(r["frame"] or b"")
+                for r in df.collect()
+            }
+
+        arrow = key(M.sample_frames(media, n_frames=4))
+        jvm = key(M.sample_frames_jvm(media, n_frames=4))
+        assert arrow == jvm
+
     def test_real_codec_is_explicit_stub(self):
         with pytest.raises(NotImplementedError, match="image/png"):
             M.decode_with_real_codec("image/png")
