@@ -274,6 +274,68 @@ def continuous_dedup(
     return writer.start()
 
 
+def continuous_ann_index(
+    stream_vecs: DataFrame,
+    index_path: str,
+    dim: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_ann_index",
+):
+    """Continuous embedding ingestion into a growing IVF-Flat index —
+    the daily-embedding-ingest shape for similarity search at scale.
+
+    Per micro-batch: (1) ids already indexed are skipped (an
+    id-projection anti-join — makes at-least-once replay idempotent);
+    (2) the remaining vectors are norm+bucket annotated against the
+    FIXED centroid set (broadcast literal array math, batch-sized
+    work — the stored corpus is never re-read or re-assigned);
+    (3) the annotated rows append into the bucket-partitioned index
+    layout, so :func:`~mydatasyncer_spark.operators.similarity.
+    ivf_topk_indexed` probes keep pruning partitions as the index
+    grows. Because a vector's bucket depends only on itself and the
+    frozen centroids, the continuously-built index is row-identical
+    to a batch :func:`ivf_index` over the same corpus (pinned in
+    tests). Centroids are frozen at index creation — the IVF
+    contract; retraining means rebuilding (monitor drift with
+    ``kmeans_inertia`` over a sample).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.similarity import ivf_index
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        try:
+            existing = spark.read.parquet(index_path).select(
+                F.col("neighbor_id").alias(id_col)
+            )
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            batch = batch.join(existing, id_col, "left_anti")
+        if batch.isEmpty():
+            return
+        idx = ivf_index(batch, dim, n_centroids, id_col, vec_col, centroids)
+        idx.write.mode("append").partitionBy("bucket").parquet(index_path)
+
+    writer = (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def rollup_apply_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -556,3 +556,100 @@ def test_interval_join_streams_matches_batch(spark, sf_dir, event_dir):
         for r in batch.select("purchase_id", "view_id").collect()
     }
     assert got == expected and len(got) > 0
+
+
+class TestContinuousAnnIndex:
+    """Streaming IVF ingestion: the continuously-grown index must be
+    row-identical to a batch ivf_index over the same corpus, probes
+    must see vectors from every batch, and replays must be no-ops."""
+
+    DIM = 4
+
+    def _vec(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        return [round(rng.uniform(-1, 1), 3) for _ in range(self.DIM)]
+
+    def test_index_grows_probe_sees_all_batches_replay_noop(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_index,
+            ivf_topk_indexed,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_ann_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("vecs_in")
+        out = tmp_path_factory.mktemp("ann_out")
+        index_path = str(out / "index")
+        ckpt = str(out / "ckpt")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_ann_index(
+                stream, index_path, self.DIM, checkpoint_dir=ckpt
+            )
+            q.awaitTermination(120)
+
+        b1 = [
+            {"vec_id": i, "embedding": self._vec(i)} for i in range(20)
+        ]
+        b2 = [
+            {"vec_id": 100 + i, "embedding": self._vec(100 + i)}
+            for i in range(15)
+        ]
+        drain(b1, "b1.json")
+        assert spark.read.parquet(index_path).count() == 20
+        drain(b2, "b2.json")
+        idx = spark.read.parquet(index_path)
+        assert idx.count() == 35
+
+        # row-identical to the batch-built index over the union
+        all_rows = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+            "vec_id long, embedding array<double>",
+        )
+        batch_idx = ivf_index(all_rows, self.DIM)
+
+        def canon(df):
+            return {
+                (r["neighbor_id"], r["bucket"], round(r["cn"], 6))
+                for r in df.collect()
+            }
+
+        assert canon(idx) == canon(batch_idx)
+
+        # probing the streamed index finds neighbors from BOTH batches
+        queries = spark.createDataFrame(
+            [(0, self._vec(5)), (1, self._vec(105))],
+            "vec_id long, embedding array<double>",
+        )
+        hits = ivf_topk_indexed(
+            queries, idx, self.DIM, k=35, n_probe=8
+        ).collect()
+        ids = {r["neighbor_id"] for r in hits}
+        assert any(i < 20 for i in ids) and any(i >= 100 for i in ids)
+
+        # replay with a fresh checkpoint: every file re-processes, the
+        # indexed-id skip keeps the index unchanged
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).json(str(in_dir))
+        q = continuous_ann_index(
+            stream,
+            index_path,
+            self.DIM,
+            checkpoint_dir=str(out / "ckpt_replay"),
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(index_path).count() == 35
