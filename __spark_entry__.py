@@ -2363,13 +2363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_events": running_total_events,
         "sliding_windows_events": sliding_windows_events,
         "session_window_native": session_window_native,
-        "q13_order_count_distribution": q13_order_count_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
         "dedup_cluster_assign": dedup_cluster_assign,
-        "dedup_simhash": dedup_simhash,
-        "doc_chunks": doc_chunks,
+        # new operators this round — never seen the driver's env
+        "zorder_orders_key": zorder_orders_key,
+        "corpus_shuffle_epoch": corpus_shuffle_epoch,
+        "multimodal_frames": multimodal_frames,
         # ======== entries past the 50-query driver cap ===========
         # (all green in CORRECTNESS_r03 or earlier and untouched)
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "dedup_simhash": dedup_simhash,
+        "doc_chunks": doc_chunks,
         "doc_fingerprint": doc_fingerprint,
         "doc_rolling_hash": doc_rolling_hash,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2419,10 +2423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_repeat_buyers": intersect_repeat_buyers,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        # new in r4 (never gated yet -> rotate into the window in r5)
-        "zorder_orders_key": zorder_orders_key,
-        "corpus_shuffle_epoch": corpus_shuffle_epoch,
-        "multimodal_frames": multimodal_frames,
     }
 
 

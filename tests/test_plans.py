@@ -333,3 +333,27 @@ def test_token_chunking_is_narrow(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "doc_chunks_tokens")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_zorder_key_is_pure_projection(spark, sf_dir):
+    """The Morton key is bit arithmetic fused into the scan: no
+    Exchange, no Python eval, no join."""
+    plan = plan_of(spark, sf_dir, "zorder_orders_key")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Join" not in plan
+
+
+def test_multimodal_frames_stays_jvm_side(spark, sf_dir):
+    """The fake-codec frame slicing must compile to JVM binary
+    substring + posexplode — the payload never crosses to Python."""
+    plan = plan_of(spark, sf_dir, "multimodal_frames")
+    assert "Python" not in plan
+    assert "Generate" in plan  # the posexplode
+    assert "Exchange" not in plan
+
+
+def test_multimodal_features_stays_jvm_side(spark, sf_dir):
+    """The JVM codec twin: zero Arrow transfer in the contract path."""
+    plan = plan_of(spark, sf_dir, "multimodal_features")
+    assert "Python" not in plan

@@ -133,3 +133,37 @@ class TestZorderedLayout:
         back = spark.read.parquet(path)
         assert back.count() == 1000
         assert set(back.columns) == {"id", "x", "y"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_coords = st.tuples(
+    st.floats(min_value=-50, max_value=150, allow_nan=False),
+    st.floats(min_value=-200, max_value=1500, allow_nan=False),
+)
+
+
+@settings(**_HSETTINGS)
+@given(st.lists(_coords, min_size=1, max_size=25))
+def test_zorder_key_property_matches_reference(spark, pts):
+    """Any coordinate list (in-range, out-of-range, boundary floats):
+    the Column expression and the Python reference agree exactly."""
+    dims = [ZDim(0.0, 100.0), ZDim(0.0, 1000.0)]
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id",
+            zorder_key([F.col("x"), F.col("y")], dims, bits=10).alias("z"),
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == _py_morton([x, y], dims, 10), (i, x, y)
