@@ -1309,6 +1309,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_A = " | subscribe to our newsletter today"
+_BOILER_B = " | all rights reserved 2026"
+
+
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-segment removal (operators/text.
+    remove_repeated_segments): segments occurring in >= 3 distinct
+    documents are dropped corpus-wide, survivors reassemble in order.
+    Boilerplate is injected deterministically into 1/5 and 1/7 of the
+    corpus first (the fixture text carries none) so the remover has
+    real positives and negatives — same pattern as pii_redaction."""
+    from mydatasyncer_spark.operators.text import remove_repeated_segments
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER_A)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_BOILER_B)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return remove_repeated_segments(injected, min_repeat=3)
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling via the JVM-expression twin (sample_frames_jvm):
     byte-identical slices to the Arrow fake_frame_sample path but pure
@@ -2363,15 +2392,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total_events": running_total_events,
         "sliding_windows_events": sliding_windows_events,
         "session_window_native": session_window_native,
-        "q18_large_volume_customers": q18_large_volume_customers,
         "dedup_cluster_assign": dedup_cluster_assign,
         # new operators this round — never seen the driver's env
         "zorder_orders_key": zorder_orders_key,
         "corpus_shuffle_epoch": corpus_shuffle_epoch,
         "multimodal_frames": multimodal_frames,
+        "boilerplate_line_removal": boilerplate_line_removal,
         # ======== entries past the 50-query driver cap ===========
         # (all green in CORRECTNESS_r03 or earlier and untouched)
         "q13_order_count_distribution": q13_order_count_distribution,
+        "q18_large_volume_customers": q18_large_volume_customers,
         "dedup_simhash": dedup_simhash,
         "doc_chunks": doc_chunks,
         "doc_fingerprint": doc_fingerprint,
@@ -3783,6 +3813,41 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "boilerplate_line_removal": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '{_BOILER_A}' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN '{_BOILER_B}' ELSE '' END AS text
+                FROM documents
+            ),
+            segs AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' | ')) AS seg,
+                       unnest(range(len(string_split(text, ' | ')))) AS pos
+                FROM inj
+            ),
+            freq AS (
+                SELECT seg, COUNT(DISTINCT doc_id) AS n_docs
+                FROM segs GROUP BY seg
+            ),
+            tagged AS (
+                SELECT s.doc_id, s.seg, s.pos, f.n_docs
+                FROM segs s JOIN freq f USING (seg)
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN n_docs < 3 THEN seg END, ' | '
+                       ORDER BY pos), '') AS clean_text,
+                   CAST(COUNT(CASE WHEN n_docs < 3 THEN 1 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(COUNT(CASE WHEN n_docs >= 3 THEN 1 END) AS BIGINT)
+                       AS n_dropped
+            FROM tagged
+            GROUP BY doc_id
+        """,
         "multimodal_frames": """
             WITH s AS (
                 SELECT doc_id AS media_id,

@@ -292,3 +292,70 @@ def chunk_documents_by_tokens(
         F.size("_c").alias("n_tokens"),
         F.concat_ws(" ", "_c").alias("chunk_text"),
     )
+
+
+def remove_repeated_segments(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " | ",
+    min_repeat: int = 3,
+):
+    """C4/CCNet-style boilerplate removal: drop every text segment
+    that occurs in ``min_repeat`` or more DISTINCT documents (nav
+    bars, cookie banners, license footers — the lines that repeat
+    verbatim across a crawl), keeping each document's remaining
+    segments in their original order.
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)``.
+
+    Scale shape: segments explode once; the distinct + frequency
+    aggregation + filter join all hash-partition on the segment, so
+    Spark reuses ONE exchange across the three; the re-assembly is one
+    shuffle back on the document id. Segment frequency is corpus-wide
+    exact counting — the same plan as word-count, at any corpus size.
+    """
+    import re as _re
+
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            # split() takes a REGEX — escape the literal separator
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "seg"),
+    )
+    seg_docs = segs.select("seg", id_col).distinct()
+    freq = seg_docs.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs")
+    )
+    tagged = segs.join(freq, "seg")
+    kept = tagged.filter(F.col("_n_docs") < min_repeat)
+    dropped = tagged.filter(F.col("_n_docs") >= min_repeat)
+    kept_agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    drop_agg = dropped.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped")
+    )
+    return (
+        df.select(id_col)
+        .join(kept_agg, id_col, "left")
+        .join(drop_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -500,3 +500,49 @@ class TestEpochShuffle:
         )
         assert "rangepartitioning" in plan.lower()
         assert "CartesianProduct" not in plan
+
+
+class TestRemoveRepeatedSegments:
+    def _run(self, spark, rows, min_repeat=3):
+        from mydatasyncer_spark.operators.text import (
+            remove_repeated_segments,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+            for r in remove_repeated_segments(
+                df, min_repeat=min_repeat
+            ).collect()
+        }
+
+    def test_corpus_wide_boilerplate_dropped_order_kept(self, spark):
+        boiler = "subscribe now"
+        rows = [
+            (1, f"alpha one | {boiler} | omega one"),
+            (2, f"{boiler} | beta two"),
+            (3, f"gamma three | {boiler}"),
+            (4, "delta four"),
+        ]
+        got = self._run(spark, rows, min_repeat=3)
+        assert got[1] == ("alpha one | omega one", 2, 1)
+        assert got[2] == ("beta two", 1, 1)
+        assert got[3] == ("gamma three", 1, 1)
+        assert got[4] == ("delta four", 1, 0)
+
+    def test_repeat_within_one_doc_counts_once(self, spark):
+        # "dup" appears 3 times but only in 2 DISTINCT docs -> kept
+        rows = [
+            (1, "dup | dup | unique a"),
+            (2, "dup | unique b"),
+            (3, "unique c"),
+        ]
+        got = self._run(spark, rows, min_repeat=3)
+        assert got[1] == ("dup | dup | unique a", 3, 0)
+        assert got[2] == ("dup | unique b", 2, 0)
+
+    def test_fully_boilerplate_doc_becomes_empty(self, spark):
+        rows = [(i, "legal footer") for i in range(1, 5)]
+        got = self._run(spark, rows, min_repeat=3)
+        for i in range(1, 5):
+            assert got[i] == ("", 0, 1)
