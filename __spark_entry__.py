@@ -890,6 +890,32 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_rollup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max IVM (operators/ivm.maintain_rollup_minmax): bootstrap
+    the per-status price min/max from the DB snapshot, maintain with
+    the file-vs-db diff. Non-invertible aggregates: removals hitting a
+    stored bound trigger group-targeted repair (semi-join-pruned fact
+    re-aggregation of ONLY those groups); the oracle recomputes from
+    the file side, so a hash match proves maintained == recompute."""
+    from mydatasyncer_spark.operators.ivm import (
+        maintain_rollup_minmax,
+        rollup_state_minmax,
+    )
+
+    f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
+    state = rollup_state_minmax(d, ["o_orderstatus"], "o_totalprice")
+    diff = diff_snapshots(f, d, "o_orderkey", f.columns)
+    new_state = maintain_rollup_minmax(
+        state, diff, f, ["o_orderstatus"], "o_totalprice"
+    )
+    return new_state.select(
+        "o_orderstatus",
+        F.col("min_val").cast("double").alias("min_val"),
+        F.col("max_val").cast("double").alias("max_val"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
 def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota sampling (operators/sampling.cap_per_group): at most 30
     docs per language, best-quality-first with doc_id tiebreak — the
@@ -2385,11 +2411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": dedup_survivors,
         "curation_pipeline": curation_pipeline,
         "incremental_rollup": incremental_rollup,
+        "incremental_rollup_minmax": incremental_rollup_minmax,
         "diff_pruned_counts": diff_pruned_counts,
         "diff_pruned_localized": diff_pruned_localized,
         "diff_full_localized": diff_full_localized,
         "dedup_exact_best_quality": dedup_exact_best_quality,
-        "running_total_events": running_total_events,
         "sliding_windows_events": sliding_windows_events,
         "session_window_native": session_window_native,
         "dedup_cluster_assign": dedup_cluster_assign,
@@ -2402,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (all green in CORRECTNESS_r03 or earlier and untouched)
         "q13_order_count_distribution": q13_order_count_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "running_total_events": running_total_events,
         "dedup_simhash": dedup_simhash,
         "doc_chunks": doc_chunks,
         "doc_fingerprint": doc_fingerprint,
@@ -3813,6 +3840,15 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "incremental_rollup_minmax": f"""
+            WITH {SNAPSHOT_SQL}
+            SELECT o_orderstatus,
+                   CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS max_val,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM file_side
+            GROUP BY o_orderstatus
+        """,
         "boilerplate_line_removal": f"""
             WITH inj AS (
                 SELECT doc_id,

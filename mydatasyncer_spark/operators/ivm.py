@@ -142,3 +142,200 @@ def maintain_rollup(
         .alias(_CNT),
         new_nnv.alias(_NNV),
     ).filter(F.col(_CNT) > 0)
+
+
+_MIN = "min_val"
+_MAX = "max_val"
+
+
+def rollup_state_minmax(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Full-recompute form of the min/max rollup state:
+    (group_cols..., min_val, max_val, n_rows BIGINT)."""
+    return df.groupBy(*group_cols).agg(
+        F.min(value_col).alias(_MIN),
+        F.max(value_col).alias(_MAX),
+        F.count(F.lit(1)).alias(_CNT),
+    )
+
+
+def damaged_groups(
+    state_df: DataFrame,
+    diff: DiffResult,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Groups whose stored extremum may have been REMOVED by the diff.
+
+    MIN/MAX are not invertible: inserts only ever improve them
+    monotonically, but deleting (or updating away) a row carrying the
+    group's current extremum invalidates the stored value. A removed
+    value strictly inside the (min, max) interval is provably
+    harmless; one equal to either bound marks the group damaged.
+    Returns the distinct damaged group keys — the ONLY groups whose
+    rows the repair pass re-aggregates.
+    """
+    removed = [_value_leg(diff.to_delete, group_cols, value_col)]
+    if BEFORE_COL in diff.to_update.columns:
+        before = {
+            c: F.col(BEFORE_COL).getField(c)
+            for c in [*group_cols, value_col]
+        }
+        removed.append(
+            _value_leg(diff.to_update, group_cols, value_col, before)
+        )
+    rem = removed[0]
+    for r in removed[1:]:
+        rem = rem.unionByName(r)
+    cond = None
+    for c in group_cols:
+        e = F.col(f"s.{c}").eqNullSafe(F.col(f"r.{c}"))
+        cond = e if cond is None else cond & e
+    joined = state_df.alias("s").join(rem.alias("r"), on=cond, how="inner")
+    hit = (F.col("r._v") <= F.col(f"s.{_MIN}")) | (
+        F.col("r._v") >= F.col(f"s.{_MAX}")
+    )
+    return (
+        joined.filter(F.col("r._v").isNotNull() & hit)
+        .select(*[F.col(f"s.{c}").alias(c) for c in group_cols])
+        .distinct()
+    )
+
+
+def _value_leg(
+    df: DataFrame, group_cols: list[str], value_col: str, cols_from=None
+) -> DataFrame:
+    """(group_cols..., _v) projection of one diff leg (optionally from
+    the BEFORE struct)."""
+    src = cols_from or {c: F.col(c) for c in [*group_cols, value_col]}
+    return df.select(
+        *[src[c].alias(c) for c in group_cols],
+        src[value_col].alias("_v"),
+    )
+
+
+def maintain_rollup_minmax(
+    state_df: DataFrame,
+    diff: DiffResult,
+    new_fact_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Maintain a min/max rollup from a diff, with group-targeted
+    repair for the non-invertible cases.
+
+    Three-way plan, all delta-sized except the repair:
+
+    1. **monotone pass** — inserts and update-AFTER values can only
+       improve min/max; groups whose removals never touch a stored
+       bound get ``least/greatest(state, added)`` plus the net row
+       count, no fact access.
+    2. **repair pass** — :func:`damaged_groups` (removals that hit a
+       bound) are re-aggregated from ``new_fact_df`` via a left-semi
+       join on the damaged keys: cost ∝ rows of damaged groups, and
+       with the fact stored partitioned/bucketed on the group key the
+       semi join prunes at the scan. The 100 TB daily shape: a few
+       groups repair, the rest never read the fact.
+    3. groups whose net row count reaches zero drop out (the repair
+       pass naturally emits nothing for them).
+
+    Result is bit-identical to :func:`rollup_state_minmax` over the
+    new fact (pinned by tests and the contract oracle).
+    """
+    added = [_value_leg(diff.to_insert, group_cols, value_col)]
+    if BEFORE_COL in diff.to_update.columns:
+        added.append(_value_leg(diff.to_update, group_cols, value_col))
+    add = added[0]
+    for a in added[1:]:
+        add = add.unionByName(a)
+    removed = [_value_leg(diff.to_delete, group_cols, value_col)]
+    if BEFORE_COL in diff.to_update.columns:
+        before = {
+            c: F.col(BEFORE_COL).getField(c)
+            for c in [*group_cols, value_col]
+        }
+        removed.append(
+            _value_leg(diff.to_update, group_cols, value_col, before)
+        )
+    rem = removed[0]
+    for r in removed[1:]:
+        rem = rem.unionByName(r)
+
+    add_g = add.groupBy(*group_cols).agg(
+        F.min("_v").alias("_add_min"),
+        F.max("_v").alias("_add_max"),
+        F.count(F.lit(1)).cast("bigint").alias("_add_n"),
+    )
+    rem_g = rem.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_rem_n")
+    )
+
+    damaged = damaged_groups(state_df, diff, group_cols, value_col)
+
+    # monotone pass over undamaged groups (incl. brand-new groups)
+    st = state_df.alias("s")
+    dd = damaged.alias("x")
+    cond = None
+    for c in group_cols:
+        e = F.col(f"s.{c}").eqNullSafe(F.col(f"x.{c}"))
+        cond = e if cond is None else cond & e
+    safe_state = st.join(dd, on=cond, how="left_anti")
+
+    cond2 = None
+    a = add_g.alias("a")
+    for c in group_cols:
+        e = F.col(f"s.{c}").eqNullSafe(F.col(f"a.{c}"))
+        cond2 = e if cond2 is None else cond2 & e
+    merged = safe_state.alias("s").join(a, on=cond2, how="full_outer")
+    r = rem_g.alias("r")
+    cond3 = None
+    for c in group_cols:
+        e = (
+            F.coalesce(F.col(f"s.{c}"), F.col(f"a.{c}"))
+            .eqNullSafe(F.col(f"r.{c}"))
+        )
+        cond3 = e if cond3 is None else cond3 & e
+    merged = merged.join(r, on=cond3, how="left")
+    # a removal in a group absent from safe_state is either damaged
+    # (handled by repair) or inconsistent input; left join drops it
+    maintained = merged.select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"a.{c}")).alias(c)
+            for c in group_cols
+        ],
+        F.least(F.col(f"s.{_MIN}"), F.col("a._add_min")).alias(_MIN),
+        F.greatest(F.col(f"s.{_MAX}"), F.col("a._add_max")).alias(_MAX),
+        (
+            F.coalesce(F.col(f"s.{_CNT}"), F.lit(0))
+            + F.coalesce(F.col("a._add_n"), F.lit(0))
+            - F.coalesce(F.col("r._rem_n"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias(_CNT),
+    ).filter(F.col(_CNT) > 0)
+    # a damaged group can re-enter through the add side of the full
+    # outer join (its state row was filtered, its inserts were not) —
+    # the repair pass owns those groups, so drop them here or they
+    # would be emitted twice
+    m = maintained.alias("m")
+    d3 = damaged.alias("dd")
+    cond4 = None
+    for c in group_cols:
+        e = F.col(f"m.{c}").eqNullSafe(F.col(f"dd.{c}"))
+        cond4 = e if cond4 is None else cond4 & e
+    maintained = m.join(d3, on=cond4, how="left_anti")
+
+    # repair pass: re-aggregate ONLY the damaged groups from the fact
+    fact_cond = None
+    f = new_fact_df.alias("f")
+    d2 = damaged.alias("d")
+    for c in group_cols:
+        e = F.col(f"f.{c}").eqNullSafe(F.col(f"d.{c}"))
+        fact_cond = e if fact_cond is None else fact_cond & e
+    repaired = rollup_state_minmax(
+        f.join(d2, on=fact_cond, how="left_semi"),
+        group_cols,
+        value_col,
+    )
+    return maintained.unionByName(repaired)

@@ -159,3 +159,107 @@ class TestMaintainRollup:
         assert got == _state_map(recomputed)
         assert got[("a",)] == (None, 2, 0)
         assert got[("b",)] == (2.0, 2, 1)
+
+
+class TestMaintainRollupMinMax:
+    """Min/max IVM: non-invertible aggregates maintained monotonically
+    where safe, repaired by group-targeted fact re-aggregation where a
+    stored bound was removed."""
+
+    def _mm_map(self, df):
+        return {
+            tuple(
+                r[c]
+                for c in df.columns
+                if c not in ("min_val", "max_val", "n_rows")
+            ): (r["min_val"], r["max_val"], r["n_rows"])
+            for r in df.collect()
+        }
+
+    def _check(self, spark, old_rows, new_rows):
+        from mydatasyncer_spark.operators.ivm import (
+            maintain_rollup_minmax,
+            rollup_state_minmax,
+        )
+
+        schema = "id long, g string, v double"
+        old_df = spark.createDataFrame(old_rows, schema)
+        new_df = spark.createDataFrame(new_rows, schema)
+        state = rollup_state_minmax(old_df, ["g"], "v")
+        diff = diff_snapshots(new_df, old_df, "id")
+        maintained = maintain_rollup_minmax(
+            state, diff, new_df, ["g"], "v"
+        )
+        recomputed = rollup_state_minmax(new_df, ["g"], "v")
+        assert self._mm_map(maintained) == self._mm_map(recomputed)
+        return maintained
+
+    @pytest.mark.parametrize("seed", [7, 23, 99])
+    def test_incremental_equals_recompute_random(self, spark, seed):
+        rng = random.Random(seed)
+        groups = ["a", "b", "c"]
+        old = [
+            (i, rng.choice(groups), float(rng.randint(0, 50)))
+            for i in range(100)
+        ]
+        new = []
+        for i, g, v in old:
+            roll = rng.random()
+            if roll < 0.2:
+                continue  # delete (sometimes the extremum)
+            if roll < 0.4:
+                new.append((i, g, float(rng.randint(0, 50))))
+            elif roll < 0.5:
+                new.append((i, rng.choice(groups), v))  # group move
+            else:
+                new.append((i, g, v))
+        new += [
+            (500 + k, rng.choice(groups + ["d"]), float(rng.randint(0, 50)))
+            for k in range(10)
+        ]
+        self._check(spark, old, new)
+
+    def test_delete_of_minimum_repairs_group(self, spark):
+        old = [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0)]
+        new = [(2, "a", 5.0), (3, "a", 9.0)]  # min row deleted
+        self._check(spark, old, new)
+
+    def test_interior_removal_needs_no_repair(self, spark):
+        """Removing a value strictly inside (min, max) must not mark
+        the group damaged — the monotone pass suffices."""
+        from mydatasyncer_spark.operators.ivm import (
+            damaged_groups,
+            rollup_state_minmax,
+        )
+
+        schema = "id long, g string, v double"
+        old_df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0), (4, "b", 2.0)],
+            schema,
+        )
+        new_df = spark.createDataFrame(
+            [(1, "a", 1.0), (3, "a", 9.0), (4, "b", 2.0)], schema
+        )
+        state = rollup_state_minmax(old_df, ["g"], "v")
+        diff = diff_snapshots(new_df, old_df, "id")
+        assert damaged_groups(state, diff, ["g"], "v").count() == 0
+        self._check(
+            spark,
+            [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0), (4, "b", 2.0)],
+            [(1, "a", 1.0), (3, "a", 9.0), (4, "b", 2.0)],
+        )
+
+    def test_group_death_and_birth(self, spark):
+        old = [(1, "dying", 3.0), (2, "stay", 7.0)]
+        new = [(2, "stay", 7.0), (3, "born", 4.0)]
+        got = self._mm_map(self._check(spark, old, new))
+        assert ("dying",) not in got
+        assert got[("born",)] == (4.0, 4.0, 1)
+
+    def test_update_moves_extremum_between_groups(self, spark):
+        # the group-max of 'a' moves to 'b': 'a' repairs, 'b' improves
+        old = [(1, "a", 9.0), (2, "a", 1.0), (3, "b", 5.0)]
+        new = [(1, "b", 9.0), (2, "a", 1.0), (3, "b", 5.0)]
+        got = self._mm_map(self._check(spark, old, new))
+        assert got[("a",)] == (1.0, 1.0, 1)
+        assert got[("b",)] == (5.0, 9.0, 2)
