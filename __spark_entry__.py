@@ -890,6 +890,25 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement
+    (operators/sampling.weighted_sample, Efraimidis-Spirakis A-ES):
+    60 documents drawn proportionally to text length, as a row
+    property — the oracle reproduces hash, key, and cutoff exactly."""
+    from mydatasyncer_spark.operators.sampling import weighted_sample
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).cast("double").alias("w"),
+    )
+    s = weighted_sample(d, "doc_id", "w", k=60)
+    return s.select(
+        "doc_id",
+        F.col("w").alias("weight"),
+        F.col("_wkey").alias("sample_key"),
+    )
+
+
 def incremental_rollup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min/max IVM (operators/ivm.maintain_rollup_minmax): bootstrap
     the per-status price min/max from the DB snapshot, maintain with
@@ -2416,7 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_pruned_localized": diff_pruned_localized,
         "diff_full_localized": diff_full_localized,
         "dedup_exact_best_quality": dedup_exact_best_quality,
-        "sliding_windows_events": sliding_windows_events,
+        "weighted_sample_docs": weighted_sample_docs,
         "session_window_native": session_window_native,
         "dedup_cluster_assign": dedup_cluster_assign,
         # new operators this round — never seen the driver's env
@@ -2429,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_distribution": q13_order_count_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
         "running_total_events": running_total_events,
+        "sliding_windows_events": sliding_windows_events,
         "dedup_simhash": dedup_simhash,
         "doc_chunks": doc_chunks,
         "doc_fingerprint": doc_fingerprint,
@@ -3840,6 +3860,19 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "weighted_sample_docs": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(GREATEST(length(text), 1) AS DOUBLE) AS weight
+                FROM documents
+            )
+            SELECT doc_id, weight,
+                   {SP.weighted_sample_key_sql("doc_id", "weight")}
+                       AS sample_key
+            FROM w
+            ORDER BY sample_key DESC, doc_id
+            LIMIT 60
+        """,
         "incremental_rollup_minmax": f"""
             WITH {SNAPSHOT_SQL}
             SELECT o_orderstatus,

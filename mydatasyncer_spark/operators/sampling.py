@@ -311,3 +311,52 @@ def epoch_shuffle(
     return df.orderBy(
         shuffle_order(F.col(id_col), epoch, salt), F.col(id_col)
     )
+
+
+def weighted_sample_key(
+    id_col: Column, weight_col: Column, salt: str = "wsample"
+) -> Column:
+    """Efraimidis-Spirakis A-ES key for weighted sampling WITHOUT
+    replacement: ``u^(1/w)`` with ``u`` uniform in (0,1] — taking the
+    global top-k by this key draws each row with probability
+    proportional to its weight, exactly, in one pass. ``u`` derives
+    from the cross-engine hash, so the sample is a row property
+    (reproducible across runs, engines, partitionings), and the key is
+    rounded to 9 dp so a <=1-ulp ``pow`` difference between engines
+    can never reorder it.
+    """
+    u = (hash48(F.concat(id_col.cast("string"), F.lit(f"|{salt}"))) + 1) / (
+        float(2**48) + 1.0
+    )
+    return F.round(F.pow(u, 1.0 / weight_col), 9)
+
+
+def weighted_sample_key_sql(
+    id_expr: str, weight_expr: str, salt: str = "wsample"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_key`."""
+    h = hash48_sql(f"CAST({id_expr} AS VARCHAR) || '|{salt}'")
+    u = f"(({h} + 1) / {float(2**48) + 1.0!r})"
+    return f"round(pow({u}, 1.0 / ({weight_expr})), 9)"
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Top-``k`` weighted sample without replacement (A-ES; see
+    :func:`weighted_sample_key`). Rows with non-positive or NULL
+    weight are excluded. Scale shape: the key is a narrow projection
+    and ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver side of the
+    exchange, never a full global sort spill."""
+    key = weighted_sample_key(F.col(id_col), F.col(weight_col), salt)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), F.col(id_col))
+        .limit(k)
+    )

@@ -546,3 +546,69 @@ class TestRemoveRepeatedSegments:
         got = self._run(spark, rows, min_repeat=3)
         for i in range(1, 5):
             assert got[i] == ("", 0, 1)
+
+
+class TestWeightedSample:
+    def test_deterministic_and_partition_invariant(self, spark):
+        from mydatasyncer_spark.operators.sampling import weighted_sample
+
+        df = spark.range(0, 1000).selectExpr(
+            "id AS doc_id", "CAST(1 + id % 10 AS DOUBLE) AS w"
+        )
+        a = [
+            r["doc_id"]
+            for r in weighted_sample(df, "doc_id", "w", 50).collect()
+        ]
+        b = [
+            r["doc_id"]
+            for r in weighted_sample(
+                df.repartition(13), "doc_id", "w", 50
+            ).collect()
+        ]
+        assert a == b
+        assert len(a) == 50 and len(set(a)) == 50  # without replacement
+
+    def test_heavier_rows_oversampled(self, spark):
+        """Across independent salts, weight-10 rows must be drawn far
+        more often than weight-1 rows (A-ES proportionality)."""
+        from mydatasyncer_spark.operators.sampling import weighted_sample
+
+        df = spark.range(0, 400).selectExpr(
+            "id AS doc_id",
+            "CAST(CASE WHEN id < 200 THEN 10 ELSE 1 END AS DOUBLE) AS w",
+        )
+        heavy = 0
+        total = 0
+        for salt in ("s1", "s2", "s3", "s4"):
+            got = weighted_sample(df, "doc_id", "w", 80, salt=salt).collect()
+            heavy += sum(1 for r in got if r["doc_id"] < 200)
+            total += len(got)
+        # heavy rows hold ~10/11 of the total weight; even loosely they
+        # must dominate the sample
+        assert heavy / total > 0.75
+
+    def test_non_positive_weights_excluded(self, spark):
+        from mydatasyncer_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double",
+        )
+        got = [
+            r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()
+        ]
+        assert got == [1]
+
+    def test_plan_is_take_ordered_not_full_sort(self, spark):
+        from mydatasyncer_spark.operators.sampling import weighted_sample
+
+        df = spark.range(0, 100_000).selectExpr(
+            "id AS doc_id", "CAST(1 + id % 7 AS DOUBLE) AS w"
+        )
+        plan = (
+            weighted_sample(df, "doc_id", "w", 25)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
