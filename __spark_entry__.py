@@ -890,6 +890,49 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/intervals): per-user view
+    windows [ts, ts+30min] against purchase windows [ts, ts+1h] via
+    bucketized equi-join + residual — never a nested-loop pair space.
+    Oracle = the plain theta join, so the bucket trick must be
+    invisible (exact recall, exactly-once per pair)."""
+    from mydatasyncer_spark.operators.intervals import interval_overlap_join
+
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        ts_epoch("ts").alias("vs"),
+        (ts_epoch("ts") + 1800.0).alias("ve"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        ts_epoch("ts").alias("ps"),
+        (ts_epoch("ts") + 3600.0).alias("pe"),
+    )
+    j = interval_overlap_join(
+        views,
+        purchases,
+        "vs",
+        "ve",
+        "ps",
+        "pe",
+        on=["user_id"],
+        bucket_seconds=3600,
+    )
+    return j.select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        F.round(
+            F.least(F.col("ve"), F.col("pe"))
+            - F.greatest(F.col("vs"), F.col("ps")),
+            6,
+        ).alias("overlap_sec"),
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sample without replacement
     (operators/sampling.weighted_sample, Efraimidis-Spirakis A-ES):
@@ -2436,7 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_full_localized": diff_full_localized,
         "dedup_exact_best_quality": dedup_exact_best_quality,
         "weighted_sample_docs": weighted_sample_docs,
-        "session_window_native": session_window_native,
+        "interval_overlap_pairs": interval_overlap_pairs,
         "dedup_cluster_assign": dedup_cluster_assign,
         # new operators this round — never seen the driver's env
         "zorder_orders_key": zorder_orders_key,
@@ -2447,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (all green in CORRECTNESS_r03 or earlier and untouched)
         "q13_order_count_distribution": q13_order_count_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "session_window_native": session_window_native,
         "running_total_events": running_total_events,
         "sliding_windows_events": sliding_windows_events,
         "dedup_simhash": dedup_simhash,
@@ -3860,6 +3904,22 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "interval_overlap_pairs": """
+            WITH v AS (
+                SELECT user_id, event_id AS view_event_id,
+                       epoch(ts) AS vs, epoch(ts) + 1800.0 AS ve
+                FROM events WHERE event_type = 'view'
+            ),
+            p AS (
+                SELECT user_id, event_id AS purchase_event_id,
+                       epoch(ts) AS ps, epoch(ts) + 3600.0 AS pe
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT v.user_id, view_event_id, purchase_event_id,
+                   round(LEAST(ve, pe) - GREATEST(vs, ps), 6) AS overlap_sec
+            FROM v JOIN p
+              ON v.user_id = p.user_id AND vs <= pe AND ps <= ve
+        """,
         "weighted_sample_docs": f"""
             WITH w AS (
                 SELECT doc_id,

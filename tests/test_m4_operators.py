@@ -750,3 +750,81 @@ class TestSimhashNearPairs:
                 sigs[r["id_a"]] ^ sigs[r["id_b"]]
             ).count("1")
             assert r["hamming"] <= 2
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, spark, left_rows, right_rows, bucket=10, on=None):
+        from mydatasyncer_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        l = spark.createDataFrame(
+            left_rows, "k string, lid long, ls double, le double"
+        )
+        r = spark.createDataFrame(
+            right_rows, "k string, rid long, rs double, re double"
+        )
+        out = interval_overlap_join(
+            l, r, "ls", "le", "rs", "re", on=on or ["k"],
+            bucket_seconds=bucket,
+        )
+        return sorted((row["lid"], row["rid"]) for row in out.collect())
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(4)
+        left = [
+            ("u", i, float(s := rng.randint(0, 200)), float(s + rng.randint(0, 40)))
+            for i in range(60)
+        ]
+        right = [
+            ("u", 1000 + i, float(s := rng.randint(0, 200)), float(s + rng.randint(0, 40)))
+            for i in range(60)
+        ]
+        got = self._run(spark, left, right, bucket=16)
+        want = sorted(
+            (lid, rid)
+            for _, lid, ls, le in left
+            for _, rid, rs, re_ in right
+            if ls <= re_ and rs <= le
+        )
+        assert got == want  # exact recall AND exactly-once per pair
+
+    def test_multi_bucket_span_emits_once(self, spark):
+        # both intervals span 5+ buckets and share several of them
+        left = [("u", 1, 0.0, 55.0)]
+        right = [("u", 2, 3.0, 48.0)]
+        assert self._run(spark, left, right, bucket=10) == [(1, 2)]
+
+    def test_key_isolation(self, spark):
+        left = [("a", 1, 0.0, 100.0)]
+        right = [("b", 2, 0.0, 100.0)]  # overlaps in time, wrong key
+        assert self._run(spark, left, right) == []
+
+    def test_touching_endpoints_overlap(self, spark):
+        left = [("u", 1, 0.0, 10.0)]
+        right = [("u", 2, 10.0, 20.0)]
+        assert self._run(spark, left, right) == [(1, 2)]
+
+    def test_plan_is_equi_join_no_blowup(self, spark):
+        from mydatasyncer_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        l = spark.range(0, 10_000).selectExpr(
+            "CAST(id % 50 AS STRING) AS k", "id AS lid",
+            "CAST(id AS DOUBLE) AS ls", "CAST(id + 30 AS DOUBLE) AS le",
+        )
+        r = spark.range(0, 10_000).selectExpr(
+            "CAST(id % 50 AS STRING) AS k", "id AS rid",
+            "CAST(id + 5 AS DOUBLE) AS rs", "CAST(id + 20 AS DOUBLE) AS re",
+        )
+        plan = (
+            interval_overlap_join(l, r, "ls", "le", "rs", "re", on=["k"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
