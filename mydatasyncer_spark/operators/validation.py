@@ -198,3 +198,99 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         f"stack({len(columns)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Shannon entropy (bits) + distinct count per column, one row per
+    column: ``(column_name, n_rows, n_distinct, entropy_bits)``.
+
+    The profiler's information-theoretic sibling: entropy ~= log2(nd)
+    means near-uniform values (a good join/partition key), entropy
+    near 0 means a degenerate column whose shuffle would collapse onto
+    a handful of reducers. Plan: one ``stack`` unpivot fused into the
+    scan, then ONE aggregation keyed on (column, value) with map-side
+    partial counts — a single shuffle for every column profiled.
+    Entropy is rounded to 6 dp so double summation order (engine- and
+    partitioning-dependent at ~1e-13 relative) can never leak into a
+    cross-engine comparison. NULL is counted as a regular value, like
+    ``groupBy`` treats it.
+    """
+
+    def lit_str(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def ident(s: str) -> str:
+        return "`" + s.replace("`", "``") + "`"
+
+    pairs = ", ".join(
+        f"{lit_str(c)}, CAST({ident(c)} AS STRING)" for c in columns
+    )
+    unpivoted = df.selectExpr(
+        f"stack({len(columns)}, {pairs}) AS (column_name, value)"
+    )
+    counts = unpivoted.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_col = counts.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+    )
+    return per_col.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        F.round(
+            F.log2("n_rows") - F.col("_clogc") / F.col("n_rows"), 6
+        ).alias("entropy_bits"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information I(A;B) in bits, one output row:
+    ``(h_a, h_b, h_ab, mi_bits)`` — via H(A) + H(B) - H(A,B) computed
+    from ONE joint (a, b) aggregation (the marginals re-aggregate the
+    joint table, which is at most |A|x|B| rows, never the input).
+
+    The dependency detector behind join planning: I(A;B) ~= H(B)
+    means A functionally determines B (B is derivable — don't shuffle
+    on both); I ~= 0 means independent columns. Same 6-dp rounding
+    contract as :func:`column_entropy`. NULLs count as regular values.
+    """
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    joint = joint.localCheckpoint(eager=True)  # three consumers below
+
+    def h_of(group_cols: list[str]):
+        g = joint.groupBy(*group_cols).agg(F.sum("c").alias("c"))
+        return g.agg(
+            F.sum("c").cast("double").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("s"),
+        ).select((F.log2("n") - F.col("s") / F.col("n")).alias("h"))
+
+    h_ab = joint.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    ).select((F.log2("n") - F.col("s") / F.col("n")).alias("h"))
+    h_a, h_b = h_of(["_a"]), h_of(["_b"])
+    return (
+        h_a.select(F.col("h").alias("_ha"))
+        .crossJoin(h_b.select(F.col("h").alias("_hb")))
+        .crossJoin(h_ab.select(F.col("h").alias("_hab")))
+        .select(
+            F.round("_ha", 6).alias("h_a"),
+            F.round("_hb", 6).alias("h_b"),
+            F.round("_hab", 6).alias("h_ab"),
+            F.round(
+                F.col("_ha") + F.col("_hb") - F.col("_hab"), 6
+            ).alias("mi_bits"),
+        )
+    )

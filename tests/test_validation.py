@@ -121,3 +121,52 @@ class TestProfileColumns:
             .toString()
         )
         assert plan.count("Range (0, 100") == 1
+
+
+class TestEntropyProfilers:
+    def test_entropy_extremes(self, spark):
+        from mydatasyncer_spark.operators.validation import column_entropy
+
+        df = spark.range(0, 256).selectExpr(
+            "CAST(id AS STRING) AS uniform",  # 256 distinct: H = 8 bits
+            "'x' AS constant",                # H = 0
+            "CAST(id % 2 AS STRING) AS coin", # H = 1 bit
+        )
+        got = {
+            r["column_name"]: r
+            for r in column_entropy(
+                df, ["uniform", "constant", "coin"]
+            ).collect()
+        }
+        assert got["uniform"]["entropy_bits"] == 8.0
+        assert got["uniform"]["n_distinct"] == 256
+        assert got["constant"]["entropy_bits"] == 0.0
+        assert got["coin"]["entropy_bits"] == 1.0
+
+    def test_null_is_a_regular_value(self, spark):
+        from mydatasyncer_spark.operators.validation import column_entropy
+
+        df = spark.createDataFrame(
+            [(None,), ("a",)], "v string"
+        )
+        [row] = column_entropy(df, ["v"]).collect()
+        assert row["n_distinct"] == 2
+        assert row["entropy_bits"] == 1.0
+
+    def test_mutual_information_extremes(self, spark):
+        from mydatasyncer_spark.operators.validation import (
+            mutual_information,
+        )
+
+        # b = f(a): functional dependency -> I(A;B) = H(B)
+        fd = spark.range(0, 400).selectExpr(
+            "CAST(id % 8 AS STRING) AS a", "CAST((id % 8) % 2 AS STRING) AS b"
+        )
+        [r] = mutual_information(fd, "a", "b").collect()
+        assert r["mi_bits"] == r["h_b"] == 1.0
+        # independent columns -> I ~= 0
+        ind = spark.range(0, 400).selectExpr(
+            "CAST(id % 2 AS STRING) AS a", "CAST(CAST(id / 2 AS INT) % 2 AS STRING) AS b"
+        )
+        [r2] = mutual_information(ind, "a", "b").collect()
+        assert abs(r2["mi_bits"]) < 1e-6
