@@ -29,11 +29,13 @@ from mydatasyncer_spark.operators.dedup import (
     simhash,
 )
 from mydatasyncer_spark.operators.sampling import (
+    epoch_shuffle,
     mix_weights,
     pack_sequences,
     sample_hash,
     stratified_sample_hash,
     train_test_split,
+    weighted_sample,
 )
 from mydatasyncer_spark.operators.diff import (
     DiffResult,
@@ -41,7 +43,13 @@ from mydatasyncer_spark.operators.diff import (
     diff_snapshots,
     diff_snapshots_pruned,
 )
-from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
+from mydatasyncer_spark.operators.intervals import interval_overlap_join
+from mydatasyncer_spark.operators.ivm import (
+    maintain_rollup,
+    maintain_rollup_minmax,
+    rollup_state,
+    rollup_state_minmax,
+)
 from mydatasyncer_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -51,6 +59,13 @@ from mydatasyncer_spark.operators.similarity import (
     kmeans_inertia,
     lsh_ann_topk,
 )
+from mydatasyncer_spark.operators.text import remove_repeated_segments
+from mydatasyncer_spark.operators.validation import (
+    column_entropy,
+    mutual_information,
+    profile_columns,
+)
+from mydatasyncer_spark.operators.zorder import ZDim, write_zordered, zorder_key
 from mydatasyncer_spark.session import get_spark
 from mydatasyncer_spark.sinks.jdbc import JdbcBackend
 from mydatasyncer_spark.sinks.table_merge import merge_into_table
@@ -89,6 +104,18 @@ __all__ = [
     "diff_snapshots_pruned",
     "maintain_rollup",
     "rollup_state",
+    "maintain_rollup_minmax",
+    "rollup_state_minmax",
+    "interval_overlap_join",
+    "epoch_shuffle",
+    "weighted_sample",
+    "remove_repeated_segments",
+    "column_entropy",
+    "mutual_information",
+    "profile_columns",
+    "ZDim",
+    "zorder_key",
+    "write_zordered",
 ]
 
 __version__ = "0.1.0"
