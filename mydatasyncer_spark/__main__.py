@@ -62,7 +62,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         description="Diff-sync file snapshots into a database with Spark.",
     )
     parser.add_argument(
-        "-config", "--config", required=True, help="path to the YAML config"
+        "-config",
+        "--config",
+        default="",
+        help="path to the YAML config (with --lenient-config, empty "
+        "defaults to mydatasyncer.yml like the reference)",
+    )
+    parser.add_argument(
+        "--lenient-config",
+        action="store_true",
+        help="reproduce the reference's config loading exactly "
+        "(ref: config.go:79-113): a missing or unparsable file warns "
+        "and continues with the built-in default job instead of "
+        "failing",
     )
     parser.add_argument(
         "-dry-run",
@@ -83,7 +95,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     own_session = spark is None
     try:
-        config = SyncConfig.from_yaml(args.config)
+        if not args.config and not args.lenient_config:
+            parser.error("-config is required (or pass --lenient-config)")
+        config = SyncConfig.from_yaml(
+            args.config, strict=not args.lenient_config
+        )
         if args.dry_run:
             config.dry_run = True
         if own_session:

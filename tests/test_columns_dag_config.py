@@ -356,3 +356,41 @@ class TestSchemaDrift:
             {"column": "v", "status": "type_changed",
              "old_type": "double", "new_type": "string"}
         ]
+
+
+class TestCliLenientConfig:
+    def test_lenient_missing_config_runs_default_job(
+        self, spark, tmp_path, capsys, monkeypatch
+    ):
+        """--lenient-config with a missing file mirrors the reference
+        (ref: main.go:40-51 + config.go:79-113): warn, fall back to the
+        default products job, then fail on ITS missing CSV — but only
+        after config loading succeeded, which is what this pins."""
+        import warnings
+
+        from mydatasyncer_spark.__main__ import main
+
+        monkeypatch.chdir(tmp_path)  # no mydatasyncer.yml here
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rc = main(
+                ["--lenient-config", "--sqlite", str(tmp_path / "x.db")],
+                spark=spark,
+            )
+        # default job points at ./testdata.csv which doesn't exist ->
+        # the SYNC fails (nonzero), not the config load
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "sync failed" in err
+        assert "config" not in err.split("sync failed")[1][:40].lower()
+
+    def test_strict_missing_config_still_errors(self, spark, tmp_path, capsys):
+        from mydatasyncer_spark.__main__ import main
+
+        rc = main(
+            ["-config", str(tmp_path / "absent.yml"), "--sqlite",
+             str(tmp_path / "x.db")],
+            spark=spark,
+        )
+        assert rc == 1
+        assert "not found" in capsys.readouterr().err
