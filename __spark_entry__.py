@@ -890,6 +890,17 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under the corpus's own add-1 unigram LM
+    (operators/text.unigram_perplexity) — the CCNet-style quality
+    scorer: one explode, broadcast vocab join, per-doc aggregate."""
+    from mydatasyncer_spark.operators.text import unigram_perplexity
+
+    return unigram_perplexity(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Information-theoretic column profile (operators/validation.
     column_entropy): Shannon entropy + distinct count per column in
@@ -2513,7 +2524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         "boilerplate_line_removal": boilerplate_line_removal,
         # ======== entries past the 50-query driver cap ===========
-        # (all green in CORRECTNESS_r03 or earlier and untouched)
+        # (green in CORRECTNESS_r03-or-earlier and untouched, plus
+        # r4 late additions to rotate into the window in r5)
+        "unigram_perplexity_docs": unigram_perplexity_docs,
         "multimodal_meta": multimodal_meta,
         "dedup_exact_best_quality": dedup_exact_best_quality,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -3932,6 +3945,26 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "unigram_perplexity_docs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+            tot AS (
+                SELECT CAST(SUM(c) AS DOUBLE) AS n,
+                       CAST(COUNT(*) AS DOUBLE) AS v
+                FROM cnt
+            ),
+            logp AS (
+                SELECT tok, ln((c + 1.0) / (n + v)) AS logp
+                FROM cnt, tot
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(exp(-AVG(logp)), 6) AS perplexity
+            FROM tok JOIN logp USING (tok)
+            GROUP BY doc_id
+        """,
         "column_entropy_profile": """
             WITH unpv AS (
                 SELECT 'o_orderstatus' AS column_name,

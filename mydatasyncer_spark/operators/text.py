@@ -359,3 +359,54 @@ def remove_repeated_segments(
             .alias("n_dropped"),
         )
     )
+
+
+def unigram_logprob_table(df, text_col: str = "text", alpha: float = 1.0):
+    """Corpus unigram language model as a (tok, logp) table with
+    add-``alpha`` smoothing — two tiny aggregates over one token
+    explode; the vocabulary is broadcast-sized at any corpus scale."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log(
+            (F.col("c") + F.lit(float(alpha)))
+            / (F.col("_n") + F.lit(float(alpha)) * F.col("_v"))
+        ).alias("logp"),
+    )
+
+
+def unigram_perplexity(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    model=None,
+):
+    """Per-document perplexity under a unigram LM (CCNet-style quality
+    scoring: gibberish and boilerplate-light text score far from the
+    corpus mode). ``model`` defaults to the corpus's own
+    :func:`unigram_logprob_table`; pass a stored table to score new
+    batches against a frozen reference model.
+
+    Plan: one token explode, one broadcast join against the vocab
+    table, one per-doc aggregate — no shuffle wider than (doc, token).
+    Perplexity is rounded to 6 dp so double-summation order cannot
+    leak into cross-engine comparison. Documents with zero tokens drop
+    out (perplexity undefined).
+    """
+    model = model if model is not None else unigram_logprob_table(
+        df, text_col, alpha
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    joined = toks.join(F.broadcast(model), "tok")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.exp(-F.avg("logp")), 6).alias("perplexity"),
+    )

@@ -612,3 +612,47 @@ class TestWeightedSample:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestUnigramPerplexity:
+    def test_mode_text_scores_lower_than_rare_text(self, spark):
+        from mydatasyncer_spark.operators.text import unigram_perplexity
+
+        common = "the cat sat on the mat " * 5
+        rows = [(i, common) for i in range(1, 10)]
+        rows.append((99, "zyzzyva qwertyuiop xylophone"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["perplexity"]
+            for r in unigram_perplexity(df).collect()
+        }
+        assert got[99] > got[1]  # rare vocab = higher perplexity
+
+    def test_frozen_model_scores_new_batch(self, spark):
+        from mydatasyncer_spark.operators.text import (
+            unigram_logprob_table,
+            unigram_perplexity,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+            "doc_id long, text string",
+        )
+        model = unigram_logprob_table(corpus)
+        new = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "beta gamma delta")],
+            "doc_id long, text string",
+        )
+        got = unigram_perplexity(new, model=model).collect()
+        assert {r["doc_id"] for r in got} == {10, 11}
+        assert all(r["perplexity"] > 1.0 for r in got)
+
+    def test_empty_documents_drop_out(self, spark):
+        from mydatasyncer_spark.operators.text import unigram_perplexity
+
+        df = spark.createDataFrame(
+            [(1, "some words here"), (2, ""), (3, "!!!")],
+            "doc_id long, text string",
+        )
+        ids = {r["doc_id"] for r in unigram_perplexity(df).collect()}
+        assert ids == {1}
