@@ -324,40 +324,40 @@ def remove_repeated_segments(
             F.split(F.col(text_col), _re.escape(sep), -1)
         ).alias("pos", "seg"),
     )
-    seg_docs = segs.select("seg", id_col).distinct()
-    freq = seg_docs.groupBy("seg").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n_docs")
+    # distinct + count, NOT a window over seg: a boilerplate segment's
+    # partition holds its every corpus-wide occurrence, so windowing
+    # would buffer the hottest key in one task while groupBy's
+    # map-side partial aggregation absorbs it
+    freq = (
+        segs.select("seg", id_col)
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
     )
     tagged = segs.join(freq, "seg")
-    kept = tagged.filter(F.col("_n_docs") < min_repeat)
-    dropped = tagged.filter(F.col("_n_docs") >= min_repeat)
-    kept_agg = kept.groupBy(id_col).agg(
+    keep = F.col("_n_docs") < min_repeat
+    # every document has >= 1 segment, so one conditional aggregation
+    # covers kept, dropped, AND fully-boilerplate documents — no
+    # join-back to the input (collect_list skips the NULL entries of
+    # dropped segments; concat_ws of an empty array is "")
+    return tagged.groupBy(id_col).agg(
         F.concat_ws(
             sep,
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("seg")))
+                    )
                 ),
                 lambda s: s["seg"],
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    )
-    drop_agg = dropped.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dropped")
-    )
-    return (
-        df.select(id_col)
-        .join(kept_agg, id_col, "left")
-        .join(drop_agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0))
-            .cast("bigint")
-            .alias("n_dropped"),
-        )
+        F.sum(F.when(keep, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(keep, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
     )
 
 
