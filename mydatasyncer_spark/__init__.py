@@ -59,7 +59,11 @@ from mydatasyncer_spark.operators.similarity import (
     kmeans_inertia,
     lsh_ann_topk,
 )
-from mydatasyncer_spark.operators.text import remove_repeated_segments
+from mydatasyncer_spark.operators.text import (
+    remove_repeated_segments,
+    unigram_logprob_table,
+    unigram_perplexity,
+)
 from mydatasyncer_spark.operators.validation import (
     column_entropy,
     mutual_information,
@@ -110,6 +114,8 @@ __all__ = [
     "epoch_shuffle",
     "weighted_sample",
     "remove_repeated_segments",
+    "unigram_logprob_table",
+    "unigram_perplexity",
     "column_entropy",
     "mutual_information",
     "profile_columns",
