@@ -890,6 +890,41 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (operators/sketches): per-
+    (day, event_type) HLL partials rolled up to per-type totals by
+    sketch UNION — the fact is scanned once; every coarser rollup
+    reads only the partials table. Sketch values are engine-specific,
+    so the contract emits the exact distinct count plus a boolean
+    asserting the merged estimate landed within the HLL error bound
+    (sketch_error_bounds pattern) — a drifting sketch hash-mismatches
+    the gate."""
+    from mydatasyncer_spark.operators.sketches import (
+        sketch_estimate,
+        sketch_rollup,
+        sketch_rollup_merge,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    partials = sketch_rollup(e, ["day", "event_type"], "user_id")
+    merged = sketch_estimate(sketch_rollup_merge(partials, ["event_type"]))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.col("n_rows").alias("n_events"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("distinct_in_bound"),
+    )
+
+
 def unigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc perplexity under the corpus's own add-1 unigram LM
     (operators/text.unigram_perplexity) — the CCNet-style quality
@@ -2527,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green in CORRECTNESS_r03-or-earlier and untouched, plus
         # r4 late additions to rotate into the window in r5)
         "unigram_perplexity_docs": unigram_perplexity_docs,
+        "sketch_rollup_users": sketch_rollup_users,
         "multimodal_meta": multimodal_meta,
         "dedup_exact_best_quality": dedup_exact_best_quality,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -3945,6 +3981,14 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "sketch_rollup_users": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   TRUE AS distinct_in_bound
+            FROM events
+            GROUP BY event_type
+        """,
         "unigram_perplexity_docs": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents

@@ -828,3 +828,82 @@ class TestIntervalOverlapJoin:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSketchRollup:
+    def test_merge_tracks_direct_sketch(self, spark):
+        """The load-bearing algebra: union of per-day partials must
+        estimate what a direct sketch over the raw rows estimates
+        (DataSketches unions may switch internal representation, so
+        the contract is tight relative agreement, not bit equality) —
+        that's what makes stored partials trustworthy."""
+        from mydatasyncer_spark.operators.sketches import (
+            sketch_estimate,
+            sketch_rollup,
+            sketch_rollup_merge,
+        )
+
+        df = spark.range(0, 20_000).selectExpr(
+            "CAST(id % 30 AS STRING) AS day",
+            "CAST(id % 3 AS STRING) AS etype",
+            "CAST(id % 1777 AS BIGINT) AS user_id",
+        )
+        partials = sketch_rollup(df, ["day", "etype"], "user_id")
+        merged = sketch_estimate(
+            sketch_rollup_merge(partials, ["etype"])
+        )
+        direct = sketch_estimate(sketch_rollup(df, ["etype"], "user_id"))
+        got = {r["etype"]: r["approx_distinct"] for r in merged.collect()}
+        want = {r["etype"]: r["approx_distinct"] for r in direct.collect()}
+        for k in want:
+            assert abs(got[k] - want[k]) / want[k] < 0.02, (k, got[k], want[k])
+
+    def test_estimate_within_bound_of_exact(self, spark):
+        from mydatasyncer_spark.operators.sketches import (
+            sketch_estimate,
+            sketch_rollup,
+        )
+
+        df = spark.range(0, 50_000).selectExpr(
+            "CAST(id % 4 AS STRING) AS g", "id AS k"
+        )
+        est = {
+            r["g"]: r["approx_distinct"]
+            for r in sketch_estimate(sketch_rollup(df, ["g"], "k")).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g")
+            .agg(F.countDistinct("k").alias("n"))
+            .collect()
+        }
+        for g in exact:
+            assert abs(est[g] - exact[g]) / exact[g] < 0.05
+
+    def test_partials_survive_parquet_roundtrip(self, spark, tmp_path):
+        """The stored-state path: partials written to parquet and read
+        back must merge identically (binary sketch column intact)."""
+        from mydatasyncer_spark.operators.sketches import (
+            sketch_estimate,
+            sketch_rollup,
+            sketch_rollup_merge,
+        )
+
+        df = spark.range(0, 5_000).selectExpr(
+            "CAST(id % 5 AS STRING) AS day", "id AS k"
+        )
+        p = str(tmp_path / "partials")
+        sketch_rollup(df, ["day"], "k").write.parquet(p)
+        back = spark.read.parquet(p)
+        [row] = sketch_estimate(
+            sketch_rollup_merge(back.withColumn("all", F.lit(1)), ["all"])
+        ).collect()
+        [direct] = sketch_estimate(
+            sketch_rollup(df.withColumn("all", F.lit(1)), ["all"], "k")
+        ).collect()
+        assert (
+            abs(row["approx_distinct"] - direct["approx_distinct"])
+            / direct["approx_distinct"]
+            < 0.02
+        )
+        assert row["n_rows"] == 5_000
