@@ -336,6 +336,61 @@ def continuous_ann_index(
     return writer.start()
 
 
+def continuous_sketch_rollup(
+    stream_df: DataFrame,
+    partials_path: str,
+    group_cols: list[str],
+    key_col: str,
+    batch_id_col: str = "_batch_id",
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_sketch_rollup",
+):
+    """Continuously maintained distinct-count partials: each incoming
+    micro-batch appends its per-group HLL sketches (operators/
+    sketches.sketch_rollup) to the partials store — batch-sized work,
+    the store is never rewritten. Readers answer any coarser rollup by
+    sketch union over the partials (``sketch_rollup_merge``), so
+    "distinct users this month" never re-reads events. Replay safety:
+    rows carry the streaming batch id, and a replayed batch's partials
+    are dropped before append (idempotent under at-least-once) — the
+    filter costs one scan of the (tiny) partials table, not the fact.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.sketches import sketch_rollup
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            seen = (
+                spark.read.parquet(partials_path)
+                .select(batch_id_col)
+                .filter(F.col(batch_id_col) == batch_id)
+                .limit(1)
+                .count()
+            )
+        except AnalysisException:
+            seen = 0
+        if seen:
+            return  # replayed batch: partials already appended
+        partial = sketch_rollup(batch_df, group_cols, key_col).withColumn(
+            batch_id_col, F.lit(batch_id)
+        )
+        partial.write.mode("append").parquet(partials_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def rollup_apply_batch(
     batch_df: DataFrame,
     batch_id: int,

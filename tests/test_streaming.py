@@ -653,3 +653,82 @@ class TestContinuousAnnIndex:
         )
         q.awaitTermination(120)
         assert spark.read.parquet(index_path).count() == 35
+
+
+class TestContinuousSketchRollup:
+    def test_partials_accumulate_and_merge_tracks_exact(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.operators.sketches import (
+            sketch_estimate,
+            sketch_rollup_merge,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_sketch_rollup,
+        )
+
+        in_dir = tmp_path_factory.mktemp("sk_in")
+        out = tmp_path_factory.mktemp("sk_out")
+        partials = str(out / "partials")
+        ckpt = str(out / "ckpt")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "day string, user_id long"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_sketch_rollup(
+                stream, partials, ["day"], "user_id", checkpoint_dir=ckpt
+            )
+            q.awaitTermination(120)
+
+        b1 = [{"day": "d1", "user_id": i % 40} for i in range(200)]
+        b2 = [{"day": "d2", "user_id": 20 + (i % 50)} for i in range(200)]
+        drain(b1, "b1.json")
+        drain(b2, "b2.json")
+        stored = spark.read.parquet(partials)
+        assert stored.count() == 2  # one partial row per (day, batch)
+        # all-time distinct via union: users 0..69 -> 70
+        [row] = sketch_estimate(
+            sketch_rollup_merge(
+                stored.withColumn("all", F.lit(1)), ["all"]
+            )
+        ).collect()
+        assert abs(row["approx_distinct"] - 70) / 70 < 0.05
+        assert row["n_rows"] == 400
+
+    def test_replay_with_fresh_checkpoint_is_noop(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_sketch_rollup,
+        )
+
+        in_dir = tmp_path_factory.mktemp("sk_in2")
+        out = tmp_path_factory.mktemp("sk_out2")
+        partials = str(out / "partials")
+        (in_dir / "b.json").write_text(
+            "\n".join(
+                _json.dumps({"day": "d1", "user_id": i}) for i in range(50)
+            )
+        )
+
+        def run(ckpt_name):
+            stream = spark.readStream.schema(
+                "day string, user_id long"
+            ).json(str(in_dir))
+            q = continuous_sketch_rollup(
+                stream, partials, ["day"], "user_id",
+                checkpoint_dir=str(out / ckpt_name),
+            )
+            q.awaitTermination(120)
+
+        run("ckpt1")
+        run("ckpt2")  # fresh checkpoint replays the same file, batch 0
+        assert spark.read.parquet(partials).count() == 1
