@@ -890,6 +890,35 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum labels: per-SOURCE quality percentile (percent_rank
+    over a deterministic total order) bucketed into low/mid/high
+    tiers — the data-ordering signal curriculum training consumes.
+    One window shuffle on source; rank arithmetic is exact-integer on
+    both engines."""
+    from pyspark.sql import Window
+
+    from mydatasyncer_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    pct = F.percent_rank().over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pct, 6).alias("quality_pct"),
+        F.when(pct >= 2.0 / 3.0, F.lit("high"))
+        .when(pct >= 1.0 / 3.0, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+    )
+
+
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup (operators/sketches): per-
     (day, event_type) HLL partials rolled up to per-type totals by
@@ -2563,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 late additions to rotate into the window in r5)
         "unigram_perplexity_docs": unigram_perplexity_docs,
         "sketch_rollup_users": sketch_rollup_users,
+        "curriculum_quality_tiers": curriculum_quality_tiers,
         "multimodal_meta": multimodal_meta,
         "dedup_exact_best_quality": dedup_exact_best_quality,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -3981,6 +4011,33 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_orders_key": _zorder_orders_sql(),
+        "curriculum_quality_tiers": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       round(
+                           0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                           + 0.4 * (1.0 -
+                               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                               / greatest(length(text), 1))
+                           + 0.3 * CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                               / greatest(len({_TOKS_SQL}), 1),
+                       6) AS quality
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source, quality,
+                       percent_rank() OVER (
+                           PARTITION BY source ORDER BY quality, doc_id
+                       ) AS pct
+                FROM t
+            )
+            SELECT doc_id, source, quality,
+                   round(pct, 6) AS quality_pct,
+                   CASE WHEN pct >= 2.0/3.0 THEN 'high'
+                        WHEN pct >= 1.0/3.0 THEN 'mid'
+                        ELSE 'low' END AS tier
+            FROM r
+        """,
         "sketch_rollup_users": """
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS exact_users,
