@@ -919,6 +919,45 @@ def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curriculum_tiers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe twin of curriculum_quality_tiers
+    (operators/curriculum): per-source tier CUT POINTS from a bounded
+    (source, quality)-grouped pre-aggregate — the only window runs
+    over distinct quality values, never documents — then a broadcast
+    join assigns tiers with two range comparisons. Tiers are a
+    function of the quality value (ties share a tier), so the
+    strictly-below fraction defines them: high when >= 2/3 of the
+    source's docs score strictly lower, mid at >= 1/3. Crossing tests
+    are exact integer arithmetic on both engines."""
+    from mydatasyncer_spark.operators.curriculum import (
+        assign_quality_tiers,
+        quality_tier_cutpoints,
+    )
+    from mydatasyncer_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    cuts = quality_tier_cutpoints(d, "source", "quality")
+    return assign_quality_tiers(d, cuts, "source", "quality")
+
+
+def unigram_perplexity_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity under the CCNet-style CUT vocabulary: tokens seen
+    >= 3 times keep their own probability, the rest collapse into one
+    OOV bucket (operators/text.unigram_logprob_table min_count path).
+    The vocab join carries no broadcast hint — the cut is what makes
+    the model small, and AQE picks the strategy."""
+    from mydatasyncer_spark.operators.text import unigram_perplexity
+
+    return unigram_perplexity(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_count=3,
+    )
+
+
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup (operators/sketches): per-
     (day, event_type) HLL partials rolled up to per-type totals by
@@ -2522,19 +2561,91 @@ _DVEC_SQL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates the FIRST
-    # 50 entries (observed cap, CORRECTNESS_r02/_r03: 50 rows each).
-    # Rotation policy (round 4): positions 1-31 are the queries that
-    # have NEVER been driver-oracle-green in any round (union of
-    # CORRECTNESS_r01..r03) — `event_gaps` first because it FAILED the
-    # r2 gate (TIMESTAMP_NTZ cast) and its fix has so far only local
-    # verification. Positions 32-50 are entries whose implementation
-    # is touched this round (histogram perf, multimodal JVM codec,
-    # LSH pair caching, IVM null-sum fix) plus entries last green in
-    # r2 and since rotated out. Everything already green in r3 and
-    # untouched this round sits past the cap; ALL 97 entries still run
-    # under tests/test_oracle_parity.py locally regardless of position.
+    # 50 entries (observed cap, CORRECTNESS_r02..r04: 50 rows each).
+    # Rotation policy (round 5): positions 1-3 are the three late-r4
+    # additions that have never been driver-oracle-green (VERDICT r4
+    # item #1); 4-5 are new this round; 6-8 are entries whose
+    # implementation or bench harness r5 touches (interval segment
+    # guard; localized-diff median timing). The remainder of the
+    # window refreshes the STALEST proofs: 9-23 are every entry whose
+    # last driver-green was r2, 24-50 the oldest 27 of the r3 cohort.
+    # Everything past the cap is driver-green in r3/r4 and untouched;
+    # ALL 113 entries still run under tests/test_oracle_parity.py
+    # locally regardless of position.
     return {
-        # ---- never driver-verified (positions 1-31) -------------
+        # ---- never driver-verified: late-r4 additions (1-3) -----
+        "unigram_perplexity_docs": unigram_perplexity_docs,
+        "sketch_rollup_users": sketch_rollup_users,
+        "curriculum_quality_tiers": curriculum_quality_tiers,
+        # ---- new this round (4-5) -------------------------------
+        "curriculum_tiers_scalable": curriculum_tiers_scalable,
+        "unigram_perplexity_oov": unigram_perplexity_oov,
+        # ---- touched this round (6-8) ---------------------------
+        "interval_overlap_pairs": interval_overlap_pairs,
+        "diff_pruned_localized": diff_pruned_localized,
+        "diff_full_localized": diff_full_localized,
+        # ---- proof refresh: last driver-green in r2 (9-23) ------
+        "dedup_exact_best_quality": dedup_exact_best_quality,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "session_window_native": session_window_native,
+        "running_total_events": running_total_events,
+        "sliding_windows_events": sliding_windows_events,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_rolling_hash": doc_rolling_hash,
+        "percentiles_by_segment": percentiles_by_segment,
+        "grouping_sets_parts": grouping_sets_parts,
+        "distinct_agg_segments": distinct_agg_segments,
+        "window_topk_customers": window_topk_customers,
+        "intersect_repeat_buyers": intersect_repeat_buyers,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        # ---- proof refresh: last driver-green in r3 (24-50) -----
+        "multimodal_meta": multimodal_meta,
+        "dedup_simhash": dedup_simhash,
+        "doc_chunks": doc_chunks,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "diff_insert": diff_insert,
+        "diff_update": diff_update,
+        "diff_delete": diff_delete,
+        "diff_plan_counts": diff_plan_counts,
+        "canonical_stringify": canonical_stringify,
+        "duplicate_key_detection": duplicate_key_detection,
+        "column_projection_sync": column_projection_sync,
+        "rollup_revenue": rollup_revenue,
+        "cube_orders_profile": cube_orders_profile,
+        "sketch_error_bounds": sketch_error_bounds,
+        "set_ops_except": set_ops_except,
+        "array_functions_pack": array_functions_pack,
+        "pivot_event_type_counts": pivot_event_type_counts,
+        "trailing_hour_value": trailing_hour_value,
+        "sessionization": sessionization,
+        "tumbling_windows": tumbling_windows,
+        "window_analytics_suite": window_analytics_suite,
+        "semi_join_big_orders": semi_join_big_orders,
+        "asof_purchase_view": asof_purchase_view,
+        "range_join_view_purchase": range_join_view_purchase,
+        # ======== entries past the 50-query driver cap ===========
+        # (r3 cohort remainder, then the full r4-green cohort)
+        "json_extract_events": json_extract_events,
+        "funnel_steps": funnel_steps,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "lang_id_pred": lang_id_pred,
+        "tfidf_top_terms": tfidf_top_terms,
+        "pii_redaction": pii_redaction,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_near_dup": embedding_near_dup,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "train_test_split_assign": train_test_split_assign,
+        "domain_mix_weights": domain_mix_weights,
+        "pack_sequences_docs": pack_sequences_docs,
         "event_gaps": event_gaps,
         "dedup_simhash_near": dedup_simhash_near,
         "dedup_edit_distance": dedup_edit_distance,
@@ -2566,7 +2677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_heavy_promo_suppliers": q20_heavy_promo_suppliers,
         "q21_sole_late_supplier": q21_sole_late_supplier,
         "q22_dormant_customers": q22_dormant_customers,
-        # ---- touched this round / last green in r2 (32-50) ------
         "pk_validation_histogram": pk_validation_histogram,
         "multimodal_features": multimodal_features,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2575,82 +2685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": incremental_rollup,
         "incremental_rollup_minmax": incremental_rollup_minmax,
         "diff_pruned_counts": diff_pruned_counts,
-        "diff_pruned_localized": diff_pruned_localized,
-        "diff_full_localized": diff_full_localized,
         "weighted_sample_docs": weighted_sample_docs,
-        "interval_overlap_pairs": interval_overlap_pairs,
         "column_entropy_profile": column_entropy_profile,
         "mutual_info_orders": mutual_info_orders,
         "dedup_cluster_assign": dedup_cluster_assign,
-        # new operators this round — never seen the driver's env
         "zorder_orders_key": zorder_orders_key,
         "corpus_shuffle_epoch": corpus_shuffle_epoch,
         "multimodal_frames": multimodal_frames,
         "boilerplate_line_removal": boilerplate_line_removal,
-        # ======== entries past the 50-query driver cap ===========
-        # (green in CORRECTNESS_r03-or-earlier and untouched, plus
-        # r4 late additions to rotate into the window in r5)
-        "unigram_perplexity_docs": unigram_perplexity_docs,
-        "sketch_rollup_users": sketch_rollup_users,
-        "curriculum_quality_tiers": curriculum_quality_tiers,
-        "multimodal_meta": multimodal_meta,
-        "dedup_exact_best_quality": dedup_exact_best_quality,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "session_window_native": session_window_native,
-        "running_total_events": running_total_events,
-        "sliding_windows_events": sliding_windows_events,
-        "dedup_simhash": dedup_simhash,
-        "doc_chunks": doc_chunks,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_rolling_hash": doc_rolling_hash,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_region_revenue": q5_region_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "diff_insert": diff_insert,
-        "diff_update": diff_update,
-        "diff_delete": diff_delete,
-        "diff_plan_counts": diff_plan_counts,
-        "canonical_stringify": canonical_stringify,
-        "duplicate_key_detection": duplicate_key_detection,
-        "column_projection_sync": column_projection_sync,
-        "rollup_revenue": rollup_revenue,
-        "cube_orders_profile": cube_orders_profile,
-        "sketch_error_bounds": sketch_error_bounds,
-        "set_ops_except": set_ops_except,
-        "array_functions_pack": array_functions_pack,
-        "pivot_event_type_counts": pivot_event_type_counts,
-        "trailing_hour_value": trailing_hour_value,
-        "sessionization": sessionization,
-        "tumbling_windows": tumbling_windows,
-        "window_analytics_suite": window_analytics_suite,
-        "semi_join_big_orders": semi_join_big_orders,
-        "asof_purchase_view": asof_purchase_view,
-        "range_join_view_purchase": range_join_view_purchase,
-        "json_extract_events": json_extract_events,
-        "funnel_steps": funnel_steps,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
-        "lang_id_pred": lang_id_pred,
-        "tfidf_top_terms": tfidf_top_terms,
-        "pii_redaction": pii_redaction,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "embedding_near_dup": embedding_near_dup,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "train_test_split_assign": train_test_split_assign,
-        "domain_mix_weights": domain_mix_weights,
-        "pack_sequences_docs": pack_sequences_docs,
-        "percentiles_by_segment": percentiles_by_segment,
-        "grouping_sets_parts": grouping_sets_parts,
-        "distinct_agg_segments": distinct_agg_segments,
-        "window_topk_customers": window_topk_customers,
-        "intersect_repeat_buyers": intersect_repeat_buyers,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
     }
 
 
@@ -4037,6 +4079,69 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pct >= 1.0/3.0 THEN 'mid'
                         ELSE 'low' END AS tier
             FROM r
+        """,
+        "curriculum_tiers_scalable": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       round(
+                           0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                           + 0.4 * (1.0 -
+                               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                               / greatest(length(text), 1))
+                           + 0.3 * CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                               / greatest(len({_TOKS_SQL}), 1),
+                       6) AS quality
+                FROM documents
+            ),
+            g AS (
+                SELECT source, quality, COUNT(*) AS c
+                FROM t GROUP BY source, quality
+            ),
+            rk AS (
+                SELECT source, quality,
+                       SUM(c) OVER (PARTITION BY source ORDER BY quality)
+                           - c AS below,
+                       SUM(c) OVER (PARTITION BY source) AS n
+                FROM g
+            ),
+            cuts AS (
+                SELECT source,
+                       MIN(CASE WHEN below * 3 >= n THEN quality END) AS cut1,
+                       MIN(CASE WHEN below * 3 >= n * 2 THEN quality END) AS cut2
+                FROM rk GROUP BY source
+            )
+            SELECT doc_id, source, quality,
+                   CASE WHEN quality >= cut2 THEN 'high'
+                        WHEN quality >= cut1 THEN 'mid'
+                        ELSE 'low' END AS tier
+            FROM t JOIN cuts USING (source)
+        """,
+        "unigram_perplexity_oov": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+            tot AS (
+                SELECT CAST(SUM(c) AS DOUBLE) AS n,
+                       CAST(COALESCE(SUM(CASE WHEN c >= 3 THEN c END), 0)
+                            AS DOUBLE) AS vc,
+                       CAST(COUNT(CASE WHEN c >= 3 THEN 1 END) AS DOUBLE) AS v
+                FROM cnt
+            ),
+            logp AS (
+                SELECT tok, ln((c + 1.0) / (n + v + 1.0)) AS logp
+                FROM cnt, tot WHERE c >= 3
+            ),
+            oov AS (
+                SELECT ln((n - vc + 1.0) / (n + v + 1.0)) AS oov_logp FROM tot
+            )
+            SELECT doc_id,
+                   CAST(COUNT(COALESCE(l.logp, o.oov_logp)) AS BIGINT)
+                       AS n_tokens,
+                   round(exp(-AVG(COALESCE(l.logp, o.oov_logp))), 6)
+                       AS perplexity
+            FROM tok LEFT JOIN logp l USING (tok) CROSS JOIN oov o
+            GROUP BY doc_id
         """,
         "sketch_rollup_users": """
             SELECT event_type,

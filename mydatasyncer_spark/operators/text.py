@@ -361,23 +361,57 @@ def remove_repeated_segments(
     )
 
 
-def unigram_logprob_table(df, text_col: str = "text", alpha: float = 1.0):
+def unigram_logprob_table(
+    df, text_col: str = "text", alpha: float = 1.0, min_count: int = 1
+):
     """Corpus unigram language model as a (tok, logp) table with
-    add-``alpha`` smoothing — two tiny aggregates over one token
-    explode; the vocabulary is broadcast-sized at any corpus scale."""
+    add-``alpha`` smoothing — two aggregates over one token explode.
+
+    ``min_count > 1`` applies the CCNet-style vocabulary cut: only
+    tokens seen at least ``min_count`` times keep their own row, and
+    everything below the cut collapses into a single out-of-vocabulary
+    bucket, emitted as a row with ``tok IS NULL`` (NULL never equi-
+    joins, so it can't collide with a real token). With a cut of V
+    vocab tokens over N total tokens the event space is V + 1 symbols:
+    ``logp(tok) = ln((c + α) / (N + α(V+1)))`` and the OOV bucket
+    carries the aggregate count of all cut tokens. ``min_count <= 1``
+    keeps every token (no OOV row, denominator ``N + αV``).
+
+    The open-vocabulary table of a web-scale corpus runs to billions
+    of rows, so nothing here forces a broadcast — consumers join it
+    like any table and let the optimizer pick the strategy; the cut
+    is what actually makes the model small."""
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = F.lit(float(alpha))
+    if min_count <= 1:
+        totals = counts.agg(
+            F.sum("c").cast("double").alias("_n"),
+            F.count(F.lit(1)).cast("double").alias("_v"),
+        )
+        return counts.crossJoin(F.broadcast(totals)).select(
+            "tok",
+            F.log((F.col("c") + a) / (F.col("_n") + a * F.col("_v"))).alias(
+                "logp"
+            ),
+        )
+    in_vocab = F.col("c") >= min_count
     totals = counts.agg(
         F.sum("c").cast("double").alias("_n"),
-        F.count(F.lit(1)).cast("double").alias("_v"),
+        F.sum(F.when(in_vocab, F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("_vc"),
+        F.sum(F.when(in_vocab, 1).otherwise(0)).cast("double").alias("_v"),
     )
-    return counts.crossJoin(F.broadcast(totals)).select(
-        "tok",
-        F.log(
-            (F.col("c") + F.lit(float(alpha)))
-            / (F.col("_n") + F.lit(float(alpha)) * F.col("_v"))
-        ).alias("logp"),
+    denom = F.col("_n") + a * (F.col("_v") + 1)
+    vocab = counts.filter(in_vocab).crossJoin(F.broadcast(totals)).select(
+        "tok", F.log((F.col("c") + a) / denom).alias("logp")
     )
+    oov = totals.select(
+        F.lit(None).cast("string").alias("tok"),
+        F.log((F.col("_n") - F.col("_vc") + a) / denom).alias("logp"),
+    )
+    return vocab.unionByName(oov)
 
 
 def unigram_perplexity(
@@ -386,27 +420,50 @@ def unigram_perplexity(
     id_col: str = "doc_id",
     alpha: float = 1.0,
     model=None,
+    min_count: int = 1,
+    oov: bool | None = None,
 ):
     """Per-document perplexity under a unigram LM (CCNet-style quality
     scoring: gibberish and boilerplate-light text score far from the
     corpus mode). ``model`` defaults to the corpus's own
     :func:`unigram_logprob_table`; pass a stored table to score new
-    batches against a frozen reference model.
+    batches against a frozen reference model (set ``oov`` to say
+    whether that table carries a NULL-token OOV bucket; default:
+    inferred from ``min_count``).
 
-    Plan: one token explode, one broadcast join against the vocab
-    table, one per-doc aggregate — no shuffle wider than (doc, token).
+    Plan: one token explode, one equi join against the vocab table,
+    one per-doc aggregate — no shuffle wider than (doc, token). The
+    vocab join is deliberately NOT hint-broadcast: an open-vocabulary
+    table over web-scale text is unbounded, and a forced hint would
+    remove Spark's ability to fall back to a shuffle join (AQE still
+    broadcasts genuinely small/cut vocabularies at runtime).
     Perplexity is rounded to 6 dp so double-summation order cannot
-    leak into cross-engine comparison. Documents with zero tokens drop
-    out (perplexity undefined).
+    leak into cross-engine comparison. Documents with zero in-model
+    tokens drop out (perplexity undefined).
     """
-    model = model if model is not None else unigram_logprob_table(
-        df, text_col, alpha
-    )
+    if oov is None:
+        oov = min_count > 1
+    if model is None:
+        model = unigram_logprob_table(df, text_col, alpha, min_count)
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    joined = toks.join(F.broadcast(model), "tok")
-    return joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(F.exp(-F.avg("logp")), 6).alias("perplexity"),
+    if not oov:
+        joined = toks.join(model, "tok")
+        return joined.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.exp(-F.avg("logp")), 6).alias("perplexity"),
+        )
+    # OOV path: vocab rows equi-join; the single NULL-token bucket row
+    # rides a 1-row aggregate (never empty) cross-joined in, so cut
+    # tokens coalesce onto the bucket's logp.
+    vocab = model.filter(F.col("tok").isNotNull())
+    bucket = model.filter(F.col("tok").isNull()).agg(
+        F.max("logp").alias("_oov_logp")
+    )
+    scored = toks.join(vocab, "tok", "left").crossJoin(F.broadcast(bucket))
+    lp = F.coalesce(F.col("logp"), F.col("_oov_logp"))
+    return scored.groupBy(id_col).agg(
+        F.count(lp).cast("bigint").alias("n_tokens"),
+        F.round(F.exp(-F.avg(lp)), 6).alias("perplexity"),
     )

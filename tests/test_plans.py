@@ -357,3 +357,47 @@ def test_multimodal_features_stays_jvm_side(spark, sf_dir):
     """The JVM codec twin: zero Arrow transfer in the contract path."""
     plan = plan_of(spark, sf_dir, "multimodal_features")
     assert "Python" not in plan
+
+
+def test_unigram_vocab_join_is_not_force_broadcast(spark, sf_dir):
+    """The perplexity vocab join must carry NO broadcast hint: an
+    open-vocabulary table over web-scale text is unbounded, and a
+    forced hint would remove Spark's shuffle-join fallback (the r4
+    scale flaw). With auto-broadcast disabled the join must therefore
+    plan as a shuffle join — a BroadcastHashJoin surviving the
+    threshold would mean the mandatory hint is back."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        for name in ("unigram_perplexity_docs", "unigram_perplexity_oov"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "BroadcastHashJoin" not in plan, name
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_curriculum_scalable_windows_only_the_preaggregate(spark, sf_dir):
+    """The scalable tier path must never sort documents inside a
+    per-source window (the r4 scale flaw): its only Window runs over
+    the bounded (source, quality) pre-aggregate — so in the plan tree
+    every Window sits above a HashAggregate, never directly above a
+    scan — and tier assignment is a broadcast join."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "curriculum_tiers_scalable")
+    assert "BroadcastHashJoin" in plan
+    assert "percent_rank" not in plan
+    # tree section: after each Window line, a HashAggregate must occur
+    # before the first Scan in its (top-down printed) subtree
+    tree = plan.split("\n\n")[0].splitlines()
+    win_lines = [i for i, ln in enumerate(tree) if re.search(r"\bWindow\b", ln)]
+    assert win_lines, plan
+    for i in win_lines:
+        below = tree[i + 1 :]
+        scan_at = next(
+            j for j, ln in enumerate(below) if "Scan parquet" in ln
+        )
+        assert any(
+            "HashAggregate" in ln for ln in below[:scan_at]
+        ), "Window sits directly on the corpus scan:\n" + plan
