@@ -1051,6 +1051,10 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_epoch("ts").alias("ps"),
         (ts_epoch("ts") + 3600.0).alias("pe"),
     )
+    # bucket_seconds below the interval lengths + a tiny segment cap
+    # so BOTH the multi-bucket fan-out and the long-tail segment
+    # splitting actively shape the driver-verified result (the oracle
+    # is the plain theta join, so all of it must stay invisible)
     j = interval_overlap_join(
         views,
         purchases,
@@ -1059,7 +1063,8 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps",
         "pe",
         on=["user_id"],
-        bucket_seconds=3600,
+        bucket_seconds=600,
+        max_buckets_per_row=2,
     )
     return j.select(
         "user_id",

@@ -14,10 +14,19 @@ distinct shuffle.
 
 Scale notes: fan-out per interval is ``len/B + 1`` rows of (keys,
 bucket, bounds) — pick ``bucket_seconds`` near the typical interval
-length so fan-out is O(1); the join is a plain equi hash/sort-merge
-join Catalyst distributes normally, and extra equi keys (user, shard)
-multiply selectivity for free. Long-tail intervals are the skew to
-watch: cap them upstream or split the handful of outliers.
+length so fan-out is O(1). Long-tail intervals are the skew to
+watch: a single ``sequence(first, last)`` for a 1000x-length outlier
+materializes the whole bucket array in one row (driver-of-task memory
+spike) before the join shuffle can spread it. The guard is two-level:
+intervals spanning more than ``max_buckets_per_row`` buckets first
+explode into SEGMENTS of at most that many buckets (a lazily-piped
+generator row per segment, each carrying the ORIGINAL bounds), and
+each segment then explodes into its own buckets — so no single row
+ever materializes more than ``max_buckets_per_row`` array elements,
+and the equi-join shuffle redistributes the outlier's rows across the
+cluster like any other rows. Exactly-once is preserved because both
+the residual predicate and the first-shared-bucket emission rule use
+the carried ORIGINAL starts, which segmentation does not change.
 """
 
 from __future__ import annotations
@@ -26,10 +35,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _buckets(start_sec: Column, end_sec: Column, bucket_seconds: int) -> Column:
+def segmented_buckets(
+    df: DataFrame,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+    max_buckets_per_row: int,
+) -> DataFrame:
+    """``df`` with a ``_bucket`` column, one output row per bucket the
+    [start, end] interval covers — produced via an intermediate
+    segment explode so no single row holds more than
+    ``max_buckets_per_row`` sequence elements. All input columns are
+    carried through unchanged (original bounds included)."""
     b = F.lit(float(bucket_seconds))
-    return F.sequence(
-        F.floor(start_sec / b).cast("long"), F.floor(end_sec / b).cast("long")
+    m = int(max_buckets_per_row)
+    if m < 1:
+        raise ValueError("max_buckets_per_row must be >= 1")
+    first = F.floor(F.col(start) / b).cast("long")
+    last = F.floor(F.col(end) / b).cast("long")
+    seg = df.select(
+        "*",
+        first.alias("_first_b"),
+        last.alias("_last_b"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((last - first) / F.lit(m)).cast("long"),
+            )
+        ).alias("_seg"),
+    )
+    seg_first = F.col("_first_b") + F.col("_seg") * F.lit(m)
+    seg_last = F.least(seg_first + F.lit(m - 1), F.col("_last_b"))
+    return seg.select(
+        *df.columns, F.explode(F.sequence(seg_first, seg_last)).alias("_bucket")
     )
 
 
@@ -43,6 +81,7 @@ def interval_overlap_join(
     on: list[str] | None = None,
     bucket_seconds: int = 3600,
     how_overlap: str = "closed",
+    max_buckets_per_row: int = 256,
 ) -> DataFrame:
     """All (left row, right row) pairs whose [start, end] intervals
     overlap (closed bounds: touching endpoints DO overlap), optionally
@@ -50,21 +89,19 @@ def interval_overlap_join(
     columns must be numeric seconds (use ``contract.ts_epoch``).
     Output: all left columns + all right columns (names must not
     collide except the ``on`` keys, which appear once).
+
+    ``max_buckets_per_row`` bounds the per-row explode for long-tail
+    intervals (see module docstring); results are independent of its
+    value.
     """
     if how_overlap != "closed":
         raise ValueError("only closed-interval overlap is implemented")
     on = on or []
-    lb = left.withColumn(
-        "_bucket",
-        F.explode(
-            _buckets(F.col(left_start), F.col(left_end), bucket_seconds)
-        ),
+    lb = segmented_buckets(
+        left, left_start, left_end, bucket_seconds, max_buckets_per_row
     )
-    rb = right.withColumn(
-        "_bucket",
-        F.explode(
-            _buckets(F.col(right_start), F.col(right_end), bucket_seconds)
-        ),
+    rb = segmented_buckets(
+        right, right_start, right_end, bucket_seconds, max_buckets_per_row
     )
     joined = lb.join(rb, on=[*on, "_bucket"])
     overlap = (F.col(left_start) <= F.col(right_end)) & (

@@ -807,6 +807,77 @@ class TestIntervalOverlapJoin:
         right = [("u", 2, 10.0, 20.0)]
         assert self._run(spark, left, right) == [(1, 2)]
 
+    def test_long_tail_outlier_segments_bounded_and_exact(self, spark):
+        """A 1000x-length outlier must (a) pair identically to the
+        brute-force theta oracle — segmentation can't disturb the
+        first-shared-bucket exactly-once rule because the ORIGINAL
+        starts ride along — and (b) never materialize more than
+        max_buckets_per_row buckets from a single pre-join row."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.intervals import (
+            interval_overlap_join,
+            segmented_buckets,
+        )
+
+        rng = random.Random(11)
+        left = [
+            ("u", i, float(s := rng.randint(0, 300)), float(s + rng.randint(0, 20)))
+            for i in range(40)
+        ] + [("u", 999, 50.0, 50.0 + 20_000.0)]  # the 1000x outlier
+        right = [
+            ("u", 1000 + i, float(s := rng.randint(0, 300)), float(s + rng.randint(0, 20)))
+            for i in range(40)
+        ]
+        l = spark.createDataFrame(
+            left, "k string, lid long, ls double, le double"
+        )
+        r = spark.createDataFrame(
+            right, "k string, rid long, rs double, re double"
+        )
+        out = interval_overlap_join(
+            l, r, "ls", "le", "rs", "re", on=["k"],
+            bucket_seconds=10, max_buckets_per_row=4,
+        )
+        got = sorted((row["lid"], row["rid"]) for row in out.collect())
+        want = sorted(
+            (lid, rid)
+            for _, lid, ls, le in left
+            for _, rid, rs, re_ in right
+            if ls <= re_ and rs <= le
+        )
+        assert got == want
+        # fan-out bound: rebuild the pre-join frame with segment ids
+        # visible — every (row, segment) holds <= m buckets, the
+        # outlier spans many segments, and coverage is exactly the
+        # len/B+1 buckets of each interval (no gap, no dup)
+        seg = segmented_buckets(l, "ls", "le", 10, 4)
+        per_row = (
+            seg.groupBy("lid")
+            .agg(
+                F.countDistinct("_bucket").alias("nb"),
+                F.count(F.lit(1)).alias("nrows"),
+            )
+            .collect()
+        )
+        for row in per_row:
+            span = next(
+                int(le // 10 - ls // 10) + 1
+                for _, lid, ls, le in left
+                if lid == row["lid"]
+            )
+            assert row["nb"] == span  # full coverage, no duplicates
+            assert row["nrows"] == span
+        outlier_segs = seg.filter(
+            (F.col("lid") == 999)
+        ).groupBy((F.col("_bucket") - 5).cast("long") / 4).count()
+        assert seg.filter(F.col("lid") == 999).count() == 2001
+        # 2001 buckets at <=4 per segment row -> >= 501 segments were
+        # generated; no single sequence() held more than 4 elements
+        assert outlier_segs.count() >= 501
+
     def test_plan_is_equi_join_no_blowup(self, spark):
         from mydatasyncer_spark.operators.intervals import (
             interval_overlap_join,
