@@ -279,15 +279,94 @@ def sample_frames_jvm(df: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
-def decode_with_real_codec(media_type: str) -> Callable[[bytes], list[float]]:
-    """Contract for real codecs (not available in this container).
+def decode_bmp_features(payload: bytes) -> list[float]:
+    """Real image decode with zero external deps: uncompressed 24-bit
+    BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB) parsed with
+    ``struct``. Returns ``[width, height, mean_r, mean_g, mean_b]``.
 
-    An implementation must return a fixed-length feature vector per
-    payload; image decoders should resize to a canonical resolution
-    before feature extraction, audio decoders should resample, video
-    decoders should frame-sample. Wire it in as
-    ``extract_features(df, decode_fn=decode_with_real_codec("image/png"))``.
+    This is the proof that the Arrow ``mapInPandas`` route in
+    :func:`extract_features` carries REAL decoded bytes end-to-end —
+    the same wiring a pillow/pyav decoder would use. Raises on
+    malformed/unsupported payloads (FAILFAST; filter or wrap for
+    permissive pipelines).
     """
+    import struct
+
+    if payload is None or len(payload) < 54 or bytes(payload[:2]) != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    h = abs(height)  # height < 0 = top-down; channel means don't care
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    sums = [0, 0, 0]  # pixel order in BMP rows is B, G, R
+    for r in range(h):
+        off = data_offset + r * row_stride
+        row = payload[off : off + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        sums[0] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[2::3])
+    npx = max(width * h, 1)
+    return [
+        float(width),
+        float(h),
+        sums[2] / npx,
+        sums[1] / npx,
+        sums[0] / npx,
+    ]
+
+
+def decode_wav_features(payload: bytes) -> list[float]:
+    """Real audio decode with zero external deps: RIFF/WAV 16-bit PCM
+    via the stdlib ``wave`` module. Returns
+    ``[n_channels, framerate, n_frames, mean_abs, peak]`` with
+    amplitudes normalized to [0, 1]."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        nch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV is supported")
+        fr = w.getframerate()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    samples = memoryview(raw).cast("h")  # WAV PCM is little-endian
+    n = len(samples)
+    if n == 0:
+        return [float(nch), float(fr), 0.0, 0.0, 0.0]
+    mean_abs = sum(abs(s) for s in samples) / n / 32768.0
+    peak = max(abs(s) for s in samples) / 32768.0
+    return [float(nch), float(fr), float(nframes), mean_abs, peak]
+
+
+#: media types decodable with the Python stdlib alone
+_STDLIB_CODECS: dict[str, Callable[[bytes], list[float]]] = {
+    "image/bmp": decode_bmp_features,
+    "audio/wav": decode_wav_features,
+    "audio/x-wav": decode_wav_features,
+}
+
+
+def decode_with_real_codec(media_type: str) -> Callable[[bytes], list[float]]:
+    """Real-codec dispatch for ``extract_features(df, decode_fn=...)``.
+
+    Formats a bare Python stdlib can decode — uncompressed 24-bit BMP
+    and 16-bit PCM WAV — return a working decoder; everything else
+    (PNG/JPEG/MP3/MP4...) needs external libraries this container
+    doesn't have. An external implementation must return a
+    fixed-length feature vector per payload; image decoders should
+    resize to a canonical resolution before feature extraction, audio
+    decoders should resample, video decoders should frame-sample.
+    """
+    codec = _STDLIB_CODECS.get(media_type.lower())
+    if codec is not None:
+        return codec
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
         "install pillow/librosa/pyav and pass a decode_fn"

@@ -1,0 +1,44 @@
+-- GOLDEN: full staged multi-table diff sync against MySQL 8.0.
+-- Emitted by mydatasyncer_spark.sinks.script.emit_sync_script and
+-- pinned byte-for-byte by tests/test_dialect_golden.py. The sequence
+-- mirrors Syncer._run_staged: staging DDL + loads OUTSIDE the
+-- transaction (MySQL DDL implicit-commits), then one transaction
+-- with FK-ordered deletes (child -> parent) and upserts
+-- (parent -> child), then staging drops.
+CREATE TABLE `stg_insert_customer` AS SELECT `id`, `name`, `created_at` FROM `customer` LIMIT 0;
+INSERT INTO `stg_insert_customer` (`id`, `name`, `created_at`) VALUES (7, 'O''Hara \\ Sons', DATE '2026-08-14');
+CREATE TABLE `stg_update_customer` AS SELECT `id`, `name`, `created_at` FROM `customer` LIMIT 0;
+INSERT INTO `stg_update_customer` (`id`, `name`, `created_at`) VALUES (3, 'Renamed Corp', DATE '2026-01-02');
+CREATE TABLE `stg_delete_customer` AS SELECT `id` FROM `customer` LIMIT 0;
+INSERT INTO `stg_delete_customer` (`id`) VALUES (9);
+CREATE TABLE `stg_insert_order` AS SELECT `id`, `customer_id`, `select`, `total` FROM `order` LIMIT 0;
+INSERT INTO `stg_insert_order` (`id`, `customer_id`, `select`, `total`) VALUES (101, 7, 'expedited', 12.5);
+CREATE TABLE `stg_update_order` AS SELECT `id`, `customer_id`, `select`, `total` FROM `order` LIMIT 0;
+INSERT INTO `stg_update_order` (`id`, `customer_id`, `select`, `total`) VALUES (55, 3, 'standard', 99.0);
+CREATE TABLE `stg_delete_order` AS SELECT `id` FROM `order` LIMIT 0;
+INSERT INTO `stg_delete_order` (`id`) VALUES (42), (43);
+CREATE TABLE `stg_insert_order_line` AS SELECT `id`, `order_id`, `qty` FROM `order_line` LIMIT 0;
+INSERT INTO `stg_insert_order_line` (`id`, `order_id`, `qty`) VALUES (1001, 101, 3), (1002, 101, 1);
+CREATE TABLE `stg_update_order_line` AS SELECT `id`, `order_id`, `qty` FROM `order_line` LIMIT 0;
+CREATE TABLE `stg_delete_order_line` AS SELECT `id` FROM `order_line` LIMIT 0;
+INSERT INTO `stg_delete_order_line` (`id`) VALUES (900);
+START TRANSACTION;
+DELETE FROM `order_line` WHERE `id` IN (SELECT `id` FROM `stg_delete_order_line`);
+DELETE FROM `order` WHERE `id` IN (SELECT `id` FROM `stg_delete_order`);
+DELETE FROM `customer` WHERE `id` IN (SELECT `id` FROM `stg_delete_customer`);
+INSERT INTO `customer` (`id`, `name`, `created_at`) SELECT `id`, `name`, `created_at` FROM `stg_insert_customer`;
+UPDATE `customer` JOIN `stg_update_customer` AS s ON `customer`.`id` = s.`id` SET `customer`.`name` = s.`name`;
+INSERT INTO `order` (`id`, `customer_id`, `select`, `total`) SELECT `id`, `customer_id`, `select`, `total` FROM `stg_insert_order`;
+UPDATE `order` JOIN `stg_update_order` AS s ON `order`.`id` = s.`id` SET `order`.`customer_id` = s.`customer_id`, `order`.`select` = s.`select`, `order`.`total` = s.`total`;
+INSERT INTO `order_line` (`id`, `order_id`, `qty`) SELECT `id`, `order_id`, `qty` FROM `stg_insert_order_line`;
+UPDATE `order_line` JOIN `stg_update_order_line` AS s ON `order_line`.`id` = s.`id` SET `order_line`.`order_id` = s.`order_id`, `order_line`.`qty` = s.`qty`;
+COMMIT;
+DROP TABLE `stg_insert_customer`;
+DROP TABLE `stg_update_customer`;
+DROP TABLE `stg_delete_customer`;
+DROP TABLE `stg_insert_order`;
+DROP TABLE `stg_update_order`;
+DROP TABLE `stg_delete_order`;
+DROP TABLE `stg_insert_order_line`;
+DROP TABLE `stg_update_order_line`;
+DROP TABLE `stg_delete_order_line`;

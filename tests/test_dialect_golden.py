@@ -103,3 +103,114 @@ def test_identifier_escape_roundtrip():
     sql = MYSQL.staged_insert_sql("t", ["wei`rd"], "stg")
     assert "`wei``rd`" in sql
     assert "`wei`rd`" not in sql.replace("``", "")
+
+
+# ---------------------------------------------------------------- full run
+# VERDICT r4 item #7: the exact ordered statement sequence of a
+# multi-table staged diff sync (BEGIN -> stage -> FK-ordered deletes
+# child->parent -> upserts parent->child -> COMMIT), snapshotted so a
+# MySQL DBA could execute it verbatim.
+
+FULL_GOLDEN = Path(__file__).parent / "golden" / "mysql_full_sync.sql"
+
+
+def full_run_statements():
+    from datetime import date
+
+    from mydatasyncer_spark.sinks.script import TableScript, emit_sync_script
+
+    tables = [
+        TableScript(
+            name="customer",
+            columns=["id", "name", "created_at"],
+            primary_key="id",
+            insert_rows=[(7, "O'Hara \\ Sons", date(2026, 8, 14))],
+            update_rows=[(3, "Renamed Corp", date(2026, 1, 2))],
+            delete_keys=[9],
+            immutable_columns=["created_at"],
+        ),
+        TableScript(
+            name="order",  # reserved word: must stay quoted everywhere
+            columns=["id", "customer_id", "select", "total"],
+            primary_key="id",
+            dependencies=["customer"],
+            insert_rows=[(101, 7, "expedited", 12.5)],
+            update_rows=[(55, 3, "standard", 99.0)],
+            delete_keys=[42, 43],
+        ),
+        TableScript(
+            name="order_line",
+            columns=["id", "order_id", "qty"],
+            primary_key="id",
+            dependencies=["order"],
+            insert_rows=[(1001, 101, 3), (1002, 101, 1)],
+            delete_keys=[900],
+        ),
+    ]
+    return emit_sync_script(tables, "mysql")
+
+
+def test_full_run_matches_golden_file():
+    golden_stmts = [
+        line[:-1]
+        for line in FULL_GOLDEN.read_text().splitlines()
+        if line and not line.startswith("--")
+    ]
+    assert full_run_statements() == golden_stmts
+
+
+def test_full_run_ordering_invariants():
+    """Deletes run child->parent, upserts parent->child, and ALL
+    apply statements sit strictly inside the single transaction;
+    staging DDL/loads and drops sit strictly outside it."""
+    stmts = full_run_statements()
+    begin, commit = stmts.index("START TRANSACTION"), stmts.index("COMMIT")
+    inside = stmts[begin + 1 : commit]
+    deletes = [s for s in inside if s.startswith("DELETE")]
+    assert [s.split("`")[1] for s in deletes] == [
+        "order_line", "order", "customer",
+    ]
+    upsert_targets = [
+        s.split("`")[1]
+        for s in inside
+        if s.startswith(("INSERT", "UPDATE"))
+    ]
+    # parent -> child, inserts before updates per table
+    assert upsert_targets == [
+        "customer", "customer", "order", "order", "order_line", "order_line",
+    ]
+    outside = stmts[:begin] + stmts[commit + 1 :]
+    assert all(
+        s.startswith(("CREATE TABLE", "INSERT INTO `stg_", "DROP TABLE"))
+        for s in outside
+    )
+    assert not any(
+        s.startswith(("CREATE", "DROP")) for s in inside
+    )  # MySQL DDL implicit-commits would break atomicity
+
+
+_VALUE = r"(?:NULL|TRUE|FALSE|-?\d+(?:\.\d+)?|'(?:[^']|'')*'|DATE '[^']+'|TIMESTAMP '[^']+')"
+
+_FULL_SKELETONS = _SKELETONS + [
+    rf"INSERT INTO {_IDENT} \({_IDENT}(?:, {_IDENT})*\) VALUES \({_VALUE}(?:, {_VALUE})*\)(?:, \({_VALUE}(?:, {_VALUE})*\))*",
+    r"START TRANSACTION",
+    r"COMMIT",
+]
+
+
+def test_full_run_statements_parse_as_mysql_shapes():
+    for sql in full_run_statements():
+        assert any(
+            re.fullmatch(sk, sql) for sk in _FULL_SKELETONS
+        ), f"statement fits no MySQL skeleton: {sql}"
+
+
+def test_literal_escaping_mysql():
+    from mydatasyncer_spark.sinks.dialects import MYSQL, SQLITE
+    from mydatasyncer_spark.sinks.script import sql_literal
+
+    assert sql_literal("O'Hara \\ Sons", MYSQL) == "'O''Hara \\\\ Sons'"
+    # standard-conforming engines double quotes but keep backslashes
+    assert sql_literal("O'Hara \\ Sons", SQLITE) == "'O''Hara \\ Sons'"
+    assert sql_literal(None, MYSQL) == "NULL"
+    assert sql_literal(12.5, MYSQL) == "12.5"

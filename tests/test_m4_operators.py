@@ -978,3 +978,117 @@ class TestSketchRollup:
             < 0.02
         )
         assert row["n_rows"] == 5_000
+
+
+class TestRealStdlibCodecs:
+    """The real-codec mapInPandas route exercised with REAL formats —
+    pure-stdlib decoders (uncompressed 24-bit BMP, 16-bit PCM WAV)
+    wired through extract_features(decode_fn=...), so the Arrow batch
+    path carries genuinely decoded bytes, not the deterministic fake."""
+
+    @staticmethod
+    def _bmp(width, height, pixels_rgb):
+        """Minimal bottom-up 24-bit BI_RGB BMP. pixels_rgb: rows top
+        to bottom of (r, g, b) tuples."""
+        import struct
+
+        stride = (width * 3 + 3) & ~3
+        img = b""
+        for row in reversed(pixels_rgb):  # bottom-up storage
+            raw = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+            img += raw + b"\x00" * (stride - len(raw))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img),
+            2835, 2835, 0, 0,
+        )
+        return header + info + img
+
+    @staticmethod
+    def _wav(samples, framerate=8000, nch=1):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(framerate)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    def test_bmp_decodes_through_arrow_path(self, spark):
+        from mydatasyncer_spark.operators.multimodal import (
+            decode_with_real_codec,
+            extract_features,
+        )
+
+        red_white = self._bmp(
+            2, 2,
+            [[(255, 0, 0), (255, 0, 0)], [(255, 255, 255), (255, 255, 255)]],
+        )
+        grey = self._bmp(3, 1, [[(10, 20, 30), (10, 20, 30), (10, 20, 30)]])
+        df = spark.createDataFrame(
+            [(1, "image/bmp", bytearray(red_white), {}),
+             (2, "image/bmp", bytearray(grey), {})],
+            "media_id long, media_type string, payload binary, "
+            "meta map<string,string>",
+        )
+        out = {
+            r["media_id"]: r
+            for r in extract_features(
+                df, decode_fn=decode_with_real_codec("image/bmp")
+            ).collect()
+        }
+        assert out[1]["n_bytes"] == len(red_white)
+        assert out[1]["feature"] == [2.0, 2.0, 255.0, 127.5, 127.5]
+        assert out[2]["feature"] == [3.0, 1.0, 10.0, 20.0, 30.0]
+
+    def test_wav_decodes_through_arrow_path(self, spark):
+        from mydatasyncer_spark.operators.multimodal import (
+            decode_with_real_codec,
+            extract_features,
+        )
+
+        quiet = self._wav([0, 1024, -1024, 0])
+        loud = self._wav([32767, -32768, 16384, -16384], framerate=16000)
+        df = spark.createDataFrame(
+            [(1, "audio/wav", bytearray(quiet), {}),
+             (2, "audio/wav", bytearray(loud), {})],
+            "media_id long, media_type string, payload binary, "
+            "meta map<string,string>",
+        )
+        out = {
+            r["media_id"]: r
+            for r in extract_features(
+                df, decode_fn=decode_with_real_codec("audio/wav")
+            ).collect()
+        }
+        assert out[1]["feature"][:3] == [1.0, 8000.0, 4.0]
+        assert abs(out[1]["feature"][4] - 1024 / 32768) < 1e-12  # peak
+        assert out[2]["feature"][:3] == [1.0, 16000.0, 4.0]
+        assert out[2]["feature"][4] == 1.0  # full-scale peak
+
+    def test_codecless_formats_still_raise(self):
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.multimodal import (
+            decode_with_real_codec,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            decode_with_real_codec("image/png")
+
+    def test_decoders_reject_malformed_payloads(self):
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.multimodal import (
+            decode_bmp_features,
+            decode_wav_features,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_bmp_features(b"not a bitmap")
+        with _pytest.raises(Exception):
+            decode_wav_features(b"RIFFgarbage")
