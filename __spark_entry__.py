@@ -1149,6 +1149,31 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(table(spark, sf_dir, "lineitem"), "l_orderkey")
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-leveled fact join (operators/partitioning.salted_join):
+    lineitem joins orders on (orderkey, salt) with the dim side
+    replicated 8x, so a hot orderkey's rows scatter across 8 shuffle
+    sub-keys instead of one straggler task. The oracle is the PLAIN
+    join + aggregate — salting must be result-invisible."""
+    from mydatasyncer_spark.operators.partitioning import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, ["l_orderkey"], n_salts=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def doc_chunks_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget chunking (operators/text.chunk_documents_by_tokens):
     64-token windows with 8-token overlap — sequence fan-out + array
@@ -2585,7 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new this round (4-5) -------------------------------
         "curriculum_tiers_scalable": curriculum_tiers_scalable,
         "unigram_perplexity_oov": unigram_perplexity_oov,
-        # ---- touched this round (6-8) ---------------------------
+        "skew_salted_join": skew_salted_join,
+        # ---- touched this round (7-9) ---------------------------
         "interval_overlap_pairs": interval_overlap_pairs,
         "diff_pruned_localized": diff_pruned_localized,
         "diff_full_localized": diff_full_localized,
@@ -2632,9 +2658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics_suite": window_analytics_suite,
         "semi_join_big_orders": semi_join_big_orders,
         "asof_purchase_view": asof_purchase_view,
-        "range_join_view_purchase": range_join_view_purchase,
         # ======== entries past the 50-query driver cap ===========
         # (r3 cohort remainder, then the full r4-green cohort)
+        "range_join_view_purchase": range_join_view_purchase,
         "json_extract_events": json_extract_events,
         "funnel_steps": funnel_steps,
         "text_stats": text_stats,
@@ -4084,6 +4110,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pct >= 1.0/3.0 THEN 'mid'
                         ELSE 'low' END AS tier
             FROM r
+        """,
+        "skew_salted_join": f"""
+            SELECT o_orderpriority,
+                   CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "curriculum_tiers_scalable": f"""
             WITH t AS (

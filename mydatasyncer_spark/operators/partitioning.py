@@ -83,3 +83,58 @@ def skew_report(
         F.round(F.col("n") / F.col("_total"), 6).alias("share"),
         F.round(F.col("n") / F.col("_mean"), 4).alias("ratio_to_mean"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Skew-leveling equi join: the cure :func:`skew_report`
+    prescribes when a key's ``ratio_to_mean`` says one shuffle task
+    would carry R× the average load (salt by ~ceil(R)).
+
+    The fact side gets a deterministic per-row salt (xxhash64 over the
+    whole row, so a hot key's rows scatter across ``n_salts`` sub-keys
+    instead of landing in one task); the dim side is replicated once
+    per salt via a tiny explode; the join runs on ``(keys..., salt)``
+    — still a plain equi join Catalyst distributes normally. Results
+    are EXACTLY those of the unsalted join (each fact row matches
+    exactly the one replica carrying its salt), which is what the
+    contract oracle pins.
+
+    ``hot_keys`` narrows the cost: only fact rows whose key is listed
+    get salted and only those keys' dim rows are replicated; the cold
+    remainder joins plainly, and the two disjoint halves union. Use
+    the ``skew_report`` top-N (a bounded list, fine to collect) — at
+    100 TB replicating the WHOLE dim n_salts× is itself a shuffle
+    amplifier, so hot-key-only is the scale mode.
+
+    ``how``: ``inner`` or ``left`` (fact-preserving; an unmatched
+    fact row survives exactly once since its salt matches exactly one
+    replica set).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), n_salts)
+    replicas = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(int(n_salts) - 1))
+    )
+    if hot_keys is None:
+        f = fact.withColumn("_salt", salt.cast("long"))
+        d = dim.select("*", replicas.alias("_salt"))
+        return f.join(d, [*on, "_salt"], how).drop("_salt")
+    # hot/cold split tests the FIRST join key (the skewed one); NULL
+    # keys must land in the cold half (isin yields NULL, and a left
+    # join has to preserve NULL-key fact rows), hence the coalesce
+    is_hot = F.coalesce(
+        F.col(on[0]).isin([k for k in hot_keys]), F.lit(False)
+    )
+    f_hot = fact.filter(is_hot).withColumn("_salt", salt.cast("long"))
+    d_hot = dim.filter(is_hot).select("*", replicas.alias("_salt"))
+    hot = f_hot.join(d_hot, [*on, "_salt"], how).drop("_salt")
+    cold = fact.filter(~is_hot).join(dim.filter(~is_hot), on, how)
+    return hot.unionByName(cold)

@@ -65,3 +65,85 @@ def test_bucketed_agg_reuses_bucketing(spark, bucketed):
     with contextlib.redirect_stdout(buf):
         agg.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+class TestSaltedJoin:
+    """salted_join must be result-identical to the plain join in every
+    mode — salting is a physical-distribution trick, never semantics."""
+
+    def _frames(self, spark):
+        # skewed fact: key 1 carries half the rows; one NULL key
+        fact_rows = [(1, i) for i in range(50)] + [
+            (k, 1000 + k) for k in range(2, 27)
+        ] + [(None, 9999)]
+        fact = spark.createDataFrame(fact_rows, "k int, payload int")
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(1, 20)], "k int, attr string"
+        )
+        return fact, dim
+
+    @staticmethod
+    def _norm(rows):
+        # None-safe canonical ordering for row-set comparison
+        return sorted(rows, key=repr)
+
+    def _plain(self, fact, dim, how):
+        return self._norm(
+            (r["k"], r["payload"], r["attr"])
+            for r in fact.join(dim, ["k"], how).collect()
+        )
+
+    def test_full_salt_inner_and_left(self, spark):
+        from mydatasyncer_spark.operators.partitioning import salted_join
+
+        fact, dim = self._frames(spark)
+        for how in ("inner", "left"):
+            got = self._norm(
+                (r["k"], r["payload"], r["attr"])
+                for r in salted_join(fact, dim, ["k"], 8, how).collect()
+            )
+            assert got == self._plain(fact, dim, how), how
+
+    def test_hot_key_mode_matches_plain(self, spark):
+        from mydatasyncer_spark.operators.partitioning import salted_join
+
+        fact, dim = self._frames(spark)
+        for how in ("inner", "left"):
+            got = self._norm(
+                (r["k"], r["payload"], r["attr"])
+                for r in salted_join(
+                    fact, dim, ["k"], 8, how, hot_keys=[1]
+                ).collect()
+            )
+            assert got == self._plain(fact, dim, how), how
+
+    def test_left_preserves_null_key_rows(self, spark):
+        from mydatasyncer_spark.operators.partitioning import salted_join
+
+        fact, dim = self._frames(spark)
+        out = salted_join(fact, dim, ["k"], 4, "left", hot_keys=[1])
+        nulls = [r for r in out.collect() if r["k"] is None]
+        assert len(nulls) == 1 and nulls[0]["attr"] is None
+
+    def test_fact_rows_scatter_across_salts(self, spark):
+        """The point of the exercise: the hot key's fact rows must
+        carry several distinct salt values (scattering the shuffle),
+        while each (row, salt) matches exactly one dim replica."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.partitioning import salted_join
+
+        fact, dim = self._frames(spark)
+        salted = fact.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), 8),
+        )
+        n_salts_hot = (
+            salted.filter("k = 1").select("_salt").distinct().count()
+        )
+        assert n_salts_hot >= 4  # 50 rows over 8 salts
+        # exactly-once: inner join row count equals plain join
+        assert (
+            salted_join(fact, dim, ["k"], 8).count()
+            == fact.join(dim, ["k"]).count()
+        )

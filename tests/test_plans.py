@@ -401,3 +401,15 @@ def test_curriculum_scalable_windows_only_the_preaggregate(spark, sf_dir):
         assert any(
             "HashAggregate" in ln for ln in below[:scan_at]
         ), "Window sits directly on the corpus scan:\n" + plan
+
+
+def test_salted_join_is_salt_keyed_equi_join(spark, sf_dir):
+    """The salted join must stay an equi join whose keys include the
+    salt column (that's what scatters a hot key across tasks) — never
+    a cross/loop join, and the fan-out explode on the dim side is a
+    Generate, not a shuffle multiplier."""
+    plan = plan_of(spark, sf_dir, "skew_salted_join")
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the dim-side replica explode
