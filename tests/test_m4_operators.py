@@ -1092,3 +1092,67 @@ class TestRealStdlibCodecs:
             decode_bmp_features(b"not a bitmap")
         with _pytest.raises(Exception):
             decode_wav_features(b"RIFFgarbage")
+
+
+class TestQuantileAndThetaSketches:
+    def test_kll_merge_tracks_direct_quantiles(self, spark):
+        """Quantiles from merged per-group partials must track the
+        exact percentile closely (k=200: ~1.65% rank error)."""
+        from mydatasyncer_spark.operators.sketches import (
+            quantile_estimate,
+            quantile_sketch_merge,
+            quantile_sketch_rollup,
+        )
+
+        rows = [(i % 7, float(i)) for i in range(10_000)]
+        df = spark.createDataFrame(rows, "g int, v double")
+        partials = quantile_sketch_rollup(df, ["g"], "v")
+        merged = quantile_estimate(
+            quantile_sketch_merge(partials, []), (0.5, 0.9)
+        ).collect()[0]
+        assert merged["n_rows"] == 10_000
+        # exact p50 = 4999.5-ish; rank tolerance 3% of 10k = 300
+        assert abs(merged["q_50"] - 5000.0) <= 300
+        assert abs(merged["q_90"] - 9000.0) <= 300
+
+    def test_theta_pairwise_overlap_exact_mode(self, spark):
+        """Below 2^lg_nom_entries retained keys a theta sketch is
+        EXACT — known overlapping sets must come back exactly."""
+        from mydatasyncer_spark.operators.sketches import (
+            theta_pairwise_overlap,
+            theta_rollup,
+        )
+
+        rows = [("A", u) for u in range(1, 101)] + [
+            ("B", u) for u in range(51, 151)
+        ] + [("C", u) for u in range(200, 220)]
+        df = spark.createDataFrame(rows, "t string, u long")
+        partials = theta_rollup(df, ["t"], "u")
+        ov = {
+            (r["entity_a"], r["entity_b"]): r
+            for r in theta_pairwise_overlap(partials, "t").collect()
+        }
+        assert round(ov[("A", "B")]["approx_overlap"]) == 50
+        assert round(ov[("A", "C")]["approx_overlap"]) == 0
+        assert round(ov[("B", "C")]["approx_overlap"]) == 0
+        assert round(ov[("A", "B")]["approx_union"]) == 150
+
+    def test_theta_union_rollup_matches_flat_rollup(self, spark):
+        """Union-of-partials must equal the sketch built in one shot
+        (exact mode): rollup-from-state == recompute-from-fact."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.sketches import (
+            theta_rollup,
+            theta_union_rollup,
+        )
+
+        rows = [(d, u % 500) for d in range(10) for u in range(d * 100, d * 100 + 300)]
+        df = spark.createDataFrame(rows, "day int, u long")
+        fine = theta_rollup(df, ["day"], "u")
+        coarse = theta_union_rollup(fine, [])
+        est = coarse.select(
+            F.theta_sketch_estimate("theta").cast("long").alias("n")
+        ).collect()[0]["n"]
+        exact = df.select("u").distinct().count()
+        assert est == exact
