@@ -355,10 +355,60 @@ def continuous_sketch_rollup(
     are dropped before append (idempotent under at-least-once) — the
     filter costs one scan of the (tiny) partials table, not the fact.
     """
+    from mydatasyncer_spark.operators.sketches import sketch_rollup
+
+    return _continuous_partials(
+        stream_df,
+        partials_path,
+        lambda b: sketch_rollup(b, group_cols, key_col),
+        batch_id_col,
+        checkpoint_dir,
+        query_name,
+    )
+
+
+def continuous_quantile_rollup(
+    stream_df: DataFrame,
+    partials_path: str,
+    group_cols: list[str],
+    value_col: str,
+    batch_id_col: str = "_batch_id",
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_quantile_rollup",
+):
+    """The quantile twin of :func:`continuous_sketch_rollup`: each
+    micro-batch appends per-group KLL partials (operators/sketches.
+    quantile_sketch_rollup); readers answer any percentile at any
+    coarser grouping via ``quantile_sketch_merge`` +
+    ``quantile_estimate`` without re-reading the stream's history.
+    Same batch-id replay guard: at-least-once delivery appends each
+    batch's partials exactly once."""
+    from mydatasyncer_spark.operators.sketches import quantile_sketch_rollup
+
+    return _continuous_partials(
+        stream_df,
+        partials_path,
+        lambda b: quantile_sketch_rollup(b, group_cols, value_col),
+        batch_id_col,
+        checkpoint_dir,
+        query_name,
+    )
+
+
+def _continuous_partials(
+    stream_df: DataFrame,
+    partials_path: str,
+    build_partials,
+    batch_id_col: str,
+    checkpoint_dir: str | None,
+    query_name: str,
+):
+    """Shared append-only mergeable-partials ingestion: per-batch
+    ``build_partials(batch_df)`` → stamp batch id → append; a replayed
+    batch id is dropped before append (the check scans the TINY
+    partials table, never the fact)."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
-
-    from mydatasyncer_spark.operators.sketches import sketch_rollup
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -376,7 +426,7 @@ def continuous_sketch_rollup(
             seen = 0
         if seen:
             return  # replayed batch: partials already appended
-        partial = sketch_rollup(batch_df, group_cols, key_col).withColumn(
+        partial = build_partials(batch_df).withColumn(
             batch_id_col, F.lit(batch_id)
         )
         partial.write.mode("append").parquet(partials_path)

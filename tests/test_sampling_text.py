@@ -656,3 +656,85 @@ class TestUnigramPerplexity:
         )
         ids = {r["doc_id"] for r in unigram_perplexity(df).collect()}
         assert ids == {1}
+
+
+class TestUnigramVocabCut:
+    """min_count vocabulary cut + OOV bucket (the CCNet construction
+    that keeps the model broadcast-small at any corpus scale)."""
+
+    def _corpus(self, spark):
+        # "alpha"/"beta" appear many times; each "rareN" exactly once
+        rows = [(i, "alpha beta alpha") for i in range(1, 11)]
+        rows += [(100 + i, f"alpha rare{i}") for i in range(5)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cut_model_has_single_null_oov_row(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.text import unigram_logprob_table
+
+        model = unigram_logprob_table(self._corpus(spark), min_count=3)
+        rows = model.collect()
+        vocab = {r["tok"] for r in rows if r["tok"] is not None}
+        assert vocab == {"alpha", "beta"}  # rare* fell below the cut
+        oov = [r for r in rows if r["tok"] is None]
+        assert len(oov) == 1
+        # OOV carries the aggregate below-cut mass: 5 rare tokens,
+        # N=45+10 tokens total... logp must be finite and < vocab max
+        assert oov[0]["logp"] < max(
+            r["logp"] for r in rows if r["tok"] is not None
+        )
+
+    def test_probabilities_sum_to_one_over_event_space(self, spark):
+        """Vocab tokens + the OOV bucket form a proper distribution:
+        sum(exp(logp)) over V vocab rows + the bucket must be < 1 and
+        approach 1 as alpha's smoothing mass shrinks (add-alpha holds
+        back alpha*(V+1)/(N+alpha*(V+1)) exactly for unseen splits)."""
+        import math
+
+        from mydatasyncer_spark.operators.text import unigram_logprob_table
+
+        model = unigram_logprob_table(
+            self._corpus(spark), alpha=0.01, min_count=3
+        ).collect()
+        total = sum(math.exp(r["logp"]) for r in model)
+        assert 0.99 < total <= 1.0 + 1e-9
+
+    def test_unseen_tokens_score_as_oov_against_frozen_model(self, spark):
+        from mydatasyncer_spark.operators.text import (
+            unigram_logprob_table,
+            unigram_perplexity,
+        )
+
+        model = unigram_logprob_table(self._corpus(spark), min_count=3)
+        new = spark.createDataFrame(
+            [(50, "alpha beta"), (51, "totally unseen words")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in unigram_perplexity(new, model=model, oov=True).collect()
+        }
+        # all-OOV doc: every token counted (left join + bucket), and
+        # far higher perplexity than the in-vocab doc
+        assert got[51]["n_tokens"] == 3
+        assert got[50]["n_tokens"] == 2
+        assert got[51]["perplexity"] > got[50]["perplexity"]
+
+    def test_bucketless_model_keeps_inner_join_semantics(self, spark):
+        """min_count=1 (no OOV row): unmatched tokens drop from BOTH
+        the count and the average — the pre-r5 contract, unchanged."""
+        from mydatasyncer_spark.operators.text import (
+            unigram_logprob_table,
+            unigram_perplexity,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma")], "doc_id long, text string"
+        )
+        model = unigram_logprob_table(corpus)
+        new = spark.createDataFrame(
+            [(9, "alpha unseen")], "doc_id long, text string"
+        )
+        got = unigram_perplexity(new, model=model).collect()
+        assert got[0]["n_tokens"] == 1  # 'unseen' dropped, not counted

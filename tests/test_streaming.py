@@ -732,3 +732,86 @@ class TestContinuousSketchRollup:
         run("ckpt1")
         run("ckpt2")  # fresh checkpoint replays the same file, batch 0
         assert spark.read.parquet(partials).count() == 1
+
+
+class TestContinuousQuantileRollup:
+    def test_partials_accumulate_and_merged_quantile_tracks_exact(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.operators.sketches import (
+            quantile_estimate,
+            quantile_sketch_merge,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_quantile_rollup,
+        )
+
+        in_dir = tmp_path_factory.mktemp("kll_in")
+        out = tmp_path_factory.mktemp("kll_out")
+        partials = str(out / "partials")
+        ckpt = str(out / "ckpt")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "day string, v double"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_quantile_rollup(
+                stream, partials, ["day"], "v", checkpoint_dir=ckpt
+            )
+            q.awaitTermination(120)
+
+        # values 0..999 split across two days/batches
+        drain([{"day": "d1", "v": float(i)} for i in range(500)], "b1.json")
+        drain(
+            [{"day": "d2", "v": float(i)} for i in range(500, 1000)],
+            "b2.json",
+        )
+        stored = spark.read.parquet(partials)
+        assert stored.count() == 2  # one partial row per (day, batch)
+        [row] = quantile_estimate(
+            quantile_sketch_merge(
+                stored.withColumn("all", F.lit(1)), ["all"]
+            ),
+            (0.5,),
+        ).collect()
+        assert row["n_rows"] == 1000
+        # exact median of 0..999 ~ 499.5; 3% rank tolerance = +-30
+        assert abs(row["q_50"] - 499.5) <= 30
+
+    def test_replay_with_fresh_checkpoint_is_noop(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_quantile_rollup,
+        )
+
+        in_dir = tmp_path_factory.mktemp("kll_in2")
+        out = tmp_path_factory.mktemp("kll_out2")
+        partials = str(out / "partials")
+        (in_dir / "b.json").write_text(
+            "\n".join(
+                _json.dumps({"day": "d1", "v": float(i)}) for i in range(50)
+            )
+        )
+
+        def run(ckpt_name):
+            stream = spark.readStream.schema("day string, v double").json(
+                str(in_dir)
+            )
+            q = continuous_quantile_rollup(
+                stream, partials, ["day"], "v",
+                checkpoint_dir=str(out / ckpt_name),
+            )
+            q.awaitTermination(120)
+
+        run("ckpt_a")
+        n1 = spark.read.parquet(partials).count()
+        run("ckpt_b")  # fresh checkpoint replays batch 0
+        assert spark.read.parquet(partials).count() == n1
