@@ -1259,6 +1259,26 @@ def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_docs_per_lang_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe twin of cap_docs_per_lang
+    (operators/sampling.cap_per_group_scalable): phase 1 ranks within
+    (lang, salt) cells and keeps 30 per cell, phase 2 ranks the
+    bounded candidates exactly — no task ever sorts a whole
+    language's corpus. Oracle = the SAME single-window SQL: the
+    two-phase plan must be row-identical."""
+    from mydatasyncer_spark.operators.sampling import cap_per_group_scalable
+    from mydatasyncer_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return cap_per_group_scalable(
+        d, "lang", 30, "quality", descending=True, tiebreak_col="doc_id"
+    )
+
+
 def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/partitioning.skew_report):
     the 10 heaviest l_orderkey values with share and ratio-to-mean —
@@ -2698,6 +2718,25 @@ def _simhash_sql(bits: int = 16) -> str:
     """
 
 
+_CAP_DOCS_SQL = f"""
+    WITH q AS (
+        SELECT doc_id, lang,
+               round(0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                     + 0.4 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                    / greatest(length(text), 1))
+                     + 0.3 * CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                             / greatest(len({_TOKS_SQL}), 1), 6) AS quality
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang, quality,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM q
+    )
+    SELECT doc_id, lang, quality FROM ranked WHERE rn <= 30
+"""
+
+
 _COSINE_SQL = (
     "round(list_dot_product(qv, cv) / "
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
@@ -2732,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": skew_salted_join,
         "quantile_rollup_values": quantile_rollup_values,
         "theta_audience_overlap": theta_audience_overlap,
+        "cap_docs_per_lang_scalable": cap_docs_per_lang_scalable,
         # ---- touched this round ---------------------------------
         "interval_overlap_pairs": interval_overlap_pairs,
         "diff_pruned_localized": diff_pruned_localized,
@@ -2776,9 +2816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_hour_value": trailing_hour_value,
         "sessionization": sessionization,
         "tumbling_windows": tumbling_windows,
-        "window_analytics_suite": window_analytics_suite,
         # ======== entries past the 50-query driver cap ===========
         # (r3 cohort remainder, then the full r4-green cohort)
+        "window_analytics_suite": window_analytics_suite,
         "semi_join_big_orders": semi_join_big_orders,
         "asof_purchase_view": asof_purchase_view,
         "range_join_view_purchase": range_join_view_purchase,
@@ -3484,23 +3524,10 @@ def oracle_sql() -> dict[str, str]:
             FROM file_side
             GROUP BY o_orderstatus
         """,
-        "cap_docs_per_lang": f"""
-            WITH q AS (
-                SELECT doc_id, lang,
-                       round(0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-                             + 0.4 * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                                            / greatest(length(text), 1))
-                             + 0.3 * CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
-                                     / greatest(len({_TOKS_SQL}), 1), 6) AS quality
-                FROM documents
-            ), ranked AS (
-                SELECT doc_id, lang, quality,
-                       row_number() OVER (PARTITION BY lang
-                                          ORDER BY quality DESC, doc_id ASC) AS rn
-                FROM q
-            )
-            SELECT doc_id, lang, quality FROM ranked WHERE rn <= 30
-        """,
+        "cap_docs_per_lang": _CAP_DOCS_SQL,
+        # the scalable two-phase variant must be row-identical to the
+        # single-window form, so it shares the oracle verbatim
+        "cap_docs_per_lang_scalable": _CAP_DOCS_SQL,
         "skew_report_lineitem": """
             WITH counts AS (
                 SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1

@@ -360,3 +360,48 @@ def weighted_sample(
         .orderBy(F.desc("_wkey"), F.col(id_col))
         .limit(k)
     )
+
+
+def cap_per_group_scalable(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+    fanout: int = 32,
+) -> DataFrame:
+    """Two-phase twin of :func:`cap_per_group` that never sorts a
+    whole group in one task.
+
+    A window partition is one task, so with a handful of groups (the
+    realistic language/domain mixture) :func:`cap_per_group` sorts
+    each group's ENTIRE corpus in one reducer at scale — the same
+    flaw the curriculum tiers had. Here phase 1 ranks within
+    (group, salt) cells — each ~1/``fanout`` of the group, salt from
+    a deterministic row hash — and keeps ``n`` per cell; phase 2
+    ranks the surviving at-most ``fanout * n`` candidates per group
+    exactly. The global top-n of a group is always inside the union
+    of its cells' top-n, so the result is row-identical to the
+    single-window form (both deterministic given a total order —
+    pass a ``tiebreak_col`` when ``order_col`` has duplicates).
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), fanout)
+    w1 = Window.partitionBy(group_col, "_cap_salt").orderBy(*order)
+    candidates = (
+        df.withColumn("_cap_salt", salt)
+        .withColumn("_rank", F.row_number().over(w1))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        candidates.withColumn("_rank", F.row_number().over(w2))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank", "_cap_salt")
+    )

@@ -413,3 +413,18 @@ def test_salted_join_is_salt_keyed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # the dim-side replica explode
+
+
+def test_scalable_cap_phase1_windows_on_salted_cells(spark, sf_dir):
+    """The two-phase per-group cap must show TWO Windows, the first
+    partitioned on (group, salt) — no single window ever sorts a
+    whole group's corpus in one task."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "cap_docs_per_lang_scalable")
+    # exact node name: "(n) Window" — NOT WindowGroupLimit, which
+    # Spark adds around each as its top-k pushdown (a bonus: phase 1
+    # filters to n-per-cell before its exchange even runs)
+    wins = len(re.findall(r"^\(\d+\) Window\s*$", plan, re.M))
+    assert wins == 2, plan
+    assert "_cap_salt" in plan

@@ -738,3 +738,46 @@ class TestUnigramVocabCut:
         )
         got = unigram_perplexity(new, model=model).collect()
         assert got[0]["n_tokens"] == 1  # 'unseen' dropped, not counted
+
+
+class TestCapPerGroupScalable:
+    def test_row_identical_to_single_window(self, spark):
+        import random
+
+        from mydatasyncer_spark.operators.sampling import (
+            cap_per_group,
+            cap_per_group_scalable,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (i, f"g{i % 4}", float(rng.randint(0, 50)))
+            for i in range(1, 800)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, score double")
+        base = sorted(
+            (r["id"],)
+            for r in cap_per_group(
+                df, "g", 7, "score", tiebreak_col="id"
+            ).collect()
+        )
+        for fanout in (1, 4, 32):
+            got = sorted(
+                (r["id"],)
+                for r in cap_per_group_scalable(
+                    df, "g", 7, "score", tiebreak_col="id", fanout=fanout
+                ).collect()
+            )
+            assert got == base, fanout
+
+    def test_groups_smaller_than_n_survive_whole(self, spark):
+        from mydatasyncer_spark.operators.sampling import (
+            cap_per_group_scalable,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 9.0)],
+            "id long, g string, score double",
+        )
+        out = cap_per_group_scalable(df, "g", 10, "score", tiebreak_col="id")
+        assert out.count() == 3
