@@ -216,6 +216,15 @@ def cap_per_group(
     deterministic via the explicit tiebreak (defaults to ``order_col``
     then ``group_col`` order is NOT enough — pass an id column when
     ``order_col`` has duplicates).
+
+    Scale note: because the ``row_number() <= n`` filter sits directly
+    on the window, Spark (3.5+) applies its WindowGroupLimit pushdown
+    — every map partition pre-filters to its own top-n BEFORE the
+    group exchange, so the per-group sort sees at most n × input
+    partitions rows, not the whole group (pinned in test_plans).
+    :func:`cap_per_group_scalable` is the explicit two-phase form for
+    shapes the pushdown cannot rescue (rank consumed without an
+    adjacent literal filter, or engines without the rule).
     """
     from pyspark.sql import Window
 

@@ -428,3 +428,14 @@ def test_scalable_cap_phase1_windows_on_salted_cells(spark, sf_dir):
     wins = len(re.findall(r"^\(\d+\) Window\s*$", plan, re.M))
     assert wins == 2, plan
     assert "_cap_salt" in plan
+
+
+def test_plain_rank_caps_get_window_group_limit_pushdown(spark, sf_dir):
+    """Single-window rank<=k shapes must keep Spark's WindowGroupLimit
+    pushdown (map partitions pre-filter to top-k before the group
+    exchange) — the native mitigation of the per-group single-task
+    sort. If a refactor moves the filter off the window, this
+    disappears and the query regresses to whole-group sorts."""
+    for name in ("cap_docs_per_lang", "window_topk_customers"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, name
