@@ -36,6 +36,8 @@ class Dialect:
     #: CTAS suffix producing an empty copy: "LIMIT 0" (sqlite/mysql/pg)
     #: vs ANSI "... WITH NO DATA" (derby)
     ctas_no_data: str = "LIMIT 0"
+    #: explicit-transaction opener for emitted scripts (sqlite: BEGIN)
+    begin_stmt: str = "START TRANSACTION"
 
     # -- identifiers -------------------------------------------------
     def quote(self, ident: str) -> str:
@@ -110,7 +112,7 @@ class Dialect:
         )
 
 
-SQLITE = Dialect("sqlite", '"', UPDATE_FROM)
+SQLITE = Dialect("sqlite", '"', UPDATE_FROM, begin_stmt="BEGIN")
 POSTGRES = Dialect("postgres", '"', UPDATE_FROM)
 MYSQL = Dialect("mysql", "`", UPDATE_JOIN)
 #: ANSI fallback; used for Derby (the in-process e2e test engine)

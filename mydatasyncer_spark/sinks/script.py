@@ -61,8 +61,13 @@ def sql_literal(value: object, dialect: Dialect) -> str:
     if isinstance(value, (int, float)):
         return repr(value)
     if isinstance(value, datetime):
+        # sqlite has no typed date literals (dates ride as TEXT)
+        if dialect.name == "sqlite":
+            return f"'{value.strftime('%Y-%m-%d %H:%M:%S')}'"
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
     if isinstance(value, date):
+        if dialect.name == "sqlite":
+            return f"'{value.isoformat()}'"
         return f"DATE '{value.isoformat()}'"
     s = str(value).replace("'", "''")
     if dialect.name in ("mysql", "mariadb"):
@@ -122,7 +127,7 @@ def emit_sync_script(
             if rows:
                 stmts.append(_insert_values_sql(d, stg, cols, rows))
     # -- 2-5: the one global transaction -----------------------------
-    stmts.append("START TRANSACTION")
+    stmts.append(d.begin_stmt)
     for name in delete_order:
         t = by_name[name]
         stmts.append(

@@ -214,3 +214,67 @@ def test_literal_escaping_mysql():
     assert sql_literal("O'Hara \\ Sons", SQLITE) == "'O''Hara \\ Sons'"
     assert sql_literal(None, MYSQL) == "NULL"
     assert sql_literal(12.5, MYSQL) == "12.5"
+
+
+def test_sqlite_script_executes_verbatim_end_to_end():
+    """The emitted script is not just well-formed text: the
+    sqlite-dialect rendering of the SAME multi-table plan executes
+    verbatim against a real SQLite database and lands the exact final
+    state (FK-ordered deletes applied, upserts applied, immutable
+    column untouched, staging gone). This shrinks the MySQL gap to
+    dialect text, which the golden file pins."""
+    import sqlite3
+    from datetime import date
+
+    from mydatasyncer_spark.sinks.script import TableScript, emit_sync_script
+
+    tables = [
+        TableScript(
+            name="customer",
+            columns=["id", "name", "created_at"],
+            primary_key="id",
+            insert_rows=[(7, "O'Hara \\ Sons", date(2026, 8, 14))],
+            update_rows=[(3, "Renamed Corp", date(2026, 1, 2))],
+            delete_keys=[9],
+            immutable_columns=["created_at"],
+        ),
+        TableScript(
+            name="order",
+            columns=["id", "customer_id", "select", "total"],
+            primary_key="id",
+            dependencies=["customer"],
+            insert_rows=[(101, 7, "expedited", 12.5)],
+            update_rows=[(55, 3, "standard", 99.0)],
+            delete_keys=[42, 43],
+        ),
+    ]
+    con = sqlite3.connect(":memory:")
+    con.executescript(
+        """
+        CREATE TABLE customer (id INTEGER PRIMARY KEY, name TEXT,
+                               created_at TEXT);
+        CREATE TABLE "order" (id INTEGER PRIMARY KEY, customer_id INTEGER,
+                              "select" TEXT, total REAL);
+        INSERT INTO customer VALUES (3, 'Old Corp', '2020-05-05'),
+                                    (9, 'Doomed Inc', '2019-01-01');
+        INSERT INTO "order" VALUES (42, 9, 'x', 1.0), (43, 9, 'y', 2.0),
+                                   (55, 3, 'old', 5.0);
+        """
+    )
+    script = ";\n".join(emit_sync_script(tables, "sqlite")) + ";"
+    con.executescript(script)
+    customers = sorted(con.execute("SELECT * FROM customer").fetchall())
+    # 9 deleted; 7 inserted; 3 renamed but created_at IMMUTABLE
+    assert customers == [
+        (3, "Renamed Corp", "2020-05-05"),
+        (7, "O'Hara \\ Sons", "2026-08-14"),
+    ]
+    orders = sorted(con.execute('SELECT * FROM "order"').fetchall())
+    assert orders == [
+        (55, 3, "standard", 99.0),
+        (101, 7, "expedited", 12.5),
+    ]
+    staging = con.execute(
+        "SELECT name FROM sqlite_master WHERE name LIKE 'stg_%'"
+    ).fetchall()
+    assert staging == []
