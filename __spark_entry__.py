@@ -1259,6 +1259,25 @@ def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 maintenance (operators/scd): bootstrap history from
+    the DB snapshot at 1994-01-01, fold in the file snapshot at
+    1995-06-01 — updated/deleted keys close their version (keeping
+    the OLD values), new/changed rows open current versions. Pure
+    key equi/anti joins reusing the diff legs; the oracle rebuilds
+    the same history with explicit SQL set logic."""
+    from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+
+    d, f = snapshot_db(spark, sf_dir), snapshot_file(spark, sf_dir)
+    hist = scd2_init(d, "1994-01-01")
+    out = scd2_apply(hist, f, "o_orderkey", "1995-06-01")
+    # effectivity as TIMESTAMP_NTZ for the cross-engine hash (the
+    # fixture's own date columns ride as naive timestamps too)
+    return out.withColumn(
+        "valid_from", F.col("valid_from").cast("timestamp_ntz")
+    ).withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
+
+
 def cap_docs_per_lang_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-safe twin of cap_docs_per_lang
     (operators/sampling.cap_per_group_scalable): phase 1 ranks within
@@ -2772,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup_values": quantile_rollup_values,
         "theta_audience_overlap": theta_audience_overlap,
         "cap_docs_per_lang_scalable": cap_docs_per_lang_scalable,
+        "scd2_orders_history": scd2_orders_history,
         # ---- touched this round ---------------------------------
         "interval_overlap_pairs": interval_overlap_pairs,
         "diff_pruned_localized": diff_pruned_localized,
@@ -2815,9 +2835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_type_counts": pivot_event_type_counts,
         "trailing_hour_value": trailing_hour_value,
         "sessionization": sessionization,
-        "tumbling_windows": tumbling_windows,
         # ======== entries past the 50-query driver cap ===========
         # (r3 cohort remainder, then the full r4-green cohort)
+        "tumbling_windows": tumbling_windows,
         "window_analytics_suite": window_analytics_suite,
         "semi_join_big_orders": semi_join_big_orders,
         "asof_purchase_view": asof_purchase_view,
@@ -3241,6 +3261,47 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
               (SELECT COUNT(*) FROM db_side d
                 WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_orderkey = d.o_orderkey)) AS n_delete
+        """,
+        "scd2_orders_history": f"""
+            WITH {SNAPSHOT_SQL},
+            closing AS (
+                SELECT d.o_orderkey FROM db_side d
+                WHERE NOT EXISTS (SELECT 1 FROM file_side f
+                                  WHERE f.o_orderkey = d.o_orderkey)
+                UNION ALL
+                SELECT f.o_orderkey
+                FROM file_side f JOIN db_side d USING (o_orderkey)
+                WHERE f.o_totalprice <> d.o_totalprice
+            )
+            SELECT d.o_orderkey, d.o_custkey, d.o_orderstatus,
+                   d.o_totalprice, d.o_orderdate, d.o_orderpriority,
+                   TIMESTAMP '1994-01-01 00:00:00' AS valid_from,
+                   TIMESTAMP '1995-06-01 00:00:00' AS valid_to,
+                   FALSE AS is_current
+            FROM db_side d JOIN closing c USING (o_orderkey)
+            UNION ALL
+            SELECT d.o_orderkey, d.o_custkey, d.o_orderstatus,
+                   d.o_totalprice, d.o_orderdate, d.o_orderpriority,
+                   TIMESTAMP '1994-01-01 00:00:00',
+                   CAST(NULL AS TIMESTAMP), TRUE
+            FROM db_side d
+            WHERE NOT EXISTS (SELECT 1 FROM closing c
+                              WHERE c.o_orderkey = d.o_orderkey)
+            UNION ALL
+            SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+                   f.o_totalprice, f.o_orderdate, f.o_orderpriority,
+                   TIMESTAMP '1995-06-01 00:00:00',
+                   CAST(NULL AS TIMESTAMP), TRUE
+            FROM file_side f
+            WHERE NOT EXISTS (SELECT 1 FROM db_side d
+                              WHERE d.o_orderkey = f.o_orderkey)
+            UNION ALL
+            SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+                   f.o_totalprice, f.o_orderdate, f.o_orderpriority,
+                   TIMESTAMP '1995-06-01 00:00:00',
+                   CAST(NULL AS TIMESTAMP), TRUE
+            FROM file_side f JOIN db_side d USING (o_orderkey)
+            WHERE f.o_totalprice <> d.o_totalprice
         """,
         "diff_pruned_localized": f"""
             WITH {SNAPSHOT_LOCALIZED_SQL}

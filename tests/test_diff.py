@@ -263,3 +263,57 @@ class TestPrunedDiff:
         assert "bucket" in seg and "IN (1,2,3)" in seg.replace(" ", "").replace(
             "IN(", "IN ("
         )
+
+
+class TestScd2:
+    """SCD type-2 maintenance over the diff legs (operators/scd)."""
+
+    def _hist(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    def test_two_epochs_chain_versions(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+
+        t0 = self._hist(spark, [(1, "a"), (2, "b"), (3, "c")])
+        h = scd2_init(t0, "2024-01-01")
+        # epoch 1: 1 updated, 3 deleted, 4 inserted
+        t1 = self._hist(spark, [(1, "a2"), (2, "b"), (4, "d")])
+        h = scd2_apply(h, t1, "id", "2024-02-01")
+        # epoch 2: 1 updated again, 3 reappears (new version after gap)
+        t2 = self._hist(spark, [(1, "a3"), (2, "b"), (4, "d"), (3, "c9")])
+        h = scd2_apply(h, t2, "id", "2024-03-01")
+        rows = {
+            (r["id"], str(r["valid_from"]), r["v"]): (
+                None if r["valid_to"] is None else str(r["valid_to"]),
+                r["is_current"],
+            )
+            for r in h.collect()
+        }
+        assert rows[(1, "2024-01-01", "a")] == ("2024-02-01", False)
+        assert rows[(1, "2024-02-01", "a2")] == ("2024-03-01", False)
+        assert rows[(1, "2024-03-01", "a3")] == (None, True)
+        assert rows[(2, "2024-01-01", "b")] == (None, True)  # untouched
+        assert rows[(3, "2024-01-01", "c")] == ("2024-02-01", False)
+        assert rows[(3, "2024-03-01", "c9")] == (None, True)  # rebirth
+        assert rows[(4, "2024-02-01", "d")] == (None, True)
+        assert len(rows) == 7
+        # exactly one current version per live key
+        cur = h.filter(F.col("is_current")).groupBy("id").count().collect()
+        assert all(r["count"] == 1 for r in cur)
+
+    def test_idempotent_when_snapshot_unchanged(self, spark):
+        from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+
+        t0 = self._hist(spark, [(1, "a"), (2, "b")])
+        h = scd2_init(t0, "2024-01-01")
+        h2 = scd2_apply(h, t0, "id", "2024-05-01")
+        got = sorted(
+            (r["id"], str(r["valid_from"]), r["valid_to"], r["is_current"])
+            for r in h2.collect()
+        )
+        assert got == [
+            (1, "2024-01-01", None, True),
+            (2, "2024-01-01", None, True),
+        ]
