@@ -138,3 +138,39 @@ def salted_join(
     hot = f_hot.join(d_hot, [*on, "_salt"], how).drop("_salt")
     cold = fact.filter(~is_hot).join(dim.filter(~is_hot), on, how)
     return hot.unionByName(cold)
+
+
+def salted_join_auto(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    hot_ratio: float = 4.0,
+    top_n: int = 20,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """:func:`skew_report` piped into :func:`salted_join`: measure the
+    fact side's key skew, salt exactly the keys whose load exceeds
+    ``hot_ratio``x the mean, sized by the worst ratio (``n_salts``
+    defaults to ceil(max ratio) clamped to [2, 64]).
+
+    The diagnosis costs one aggregate over the fact's key column and
+    collects at most ``top_n`` (key, ratio) rows — a bounded driver
+    round-trip, same class as the pruned diff's bucket list. When
+    nothing crosses ``hot_ratio`` the plain join is returned
+    untouched: no replication, no salt column, zero overhead on
+    well-distributed keys.
+    """
+    import math
+
+    report = skew_report(fact.select(on[0]), on[0], top_n=top_n).collect()
+    hot = [r for r in report if r["ratio_to_mean"] >= hot_ratio]
+    if not hot:
+        return fact.join(dim, on, how)
+    if n_salts is None:
+        worst = max(r["ratio_to_mean"] for r in hot)
+        n_salts = min(max(2, math.ceil(worst)), 64)
+    return salted_join(
+        fact, dim, on, n_salts=n_salts, how=how,
+        hot_keys=[r["key"] for r in hot],
+    )

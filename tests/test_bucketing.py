@@ -147,3 +147,45 @@ class TestSaltedJoin:
             salted_join(fact, dim, ["k"], 8).count()
             == fact.join(dim, ["k"]).count()
         )
+
+
+class TestSaltedJoinAuto:
+    def test_skewed_input_salts_and_matches_plain(self, spark):
+        from mydatasyncer_spark.operators.partitioning import (
+            salted_join_auto,
+        )
+
+        fact_rows = [(1, i) for i in range(400)] + [
+            (k, 1000 + k) for k in range(2, 42)
+        ]
+        fact = spark.createDataFrame(fact_rows, "k int, payload int")
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(1, 42)], "k int, attr string"
+        )
+        got = sorted(
+            (r["k"], r["payload"], r["attr"])
+            for r in salted_join_auto(fact, dim, ["k"]).collect()
+        )
+        want = sorted(
+            (r["k"], r["payload"], r["attr"])
+            for r in fact.join(dim, ["k"]).collect()
+        )
+        assert got == want
+
+    def test_uniform_input_returns_plain_join(self, spark):
+        from mydatasyncer_spark.operators.partitioning import (
+            salted_join_auto,
+        )
+
+        fact = spark.createDataFrame(
+            [(i % 50, i) for i in range(500)], "k int, payload int"
+        )
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(50)], "k int, attr string"
+        )
+        out = salted_join_auto(fact, dim, ["k"])
+        # uniform keys: ratio_to_mean = 1 everywhere -> no salting
+        assert "_salt" not in out.columns
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" not in plan
+        assert out.count() == 500
