@@ -2771,11 +2771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries (observed cap, CORRECTNESS_r02..r04: 50 rows each).
     # Rotation policy (round 5): positions 1-3 are the three late-r4
     # additions that have never been driver-oracle-green (VERDICT r4
-    # item #1); 4-5 are new this round; 6-8 are entries whose
+    # item #1); 4-10 are the seven queries NEW this round (scalable
+    # tiers, OOV perplexity, salted join, KLL quantile rollup, theta
+    # overlap, scalable cap, SCD2); 11-13 are entries whose
     # implementation or bench harness r5 touches (interval segment
     # guard; localized-diff median timing). The remainder of the
-    # window refreshes the STALEST proofs: 9-23 are every entry whose
-    # last driver-green was r2, 24-50 the oldest 27 of the r3 cohort.
+    # window refreshes the STALEST proofs: every entry whose last
+    # driver-green was r2, then the oldest of the r3 cohort.
     # Everything past the cap is driver-green in r3/r4 and untouched;
     # ALL 113 entries still run under tests/test_oracle_parity.py
     # locally regardless of position.
