@@ -29,6 +29,8 @@ from mydatasyncer_spark.operators.dedup import (
     simhash,
 )
 from mydatasyncer_spark.operators.sampling import (
+    cap_per_group,
+    cap_per_group_scalable,
     epoch_shuffle,
     mix_weights,
     pack_sequences,
@@ -43,7 +45,25 @@ from mydatasyncer_spark.operators.diff import (
     diff_snapshots,
     diff_snapshots_pruned,
 )
+from mydatasyncer_spark.operators.curriculum import (
+    assign_quality_tiers,
+    quality_tier_cutpoints,
+)
 from mydatasyncer_spark.operators.intervals import interval_overlap_join
+from mydatasyncer_spark.operators.partitioning import (
+    salted_join,
+    salted_join_auto,
+    skew_report,
+)
+from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+from mydatasyncer_spark.operators.sketches import (
+    quantile_sketch_merge,
+    quantile_sketch_rollup,
+    sketch_rollup,
+    sketch_rollup_merge,
+    theta_pairwise_overlap,
+    theta_rollup,
+)
 from mydatasyncer_spark.operators.ivm import (
     maintain_rollup,
     maintain_rollup_minmax,
@@ -118,6 +138,21 @@ __all__ = [
     "unigram_perplexity",
     "column_entropy",
     "mutual_information",
+    "quality_tier_cutpoints",
+    "assign_quality_tiers",
+    "scd2_init",
+    "scd2_apply",
+    "salted_join",
+    "salted_join_auto",
+    "skew_report",
+    "sketch_rollup",
+    "sketch_rollup_merge",
+    "quantile_sketch_rollup",
+    "quantile_sketch_merge",
+    "theta_rollup",
+    "theta_pairwise_overlap",
+    "cap_per_group",
+    "cap_per_group_scalable",
     "profile_columns",
     "ZDim",
     "zorder_key",

@@ -157,7 +157,12 @@ def theta_pairwise_overlap(
     the scalar two-sketch ``theta_union`` (inclusion–exclusion keeps
     it one self-join over the TINY partials table — per-pair work is
     sketch-sized, never fact-sized). Output: entity_a < entity_b,
-    approx distinct of each side, their union, and the intersection."""
+    approx distinct of each side, their union, and the intersection.
+
+    Plan note: the ``<`` pairing condition makes this a nested-loop
+    join BY DESIGN — the input is the partials table (one row per
+    entity, entities are few), so the |E|² pair space is the output
+    itself, not a blow-up. Never feed this a fact table."""
     a = partials.select(
         F.col(entity_col).alias("entity_a"),
         F.col(THETA_COL).alias("_sk_a"),
