@@ -439,3 +439,15 @@ def test_plain_rank_caps_get_window_group_limit_pushdown(spark, sf_dir):
     for name in ("cap_docs_per_lang", "window_topk_customers"):
         plan = plan_of(spark, sf_dir, name)
         assert "WindowGroupLimit" in plan, name
+
+
+def test_scd2_is_pure_key_joins_no_window(spark, sf_dir):
+    """SCD2 maintenance must stay anti/semi/equi joins on the key + a
+    union — no window pass, no pair blow-up, and the diff legs'
+    LeftAnti/LeftSemi shapes visible."""
+    plan = plan_of(spark, sf_dir, "scd2_orders_history")
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
