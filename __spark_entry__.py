@@ -1298,6 +1298,29 @@ def cap_docs_per_lang_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters: the 10 most frequent word bigrams per
+    language — corpus vocabulary profiling as map-side-combinable
+    counts + the two-phase scalable cap (no per-language single-task
+    sort; the gram explode never shuffles raw text, only (lang, gram)
+    pairs enter the exchange)."""
+    from mydatasyncer_spark.operators.sampling import cap_per_group_scalable
+    from mydatasyncer_spark.operators.text import tokens, word_ngrams
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("toks")
+    )
+    grams = d.select(
+        "lang", F.explode(word_ngrams(F.col("toks"), 2)).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cap_per_group_scalable(
+        counts, "lang", 10, "n", descending=True, tiebreak_col="gram"
+    )
+
+
 def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis (operators/partitioning.skew_report):
     the 10 heaviest l_orderkey values with share and ratio-to-mean —
@@ -2794,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_audience_overlap": theta_audience_overlap,
         "cap_docs_per_lang_scalable": cap_docs_per_lang_scalable,
         "scd2_orders_history": scd2_orders_history,
+        "top_ngrams_per_lang": top_ngrams_per_lang,
         # ---- touched this round ---------------------------------
         "interval_overlap_pairs": interval_overlap_pairs,
         "diff_pruned_localized": diff_pruned_localized,
@@ -2836,9 +2860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_functions_pack": array_functions_pack,
         "pivot_event_type_counts": pivot_event_type_counts,
         "trailing_hour_value": trailing_hour_value,
-        "sessionization": sessionization,
         # ======== entries past the 50-query driver cap ===========
         # (r3 cohort remainder, then the full r4-green cohort)
+        "sessionization": sessionization,
         "tumbling_windows": tumbling_windows,
         "window_analytics_suite": window_analytics_suite,
         "semi_join_big_orders": semi_join_big_orders,
@@ -4168,6 +4192,28 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang
                       {" ".join(f"WHEN '{v}' THEN {int(round(f * SP.SPLIT_BUCKETS))}" for v, f in _STRATA_FRACTIONS.items())}
                       ELSE 0 END
+        """,
+        "top_ngrams_per_lang": f"""
+            WITH toks AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+            grams AS (
+                SELECT lang, unnest(
+                    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                         ELSE [array_to_string(toks[i:i+1], ' ')
+                               for i in generate_series(1, len(toks) - 1)]
+                    END) AS gram
+                FROM toks
+            ),
+            counts AS (
+                SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS n
+                FROM grams GROUP BY lang, gram
+            ),
+            ranked AS (
+                SELECT lang, gram, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, gram ASC) AS rn
+                FROM counts
+            )
+            SELECT lang, gram, n FROM ranked WHERE rn <= 10
         """,
         "repetition_ngrams": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
