@@ -588,3 +588,78 @@ def continuous_sync(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def scd2_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    primary_key: str,
+    history_path: str,
+    effective_col: str = "_effective",
+) -> None:
+    """One :func:`continuous_scd2` micro-batch: fold each full
+    snapshot the batch carries into the stored history, ordered by
+    its effective date. Naturally replay-idempotent — re-applying a
+    snapshot already folded in diffs empty against the current
+    versions and changes nothing — so no batch-id marker is needed.
+    ``localCheckpoint`` before the overwrite breaks the read-path
+    lineage (same pattern as :func:`rollup_apply_batch`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    try:
+        hist = spark.read.parquet(history_path)
+    except AnalysisException:
+        hist = None
+    effectives = sorted(
+        r[0] for r in batch_df.select(effective_col).distinct().collect()
+    )
+    for ts in effectives:
+        snap = batch_df.filter(F.col(effective_col) == ts).drop(
+            effective_col
+        )
+        hist = (
+            scd2_init(snap, ts)
+            if hist is None
+            else scd2_apply(hist, snap, primary_key, ts)
+        )
+    hist = hist.localCheckpoint(eager=True)
+    hist.write.mode("overwrite").parquet(history_path)
+
+
+def continuous_scd2(
+    stream_df: DataFrame,
+    history_path: str,
+    primary_key: str,
+    effective_col: str = "_effective",
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_scd2",
+):
+    """Continuously maintained SCD type-2 history: the watched stream
+    delivers FULL snapshots (each row stamped with its snapshot's
+    effective date in ``effective_col``); every micro-batch folds its
+    snapshots into the stored history via the batch
+    :func:`operators.scd.scd2_apply` — closed versions accumulate,
+    current versions track the latest snapshot, and history readers
+    get time travel (state as of any date = rows where
+    valid_from <= d < coalesce(valid_to, infinity)).
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_apply_batch(
+            batch_df, batch_id, primary_key, history_path, effective_col
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

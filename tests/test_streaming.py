@@ -815,3 +815,72 @@ class TestContinuousQuantileRollup:
         n1 = spark.read.parquet(partials).count()
         run("ckpt_b")  # fresh checkpoint replays batch 0
         assert spark.read.parquet(partials).count() == n1
+
+
+class TestContinuousScd2:
+    def _drain(self, spark, in_dir, history, ckpt, rows, fname):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import continuous_scd2
+
+        (in_dir / fname).write_text("\n".join(_json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(
+            "id long, v string, _effective string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_scd2(
+            stream, history, "id", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    def test_history_chains_versions_across_batches(
+        self, spark, tmp_path_factory
+    ):
+        in_dir = tmp_path_factory.mktemp("scd_in")
+        out = tmp_path_factory.mktemp("scd_out")
+        history, ckpt = str(out / "hist"), str(out / "ckpt")
+        snap0 = [
+            {"id": 1, "v": "a", "_effective": "2024-01-01"},
+            {"id": 2, "v": "b", "_effective": "2024-01-01"},
+        ]
+        snap1 = [
+            {"id": 1, "v": "a2", "_effective": "2024-02-01"},  # update
+            # id 2 absent -> closes with no successor
+            {"id": 3, "v": "c", "_effective": "2024-02-01"},  # insert
+        ]
+        self._drain(spark, in_dir, history, ckpt, snap0, "s0.json")
+        self._drain(spark, in_dir, history, ckpt, snap1, "s1.json")
+        hist = {
+            (r["id"], str(r["valid_from"])): (
+                None if r["valid_to"] is None else str(r["valid_to"]),
+                r["is_current"],
+                r["v"],
+            )
+            for r in spark.read.parquet(history).collect()
+        }
+        assert hist[(1, "2024-01-01")] == ("2024-02-01", False, "a")
+        assert hist[(1, "2024-02-01")] == (None, True, "a2")
+        assert hist[(2, "2024-01-01")] == ("2024-02-01", False, "b")
+        assert hist[(3, "2024-02-01")] == (None, True, "c")
+        assert len(hist) == 4
+        # time travel: state as of 2024-01-15 is the t0 snapshot
+        asof = spark.read.parquet(history).filter(
+            "valid_from <= DATE '2024-01-15' AND "
+            "(valid_to IS NULL OR valid_to > DATE '2024-01-15')"
+        )
+        assert sorted(
+            (r["id"], r["v"]) for r in asof.collect()
+        ) == [(1, "a"), (2, "b")]
+
+    def test_replay_with_fresh_checkpoint_converges(
+        self, spark, tmp_path_factory
+    ):
+        in_dir = tmp_path_factory.mktemp("scd_in2")
+        out = tmp_path_factory.mktemp("scd_out2")
+        history = str(out / "hist")
+        snap = [{"id": 1, "v": "a", "_effective": "2024-01-01"}]
+        self._drain(spark, in_dir, history, str(out / "c1"), snap, "s.json")
+        n1 = spark.read.parquet(history).count()
+        # fresh checkpoint replays the same snapshot file: the diff
+        # against current versions is empty -> history unchanged
+        self._drain(spark, in_dir, history, str(out / "c2"), [], "empty.json")
+        assert spark.read.parquet(history).count() == n1
