@@ -114,7 +114,7 @@ def test_identifier_escape_roundtrip():
 FULL_GOLDEN = Path(__file__).parent / "golden" / "mysql_full_sync.sql"
 
 
-def full_run_statements():
+def full_run_statements(dialect="mysql"):
     from datetime import date
 
     from mydatasyncer_spark.sinks.script import TableScript, emit_sync_script
@@ -147,7 +147,7 @@ def full_run_statements():
             delete_keys=[900],
         ),
     ]
-    return emit_sync_script(tables, "mysql")
+    return emit_sync_script(tables, dialect)
 
 
 def test_full_run_matches_golden_file():
@@ -157,6 +157,26 @@ def test_full_run_matches_golden_file():
         if line and not line.startswith("--")
     ]
     assert full_run_statements() == golden_stmts
+
+
+PG_GOLDEN = Path(__file__).parent / "golden" / "postgres_full_sync.sql"
+
+
+def test_full_run_matches_postgres_golden_file():
+    """Same plan, postgres dialect: double-quoted identifiers,
+    UPDATE ... FROM, standard-conforming strings (backslash NOT an
+    escape, so it is never doubled)."""
+    golden_stmts = [
+        line[:-1]
+        for line in PG_GOLDEN.read_text().splitlines()
+        if line and not line.startswith("--")
+    ]
+    got = full_run_statements("postgres")
+    assert got == golden_stmts
+    joined = "\n".join(got)
+    assert "`" not in joined
+    assert any("UPDATE \"customer\" SET" in s_ and " FROM " in s_ for s_ in got)
+    assert "O''Hara \\ Sons" in joined  # single backslash survives
 
 
 def test_full_run_ordering_invariants():

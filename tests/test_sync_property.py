@@ -105,3 +105,115 @@ def test_diff_sync_converges_to_snapshot(spark, tmp_path_factory, file_rows, db_
 
     assert set(got) == set(file_rows), "key sets must match the snapshot"
     assert canon(got) == canon(file_rows)
+
+
+# ------------------------------------------------------ r5 properties
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),   # start
+        st.integers(min_value=0, max_value=40),    # normal length
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=INTERVALS, right=INTERVALS, outlier=st.booleans())
+def test_interval_overlap_equals_brute_force_any_input(
+    spark, left, right, outlier
+):
+    """For ANY interval sets (optionally with a huge outlier), the
+    bucketized+segmented join equals the brute-force theta join —
+    exact recall, exactly-once, regardless of bucket/segment
+    geometry."""
+    from mydatasyncer_spark.operators.intervals import interval_overlap_join
+
+    lrows = [
+        ("u", i, float(s), float(s + ln)) for i, (s, ln) in enumerate(left)
+    ]
+    if outlier:
+        lrows.append(("u", 999, 10.0, 5000.0))
+    rrows = [
+        ("u", 1000 + i, float(s), float(s + ln))
+        for i, (s, ln) in enumerate(right)
+    ]
+    l = spark.createDataFrame(lrows, "k string, lid long, ls double, le double")
+    r = spark.createDataFrame(rrows, "k string, rid long, rs double, re double")
+    got = sorted(
+        (row["lid"], row["rid"])
+        for row in interval_overlap_join(
+            l, r, "ls", "le", "rs", "re", on=["k"],
+            bucket_seconds=7, max_buckets_per_row=3,
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for _, lid, ls, le in lrows
+        for _, rid, rs, re_ in rrows
+        if ls <= re_ and rs <= le
+    )
+    assert got == want
+
+
+KEYED_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact_rows=KEYED_ROWS,
+    dim_keys=st.lists(
+        st.integers(min_value=0, max_value=6), max_size=6, unique=True
+    ),
+    hot=st.one_of(
+        st.none(),
+        st.lists(st.integers(min_value=0, max_value=6), max_size=3),
+    ),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join_any_input(
+    spark, fact_rows, dim_keys, hot, how
+):
+    """For ANY fact/dim contents (NULL keys, dup payloads, arbitrary
+    hot-key lists — even keys absent from the data), salted_join is
+    row-identical to the plain join in both modes."""
+    from mydatasyncer_spark.operators.partitioning import salted_join
+
+    fact = spark.createDataFrame(fact_rows, "k int, payload int")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim_keys], "k int, attr string"
+    )
+    got = sorted(
+        (
+            (r["k"], r["payload"], r["attr"])
+            for r in salted_join(
+                fact, dim, ["k"], 4, how, hot_keys=hot
+            ).collect()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            (r["k"], r["payload"], r["attr"])
+            for r in fact.join(dim, ["k"], how).collect()
+        ),
+        key=repr,
+    )
+    assert got == want
