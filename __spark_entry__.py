@@ -1278,6 +1278,20 @@ def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
 
 
+def scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: reconstruct the state as of
+    1994-06-01 — between the bootstrap and the applied snapshot — by
+    effectivity-range filter alone. Must equal the ORIGINAL DB
+    snapshot row-for-row (the oracle is literally db_side), proving
+    closed versions preserve their pre-update values."""
+    asof = F.lit("1994-06-01").cast("timestamp_ntz")
+    hist = scd2_orders_history(spark, sf_dir)
+    return hist.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).drop("valid_from", "valid_to", "is_current")
+
+
 def cap_docs_per_lang_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-safe twin of cap_docs_per_lang
     (operators/sampling.cap_per_group_scalable): phase 1 ranks within
@@ -2818,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_docs_per_lang_scalable": cap_docs_per_lang_scalable,
         "scd2_orders_history": scd2_orders_history,
         "top_ngrams_per_lang": top_ngrams_per_lang,
+        "scd2_asof_state": scd2_asof_state,
         # ---- touched this round ---------------------------------
         "interval_overlap_pairs": interval_overlap_pairs,
         "diff_pruned_localized": diff_pruned_localized,
@@ -3287,6 +3302,10 @@ def oracle_sql() -> dict[str, str]:
                 WHERE f.o_totalprice <> d.o_totalprice) AS n_update,
               (SELECT COUNT(*) FROM db_side d
                 WHERE NOT EXISTS (SELECT 1 FROM file_side f WHERE f.o_orderkey = d.o_orderkey)) AS n_delete
+        """,
+        "scd2_asof_state": f"""
+            WITH {SNAPSHOT_SQL}
+            SELECT * FROM db_side
         """,
         "scd2_orders_history": f"""
             WITH {SNAPSHOT_SQL},
