@@ -67,22 +67,34 @@ def main() -> None:
     ).count()
     # The localized-diff pair exists to MEASURE the pruning win, and
     # the unpruned baseline showed 5-23s run-to-run variance in single
-    # shots (BENCH_r04 review) — report the median of 3 so the win is
-    # a stable number; `value` stays the sum of recorded (median)
-    # timings.
-    median3 = {"diff_full_localized", "diff_pruned_localized"}
+    # shots (BENCH_r04 review) — report the median of 3, with the two
+    # queries' repetitions INTERLEAVED (full, pruned, full, pruned...)
+    # so box-wide load drift between their timing windows cannot
+    # invert the comparison; `value` stays the sum of recorded
+    # (median) timings.
+    pair = ("diff_full_localized", "diff_pruned_localized")
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def timed(name: str) -> float:
+        start = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        return time.perf_counter() - start
+
+    try:
+        samples = {n: [] for n in pair}
+        for _ in range(3):
+            for n in pair:
+                samples[n].append(timed(n))
+        for n in pair:
+            timings[n] = round(sorted(samples[n])[1], 4)
+    except Exception as exc:
+        errors[pair[0]] = f"{type(exc).__name__}: {exc}"[:200]
     for name in names:
-        fn = registry[name]
-        reps = 3 if name in median3 else 1
-        samples = []
+        if name in pair:
+            continue
         try:
-            for _ in range(reps):
-                start = time.perf_counter()
-                fn(spark, sf_dir).count()
-                samples.append(time.perf_counter() - start)
-            timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+            timings[name] = round(timed(name), 4)
         except Exception as exc:  # one broken query must not void the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     total = round(sum(timings.values()), 4)
