@@ -49,6 +49,7 @@ def scd2_apply(
     primary_key: str,
     ts: str,
     columns: list[str] | None = None,
+    diff_fn=None,
 ) -> DataFrame:
     """New history = history with the diff between the incoming
     ``snapshot`` and the CURRENT versions folded in at ``ts``.
@@ -58,12 +59,22 @@ def scd2_apply(
     and brand-new rows open as current versions with
     ``valid_from = ts``. Rows absent from the snapshot close with no
     successor. Non-current history passes through untouched.
+
+    ``diff_fn(snapshot, current, primary_key)`` defaults to the full
+    :func:`~mydatasyncer_spark.operators.diff.diff_snapshots`; pass
+    ``diff_snapshots_pruned`` (or a ``bucket_fn`` partial of it) for
+    the daily-sync shape where changes are localized — the wide diff
+    joins then only read the key buckets whose fingerprints changed,
+    and since everything downstream is delta-sized, the WHOLE history
+    update becomes proportional to the changed slice, not the corpus.
     """
     if columns is None:
         columns = [c for c in snapshot.columns]
+    if diff_fn is None:
+        diff_fn = diff_snapshots
     meta = [VALID_FROM, VALID_TO, IS_CURRENT]
     cur = history.filter(F.col(IS_CURRENT)).select(*columns, VALID_FROM)
-    diff = diff_snapshots(
+    diff = diff_fn(
         snapshot.select(*columns), cur.select(*columns), primary_key
     )
     # keys whose current version must close: updated or deleted

@@ -317,3 +317,34 @@ class TestScd2:
             (1, "2024-01-01", None, True),
             (2, "2024-01-01", None, True),
         ]
+
+    def test_pruned_diff_fn_produces_identical_history(self, spark):
+        """scd2_apply(diff_fn=diff_snapshots_pruned) must emit exactly
+        the history the full diff emits — pruning is invisible in the
+        output, so the delta-sized daily-sync path is safe to use."""
+        from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+        from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+
+        t0 = self._hist(
+            spark, [(i, f"v{i}") for i in range(1, 40)]
+        )
+        h = scd2_init(t0, "2024-01-01")
+        # localized change: only ids 5..8 mutate, 100 appears, 7 gone
+        t1_rows = [
+            (i, f"v{i}" if not 5 <= i <= 8 else f"w{i}")
+            for i in range(1, 40)
+            if i != 7
+        ] + [(100, "new")]
+        t1 = self._hist(spark, t1_rows)
+        full = scd2_apply(h, t1, "id", "2024-02-01")
+        pruned = scd2_apply(
+            h, t1, "id", "2024-02-01",
+            diff_fn=lambda s, c, pk: diff_snapshots_pruned(
+                s, c, pk, n_buckets=16
+            ),
+        )
+        key = lambda r: (r["id"], str(r["valid_from"]), r["v"],
+                         str(r["valid_to"]), r["is_current"])
+        assert sorted(map(key, full.collect())) == sorted(
+            map(key, pruned.collect())
+        )
