@@ -92,7 +92,9 @@ def interval_overlap_join(
 
     ``max_buckets_per_row`` bounds the per-row explode for long-tail
     intervals (see module docstring); results are independent of its
-    value.
+    value. The segment-index sequence itself holds span/m elements,
+    so for a worst-case span S pick ``m ~ sqrt(S)`` to bound BOTH
+    explode levels at ~sqrt(S) array elements per row.
     """
     if how_overlap != "closed":
         raise ValueError("only closed-interval overlap is implemented")
