@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mydatasyncer_spark.contract import (
@@ -1109,6 +1109,75 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
             <= 0.05 * union_exact + 2
         ).alias("overlap_in_bound"),
+    )
+
+
+def sketch_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The point of storing partials: ONE (day, event_type) HLL
+    partials table answers EVERY coarser rollup — per-type, per-day,
+    and all-time distinct users here — by sketch union alone; the
+    fact is scanned once to build the partials and never again.
+    Contract emits the exact distinct count per grain plus the error
+    bound boolean (sketch values are engine-specific)."""
+    from mydatasyncer_spark.operators.sketches import (
+        sketch_estimate,
+        sketch_rollup,
+        sketch_rollup_merge,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    partials = sketch_rollup(e, ["day", "event_type"], "user_id")
+
+    def grain(merged, label, key_col):
+        est = sketch_estimate(merged)
+        return est.select(
+            F.lit(label).alias("grain"),
+            (key_col if isinstance(key_col, Column) else F.col(key_col))
+            .cast("string")
+            .alias("key"),
+            F.col("approx_distinct"),
+            F.col("n_rows").alias("n_events"),
+        )
+
+    by_type = grain(
+        sketch_rollup_merge(partials, ["event_type"]), "type", "event_type"
+    )
+    by_day = grain(sketch_rollup_merge(partials, ["day"]), "day", "day")
+    overall = grain(
+        sketch_rollup_merge(partials.withColumn("_g", F.lit(1)), ["_g"]),
+        "all",
+        F.lit("*"),
+    )
+    approx = by_type.unionByName(by_day).unionByName(overall)
+    exact = (
+        e.groupBy(F.col("event_type").cast("string").alias("key"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .select(F.lit("type").alias("grain"), "key", "exact_users")
+        .unionByName(
+            e.groupBy(F.col("day").cast("string").alias("key"))
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .select(F.lit("day").alias("grain"), "key", "exact_users")
+        )
+        .unionByName(
+            e.agg(F.countDistinct("user_id").alias("exact_users")).select(
+                F.lit("all").alias("grain"),
+                F.lit("*").alias("key"),
+                "exact_users",
+            )
+        )
+    )
+    return approx.join(exact, ["grain", "key"]).select(
+        "grain",
+        "key",
+        "exact_users",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("distinct_in_bound"),
     )
 
 
@@ -2833,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders_history": scd2_orders_history,
         "top_ngrams_per_lang": top_ngrams_per_lang,
         "scd2_asof_state": scd2_asof_state,
+        "sketch_rollup_cube": sketch_rollup_cube,
         # ---- touched this round ---------------------------------
         "interval_overlap_pairs": interval_overlap_pairs,
         "diff_pruned_localized": diff_pruned_localized,
@@ -2873,9 +2943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_error_bounds": sketch_error_bounds,
         "set_ops_except": set_ops_except,
         "array_functions_pack": array_functions_pack,
+        # ======== entries past the 50-query driver cap ===========
         "pivot_event_type_counts": pivot_event_type_counts,
         "trailing_hour_value": trailing_hour_value,
-        # ======== entries past the 50-query driver cap ===========
         # (r3 cohort remainder, then the full r4-green cohort)
         "sessionization": sessionization,
         "tumbling_windows": tumbling_windows,
@@ -4464,6 +4534,22 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS distinct_in_bound
             FROM events
             GROUP BY event_type
+        """,
+        "sketch_rollup_cube": """
+            SELECT 'type' AS grain,
+                   CAST(event_type AS VARCHAR) AS key,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   TRUE AS distinct_in_bound
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'day', CAST(CAST(ts AS DATE) AS VARCHAR),
+                   COUNT(DISTINCT user_id), CAST(COUNT(*) AS BIGINT), TRUE
+            FROM events GROUP BY CAST(ts AS DATE)
+            UNION ALL
+            SELECT 'all', '*', COUNT(DISTINCT user_id),
+                   CAST(COUNT(*) AS BIGINT), TRUE
+            FROM events
         """,
         "quantile_rollup_values": """
             SELECT event_type,
