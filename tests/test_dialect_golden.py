@@ -298,3 +298,40 @@ def test_sqlite_script_executes_verbatim_end_to_end():
         "SELECT name FROM sqlite_master WHERE name LIKE 'stg_%'"
     ).fetchall()
     assert staging == []
+
+
+ANSI_GOLDEN = Path(__file__).parent / "golden" / "ansi_full_sync.sql"
+
+
+def test_full_run_matches_ansi_golden_file():
+    """Same plan, ANSI/Derby dialect: CTAS ... WITH NO DATA, scalar-
+    subquery updates guarded by EXISTS (engines without UPDATE...FROM
+    or UPDATE...JOIN)."""
+    golden_stmts = [
+        line[:-1]
+        for line in ANSI_GOLDEN.read_text().splitlines()
+        if line and not line.startswith("--")
+    ]
+    got = full_run_statements("ansi")
+    assert got == golden_stmts
+    assert any("WITH NO DATA" in s_ for s_ in got)
+    assert any(
+        "SET \"name\" = (SELECT s.\"name\"" in s_ and "WHERE EXISTS" in s_
+        for s_ in got
+    )
+
+
+def test_emit_script_surfaces_dependency_cycles():
+    """A cyclic FK graph must fail fast with the cycle path named —
+    the same DependencyGraph error the live executor raises."""
+    import pytest as _pytest
+
+    from mydatasyncer_spark.sinks.script import TableScript, emit_sync_script
+
+    tables = [
+        TableScript("a", ["id"], "id", dependencies=["b"]),
+        TableScript("b", ["id"], "id", dependencies=["a"]),
+    ]
+    with _pytest.raises(Exception) as exc:
+        emit_sync_script(tables, "mysql")
+    assert "a" in str(exc.value) and "b" in str(exc.value)
