@@ -141,3 +141,96 @@ def compact(
     spark_df.repartition(target_partitions).write.format(fmt).mode(
         "overwrite"
     ).save(path)
+
+
+def file_key_ranges(
+    spark, path: str, key_col: str, fmt: str = "parquet"
+) -> list[tuple[str, float, float]]:
+    """Per-file (path, min, max) of ``key_col`` for a written layout.
+
+    One narrow scan — column pruning means only the key column's
+    pages are read; a production deployment would read parquet
+    footers (or a manifest/metastore) and skip even that, but the
+    contract is the same: file-level key ranges as a BOUNDED list
+    (one row per file, not per data row).
+    """
+    df = spark.read.format(fmt).load(path)
+    rows = (
+        df.groupBy(F.input_file_name().alias("_file"))
+        .agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
+        .collect()
+    )
+    return [(r["_file"], r["_lo"], r["_hi"]) for r in rows]
+
+
+def merge_into_range_sorted(
+    spark,
+    old_path: str,
+    new_df: DataFrame,
+    out_path: str,
+    sort_cols: list[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Incremental maintenance of a :func:`write_range_sorted` layout:
+    fold ``new_df`` in while REWRITING ONLY the files whose key range
+    the new rows actually touch.
+
+    The 100 TB shape: a daily batch lands in a few key ranges of a
+    petabyte layout. A full re-sort re-shuffles everything; here the
+    untouched files are moved to the new layout version by raw
+    filesystem copy (zero decode — server-side copy on object
+    stores), and only the intersecting ranges (plus out-of-range new
+    rows) go through Spark's range sort. The merged layout keeps the
+    invariant: file ranges don't overlap, rows sorted within files.
+
+    Leading ``sort_cols[0]`` drives the range pruning; the full list
+    orders rows inside rewritten files. Returns
+    ``{"copied": n, "rewritten": n, "new_files": n}``.
+    """
+    key = sort_cols[0]
+    ranges = file_key_ranges(spark, old_path, key, fmt)
+    lo = new_df.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    new_lo, new_hi = lo["lo"], lo["hi"]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs_cls = jvm.org.apache.hadoop.fs.FileSystem
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    out_dir = path_cls(out_path)
+    fs = fs_cls.get(out_dir.toUri(), conf)
+    fs.mkdirs(out_dir)
+    touched, untouched = [], []
+    if new_lo is None:  # empty batch: everything copies
+        untouched = [f for f, _, _ in ranges]
+    else:
+        for f, flo, fhi in ranges:
+            if flo is None or (flo <= new_hi and new_lo <= fhi):
+                touched.append((f, flo, fhi))
+            else:
+                untouched.append(f)
+    for f in untouched:
+        src = path_cls(f)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, fs, path_cls(out_path, src.getName()), False, conf
+        )
+    rewrite = new_df
+    if touched:
+        rewrite = (
+            spark.read.format(fmt)
+            .load([f for f, _, _ in touched])
+            .unionByName(new_df)
+        )
+    n_files = max(len(touched), 1)
+    (
+        rewrite.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.format(fmt)
+        .mode("append")
+        .save(out_path)
+    )
+    return {
+        "copied": len(untouched),
+        "rewritten": len(touched),
+        "new_files": n_files,
+    }

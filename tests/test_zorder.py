@@ -167,3 +167,87 @@ def test_zorder_key_property_matches_reference(spark, pts):
     }
     for i, (x, y) in enumerate(pts):
         assert got[i] == _py_morton([x, y], dims, 10), (i, x, y)
+
+
+class TestMergeIntoRangeSorted:
+    """Incremental layout maintenance: fold a localized batch into a
+    range-sorted layout rewriting ONLY intersecting files."""
+
+    def test_localized_batch_copies_untouched_files(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            file_key_ranges,
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        out = tmp_path_factory.mktemp("layout")
+        base_path, merged_path = str(out / "v1"), str(out / "v2")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_range_sorted(o, base_path, ["o_orderkey"], num_files=8)
+        top_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+        # batch straddles the TOP key range (updates near the end,
+        # plus brand-new keys beyond it)
+        new = spark.createDataFrame(
+            [(top_key - 5 + i, 1.5 * i) for i in range(0, 55)],
+            "o_orderkey long, o_totalprice double",
+        )
+        stats = merge_into_range_sorted(
+            spark, base_path, new, merged_path, ["o_orderkey"]
+        )
+        # only the top range intersects: 7 of 8 files copy untouched
+        assert stats["copied"] == 7
+        assert stats["rewritten"] == 1
+        # content: merged layout == old union new, exactly
+        merged = spark.read.parquet(merged_path)
+        want = o.unionByName(new)
+        assert merged.count() == want.count()
+        assert merged.exceptAll(want).count() == 0
+        assert want.exceptAll(merged).count() == 0
+        # invariant: file key ranges stay non-overlapping
+        ranges = sorted(
+            (lo, hi)
+            for _, lo, hi in file_key_ranges(
+                spark, merged_path, "o_orderkey"
+            )
+        )
+        for (_lo, prev_hi), (cur_lo, _hi) in zip(ranges, ranges[1:]):
+            assert prev_hi <= cur_lo
+        # copied files kept their names (raw copy, not re-encode)
+        import os
+
+        base_names = {
+            f for f in os.listdir(base_path) if f.startswith("part-")
+        }
+        merged_names = {
+            f for f in os.listdir(merged_path) if f.startswith("part-")
+        }
+        assert len(base_names & merged_names) == 7
+
+    def test_empty_batch_copies_everything(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        from mydatasyncer_spark.sources.writers import (
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        out = tmp_path_factory.mktemp("layout2")
+        base_path, merged_path = str(out / "v1"), str(out / "v2")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_range_sorted(o, base_path, ["o_orderkey"], num_files=4)
+        empty = o.limit(0)
+        stats = merge_into_range_sorted(
+            spark, base_path, empty, merged_path, ["o_orderkey"]
+        )
+        assert stats["copied"] == 4 and stats["rewritten"] == 0
+        assert (
+            spark.read.parquet(merged_path).count() == o.count()
+        )
