@@ -153,3 +153,68 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_into_zordered(
+    spark,
+    old_path: str,
+    new_df: DataFrame,
+    out_path: str,
+    cols: list[str],
+    dims: list[ZDim],
+    bits: int = DEFAULT_BITS,
+) -> dict:
+    """Incremental maintenance of a :func:`write_zordered` layout:
+    fold a batch in, rewriting ONLY the files whose Z-range the new
+    rows touch; untouched files raw-copy to the new layout version
+    (``sources/writers.copy_files``).
+
+    The Z-key is a pure function of the stored columns, so per-file
+    Z-ranges come from one narrow scan recomputing it (a manifest
+    would store them); a batch localized in ANY dimension is also
+    localized on the Z-curve, so daily ingestion touches a handful of
+    files of a petabyte layout. Returns the same stats dict as
+    ``merge_into_range_sorted``.
+    """
+    from pyspark.sql import functions as F
+
+    from mydatasyncer_spark.sources.writers import copy_files
+
+    key = zorder_key([F.col(c) for c in cols], dims, bits)
+    old = spark.read.parquet(old_path)
+    ranges = [
+        (r["_file"], r["_lo"], r["_hi"])
+        for r in old.groupBy(F.input_file_name().alias("_file"))
+        .agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+        .collect()
+    ]
+    bounds = new_df.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    new_lo, new_hi = bounds["lo"], bounds["hi"]
+    touched, untouched = [], []
+    if new_lo is None:
+        untouched = [f for f, _, _ in ranges]
+    else:
+        for f, flo, fhi in ranges:
+            if flo is None or (flo <= new_hi and new_lo <= fhi):
+                touched.append(f)
+            else:
+                untouched.append(f)
+    copy_files(spark, untouched, out_path)
+    rewrite = new_df
+    if touched:
+        rewrite = spark.read.parquet(*touched).unionByName(new_df)
+    (
+        rewrite.withColumn("_zkey", key)
+        .repartitionByRange(max(len(touched), 1), "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("append")
+        .parquet(out_path)
+    )
+    return {
+        "copied": len(untouched),
+        "rewritten": len(touched),
+        "new_files": max(len(touched), 1),
+    }

@@ -163,6 +163,23 @@ def file_key_ranges(
     return [(r["_file"], r["_lo"], r["_hi"]) for r in rows]
 
 
+def copy_files(spark, files: list[str], out_path: str) -> None:
+    """Raw filesystem copy of data files into ``out_path`` (keeping
+    names) — zero decode; on object stores this is a server-side
+    copy. The metadata move of incremental layout maintenance."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    out_dir = path_cls(out_path)
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(out_dir.toUri(), conf)
+    fs.mkdirs(out_dir)
+    for f in files:
+        src = path_cls(f)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src, fs, path_cls(out_path, src.getName()), False, conf
+        )
+
+
 def merge_into_range_sorted(
     spark,
     old_path: str,
@@ -193,13 +210,6 @@ def merge_into_range_sorted(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
     new_lo, new_hi = lo["lo"], lo["hi"]
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    fs_cls = jvm.org.apache.hadoop.fs.FileSystem
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    out_dir = path_cls(out_path)
-    fs = fs_cls.get(out_dir.toUri(), conf)
-    fs.mkdirs(out_dir)
     touched, untouched = [], []
     if new_lo is None:  # empty batch: everything copies
         untouched = [f for f, _, _ in ranges]
@@ -209,11 +219,7 @@ def merge_into_range_sorted(
                 touched.append((f, flo, fhi))
             else:
                 untouched.append(f)
-    for f in untouched:
-        src = path_cls(f)
-        jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs, src, fs, path_cls(out_path, src.getName()), False, conf
-        )
+    copy_files(spark, untouched, out_path)
     rewrite = new_df
     if touched:
         rewrite = (

@@ -251,3 +251,42 @@ class TestMergeIntoRangeSorted:
         assert (
             spark.read.parquet(merged_path).count() == o.count()
         )
+
+    def test_zordered_merge_localized_in_one_dimension(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """A batch localized in ONE dimension (recent dates, any
+        custkey) is localized on the Z-curve too: most files copy
+        untouched and box-predicate content stays exact."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.zorder import (
+            ZDim,
+            merge_into_zordered,
+            write_zordered,
+        )
+
+        out = tmp_path_factory.mktemp("zlayout")
+        base_path, merged_path = str(out / "v1"), str(out / "v2")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").cast("double").alias("ts"),
+        )
+        lo, hi = o.agg(F.min("ts"), F.max("ts")).collect()[0]
+        dims = [ZDim(0.0, 200000.0), ZDim(float(lo), float(hi) + 1)]
+        write_zordered(o, base_path, ["o_custkey", "ts"], dims, n_files=16)
+        # batch: a few custkeys, all in the LAST 2% of the date range
+        recent = float(hi) - (float(hi) - float(lo)) * 0.02
+        new = spark.createDataFrame(
+            [(10_000_000 + i, 77 + i, recent + i) for i in range(40)],
+            "o_orderkey long, o_custkey long, ts double",
+        )
+        stats = merge_into_zordered(
+            spark, base_path, new, merged_path, ["o_custkey", "ts"], dims
+        )
+        assert stats["copied"] >= 8  # date-locality -> Z-locality
+        merged = spark.read.parquet(merged_path)
+        want = o.unionByName(new)
+        assert merged.count() == want.count()
+        assert merged.exceptAll(want).count() == 0
