@@ -89,7 +89,16 @@ from mydatasyncer_spark.operators.validation import (
     mutual_information,
     profile_columns,
 )
-from mydatasyncer_spark.operators.zorder import ZDim, write_zordered, zorder_key
+from mydatasyncer_spark.operators.zorder import (
+    ZDim,
+    merge_into_zordered,
+    write_zordered,
+    zorder_key,
+)
+from mydatasyncer_spark.sources.writers import (
+    merge_into_range_sorted,
+    write_range_sorted,
+)
 from mydatasyncer_spark.session import get_spark
 from mydatasyncer_spark.sinks.jdbc import JdbcBackend
 from mydatasyncer_spark.sinks.table_merge import merge_into_table
@@ -153,6 +162,9 @@ __all__ = [
     "theta_pairwise_overlap",
     "cap_per_group",
     "cap_per_group_scalable",
+    "merge_into_zordered",
+    "merge_into_range_sorted",
+    "write_range_sorted",
     "profile_columns",
     "ZDim",
     "zorder_key",
