@@ -470,22 +470,48 @@ def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_sketches_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path next to the exact
-    queries: HyperLogLog distinct counts and t-digest-style
-    approximate percentiles in one pass, constant memory per group.
-    No oracle (sketch internals are engine-specific); the error bound
-    versus the exact values is asserted in tests/test_m4_operators.py."""
+    queries: HyperLogLog distinct counts and approximate percentiles
+    in one pass, constant memory per group. Sketch values are
+    engine-specific, so (since r5) the contract emits the EXACT
+    answers plus booleans pinning each estimate inside its error
+    bound — HLL++ rsd 0.05 within 15% relative, percentile_approx
+    (accuracy 10k) within 2 rank points — which makes this fully
+    driver-hash-checkable like every other query (it was the one
+    rows-only exception through r4)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    est = j.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("o_custkey").alias("_ad"),
+        F.percentile_approx("price", 0.5).alias("_p50"),
+    )
+    out = (
+        j.join(F.broadcast(est), "c_mktsegment")
         .groupBy("c_mktsegment")
         .agg(
-            F.approx_count_distinct("o_custkey").alias("approx_customers"),
-            F.percentile_approx(
-                F.col("o_totalprice").cast("double"), 0.5
-            ).alias("approx_p50"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.max("_ad").alias("_ad"),
+            (
+                F.sum(F.when(F.col("price") <= F.col("_p50"), 1).otherwise(0))
+                / F.count("price")
+            ).alias("_r50"),
         )
+    )
+    return out.select(
+        "c_mktsegment",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(F.col("_ad") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.15
+        ).alias("distinct_in_bound"),
+        (F.abs(F.col("_r50") - 0.5) <= 0.02).alias("p50_rank_in_bound"),
     )
 
 
@@ -2903,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_per_lang": top_ngrams_per_lang,
         "scd2_asof_state": scd2_asof_state,
         "sketch_rollup_cube": sketch_rollup_cube,
+        "approx_sketches_segments": approx_sketches_segments,
         # ---- touched this round ---------------------------------
         "interval_overlap_pairs": interval_overlap_pairs,
         "diff_pruned_localized": diff_pruned_localized,
@@ -2985,7 +3012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_customer_orders": array_agg_customer_orders,
         "scalar_datetime_pack": scalar_datetime_pack,
         "unpivot_part_measures": unpivot_part_measures,
-        "approx_sketches_segments": approx_sketches_segments,
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -4534,6 +4560,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS distinct_in_bound
             FROM events
             GROUP BY event_type
+        """,
+        "approx_sketches_segments": """
+            SELECT c_mktsegment,
+                   COUNT(DISTINCT o_custkey) AS exact_customers,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   TRUE AS distinct_in_bound,
+                   TRUE AS p50_rank_in_bound
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "sketch_rollup_cube": """
             SELECT 'type' AS grain,

@@ -79,11 +79,10 @@ def test_entry_smoke(spark):
 
 
 def test_contract_invariants():
-    """Every queries() entry has a DuckDB oracle except the documented
-    rows-only sketch query; no orphan oracles; the driver gate window
-    (first 50) contains every entry never driver-verified green."""
+    """EVERY queries() entry has a DuckDB oracle — since r5 even the
+    sketch queries are fully hash-checkable (exact answers + error
+    bound booleans); no orphan oracles."""
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) - set(qs) == set()
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {"approx_sketches_segments"}
+    assert set(qs) - set(oracles) == set()
