@@ -118,6 +118,8 @@ def pack_sequences(
     budget: int,
     partition_col: str | None = None,
     out_col: str = "bin_id",
+    n_chunks: int | None = None,
+    chunk_splits: list[float] | None = None,
 ) -> DataFrame:
     """Deterministic contiguous sequence packing for training batches.
 
@@ -126,21 +128,94 @@ def pack_sequences(
     bins of ``budget`` size units: a row starting at running offset
     ``c`` lands in bin ``c div budget``. A row straddling a boundary
     stays in the bin where it starts, so bins may overflow by at most
-    one row — the standard streaming-packing policy that keeps the
-    operator a single window pass (one shuffle on the partition key,
-    no iterative bin state). At 100 TB the alternative, true first-fit
-    bin packing, is inherently sequential; this contiguous layout is
-    the scalable shape training pipelines actually use.
+    one row — the standard streaming-packing policy. At 100 TB the
+    alternative, true first-fit bin packing, is inherently sequential;
+    this contiguous layout is the scalable shape training pipelines
+    actually use.
+
+    The prefix sum is DISTRIBUTED (a naive
+    ``sum(size) over (order by id)`` runs the whole corpus — or a
+    whole language — through ONE task): rows are range-chunked on
+    ``id_col`` by ``n_chunks - 1`` split points (one
+    ``percentile_approx`` aggregate, collected as a bounded list of
+    doubles — the same driver-round-trip class as
+    ``salted_join_auto``'s top-N), per-(partition, chunk) size sums
+    form a bounded cell table whose running sum gives each chunk its
+    starting offset, and the per-row offset is that chunk offset plus
+    a running sum over only the chunk's own rows — every window here
+    partitions on ``(partition_col, _chunk)``, so no task ever sorts
+    more than ~corpus/``n_chunks`` rows. The result is bit-identical
+    to the single-window form whenever ``id_col`` is unique per
+    partition (equal ids always share a chunk, so ties keep the same
+    within-window nondeterminism either way).
+
+    ``id_col`` must be numeric for the split-point sampling; for other
+    orderable types pass precomputed ``chunk_splits`` (e.g. from table
+    stats). ``n_chunks`` defaults to the cluster parallelism.
     """
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     from pyspark.sql.window import Window
 
-    w = (
-        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
-    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum_before = F.sum(size).over(w) - size
-    return df.withColumn("offset", cum_before.cast("long")).withColumn(
-        out_col, (F.col("offset") / F.lit(budget)).cast("long")
+    from mydatasyncer_spark.operators.partitioning import (
+        cluster_parallelism,
+    )
+
+    pcols = [partition_col] if partition_col else []
+    if chunk_splits is None:
+        if n_chunks is None:
+            n_chunks = cluster_parallelism(df)
+        dtype = dict(df.dtypes)[id_col]
+        if not any(
+            t in dtype
+            for t in ("int", "long", "short", "byte", "float", "double", "decimal")
+        ):
+            raise ValueError(
+                f"pack_sequences needs a numeric id_col to sample chunk "
+                f"split points ({id_col} is {dtype}); pass chunk_splits= "
+                "explicitly for non-numeric ids"
+            )
+        if n_chunks > 1:
+            probs = [i / n_chunks for i in range(1, n_chunks)]
+            row = df.agg(
+                F.percentile_approx(
+                    F.col(id_col).cast("double"), probs, 10_000
+                ).alias("_s")
+            ).collect()[0]
+            chunk_splits = sorted(set(row["_s"] or []))
+        else:
+            chunk_splits = []
+    id_d = F.col(id_col).cast("double")
+    if chunk_splits:
+        splits_arr = F.array(*[F.lit(float(s)) for s in chunk_splits])
+        # strict '<': equal ids always land in the same chunk, so the
+        # chunk boundary can never split a tie group
+        chunk = F.size(F.filter(splits_arr, lambda s: s < id_d)).cast("long")
+    else:
+        chunk = F.lit(0).cast("long")
+    chunked = df.withColumn("_chunk", chunk)
+    # bounded cell table: |partition values| x n_chunks rows
+    cells = chunked.groupBy(*pcols, "_chunk").agg(
+        F.sum(size).cast("long").alias("_cell_sum")
+    )
+    w_cells = (
+        Window.partitionBy(*pcols) if pcols else Window.partitionBy()
+    ).orderBy("_chunk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell_off = cells.withColumn(
+        "_cell_off", F.sum("_cell_sum").over(w_cells) - F.col("_cell_sum")
+    ).drop("_cell_sum")
+    w_in = (
+        Window.partitionBy(*pcols, "_chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in_chunk = F.sum(size).over(w_in) - size
+    return (
+        chunked.join(F.broadcast(cell_off), [*pcols, "_chunk"])
+        .withColumn(
+            "offset", (F.col("_cell_off") + cum_in_chunk).cast("long")
+        )
+        .withColumn(out_col, (F.col("offset") / F.lit(budget)).cast("long"))
+        .select(*df.columns, "offset", out_col)
     )
 
 

@@ -451,3 +451,37 @@ def test_scd2_is_pure_key_joins_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_prefix_sum_is_chunk_distributed(spark, sf_dir):
+    """The packing prefix sum must be the distributed two-level form:
+    the per-row running sum partitions on (partition_col, _chunk) —
+    never a whole language (or the whole corpus) through one task —
+    and the only window without _chunk in its partition spec is the
+    one over the bounded per-chunk cell table."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "pack_sequences_docs")
+    win_heads = [
+        m.start() for m in re.finditer(r"^\(\d+\) Window\s*$", plan, re.M)
+    ]
+    assert len(win_heads) == 2, plan
+    # the row-level window (summing the size column) must include the
+    # chunk column in its partition spec
+    row_win = next(
+        seg
+        for seg in (plan[p : p + 400] for p in win_heads)
+        if "sum(n_chars" in seg
+    )
+    part_spec = re.search(
+        r"windowspecdefinition\(([^)]*)\)", row_win
+    ).group(1)
+    assert "_chunk" in part_spec, row_win
+    # and the cell-table window runs over the bounded aggregate, not
+    # raw corpus rows
+    cell_win = next(
+        seg
+        for seg in (plan[p : p + 400] for p in win_heads)
+        if "sum(_cell_sum" in seg
+    )
+    assert "_cell_sum" in cell_win
