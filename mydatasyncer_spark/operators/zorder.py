@@ -163,22 +163,31 @@ def merge_into_zordered(
     cols: list[str],
     dims: list[ZDim],
     bits: int = DEFAULT_BITS,
+    n_buckets: int = 4096,
+    max_groups: int = 16,
 ) -> dict:
     """Incremental maintenance of a :func:`write_zordered` layout:
     fold a batch in, rewriting ONLY the files whose Z-range the new
-    rows touch; untouched files raw-copy to the new layout version
-    (``sources/writers.copy_files``).
+    rows' actual Z-keys touch; untouched files raw-copy (concurrent)
+    to the new layout version.
 
     The Z-key is a pure function of the stored columns, so per-file
     Z-ranges come from one narrow scan recomputing it (a manifest
-    would store them); a batch localized in ANY dimension is also
-    localized on the Z-curve, so daily ingestion touches a handful of
-    files of a petabyte layout. Returns the same stats dict as
-    ``merge_into_range_sorted``.
+    would store them). Touched files are found from the batch's
+    Z-KEY DISTRIBUTION (``sources/writers.batch_key_intervals``), not
+    its envelope — essential on the Z-curve, where even a batch
+    localized in one dimension can have Z-keys scattered across the
+    key space (the curve interleaves bits, so locality in a MINOR
+    dimension does NOT imply a compact Z-range; the distribution
+    intervals prune exactly the files whose ranges the batch's
+    scattered Z-clusters actually intersect). A batch localized in the
+    LEADING-bit dimensions stays a compact Z-range and touches a
+    handful of files of a petabyte layout. Returns the same stats
+    dict as ``merge_into_range_sorted``.
     """
     from pyspark.sql import functions as F
 
-    from mydatasyncer_spark.sources.writers import copy_files
+    from mydatasyncer_spark.sources.writers import _merge_layout
 
     key = zorder_key([F.col(c) for c in cols], dims, bits)
     old = spark.read.parquet(old_path)
@@ -188,33 +197,15 @@ def merge_into_zordered(
         .agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
         .collect()
     ]
-    bounds = new_df.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
-    ).collect()[0]
-    new_lo, new_hi = bounds["lo"], bounds["hi"]
-    touched, untouched = [], []
-    if new_lo is None:
-        untouched = [f for f, _, _ in ranges]
-    else:
-        for f, flo, fhi in ranges:
-            if flo is None or (flo <= new_hi and new_lo <= fhi):
-                touched.append(f)
-            else:
-                untouched.append(f)
-    copy_files(spark, untouched, out_path)
-    rewrite = new_df
-    if touched:
-        rewrite = spark.read.parquet(*touched).unionByName(new_df)
-    (
-        rewrite.withColumn("_zkey", key)
-        .repartitionByRange(max(len(touched), 1), "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("append")
-        .parquet(out_path)
+    return _merge_layout(
+        spark,
+        ranges,
+        new_df,
+        key,
+        out_path,
+        "parquet",
+        [F.col("_zkey_sort")],
+        n_buckets,
+        max_groups,
+        prep=lambda rows: rows.withColumn("_zkey_sort", key),
     )
-    return {
-        "copied": len(untouched),
-        "rewritten": len(touched),
-        "new_files": max(len(touched), 1),
-    }

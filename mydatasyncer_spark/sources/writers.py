@@ -163,20 +163,311 @@ def file_key_ranges(
     return [(r["_file"], r["_lo"], r["_hi"]) for r in rows]
 
 
-def copy_files(spark, files: list[str], out_path: str) -> None:
+def copy_files(
+    spark, files: list[str], out_path: str, max_threads: int = 16
+) -> None:
     """Raw filesystem copy of data files into ``out_path`` (keeping
-    names) — zero decode; on object stores this is a server-side
-    copy. The metadata move of incremental layout maintenance."""
+    names) — zero decode. The metadata move of incremental layout
+    maintenance.
+
+    Copies run CONCURRENTLY on a driver thread pool (each py4j call
+    gets its own gateway connection, so the JVM-side ``FileUtil.copy``
+    calls genuinely overlap): a petabyte layout's untouched-file list
+    is thousands of entries, and a serial per-file RPC loop makes the
+    metadata move the bottleneck. On object stores each copy is a
+    server-side COPY (S3 CopyObject / GCS rewrite via the FS
+    connector) — no data flows through the driver either way, the
+    pool only parallelizes the control-plane round trips. A real
+    lakehouse deployment replaces this with a manifest edit (Delta /
+    Iceberg add-file actions) and copies nothing at all."""
+    from concurrent.futures import ThreadPoolExecutor
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path_cls = jvm.org.apache.hadoop.fs.Path
     out_dir = path_cls(out_path)
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(out_dir.toUri(), conf)
     fs.mkdirs(out_dir)
-    for f in files:
+
+    def one(f: str) -> None:
         src = path_cls(f)
         jvm.org.apache.hadoop.fs.FileUtil.copy(
             fs, src, fs, path_cls(out_path, src.getName()), False, conf
+        )
+
+    if not files:
+        return
+    with ThreadPoolExecutor(min(max_threads, len(files))) as pool:
+        # list() forces completion and re-raises the first failure
+        list(pool.map(one, files))
+
+
+def batch_key_intervals(
+    new_df: DataFrame, key, n_buckets: int = 4096
+) -> list[tuple[float, float]]:
+    """The batch's key distribution as a BOUNDED list of closed value
+    intervals: the batch [min, max] span is cut into ``n_buckets``
+    equal-width cells, the distinct non-empty cells are collected
+    (≤ ``n_buckets`` ints — the ``changed_buckets`` driver-round-trip
+    class), and adjacent cells merge into maximal intervals.
+
+    This is what makes layout-merge pruning DISTRIBUTION-aware: a
+    bimodal batch (backfill cluster + today's cluster) yields two
+    tight intervals instead of one keyspace-spanning envelope, so the
+    files between the clusters are provably untouched. Returns ``[]``
+    for an empty batch. ``key`` must be a numeric Column expression.
+    """
+    kd = key.cast("double") if not isinstance(key, str) else F.col(key).cast("double")
+    stats = new_df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).collect()[0]
+    if stats["lo"] is None:
+        return []
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi <= lo:
+        return [(lo, hi)]
+    w = (hi - lo) / n_buckets
+    cell = F.least(
+        F.lit(n_buckets - 1), F.floor((kd - F.lit(lo)) / F.lit(w)).cast("long")
+    )
+    cells = sorted(
+        r[0] for r in new_df.select(cell.alias("_c")).distinct().collect()
+    )
+    intervals: list[tuple[float, float]] = []
+    for c in cells:
+        c_lo, c_hi = lo + c * w, lo + (c + 1) * w
+        if intervals and c_lo <= intervals[-1][1]:
+            intervals[-1] = (intervals[-1][0], c_hi)
+        else:
+            intervals.append((c_lo, c_hi))
+    return intervals
+
+
+def plan_merge_groups(
+    ranges: list[tuple[str, float, float]],
+    intervals: list[tuple[float, float]],
+    max_groups: int = 16,
+) -> dict:
+    """Pure driver-side planning for an incremental layout merge.
+
+    ``ranges``: per-file (path, lo, hi) of the existing layout (lo/hi
+    comparable numerics; a null lo marks the file always-touched).
+    ``intervals``: the batch's non-empty key intervals from
+    :func:`batch_key_intervals`, sorted ascending.
+
+    A file is touched iff some batch interval intersects its [lo, hi]
+    — exact up to bucket width, never an envelope. Touched files form
+    contiguous RUNS in key order; each run becomes a rewrite group,
+    and batch intervals lying purely in gaps become their own fileless
+    groups, so rewritten output can never straddle an untouched file's
+    range (restoring the non-overlap invariant even for gap-spanning
+    batches). If that yields more than ``max_groups`` write jobs,
+    adjacent groups merge greedily by fewest interior untouched files
+    (which then move into the rewrite set) — bounding job count while
+    keeping the rewrite minimal.
+
+    Returns ``{"groups": [{"files": [...], "hi": float}...],
+    "untouched": [...]}`` with groups ordered by key coverage;
+    ``hi`` is each group's routing upper bound (every batch row
+    belongs to the first group whose ``hi`` >= its key, else the
+    last group — monotone, so group outputs stay disjoint).
+    """
+    ordered = sorted(
+        ranges, key=lambda r: (r[1] is not None, r[1], r[2])
+    )  # null-lo files first; they are always touched
+
+    def hits(flo, fhi) -> bool:
+        if flo is None:
+            return True
+        for ilo, ihi in intervals:
+            if ilo > fhi:
+                break
+            if flo <= ihi and ilo <= fhi:
+                return True
+        return False
+
+    touched_idx = [i for i, (_, flo, fhi) in enumerate(ordered) if hits(flo, fhi)]
+    touched_set = set(touched_idx)
+    # contiguous runs of touched files (in key order)
+    runs: list[list[int]] = []
+    for i in touched_idx:
+        if runs and runs[-1][-1] == i - 1:
+            runs[-1].append(i)
+        else:
+            runs.append([i])
+
+    def covered(ilo, ihi) -> bool:
+        for i in touched_idx:
+            _, flo, fhi = ordered[i]
+            if flo is None:
+                continue
+            if flo <= ihi and ilo <= fhi:
+                return True
+        return False
+
+    gap_intervals = [(ilo, ihi) for ilo, ihi in intervals if not covered(ilo, ihi)]
+    # groups: one per run + one per gap-cluster of pure-gap intervals
+    groups: list[dict] = []
+    for run in runs:
+        files = [ordered[i][0] for i in run]
+        # all-null-key files (min==None after null-skipping aggs) sort
+        # FIRST in an ascending layout: coverage -inf keeps their
+        # group's routing threshold from swallowing real keys
+        hi = max(
+            (ordered[i][2] for i in run if ordered[i][2] is not None),
+            default=float("-inf"),
+        )
+        lo = min(
+            (ordered[i][1] for i in run if ordered[i][1] is not None),
+            default=float("-inf"),
+        )
+        # extend the routing bound over intervals that OVERLAP this
+        # run's file coverage but spill into the gap above it — their
+        # rows must route here, not to a distant higher group (whose
+        # output would then straddle the untouched files between)
+        for ilo, ihi in intervals:
+            if ilo <= hi and lo <= ihi and ihi > hi:
+                hi = ihi
+        groups.append({"files": files, "lo": lo, "hi": hi, "_run": run})
+    # gap index = number of files entirely below the interval; all
+    # pure-gap intervals sharing a gap cluster into ONE fileless group
+    by_gap: dict[int, list[tuple[float, float]]] = {}
+    for ilo, ihi in gap_intervals:
+        g = sum(1 for _, _flo, fhi in ordered if fhi is not None and fhi < ilo)
+        by_gap.setdefault(g, []).append((ilo, ihi))
+    for _g, ivs in by_gap.items():
+        groups.append(
+            {
+                "files": [],
+                "lo": min(i[0] for i in ivs),
+                "hi": max(i[1] for i in ivs),
+                "_run": [],
+            }
+        )
+    groups.sort(key=lambda g: g["lo"])
+    # cap write-job count: merge the adjacent pair separated by the
+    # fewest untouched files (those files join the rewrite set)
+    while len(groups) > max_groups:
+        best, best_cost = None, None
+        for k in range(len(groups) - 1):
+            a, b = groups[k], groups[k + 1]
+            between = [
+                i
+                for i in range(len(ordered))
+                if i not in touched_set
+                and (not a["_run"] or i > a["_run"][-1])
+                and (not b["_run"] or i < b["_run"][0])
+                and ordered[i][1] is not None
+                and ordered[i][1] > a["hi"]
+                and ordered[i][2] < b["lo"]
+            ]
+            cost = len(between)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (k, between), cost
+        k, between = best
+        a, b = groups[k], groups[k + 1]
+        for i in between:
+            touched_set.add(i)
+        merged_run = sorted([*a["_run"], *between, *b["_run"]])
+        groups[k : k + 2] = [
+            {
+                "files": [ordered[i][0] for i in merged_run]
+                if merged_run
+                else [],
+                "lo": min(a["lo"], b["lo"]),
+                "hi": max(a["hi"], b["hi"]),
+                "_run": merged_run,
+            }
+        ]
+    untouched = [
+        ordered[i][0] for i in range(len(ordered)) if i not in touched_set
+    ]
+    for g in groups:
+        g.pop("_run", None)
+        g.pop("lo", None)
+    return {"groups": groups, "untouched": untouched}
+
+
+def _merge_layout(
+    spark,
+    ranges: list[tuple[str, float, float]],
+    new_df: DataFrame,
+    key,
+    out_path: str,
+    fmt: str,
+    sort_exprs: list,
+    n_buckets: int,
+    max_groups: int,
+    prep=None,
+) -> dict:
+    """Shared core of the incremental layout merges: plan groups from
+    the batch's key distribution, copy untouched files concurrently,
+    and rewrite each group with its own range partitioning (so group
+    outputs never straddle untouched files). ``prep`` optionally maps
+    the combined rewrite frame before the range sort (the Z variant
+    injects its key column there)."""
+    kd = (F.col(key) if isinstance(key, str) else key).cast("double")
+    intervals = batch_key_intervals(new_df, kd, n_buckets)
+    if not intervals:  # empty batch: everything copies
+        copy_files(spark, [f for f, _, _ in ranges], out_path)
+        return {"copied": len(ranges), "rewritten": 0, "new_files": 0}
+    plan = plan_merge_groups(
+        [(f, _num(lo), _num(hi)) for f, lo, hi in ranges],
+        intervals,
+        max_groups,
+    )
+    groups, untouched = plan["groups"], plan["untouched"]
+    copy_files(spark, untouched, out_path)
+    # monotone row routing: group k takes keys in (hi_{k-1}, hi_k]
+    thresholds = [g["hi"] for g in groups[:-1]]
+    if thresholds:
+        arr = F.array(*[F.lit(float(t)) for t in thresholds])
+        group_of_row = F.size(F.filter(arr, lambda t: t < kd))
+    else:
+        group_of_row = F.lit(0)
+    routed = new_df.withColumn("_grp", group_of_row)
+    new_files = 0
+    for k, g in enumerate(groups):
+        rows = routed.filter(F.col("_grp") == k).drop("_grp")
+        if g["files"]:
+            rows = (
+                spark.read.format(fmt)
+                .load(g["files"])
+                .unionByName(rows)
+            )
+        if prep is not None:
+            rows = prep(rows)
+        n = max(len(g["files"]), 1)
+        new_files += n
+        (
+            rows.repartitionByRange(n, *sort_exprs)
+            .sortWithinPartitions(*sort_exprs)
+            .drop("_zkey_sort")
+            .write.format(fmt)
+            .mode("append")
+            .save(out_path)
+        )
+    rewritten = len(ranges) - len(untouched)
+    return {
+        "copied": len(untouched),
+        "rewritten": rewritten,
+        "new_files": new_files,
+        "groups": len(groups),
+    }
+
+
+def _num(v):
+    """File-range bound -> float for driver-side planning; None passes
+    through (null-key files are always rewritten)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return float(v)
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        raise ValueError(
+            "incremental layout merge needs numeric layout keys for "
+            f"distribution-aware pruning (got {type(v).__name__}); "
+            "cast the key or maintain the layout with a full rewrite"
         )
 
 
@@ -187,6 +478,8 @@ def merge_into_range_sorted(
     out_path: str,
     sort_cols: list[str],
     fmt: str = "parquet",
+    n_buckets: int = 4096,
+    max_groups: int = 16,
 ) -> dict:
     """Incremental maintenance of a :func:`write_range_sorted` layout:
     fold ``new_df`` in while REWRITING ONLY the files whose key range
@@ -194,49 +487,35 @@ def merge_into_range_sorted(
 
     The 100 TB shape: a daily batch lands in a few key ranges of a
     petabyte layout. A full re-sort re-shuffles everything; here the
-    untouched files are moved to the new layout version by raw
-    filesystem copy (zero decode — server-side copy on object
-    stores), and only the intersecting ranges (plus out-of-range new
-    rows) go through Spark's range sort. The merged layout keeps the
-    invariant: file ranges don't overlap, rows sorted within files.
+    untouched files move to the new layout version by concurrent raw
+    copy (zero decode — server-side copy on object stores) and only
+    the touched ranges go through Spark's range sort. Touched-file
+    detection uses the batch's KEY DISTRIBUTION
+    (:func:`batch_key_intervals`), not its [min, max] envelope — a
+    bimodal batch (backfill + today) rewrites only the files at its
+    two clusters, never the untouched span between them. Each
+    contiguous run of touched files (and each gap-cluster of brand-new
+    keys) is rewritten as its OWN range-partition group, so the merged
+    layout keeps the invariant: file ranges don't overlap, rows sorted
+    within files — including for gap-spanning batches. ``max_groups``
+    caps the write-job count (nearby groups merge, absorbing the few
+    files between them).
 
-    Leading ``sort_cols[0]`` drives the range pruning; the full list
-    orders rows inside rewritten files. Returns
-    ``{"copied": n, "rewritten": n, "new_files": n}``.
+    Leading ``sort_cols[0]`` drives the pruning (numeric keys; see
+    :func:`plan_merge_groups`); the full list orders rows inside
+    rewritten files. Returns
+    ``{"copied", "rewritten", "new_files", "groups"}``.
     """
     key = sort_cols[0]
     ranges = file_key_ranges(spark, old_path, key, fmt)
-    lo = new_df.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
-    ).collect()[0]
-    new_lo, new_hi = lo["lo"], lo["hi"]
-    touched, untouched = [], []
-    if new_lo is None:  # empty batch: everything copies
-        untouched = [f for f, _, _ in ranges]
-    else:
-        for f, flo, fhi in ranges:
-            if flo is None or (flo <= new_hi and new_lo <= fhi):
-                touched.append((f, flo, fhi))
-            else:
-                untouched.append(f)
-    copy_files(spark, untouched, out_path)
-    rewrite = new_df
-    if touched:
-        rewrite = (
-            spark.read.format(fmt)
-            .load([f for f, _, _ in touched])
-            .unionByName(new_df)
-        )
-    n_files = max(len(touched), 1)
-    (
-        rewrite.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
-        .sortWithinPartitions(*sort_cols)
-        .write.format(fmt)
-        .mode("append")
-        .save(out_path)
+    return _merge_layout(
+        spark,
+        ranges,
+        new_df,
+        key,
+        out_path,
+        fmt,
+        [F.col(c) for c in sort_cols],
+        n_buckets,
+        max_groups,
     )
-    return {
-        "copied": len(untouched),
-        "rewritten": len(touched),
-        "new_files": n_files,
-    }

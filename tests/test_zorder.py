@@ -290,3 +290,216 @@ class TestMergeIntoRangeSorted:
         want = o.unionByName(new)
         assert merged.count() == want.count()
         assert merged.exceptAll(want).count() == 0
+
+
+class TestDistributionAwarePruning:
+    """The r6 upgrade: touched files come from the batch's key
+    DISTRIBUTION, never its [min, max] envelope."""
+
+    def test_bimodal_batch_leaves_midrange_untouched(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """A backfill+today shaped batch (two distant key clusters)
+        must rewrite only the files at the clusters — an envelope
+        would rewrite every file between them."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            file_key_ranges,
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        out = tmp_path_factory.mktemp("bimodal")
+        base_path, merged_path = str(out / "v1"), str(out / "v2")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_range_sorted(o, base_path, ["o_orderkey"], num_files=8)
+        lo_key, hi_key = o.agg(
+            F.min("o_orderkey"), F.max("o_orderkey")
+        ).collect()[0]
+        # cluster A: bottom keys; cluster B: top keys — envelope spans all
+        rows = [(int(lo_key) + i, 9.9) for i in range(20)] + [
+            (int(hi_key) - i, 8.8) for i in range(20)
+        ]
+        new = spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        )
+        stats = merge_into_range_sorted(
+            spark, base_path, new, merged_path, ["o_orderkey"]
+        )
+        # only the two edge files are touched; >= 6 of 8 copy
+        assert stats["copied"] >= 6, stats
+        assert stats["rewritten"] <= 2, stats
+        assert stats["groups"] == 2, stats
+        merged = spark.read.parquet(merged_path)
+        want = o.unionByName(new)
+        assert merged.count() == want.count()
+        assert merged.exceptAll(want).count() == 0
+        assert want.exceptAll(merged).count() == 0
+        # invariant survives the two-group rewrite
+        ranges = sorted(
+            (lo, hi)
+            for _, lo, hi in file_key_ranges(
+                spark, merged_path, "o_orderkey"
+            )
+        )
+        for (_lo, prev_hi), (cur_lo, _hi) in zip(ranges, ranges[1:]):
+            assert prev_hi <= cur_lo
+
+    def test_gap_spanning_new_keys_keep_invariant(
+        self, spark, tmp_path_factory
+    ):
+        """Brand-new keys landing in a gap BETWEEN untouched files get
+        their own fileless rewrite group: interior files still copy
+        and no rewritten file straddles an untouched file's range
+        (the ADVICE r5 gap-spanning caveat, fixed structurally)."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            file_key_ranges,
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        out = tmp_path_factory.mktemp("gap")
+        base_path, merged_path = str(out / "v1"), str(out / "v2")
+        # keys 0..999 and 3000..3999: a wide hole in the middle
+        base = spark.range(0, 1000).union(
+            spark.range(3000, 4000)
+        ).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        write_range_sorted(base, base_path, ["k"], num_files=8)
+        # batch entirely inside the hole
+        new = spark.createDataFrame(
+            [(1500 + i, -1.0) for i in range(50)], "k long, v double"
+        )
+        stats = merge_into_range_sorted(
+            spark, base_path, new, merged_path, ["k"]
+        )
+        assert stats["copied"] == 8, stats  # nothing existing touched
+        assert stats["rewritten"] == 0, stats
+        merged = spark.read.parquet(merged_path)
+        want = base.unionByName(new)
+        assert merged.count() == want.count()
+        assert merged.exceptAll(want).count() == 0
+        ranges = sorted(
+            (lo, hi)
+            for _, lo, hi in file_key_ranges(spark, merged_path, "k")
+        )
+        for (_lo, prev_hi), (cur_lo, _hi) in zip(ranges, ranges[1:]):
+            assert prev_hi <= cur_lo
+
+    def test_zordered_bimodal_batch_prunes_between_clusters(
+        self, spark, tmp_path_factory
+    ):
+        """Two Z-distant clusters: the envelope would span nearly the
+        whole curve; distribution intervals keep midrange files
+        copied."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.zorder import (
+            ZDim,
+            merge_into_zordered,
+            write_zordered,
+        )
+
+        out = tmp_path_factory.mktemp("zbimodal")
+        base_path, merged_path = str(out / "v1"), str(out / "v2")
+        df = spark.range(20_000).select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(7)), 1000).cast("double")).alias("y"),
+        )
+        dims = [ZDim(0.0, 100.0), ZDim(0.0, 1000.0)]
+        write_zordered(df, base_path, ["x", "y"], dims, n_files=32)
+        # cluster A near origin, cluster B near the far corner
+        rows = [(100_000 + i, 1.0 + i * 0.01, 5.0 + i) for i in range(15)] + [
+            (200_000 + i, 98.0 + i * 0.01, 950.0 + i) for i in range(15)
+        ]
+        new = spark.createDataFrame(rows, "id long, x double, y double")
+        stats = merge_into_zordered(
+            spark, base_path, new, merged_path, ["x", "y"], dims
+        )
+        assert stats["copied"] >= 20, stats
+        merged = spark.read.parquet(merged_path)
+        want = df.unionByName(new)
+        assert merged.count() == want.count()
+        assert merged.exceptAll(want).count() == 0
+
+
+class TestCopyFilesConcurrent:
+    def test_many_file_copy_is_complete_and_byte_identical(
+        self, spark, tmp_path_factory
+    ):
+        import os
+
+        from mydatasyncer_spark.sources.writers import copy_files
+
+        out = tmp_path_factory.mktemp("cpy")
+        src_dir, dst_dir = str(out / "src"), str(out / "dst")
+        spark.range(10_000).repartition(64).write.parquet(src_dir)
+        files = [
+            os.path.join(src_dir, f)
+            for f in os.listdir(src_dir)
+            if f.startswith("part-")
+        ]
+        assert len(files) == 64
+        copy_files(spark, files, dst_dir)
+        for f in files:
+            dst = os.path.join(dst_dir, os.path.basename(f))
+            with open(f, "rb") as a, open(dst, "rb") as b:
+                assert a.read() == b.read(), f
+
+
+class TestPlanMergeGroups:
+    """Driver-side planner unit tests (no Spark jobs)."""
+
+    RANGES = [(f"f{i}", i * 10.0, i * 10.0 + 9.0) for i in range(10)]
+
+    def test_two_clusters_two_groups(self):
+        from mydatasyncer_spark.sources.writers import plan_merge_groups
+
+        plan = plan_merge_groups(
+            self.RANGES, [(0.0, 5.0), (95.0, 99.0)]
+        )
+        assert [g["files"] for g in plan["groups"]] == [["f0"], ["f9"]]
+        assert len(plan["untouched"]) == 8
+
+    def test_pure_gap_interval_gets_fileless_group(self):
+        from mydatasyncer_spark.sources.writers import plan_merge_groups
+
+        # gap between f0 [0,9] and f1 [10,19] does not exist; use
+        # sparse ranges instead
+        ranges = [("a", 0.0, 9.0), ("b", 50.0, 59.0)]
+        plan = plan_merge_groups(ranges, [(20.0, 30.0)])
+        assert plan["untouched"] == ["a", "b"]
+        assert len(plan["groups"]) == 1
+        assert plan["groups"][0]["files"] == []
+
+    def test_max_groups_merges_cheapest_gap(self):
+        from mydatasyncer_spark.sources.writers import plan_merge_groups
+
+        # three clusters; cap at 2 groups -> the two clusters with
+        # the fewest interior files merge (f0|f2 share one interior
+        # file f1; f2..f9 have six between) and absorb the interior
+        plan = plan_merge_groups(
+            self.RANGES,
+            [(0.0, 5.0), (25.0, 26.0), (95.0, 99.0)],
+            max_groups=2,
+        )
+        assert len(plan["groups"]) == 2
+        files = sorted(f for g in plan["groups"] for f in g["files"])
+        assert files == ["f0", "f1", "f2", "f9"]
+        assert sorted(plan["untouched"]) == [
+            f"f{i}" for i in range(3, 9)
+        ]
+
+    def test_null_lo_files_always_rewritten(self):
+        from mydatasyncer_spark.sources.writers import plan_merge_groups
+
+        ranges = [("n", None, None), ("a", 10.0, 19.0)]
+        plan = plan_merge_groups(ranges, [(12.0, 13.0)])
+        assert plan["untouched"] == []
+        files = sorted(f for g in plan["groups"] for f in g["files"])
+        assert files == ["a", "n"]
