@@ -55,7 +55,12 @@ from mydatasyncer_spark.operators.partitioning import (
     salted_join_auto,
     skew_report,
 )
-from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+from mydatasyncer_spark.operators.scd import (
+    scd2_apply,
+    scd2_apply_to_table,
+    scd2_init,
+    scd2_init_table,
+)
 from mydatasyncer_spark.operators.sketches import (
     quantile_sketch_merge,
     quantile_sketch_rollup,
@@ -150,7 +155,9 @@ __all__ = [
     "quality_tier_cutpoints",
     "assign_quality_tiers",
     "scd2_init",
+    "scd2_init_table",
     "scd2_apply",
+    "scd2_apply_to_table",
     "salted_join",
     "salted_join_auto",
     "skew_report",

@@ -68,11 +68,36 @@ def scd2_apply(
     and since everything downstream is delta-sized, the WHOLE history
     update becomes proportional to the changed slice, not the corpus.
     """
+    closed, surviving_current, opened = _scd2_legs(
+        history, snapshot, primary_key, ts, columns, diff_fn
+    )
+    if columns is None:
+        columns = [c for c in snapshot.columns]
+    meta = [VALID_FROM, VALID_TO, IS_CURRENT]
+    past = history.filter(~F.col(IS_CURRENT)).select(*columns, *meta)
+    return (
+        past.unionByName(closed)
+        .unionByName(surviving_current)
+        .unionByName(opened)
+    )
+
+
+def _scd2_legs(
+    history: DataFrame,
+    snapshot: DataFrame,
+    primary_key: str,
+    ts: str,
+    columns: list[str] | None = None,
+    diff_fn=None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three delta legs of an SCD2 maintenance step:
+    ``(closed, surviving_current, opened)`` — all equi/anti/semi joins
+    on the primary key over the CURRENT slice only; non-current
+    history is never read."""
     if columns is None:
         columns = [c for c in snapshot.columns]
     if diff_fn is None:
         diff_fn = diff_snapshots
-    meta = [VALID_FROM, VALID_TO, IS_CURRENT]
     cur = history.filter(F.col(IS_CURRENT)).select(*columns, VALID_FROM)
     diff = diff_fn(
         snapshot.select(*columns), cur.select(*columns), primary_key
@@ -108,9 +133,85 @@ def scd2_apply(
             F.lit(True).alias(IS_CURRENT),
         )
     )
-    past = history.filter(~F.col(IS_CURRENT)).select(*columns, *meta)
-    return (
-        past.unionByName(closed)
-        .unionByName(surviving_current)
-        .unionByName(opened)
+    return closed, surviving_current, opened
+
+
+def scd2_init_table(
+    spark, table: str, snapshot: DataFrame, ts: str
+) -> None:
+    """Bootstrap a MANAGED history table partitioned by
+    ``is_current`` from a first snapshot (the layout
+    :func:`scd2_apply_to_table` maintains incrementally)."""
+    (
+        scd2_init(snapshot, ts)
+        .write.partitionBy(IS_CURRENT)
+        .saveAsTable(table)
     )
+
+
+def scd2_apply_to_table(
+    spark,
+    table: str,
+    snapshot: DataFrame,
+    primary_key: str,
+    ts: str,
+    columns: list[str] | None = None,
+    diff_fn=None,
+    compute_stats: bool = False,
+) -> dict:
+    """Apply one SCD2 maintenance step to a managed history table
+    WITHOUT rewriting closed history.
+
+    :func:`scd2_apply` returns the whole new history — materializing
+    it rewrites every closed version on every daily apply, which at
+    100 TB means the immutable 99% of the table is re-encoded for a
+    delta-sized change. This variant targets a table partitioned by
+    ``is_current`` (:func:`scd2_init_table`) and turns the step into
+    two set-based writes, the partition-scoped MERGE shape of
+    ``sinks/table_merge.py``:
+
+    - newly-closed versions APPEND into the ``is_current=false``
+      partition (existing closed files are never opened, let alone
+      rewritten — the byte-identity test pins this), and
+    - the ``is_current=true`` partition alone is REPLACED by
+      surviving + newly-opened versions via dynamic partition
+      overwrite.
+
+    So the daily write cost is the current slice plus the delta —
+    closed history only ever gains files. Pass
+    ``diff_fn=diff_snapshots_pruned`` to also make the READ side
+    delta-proportional. Returns ``{"closed": n, "opened": n}``
+    (counts -1 unless ``compute_stats``).
+    """
+    history = spark.table(table)
+    cols = [c for c in history.columns if c not in (VALID_FROM, VALID_TO, IS_CURRENT)]
+    if columns is not None:
+        cols = columns
+    closed, surviving, opened = _scd2_legs(
+        history, snapshot, primary_key, ts, cols, diff_fn
+    )
+    order = history.columns  # partition column last, Spark's layout
+    # materialize both legs BEFORE any write: they read the table the
+    # second write overwrites (the copy in copy-on-write)
+    closed = closed.select(*order).localCheckpoint()
+    new_current = (
+        surviving.unionByName(opened).select(*order).localCheckpoint()
+    )
+    stats = {"closed": -1, "opened": -1}
+    if compute_stats:
+        stats["closed"] = closed.count()
+        stats["opened"] = new_current.filter(
+            F.col(VALID_FROM) == F.lit(ts).cast("date")
+        ).count()
+    closed.write.insertInto(table, overwrite=False)
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        new_current.write.insertInto(table, overwrite=True)
+    finally:
+        if prev is not None:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+    return stats

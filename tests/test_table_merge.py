@@ -125,3 +125,73 @@ class TestMergeIntoTable:
             assert stats.partitions_rewritten is None
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestScd2ApplyToTable:
+    """SCD2 maintenance as partition-scoped writes: closed history is
+    append-only — its pre-existing files stay byte-identical."""
+
+    def test_closed_history_files_never_rewritten(self, spark):
+        import hashlib
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_apply_to_table,
+            scd2_init,
+            scd2_init_table,
+        )
+
+        name = f"scd2_t_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+        scd2_init_table(spark, name, t0, "2024-01-01")
+        try:
+            # day 2: update 1, delete 3, insert 4 -> closed partition
+            # gains its first files
+            t1 = spark.createDataFrame(
+                [(1, "A"), (2, "b"), (4, "d")], "id long, v string"
+            )
+            scd2_apply_to_table(spark, name, t1, "id", "2024-02-01")
+
+            def closed_file_hashes():
+                [loc] = [
+                    r[1]
+                    for r in spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {name}"
+                    ).collect()
+                    if r[0] == "Location"
+                ]
+                path = loc.removeprefix("file:") + "/is_current=false"
+                out = {}
+                for f in os.listdir(path):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(path, f), "rb") as fh:
+                            out[f] = hashlib.sha256(fh.read()).hexdigest()
+                return out
+
+            before = closed_file_hashes()
+            assert before  # day-2 closes landed
+            # day 3: update 2 -> one more closed version appends
+            t2 = spark.createDataFrame(
+                [(1, "A"), (2, "B2"), (4, "d")], "id long, v string"
+            )
+            stats = scd2_apply_to_table(
+                spark, name, t2, "id", "2024-03-01", compute_stats=True
+            )
+            assert stats["closed"] == 1 and stats["opened"] == 1
+            after = closed_file_hashes()
+            # every pre-existing closed file survives byte-identical
+            for f, h in before.items():
+                assert after[f] == h, f
+            assert len(after) > len(before)
+            # and the table content equals the full-rewrite reference
+            ref = scd2_init(t0, "2024-01-01")
+            ref = scd2_apply(ref, t1, "id", "2024-02-01")
+            ref = scd2_apply(ref, t2, "id", "2024-03-01")
+            got = spark.table(name).select(*ref.columns)
+            assert got.count() == ref.count()
+            assert got.exceptAll(ref).count() == 0
+            assert ref.exceptAll(got).count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
