@@ -65,6 +65,15 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # Fixed calibration workload (pinned shape, no IO): measures this
+    # box's compute speed at bench time so cross-round per-query
+    # numbers can be normalized against machine drift (r5's uniform
+    # ~20-45% slowdown on untouched code burned a round of signal).
+    cal_start = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(pmod(id * 2654435761, 1000003)) AS s"
+    ).collect()
+    calibration = round(time.perf_counter() - cal_start, 3)
     # The localized-diff pair exists to MEASURE the pruning win, and
     # the unpruned baseline showed 5-23s run-to-run variance in single
     # shots (BENCH_r04 review) — report the median of 3, with the two
@@ -81,15 +90,22 @@ def main() -> None:
         registry[name](spark, sf_dir).count()
         return time.perf_counter() - start
 
-    try:
-        samples = {n: [] for n in pair}
-        for _ in range(3):
-            for n in pair:
-                samples[n].append(timed(n))
+    # each repetition guards ITS query: an error lands on the query
+    # that threw, and the partner keeps the medians it completed
+    samples = {n: [] for n in pair}
+    for _ in range(3):
         for n in pair:
-            timings[n] = round(sorted(samples[n])[1], 4)
-    except Exception as exc:
-        errors[pair[0]] = f"{type(exc).__name__}: {exc}"[:200]
+            if n in errors:
+                continue
+            try:
+                samples[n].append(timed(n))
+            except Exception as exc:
+                errors[n] = f"{type(exc).__name__}: {exc}"[:200]
+    for n in pair:
+        if samples[n] and n not in errors:
+            timings[n] = round(
+                sorted(samples[n])[len(samples[n]) // 2], 4
+            )
     for name in names:
         if name in pair:
             continue
@@ -111,6 +127,7 @@ def main() -> None:
             "unit": "sec",
             "queries": qdict,
             "sf": sf,
+            "calibration": calibration,
         }
         if suppressed:
             out["suppressed_fast_queries"] = suppressed

@@ -83,9 +83,19 @@ def interval_overlap_join(
     how_overlap: str = "closed",
     max_buckets_per_row: int = 256,
 ) -> DataFrame:
-    """All (left row, right row) pairs whose [start, end] intervals
-    overlap (closed bounds: touching endpoints DO overlap), optionally
-    restricted to equal values on the ``on`` key columns. Start/end
+    """All (left row, right row) pairs whose intervals overlap,
+    optionally restricted to equal values on the ``on`` key columns.
+    ``how_overlap`` picks the bound convention:
+
+    - ``"closed"``: [start, end] — touching endpoints DO overlap;
+    - ``"half_open"``: [start, end) — the event-window convention:
+      an interval ending exactly where another starts does NOT
+      overlap it, and zero-length intervals match nothing.
+
+    Only the residual predicate differs: the bucket cover (computed
+    for closed bounds) is a superset of the half-open cover, so
+    recall stays exact, and the first-shared-bucket emission rule
+    uses only the starts, which both conventions cover. Start/end
     columns must be numeric seconds (use ``contract.ts_epoch``).
     Output: all left columns + all right columns (names must not
     collide except the ``on`` keys, which appear once).
@@ -96,8 +106,11 @@ def interval_overlap_join(
     so for a worst-case span S pick ``m ~ sqrt(S)`` to bound BOTH
     explode levels at ~sqrt(S) array elements per row.
     """
-    if how_overlap != "closed":
-        raise ValueError("only closed-interval overlap is implemented")
+    if how_overlap not in ("closed", "half_open"):
+        raise ValueError(
+            "how_overlap must be 'closed' or 'half_open', got "
+            f"{how_overlap!r}"
+        )
     on = on or []
     lb = segmented_buckets(
         left, left_start, left_end, bucket_seconds, max_buckets_per_row
@@ -106,9 +119,14 @@ def interval_overlap_join(
         right, right_start, right_end, bucket_seconds, max_buckets_per_row
     )
     joined = lb.join(rb, on=[*on, "_bucket"])
-    overlap = (F.col(left_start) <= F.col(right_end)) & (
-        F.col(right_start) <= F.col(left_end)
-    )
+    if how_overlap == "closed":
+        overlap = (F.col(left_start) <= F.col(right_end)) & (
+            F.col(right_start) <= F.col(left_end)
+        )
+    else:  # half_open: [start, end)
+        overlap = (F.col(left_start) < F.col(right_end)) & (
+            F.col(right_start) < F.col(left_end)
+        )
     first_shared = F.greatest(
         F.floor(F.col(left_start) / F.lit(float(bucket_seconds))).cast(
             "long"

@@ -115,10 +115,41 @@ def salted_join(
 
     ``how``: ``inner`` or ``left`` (fact-preserving; an unmatched
     fact row survives exactly once since its salt matches exactly one
-    replica set).
+    replica set), or ``right`` (dim-preserving). A naive right join
+    on the salted frames is WRONG — an unmatched dim row survives
+    once per replica — and mirroring the roles would replicate the
+    huge fact side; instead ``right`` = the salted inner join plus
+    the null-padded dim rows whose key has no fact match, where
+    "has a match" comes from the DISTINCT fact keys (map-side
+    partial aggregation collapses a hot key before its shuffle, so
+    the match probe inherits none of the skew the salt exists to
+    fix). ``full`` is unsupported BY DESIGN: it would need both
+    outer halves at once; compose ``left`` with the ``right``-only
+    remainder if you need it.
     """
+    if how == "right":
+        inner = salted_join(
+            fact, dim, on, n_salts=n_salts, how="inner", hot_keys=hot_keys
+        )
+        matched_keys = fact.select(*on).distinct()
+        unmatched = dim.join(matched_keys, on, "left_anti")
+        fact_types = dict(fact.dtypes)
+        keys = list(on)
+        fact_rest = [c for c in fact.columns if c not in keys]
+        dim_rest = [c for c in dim.columns if c not in keys]
+        padded = unmatched.select(
+            *keys,
+            *[
+                F.lit(None).cast(fact_types[c]).alias(c)
+                for c in fact_rest
+            ],
+            *dim_rest,
+        )
+        return inner.unionByName(padded)
     if how not in ("inner", "left"):
-        raise ValueError("salted_join supports how='inner' or 'left'")
+        raise ValueError(
+            "salted_join supports how='inner', 'left', or 'right'"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), n_salts)
     replicas = F.explode(
         F.sequence(F.lit(0).cast("long"), F.lit(int(n_salts) - 1))

@@ -36,7 +36,16 @@ class Dialect:
     #: CTAS suffix producing an empty copy: "LIMIT 0" (sqlite/mysql/pg)
     #: vs ANSI "... WITH NO DATA" (derby)
     ctas_no_data: str = "LIMIT 0"
-    #: explicit-transaction opener for emitted scripts (sqlite: BEGIN)
+    #: explicit-transaction opener for emitted scripts (sqlite: BEGIN).
+    #: NOTE: the ANSI dialect's "START TRANSACTION" is nominal for
+    #: Derby — Derby has no transaction-start STATEMENT at all
+    #: (transactions open implicitly; clients disable autocommit,
+    #: e.g. ij's `autocommit off`), so an ANSI full-run script
+    #: targeting Derby must strip/replace the delimiters with a
+    #: connection-level autocommit toggle. The in-process Derby e2e
+    #: tests drive the applier through JDBC (which manages the
+    #: transaction on the connection), never through this script
+    #: text, so the emitted SQL body itself is Derby-valid.
     begin_stmt: str = "START TRANSACTION"
 
     # -- identifiers -------------------------------------------------

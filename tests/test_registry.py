@@ -1,0 +1,100 @@
+"""Registry hygiene: fast, Spark-free pins on the driver-contract
+surface in ``__spark_entry__.py``.
+
+The driver's correctness gate evaluates only the FIRST 50 entries of
+``queries()``, so window membership is load-bearing — r5's
+hand-counted rotation comment silently misplaced one query
+(`array_functions_pack` sat at position 51 while labeled in-window).
+These tests make the boundary and the queries/oracles pairing
+machine-checked instead."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+GATE_CAP = 50
+
+# the r6 window boundary, pinned by name: position 50 (last inside
+# the driver gate) and position 51 (first outside). Update these —
+# consciously — whenever the rotation changes.
+LAST_IN_WINDOW = "histogram_doc_lengths"
+FIRST_PAST_CAP = "incremental_rollup"
+
+# everything added or implementation-touched in r6 MUST sit inside
+# the gate window (rotation policy rule 1-2)
+R6_TOUCHED = [
+    "skew_salted_join_right",
+    "interval_overlap_half_open",
+    "pack_sequences_docs",
+    "interval_overlap_pairs",
+    "skew_salted_join",
+    "scd2_orders_history",
+    "scd2_asof_state",
+    "diff_full_localized",
+    "diff_pruned_localized",
+]
+
+# the entire last-green-r3 cohort rotates in this round (VERDICT r5
+# item #5: no proof may grow older than two rounds)
+R3_STALE_COHORT = [
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "array_functions_pack",
+    "asof_purchase_view",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "domain_mix_weights",
+    "embedding_near_dup",
+    "funnel_steps",
+    "json_extract_events",
+    "lang_id_pred",
+    "pack_sequences_docs",
+    "pii_redaction",
+    "pivot_event_type_counts",
+    "range_join_view_purchase",
+    "semi_join_big_orders",
+    "sessionization",
+    "text_quality",
+    "text_stats",
+    "tfidf_top_terms",
+    "trailing_hour_value",
+    "train_test_split_assign",
+    "tumbling_windows",
+    "window_analytics_suite",
+]
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(q) == set(o), (
+        sorted(set(q) - set(o)),
+        sorted(set(o) - set(q)),
+    )
+    assert len(q) == len(o)
+
+
+def test_gate_window_boundary_is_pinned_by_name():
+    names = list(entry_mod.queries())
+    assert len(names) >= GATE_CAP
+    assert names[GATE_CAP - 1] == LAST_IN_WINDOW
+    assert names[GATE_CAP] == FIRST_PAST_CAP
+
+
+def test_round_touched_queries_sit_inside_the_gate_window():
+    window = set(list(entry_mod.queries())[:GATE_CAP])
+    missing = [n for n in R6_TOUCHED if n not in window]
+    assert not missing, missing
+
+
+def test_stale_cohort_rotated_into_the_window():
+    window = set(list(entry_mod.queries())[:GATE_CAP])
+    missing = [n for n in R3_STALE_COHORT if n not in window]
+    assert not missing, missing
+
+
+def test_registry_values_are_named_callables():
+    for name, fn in entry_mod.queries().items():
+        assert callable(fn), name
+        assert fn.__name__ == name, (name, fn.__name__)

@@ -125,14 +125,19 @@ INTERVALS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(left=INTERVALS, right=INTERVALS, outlier=st.booleans())
+@given(
+    left=INTERVALS,
+    right=INTERVALS,
+    outlier=st.booleans(),
+    mode=st.sampled_from(["closed", "half_open"]),
+)
 def test_interval_overlap_equals_brute_force_any_input(
-    spark, left, right, outlier
+    spark, left, right, outlier, mode
 ):
-    """For ANY interval sets (optionally with a huge outlier), the
-    bucketized+segmented join equals the brute-force theta join —
-    exact recall, exactly-once, regardless of bucket/segment
-    geometry."""
+    """For ANY interval sets (optionally with a huge outlier) and
+    BOTH bound conventions, the bucketized+segmented join equals the
+    brute-force theta join — exact recall, exactly-once, regardless
+    of bucket/segment geometry."""
     from mydatasyncer_spark.operators.intervals import interval_overlap_join
 
     lrows = [
@@ -151,13 +156,18 @@ def test_interval_overlap_equals_brute_force_any_input(
         for row in interval_overlap_join(
             l, r, "ls", "le", "rs", "re", on=["k"],
             bucket_seconds=7, max_buckets_per_row=3,
+            how_overlap=mode,
         ).collect()
     )
     want = sorted(
         (lid, rid)
         for _, lid, ls, le in lrows
         for _, rid, rs, re_ in rrows
-        if ls <= re_ and rs <= le
+        if (
+            (ls <= re_ and rs <= le)
+            if mode == "closed"
+            else (ls < re_ and rs < le)
+        )
     )
     assert got == want
 
@@ -186,14 +196,14 @@ KEYED_ROWS = st.lists(
         st.none(),
         st.lists(st.integers(min_value=0, max_value=6), max_size=3),
     ),
-    how=st.sampled_from(["inner", "left"]),
+    how=st.sampled_from(["inner", "left", "right"]),
 )
 def test_salted_join_equals_plain_join_any_input(
     spark, fact_rows, dim_keys, hot, how
 ):
     """For ANY fact/dim contents (NULL keys, dup payloads, arbitrary
     hot-key lists — even keys absent from the data), salted_join is
-    row-identical to the plain join in both modes."""
+    row-identical to the plain join in all three modes."""
     from mydatasyncer_spark.operators.partitioning import salted_join
 
     fact = spark.createDataFrame(fact_rows, "k int, payload int")
