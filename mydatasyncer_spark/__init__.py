@@ -101,7 +101,12 @@ from mydatasyncer_spark.operators.zorder import (
     zorder_key,
 )
 from mydatasyncer_spark.sources.writers import (
+    batch_key_intervals,
+    manifest_key_ranges,
     merge_into_range_sorted,
+    plan_merge_groups,
+    read_layout_manifest,
+    write_layout_manifest,
     write_range_sorted,
 )
 from mydatasyncer_spark.session import get_spark
@@ -172,6 +177,11 @@ __all__ = [
     "merge_into_zordered",
     "merge_into_range_sorted",
     "write_range_sorted",
+    "batch_key_intervals",
+    "plan_merge_groups",
+    "manifest_key_ranges",
+    "read_layout_manifest",
+    "write_layout_manifest",
     "profile_columns",
     "ZDim",
     "zorder_key",

@@ -128,6 +128,16 @@ def zorder_key_sql(
     return interleave_sql(qs, bits)
 
 
+def zorder_signature(
+    cols: list[str], dims: list[ZDim], bits: int = DEFAULT_BITS
+) -> str:
+    """Manifest key signature for a Z layout: ranges are only valid
+    for the exact (columns, quantization, bit-width) that produced
+    them."""
+    d = ";".join(f"{dim.lo!r},{dim.hi!r}" for dim in dims)
+    return f"zorder:{','.join(cols)}:{d}:{bits}"
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -135,6 +145,7 @@ def write_zordered(
     dims: list[ZDim],
     n_files: int = 32,
     bits: int = DEFAULT_BITS,
+    write_manifest: bool = True,
 ) -> None:
     """Write ``df`` clustered along the Z-curve of ``cols``.
 
@@ -143,6 +154,10 @@ def write_zordered(
     in EVERY dimension — and parquet footer stats prune box predicates
     on any of them. Row groups whose stats exclude the predicate are
     skipped at scan; with file-per-range layouts whole files drop out.
+
+    ``write_manifest`` persists per-file Z-key ranges (keyed by the
+    exact quantization signature) so incremental merges plan from
+    metadata instead of recomputing the key over the whole layout.
     """
     key = zorder_key([F.col(c) for c in cols], dims, bits)
     (
@@ -153,6 +168,22 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if write_manifest:
+        from mydatasyncer_spark.sources.writers import (
+            write_layout_manifest,
+        )
+
+        spark = df.sparkSession
+        ranges = [
+            (r["_file"], r["_lo"], r["_hi"])
+            for r in spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+            .collect()
+        ]
+        write_layout_manifest(
+            spark, path, zorder_signature(cols, dims, bits), ranges
+        )
 
 
 def merge_into_zordered(
@@ -172,8 +203,11 @@ def merge_into_zordered(
     to the new layout version.
 
     The Z-key is a pure function of the stored columns, so per-file
-    Z-ranges come from one narrow scan recomputing it (a manifest
-    would store them). Touched files are found from the batch's
+    Z-ranges come from the layout's manifest when one matches this
+    quantization signature (:func:`zorder_signature`) and otherwise
+    from one narrow scan recomputing the key; the merged layout's
+    manifest is maintained incrementally either way. Touched files
+    are found from the batch's
     Z-KEY DISTRIBUTION (``sources/writers.batch_key_intervals``), not
     its envelope — essential on the Z-curve, where even a batch
     localized in one dimension can have Z-keys scattered across the
@@ -187,16 +221,22 @@ def merge_into_zordered(
     """
     from pyspark.sql import functions as F
 
-    from mydatasyncer_spark.sources.writers import _merge_layout
+    from mydatasyncer_spark.sources.writers import (
+        _merge_layout,
+        manifest_key_ranges,
+    )
 
     key = zorder_key([F.col(c) for c in cols], dims, bits)
-    old = spark.read.parquet(old_path)
-    ranges = [
-        (r["_file"], r["_lo"], r["_hi"])
-        for r in old.groupBy(F.input_file_name().alias("_file"))
-        .agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
-        .collect()
-    ]
+    sig = zorder_signature(cols, dims, bits)
+    ranges = manifest_key_ranges(spark, old_path, sig)
+    if ranges is None:
+        old = spark.read.parquet(old_path)
+        ranges = [
+            (r["_file"], r["_lo"], r["_hi"])
+            for r in old.groupBy(F.input_file_name().alias("_file"))
+            .agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+            .collect()
+        ]
     return _merge_layout(
         spark,
         ranges,
@@ -208,4 +248,5 @@ def merge_into_zordered(
         n_buckets,
         max_groups,
         prep=lambda rows: rows.withColumn("_zkey_sort", key),
+        key_sig=sig,
     )

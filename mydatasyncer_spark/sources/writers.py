@@ -110,6 +110,7 @@ def write_range_sorted(
     num_files: int,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    write_manifest: bool = True,
 ) -> None:
     """Total-order layout: ``num_files`` files whose key ranges don't
     overlap (file k's max key <= file k+1's min key), each internally
@@ -120,7 +121,12 @@ def write_range_sorted(
     files, not equal-width ranges), then a task-local sort orders each
     file. Point/range scans on the leading sort column touch one file
     (or a contiguous few) instead of all of them — the layout to feed
-    a downstream engine that prunes by footer stats."""
+    a downstream engine that prunes by footer stats.
+
+    ``write_manifest`` also persists per-file key ranges
+    (:func:`write_layout_manifest`, one extra narrow scan) so later
+    :func:`merge_into_range_sorted` calls plan from metadata instead
+    of re-scanning the layout's key column."""
     (
         df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*sort_cols)
@@ -128,6 +134,13 @@ def write_range_sorted(
         .mode(mode)
         .save(path)
     )
+    if write_manifest:
+        write_layout_manifest(
+            spark := df.sparkSession,
+            path,
+            f"col:{sort_cols[0]}",
+            file_key_ranges(spark, path, sort_cols[0], fmt),
+        )
 
 
 def compact(
@@ -161,6 +174,105 @@ def file_key_ranges(
         .collect()
     )
     return [(r["_file"], r["_lo"], r["_hi"]) for r in rows]
+
+
+#: hidden-file name (leading underscore): Spark/Hadoop input globbing
+#: skips it, so the manifest never pollutes reads of the layout
+MANIFEST_NAME = "_layout_manifest.json"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def write_layout_manifest(
+    spark, path: str, key_sig: str, entries: list[tuple[str, float, float]]
+) -> None:
+    """Persist per-file key ranges next to the layout.
+
+    ``entries`` hold FILE BASENAMES; ``key_sig`` identifies what the
+    ranges are ranges *of* (a stored column, or a Z-key with its
+    quantization params), so a stale manifest written for a different
+    key is never silently trusted. This is the poor-man's Delta/
+    Iceberg manifest: with it, incremental-merge PLANNING reads one
+    JSON object instead of scanning the key column of the whole
+    layout — at 100 TB the difference between a metadata read and a
+    full-corpus narrow scan."""
+    import json as _json
+    import os as _os
+
+    def num(v):
+        if v is None or isinstance(v, (int, float)):
+            return v
+        return float(v)  # Decimal and friends
+
+    payload = _json.dumps(
+        {
+            "key": key_sig,
+            "files": {
+                _os.path.basename(f): [num(lo), num(hi)]
+                for f, lo, hi in entries
+            },
+        },
+        sort_keys=True,
+    )
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    target = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    out = fs.create(target, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_layout_manifest(spark, path: str) -> dict | None:
+    """The manifest dict (``{"key": sig, "files": {name: [lo, hi]}}``)
+    or None if absent/unreadable."""
+    import json as _json
+
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    target = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    if not fs.exists(target):
+        return None
+    stream = fs.open(target)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    try:
+        return _json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    except ValueError:
+        return None
+
+
+def manifest_key_ranges(
+    spark, path: str, key_sig: str
+) -> list[tuple[str, float, float]] | None:
+    """Per-file ranges from the layout's manifest, or None when no
+    manifest exists or it was written for a DIFFERENT key (wrong
+    column, changed Z quantization) — callers then fall back to the
+    :func:`file_key_ranges` scan."""
+    m = read_layout_manifest(spark, path)
+    if not m or m.get("key") != key_sig:
+        return None
+    sep = "" if path.endswith("/") else "/"
+    return [
+        (f"{path}{sep}{name}", lo, hi)
+        for name, (lo, hi) in sorted(m.get("files", {}).items())
+    ]
+
+
+def _list_data_files(spark, path: str) -> list[str]:
+    """Basenames of the layout's data files (hidden _/. files and
+    subdirs excluded)."""
+    _, fs, p = _hadoop_fs(spark, path)
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(name)
+    return out
 
 
 def copy_files(
@@ -397,17 +509,26 @@ def _merge_layout(
     n_buckets: int,
     max_groups: int,
     prep=None,
+    key_sig: str | None = None,
 ) -> dict:
     """Shared core of the incremental layout merges: plan groups from
     the batch's key distribution, copy untouched files concurrently,
     and rewrite each group with its own range partitioning (so group
     outputs never straddle untouched files). ``prep`` optionally maps
     the combined rewrite frame before the range sort (the Z variant
-    injects its key column there)."""
+    injects its key column there). With ``key_sig`` the merged
+    layout's manifest is maintained incrementally: untouched files
+    carry their stored ranges forward and only the delta-sized
+    rewrite output is scanned for new ranges."""
+    import os as _os
+
     kd = (F.col(key) if isinstance(key, str) else key).cast("double")
+    raw_key = F.col(key) if isinstance(key, str) else key
     intervals = batch_key_intervals(new_df, kd, n_buckets)
     if not intervals:  # empty batch: everything copies
         copy_files(spark, [f for f, _, _ in ranges], out_path)
+        if key_sig is not None:
+            write_layout_manifest(spark, out_path, key_sig, ranges)
         return {"copied": len(ranges), "rewritten": 0, "new_files": 0}
     plan = plan_merge_groups(
         [(f, _num(lo), _num(hi)) for f, lo, hi in ranges],
@@ -446,6 +567,35 @@ def _merge_layout(
             .save(out_path)
         )
     rewritten = len(ranges) - len(untouched)
+    if key_sig is not None:
+        by_name = {
+            _os.path.basename(f): (lo, hi) for f, lo, hi in ranges
+        }
+        untouched_names = {_os.path.basename(f) for f in untouched}
+        entries = [
+            (n, *by_name[n]) for n in sorted(untouched_names)
+        ]
+        new_names = [
+            n
+            for n in _list_data_files(spark, out_path)
+            if n not in untouched_names
+        ]
+        if new_names:
+            sep = "" if out_path.endswith("/") else "/"
+            scanned = (
+                spark.read.format(fmt)
+                .load([f"{out_path}{sep}{n}" for n in new_names])
+                .groupBy(F.input_file_name().alias("_file"))
+                .agg(
+                    F.min(raw_key).alias("_lo"),
+                    F.max(raw_key).alias("_hi"),
+                )
+                .collect()
+            )
+            entries += [
+                (r["_file"], r["_lo"], r["_hi"]) for r in scanned
+            ]
+        write_layout_manifest(spark, out_path, key_sig, entries)
     return {
         "copied": len(untouched),
         "rewritten": rewritten,
@@ -503,11 +653,18 @@ def merge_into_range_sorted(
 
     Leading ``sort_cols[0]`` drives the pruning (numeric keys; see
     :func:`plan_merge_groups`); the full list orders rows inside
-    rewritten files. Returns
+    rewritten files. Planning reads the layout's manifest when one
+    matching the key exists (falling back to the
+    :func:`file_key_ranges` scan), and the merged layout gets an
+    incrementally-maintained manifest — so successive daily merges
+    never re-scan the untouched bulk, not even for metadata. Returns
     ``{"copied", "rewritten", "new_files", "groups"}``.
     """
     key = sort_cols[0]
-    ranges = file_key_ranges(spark, old_path, key, fmt)
+    sig = f"col:{key}"
+    ranges = manifest_key_ranges(spark, old_path, sig) or file_key_ranges(
+        spark, old_path, key, fmt
+    )
     return _merge_layout(
         spark,
         ranges,
@@ -518,4 +675,5 @@ def merge_into_range_sorted(
         [F.col(c) for c in sort_cols],
         n_buckets,
         max_groups,
+        key_sig=sig,
     )

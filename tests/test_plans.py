@@ -485,3 +485,18 @@ def test_pack_sequences_prefix_sum_is_chunk_distributed(spark, sf_dir):
         if "sum(_cell_sum" in seg
     )
     assert "_cell_sum" in cell_win
+
+
+def test_salted_right_join_stays_equi_with_aggregated_probe(
+    spark, sf_dir
+):
+    """how='right' must keep the salted equi join AND detect
+    unmatched dim rows through an aggregated distinct-key probe —
+    never a nested-loop join, and the probe side must show a
+    HashAggregate (map-side combine is what absorbs the hot key)."""
+    plan = plan_of(spark, sf_dir, "skew_salted_join_right")
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan

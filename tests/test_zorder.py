@@ -503,3 +503,118 @@ class TestPlanMergeGroups:
         assert plan["untouched"] == []
         files = sorted(f for g in plan["groups"] for f in g["files"])
         assert files == ["a", "n"]
+
+
+class TestLayoutManifest:
+    """Manifest-backed planning: merges read stored per-file ranges
+    instead of re-scanning the layout, and maintain them
+    incrementally."""
+
+    def test_write_creates_manifest_matching_scan(
+        self, spark, tmp_path_factory
+    ):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            file_key_ranges,
+            manifest_key_ranges,
+            write_range_sorted,
+        )
+
+        out = str(tmp_path_factory.mktemp("manif") / "v1")
+        df = spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        write_range_sorted(df, out, ["k"], num_files=6)
+        from_manifest = manifest_key_ranges(spark, out, "col:k")
+        assert from_manifest is not None
+        scan = {
+            (os_basename(f), float(lo), float(hi))
+            for f, lo, hi in file_key_ranges(spark, out, "k")
+        }
+        man = {
+            (os_basename(f), float(lo), float(hi))
+            for f, lo, hi in from_manifest
+        }
+        assert man == scan
+        # a wrong-key signature is never trusted
+        assert manifest_key_ranges(spark, out, "col:other") is None
+
+    def test_merge_maintains_manifest_incrementally(
+        self, spark, tmp_path_factory
+    ):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            file_key_ranges,
+            merge_into_range_sorted,
+            read_layout_manifest,
+            write_range_sorted,
+        )
+
+        base = tmp_path_factory.mktemp("manif2")
+        v1, v2 = str(base / "v1"), str(base / "v2")
+        df = spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+        write_range_sorted(df, v1, ["k"], num_files=6)
+        new = spark.createDataFrame(
+            [(4990 + i, -1.0) for i in range(30)], "k long, v double"
+        )
+        merge_into_range_sorted(spark, v1, new, v2, ["k"])
+        m = read_layout_manifest(spark, v2)
+        assert m is not None and m["key"] == "col:k"
+        # the maintained manifest equals a fresh scan of the merged
+        # layout (carried untouched entries + scanned new files)
+        scan = {
+            (os_basename(f), float(lo), float(hi))
+            for f, lo, hi in file_key_ranges(spark, v2, "k")
+        }
+        man = {
+            (n, float(lo), float(hi))
+            for n, (lo, hi) in m["files"].items()
+        }
+        assert man == scan
+
+    def test_zordered_manifest_roundtrip(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.zorder import (
+            ZDim,
+            merge_into_zordered,
+            write_zordered,
+            zorder_signature,
+        )
+        from mydatasyncer_spark.sources.writers import (
+            manifest_key_ranges,
+            read_layout_manifest,
+        )
+
+        base = tmp_path_factory.mktemp("manif3")
+        v1, v2 = str(base / "v1"), str(base / "v2")
+        df = spark.range(4000).select(
+            F.col("id"),
+            (F.pmod(F.xxhash64("id"), 100).cast("double")).alias("x"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), 1000).cast("double")).alias("y"),
+        )
+        dims = [ZDim(0.0, 100.0), ZDim(0.0, 1000.0)]
+        sig = zorder_signature(["x", "y"], dims)
+        write_zordered(df, v1, ["x", "y"], dims, n_files=8)
+        assert manifest_key_ranges(spark, v1, sig) is not None
+        new = spark.createDataFrame(
+            [(9_000_000 + i, 1.0, 2.0 + i) for i in range(10)],
+            "id long, x double, y double",
+        )
+        merge_into_zordered(spark, v1, new, v2, ["x", "y"], dims)
+        m = read_layout_manifest(spark, v2)
+        assert m is not None and m["key"] == sig
+        merged = spark.read.parquet(v2)
+        want = df.unionByName(new)
+        assert merged.count() == want.count()
+        assert merged.exceptAll(want).count() == 0
+
+
+def os_basename(p):
+    import os
+
+    return os.path.basename(p)
