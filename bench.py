@@ -56,8 +56,14 @@ def main() -> None:
     # on whichever query happens to run first).
     from mydatasyncer_spark.contract import TABLES, table
 
+    warm_start = time.perf_counter()
     for t in TABLES:
         table(spark, sf_dir, t).count()
+    # IO-side calibration: the r6 drift experiment showed a 2x
+    # whole-run inflation that the CPU calibration did NOT track
+    # (1.07s on the slow run vs 1.29s on the fast one) — the drift
+    # lives in the IO path, which this first-touch scan captures.
+    warmup_scan = round(time.perf_counter() - warm_start, 3)
     registry["q1_pricing_summary"](spark, sf_dir).count()
     # ... and spin up the Python worker pool (mapInPandas paths fork
     # one interpreter per core on first use — session setup, not query
@@ -128,6 +134,7 @@ def main() -> None:
             "queries": qdict,
             "sf": sf,
             "calibration": calibration,
+            "warmup_scan": warmup_scan,
         }
         if suppressed:
             out["suppressed_fast_queries"] = suppressed

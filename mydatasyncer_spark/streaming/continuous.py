@@ -632,6 +632,76 @@ def scd2_apply_batch(
     hist.write.mode("overwrite").parquet(history_path)
 
 
+def scd2_table_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    primary_key: str,
+    table: str,
+    effective_col: str = "_effective",
+) -> None:
+    """One :func:`continuous_scd2_table` micro-batch: the same
+    snapshot folding as :func:`scd2_apply_batch`, but into an
+    ``is_current``-partitioned MANAGED table via
+    ``operators.scd.scd2_apply_to_table`` — closed history is
+    append-only (files written in earlier batches are never
+    re-encoded) and only the current partition rewrites per
+    snapshot. Replay-idempotent the same way: a re-applied snapshot
+    diffs empty, appends nothing, and rewrites the current partition
+    with identical content."""
+    from pyspark.sql import functions as F
+
+    from mydatasyncer_spark.operators.scd import (
+        scd2_apply_to_table,
+        scd2_init_table,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    exists = spark.catalog.tableExists(table)
+    effectives = sorted(
+        r[0] for r in batch_df.select(effective_col).distinct().collect()
+    )
+    for ts in effectives:
+        snap = batch_df.filter(F.col(effective_col) == ts).drop(
+            effective_col
+        )
+        if not exists:
+            scd2_init_table(spark, table, snap, ts)
+            exists = True
+        else:
+            scd2_apply_to_table(spark, table, snap, primary_key, ts)
+
+
+def continuous_scd2_table(
+    stream_df: DataFrame,
+    table: str,
+    primary_key: str,
+    effective_col: str = "_effective",
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_scd2_table",
+):
+    """:func:`continuous_scd2` with the history kept in an
+    ``is_current``-partitioned managed table instead of a rewritten
+    parquet path: per micro-batch, closed versions APPEND and only
+    the current partition is replaced — the streaming twin of the
+    no-history-rewrite batch apply."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_table_apply_batch(
+            batch_df, batch_id, primary_key, table, effective_col
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def continuous_scd2(
     stream_df: DataFrame,
     history_path: str,

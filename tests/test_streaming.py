@@ -884,3 +884,100 @@ class TestContinuousScd2:
         # against current versions is empty -> history unchanged
         self._drain(spark, in_dir, history, str(out / "c2"), [], "empty.json")
         assert spark.read.parquet(history).count() == n1
+
+
+class TestContinuousScd2Table:
+    """Streaming SCD2 into an is_current-partitioned managed table:
+    closed-history files written by earlier batches survive later
+    batches byte-identical (append-only closed partition)."""
+
+    def _drain(self, spark, in_dir, table, ckpt, rows, fname):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_scd2_table,
+        )
+
+        (in_dir / fname).write_text("\n".join(_json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(
+            "id long, v string, _effective string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_scd2_table(stream, table, "id", checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    def test_closed_partition_append_only_across_batches(
+        self, spark, tmp_path_factory
+    ):
+        import hashlib
+        import os
+        import uuid as _uuid
+
+        in_dir = tmp_path_factory.mktemp("scdt_in")
+        ckpt = str(tmp_path_factory.mktemp("scdt_out") / "ckpt")
+        table = f"scd2_stream_{_uuid.uuid4().hex[:8]}"
+        try:
+            self._drain(
+                spark, in_dir, table, ckpt,
+                [
+                    {"id": 1, "v": "a", "_effective": "2024-01-01"},
+                    {"id": 2, "v": "b", "_effective": "2024-01-01"},
+                ],
+                "s0.json",
+            )
+            self._drain(
+                spark, in_dir, table, ckpt,
+                [
+                    {"id": 1, "v": "a2", "_effective": "2024-02-01"},
+                    {"id": 3, "v": "c", "_effective": "2024-02-01"},
+                ],
+                "s1.json",
+            )
+
+            def closed_hashes():
+                [loc] = [
+                    r[1]
+                    for r in spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {table}"
+                    ).collect()
+                    if r[0] == "Location"
+                ]
+                path = loc.removeprefix("file:") + "/is_current=false"
+                out = {}
+                for f in os.listdir(path):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(path, f), "rb") as fh:
+                            out[f] = hashlib.sha256(
+                                fh.read()
+                            ).hexdigest()
+                return out
+
+            before = closed_hashes()
+            assert before  # id 1 v1 + id 2 closed in batch 2
+            self._drain(
+                spark, in_dir, table, ckpt,
+                [
+                    {"id": 1, "v": "a3", "_effective": "2024-03-01"},
+                    {"id": 3, "v": "c", "_effective": "2024-03-01"},
+                ],
+                "s2.json",
+            )
+            after = closed_hashes()
+            for f, h in before.items():
+                assert after[f] == h, f
+            assert len(after) > len(before)
+            hist = {
+                (r["id"], str(r["valid_from"])): (
+                    None if r["valid_to"] is None else str(r["valid_to"]),
+                    r["is_current"],
+                    r["v"],
+                )
+                for r in spark.table(table).collect()
+            }
+            assert hist[(1, "2024-01-01")] == ("2024-02-01", False, "a")
+            assert hist[(1, "2024-02-01")] == ("2024-03-01", False, "a2")
+            assert hist[(1, "2024-03-01")] == (None, True, "a3")
+            assert hist[(2, "2024-01-01")] == ("2024-02-01", False, "b")
+            assert hist[(3, "2024-02-01")] == (None, True, "c")
+            assert len(hist) == 5
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
