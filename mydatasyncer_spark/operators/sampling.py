@@ -184,12 +184,25 @@ def pack_sequences(
             chunk_splits = sorted(set(row["_s"] or []))
         else:
             chunk_splits = []
-    id_d = F.col(id_col).cast("double")
     if chunk_splits:
-        splits_arr = F.array(*[F.lit(float(s)) for s in chunk_splits])
+        # sampled splits are floats compared against the id cast to
+        # double; CALLER-supplied splits keep their own type (so
+        # string/date ids chunk by native ordering)
+        sampled = n_chunks is not None or isinstance(
+            chunk_splits[0], float
+        )
+        id_cmp = (
+            F.col(id_col).cast("double") if sampled else F.col(id_col)
+        )
+        splits_arr = F.array(
+            *[
+                F.lit(float(s) if sampled else s)
+                for s in chunk_splits
+            ]
+        )
         # strict '<': equal ids always land in the same chunk, so the
         # chunk boundary can never split a tie group
-        chunk = F.size(F.filter(splits_arr, lambda s: s < id_d)).cast("long")
+        chunk = F.size(F.filter(splits_arr, lambda s: s < id_cmp)).cast("long")
     else:
         chunk = F.lit(0).cast("long")
     chunked = df.withColumn("_chunk", chunk)

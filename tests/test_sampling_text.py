@@ -781,3 +781,45 @@ class TestCapPerGroupScalable:
         )
         out = cap_per_group_scalable(df, "g", 10, "score", tiebreak_col="id")
         assert out.count() == 3
+
+
+class TestPackSequencesChunked:
+    """The r6 distributed prefix sum: explicit chunk splits, string
+    ids, and the numeric-id guard."""
+
+    def test_caller_supplied_splits_match_unsplit_result(self, spark):
+        rows = [(i, (i * 37) % 997 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        a = sorted(
+            SP.pack_sequences(df, "doc_id", "n_chars", 1024).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            SP.pack_sequences(
+                df, "doc_id", "n_chars", 1024,
+                chunk_splits=[50, 100, 150],
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [(r["doc_id"], r["offset"], r["bin_id"]) for r in a] == [
+            (r["doc_id"], r["offset"], r["bin_id"]) for r in b
+        ]
+
+    def test_string_ids_need_explicit_splits(self, spark):
+        import pytest as _pytest
+
+        rows = [(f"d{i:03d}", 100) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id string, n_chars long")
+        with _pytest.raises(ValueError, match="numeric id_col"):
+            SP.pack_sequences(df, "doc_id", "n_chars", 512)
+        out = sorted(
+            SP.pack_sequences(
+                df, "doc_id", "n_chars", 512,
+                chunk_splits=["d005", "d010", "d015"],
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        acc = 0
+        for r in out:
+            assert r["offset"] == acc and r["bin_id"] == acc // 512
+            acc += 100
