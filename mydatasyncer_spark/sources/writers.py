@@ -440,10 +440,22 @@ def plan_merge_groups(
                 hi = ihi
         groups.append({"files": files, "lo": lo, "hi": hi, "_run": run})
     # gap index = number of files entirely below the interval; all
-    # pure-gap intervals sharing a gap cluster into ONE fileless group
+    # pure-gap intervals sharing a gap cluster into ONE fileless
+    # group. EXCEPT: a gap BETWEEN two consecutive files of the SAME
+    # run lies inside that run's key span — its rows are absorbed by
+    # the run's rewrite (creating a separate group there would nest
+    # one group's coverage inside another's and break the monotone
+    # routing thresholds).
+    run_of = {i: r for r, run in enumerate(runs) for i in run}
     by_gap: dict[int, list[tuple[float, float]]] = {}
     for ilo, ihi in gap_intervals:
         g = sum(1 for _, _flo, fhi in ordered if fhi is not None and fhi < ilo)
+        if (
+            0 < g < len(ordered)
+            and run_of.get(g - 1) is not None
+            and run_of.get(g - 1) == run_of.get(g)
+        ):
+            continue  # interior gap of one run: absorbed by its rewrite
         by_gap.setdefault(g, []).append((ilo, ihi))
     for _g, ivs in by_gap.items():
         groups.append(

@@ -618,3 +618,122 @@ def os_basename(p):
     import os
 
     return os.path.basename(p)
+
+
+class TestPlanMergeGroupsProperties:
+    """Hypothesis armor for the merge planner: for ANY non-overlapping
+    file layout, ANY disjoint batch intervals, and ANY group cap, the
+    plan must satisfy the invariants the rewrite relies on."""
+
+    def test_planner_invariants_any_input(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mydatasyncer_spark.sources.writers import plan_merge_groups
+
+        @st.composite
+        def layouts(draw):
+            # non-overlapping file ranges built from sorted cut points
+            n = draw(st.integers(min_value=0, max_value=10))
+            cuts = sorted(
+                draw(
+                    st.lists(
+                        st.integers(min_value=0, max_value=400),
+                        min_size=2 * n,
+                        max_size=2 * n,
+                        unique=True,
+                    )
+                )
+            )
+            files = [
+                (f"f{i}", float(cuts[2 * i]), float(cuts[2 * i + 1]))
+                for i in range(n)
+            ]
+            m = draw(st.integers(min_value=0, max_value=6))
+            icuts = sorted(
+                draw(
+                    st.lists(
+                        st.integers(min_value=-50, max_value=450),
+                        min_size=2 * m,
+                        max_size=2 * m,
+                        unique=True,
+                    )
+                )
+            )
+            intervals = [
+                (float(icuts[2 * i]), float(icuts[2 * i + 1]))
+                for i in range(m)
+            ]
+            cap = draw(st.integers(min_value=1, max_value=4))
+            return files, intervals, cap
+
+        def overlaps(a_lo, a_hi, b_lo, b_hi):
+            return a_lo <= b_hi and b_lo <= a_hi
+
+        @settings(max_examples=400, deadline=None)
+        @given(layouts())
+        def run(case):
+            files, intervals, cap = case
+            plan = plan_merge_groups(files, intervals, max_groups=cap)
+            groups, untouched = plan["groups"], plan["untouched"]
+            if intervals:
+                assert len(groups) >= 1 or not files
+            # (1) partition: every file exactly once
+            names = [f for g in groups for f in g["files"]] + untouched
+            assert sorted(names) == sorted(f for f, _, _ in files)
+            assert len(names) == len(set(names))
+            # (2) pruning soundness: untouched files intersect NO interval
+            rng = {f: (lo, hi) for f, lo, hi in files}
+            for f in untouched:
+                flo, fhi = rng[f]
+                for ilo, ihi in intervals:
+                    assert not overlaps(flo, fhi, ilo, ihi), (f, ilo, ihi)
+            # (4) job cap honored
+            assert len(groups) <= max(cap, 1)
+            # (6) routing thresholds monotone
+            his = [g["hi"] for g in groups]
+            assert his == sorted(his)
+            # (3) no group's files dip under the previous group's
+            # routing bound (rewritten output cannot straddle)
+            for k in range(1, len(groups)):
+                for f in groups[k]["files"]:
+                    assert rng[f][0] > groups[k - 1]["hi"], (k, f)
+            # (7)+(8): route every interval endpoint; both ends must
+            # land in the SAME group, and the resulting output
+            # envelope must avoid every untouched file's range
+            def route(p):
+                for k, g in enumerate(groups):
+                    if p <= g["hi"]:
+                        return k
+                return len(groups) - 1
+
+            envelopes = {}
+            for k, g in enumerate(groups):
+                los = [rng[f][0] for f in g["files"]]
+                his_g = [rng[f][1] for f in g["files"]]
+                envelopes[k] = [
+                    min(los) if los else None,
+                    max(his_g) if his_g else None,
+                ]
+            for ilo, ihi in intervals:
+                k = route(ilo)
+                assert route(ihi) == k, (ilo, ihi)
+                e = envelopes[k]
+                e[0] = ilo if e[0] is None else min(e[0], ilo)
+                e[1] = ihi if e[1] is None else max(e[1], ihi)
+            for k, (elo, ehi) in envelopes.items():
+                if elo is None:
+                    continue
+                for f in untouched:
+                    flo, fhi = rng[f]
+                    assert not overlaps(elo, ehi, flo, fhi), (k, f)
+            # consecutive output envelopes stay disjoint
+            keys = sorted(
+                k for k, e in envelopes.items() if e[0] is not None
+            )
+            for a, b in zip(keys, keys[1:]):
+                assert envelopes[a][1] < envelopes[b][0] or (
+                    envelopes[a][1] <= envelopes[b][0]
+                ), (a, b)
+
+        run()
