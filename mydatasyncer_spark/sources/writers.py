@@ -329,23 +329,44 @@ def batch_key_intervals(
     files between the clusters are provably untouched. Returns ``[]``
     for an empty batch. ``key`` must be a numeric Column expression.
     """
+    import math
+
     kd = key.cast("double") if not isinstance(key, str) else F.col(key).cast("double")
     stats = new_df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).collect()[0]
     if stats["lo"] is None:
         return []
     lo, hi = float(stats["lo"]), float(stats["hi"])
+    if math.isnan(lo) or math.isnan(hi):
+        # all keys NaN: no usable span — conservatively touch all
+        return [(float("-inf"), float("inf"))]
     if hi <= lo:
         return [(lo, hi)]
     w = (hi - lo) / n_buckets
-    cell = F.least(
-        F.lit(n_buckets - 1), F.floor((kd - F.lit(lo)) / F.lit(w)).cast("long")
+    # NaN keys sort LAST in Spark's ordering (greater than any
+    # double), so they get the sentinel cell past the top; NULL keys
+    # yield a null cell, are dropped here, and need no interval —
+    # they sort FIRST and route to the first group, and any all-null
+    # layout file is always-touched independent of intervals
+    cell = F.when(F.isnan(kd), F.lit(n_buckets).cast("long")).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((kd - F.lit(lo)) / F.lit(w)).cast("long"),
+        )
     )
     cells = sorted(
-        r[0] for r in new_df.select(cell.alias("_c")).distinct().collect()
+        c
+        for c in (
+            r[0]
+            for r in new_df.select(cell.alias("_c")).distinct().collect()
+        )
+        if c is not None
     )
     intervals: list[tuple[float, float]] = []
     for c in cells:
-        c_lo, c_hi = lo + c * w, lo + (c + 1) * w
+        if c >= n_buckets:  # the NaN sentinel
+            c_lo, c_hi = hi, float("inf")
+        else:
+            c_lo, c_hi = lo + c * w, lo + (c + 1) * w
         if intervals and c_lo <= intervals[-1][1]:
             intervals[-1] = (intervals[-1][0], c_hi)
         else:

@@ -737,3 +737,52 @@ class TestPlanMergeGroupsProperties:
                 ), (a, b)
 
         run()
+
+
+class TestBatchKeyIntervalsEdges:
+    def test_nan_keys_get_conservative_top_interval(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import batch_key_intervals
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),)], "k double"
+        )
+        ivs = batch_key_intervals(df, F.col("k"), n_buckets=8)
+        assert ivs[-1][1] == float("inf")  # NaN rows covered past top
+        assert ivs[0][0] <= 1.0
+
+    def test_all_nan_batch_touches_everything(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import batch_key_intervals
+
+        df = spark.createDataFrame([(float("nan"),)], "k double")
+        assert batch_key_intervals(df, F.col("k")) == [
+            (float("-inf"), float("inf"))
+        ]
+
+    def test_null_keys_dropped_from_intervals(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import batch_key_intervals
+
+        df = spark.createDataFrame([(None,), (5.0,), (6.0,)], "k double")
+        ivs = batch_key_intervals(df, F.col("k"), n_buckets=4)
+        assert ivs and ivs[-1][1] != float("inf")
+        assert ivs[0][0] <= 5.0 and ivs[-1][1] >= 6.0
+
+    def test_every_key_lies_in_some_interval(self, spark):
+        """Pruning soundness root: any finite batch key must be
+        covered by an interval (else a touched file could be missed).
+        """
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import batch_key_intervals
+
+        keys = [0.0, 0.1, 3.7, 3.8, 100.5, 100.6, -17.0, 55.0]
+        df = spark.createDataFrame([(k,) for k in keys], "k double")
+        for nb in (1, 2, 7, 4096):
+            ivs = batch_key_intervals(df, F.col("k"), n_buckets=nb)
+            for k in keys:
+                assert any(lo <= k <= hi for lo, hi in ivs), (nb, k)
