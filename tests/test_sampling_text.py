@@ -213,12 +213,23 @@ class TestPackSequencesProperties:
                 max_size=60,
             ),
             budget=st.integers(min_value=1000, max_value=10000),
+            splits=st.one_of(
+                st.none(),
+                st.lists(
+                    st.integers(min_value=-5, max_value=70),
+                    max_size=8,
+                    unique=True,
+                ),
+            ),
         )
-        def run(sizes, budget):
+        def run(sizes, budget, splits):
             rows = [(i, s) for i, s in enumerate(sizes)]
             df = spark.createDataFrame(rows, "doc_id long, n_chars long")
             out = sorted(
-                SP.pack_sequences(df, "doc_id", "n_chars", budget).collect(),
+                SP.pack_sequences(
+                    df, "doc_id", "n_chars", budget,
+                    chunk_splits=sorted(splits) if splits else None,
+                ).collect(),
                 key=lambda r: r["doc_id"],
             )
             # offsets are exact prefix sums in id order
