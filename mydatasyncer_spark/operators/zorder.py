@@ -196,6 +196,7 @@ def merge_into_zordered(
     bits: int = DEFAULT_BITS,
     n_buckets: int = 4096,
     max_groups: int = 16,
+    max_rows_per_file: int | None = None,
 ) -> dict:
     """Incremental maintenance of a :func:`write_zordered` layout:
     fold a batch in, rewriting ONLY the files whose Z-range the new
@@ -249,4 +250,5 @@ def merge_into_zordered(
         max_groups,
         prep=lambda rows: rows.withColumn("_zkey_sort", key),
         key_sig=sig,
+        max_rows_per_file=max_rows_per_file,
     )

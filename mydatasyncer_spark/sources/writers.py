@@ -543,6 +543,7 @@ def _merge_layout(
     max_groups: int,
     prep=None,
     key_sig: str | None = None,
+    max_rows_per_file: int | None = None,
 ) -> dict:
     """Shared core of the incremental layout merges: plan groups from
     the batch's key distribution, copy untouched files concurrently,
@@ -591,14 +592,22 @@ def _merge_layout(
             rows = prep(rows)
         n = max(len(g["files"]), 1)
         new_files += n
-        (
+        writer = (
             rows.repartitionByRange(n, *sort_exprs)
             .sortWithinPartitions(*sort_exprs)
             .drop("_zkey_sort")
             .write.format(fmt)
             .mode("append")
-            .save(out_path)
         )
+        if max_rows_per_file is not None:
+            # splits an over-full range partition into several files
+            # at write time — the split points fall inside one task's
+            # SORTED stream, so the resulting files stay consecutive
+            # and the non-overlap invariant holds. This is what stops
+            # the repeated-merge pathology where a daily append into
+            # the same key range re-fattens one file forever.
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+        writer.save(out_path)
     rewritten = len(ranges) - len(untouched)
     if key_sig is not None:
         by_name = {
@@ -663,6 +672,7 @@ def merge_into_range_sorted(
     fmt: str = "parquet",
     n_buckets: int = 4096,
     max_groups: int = 16,
+    max_rows_per_file: int | None = None,
 ) -> dict:
     """Incremental maintenance of a :func:`write_range_sorted` layout:
     fold ``new_df`` in while REWRITING ONLY the files whose key range
@@ -690,8 +700,14 @@ def merge_into_range_sorted(
     matching the key exists (falling back to the
     :func:`file_key_ranges` scan), and the merged layout gets an
     incrementally-maintained manifest — so successive daily merges
-    never re-scan the untouched bulk, not even for metadata. Returns
-    ``{"copied", "rewritten", "new_files", "groups"}``.
+    never re-scan the untouched bulk, not even for metadata.
+    ``max_rows_per_file`` bounds rewritten file size (Spark's
+    ``maxRecordsPerFile``): without it, daily merges into the SAME
+    key range would re-fatten one file forever; with it the over-full
+    range splits into several still-sorted, still-disjoint files.
+    Returns ``{"copied", "rewritten", "new_files", "groups"}``
+    (``new_files`` counts range partitions; size-splits can add
+    more actual files).
     """
     key = sort_cols[0]
     sig = f"col:{key}"
@@ -709,4 +725,5 @@ def merge_into_range_sorted(
         n_buckets,
         max_groups,
         key_sig=sig,
+        max_rows_per_file=max_rows_per_file,
     )

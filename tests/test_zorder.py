@@ -786,3 +786,56 @@ class TestBatchKeyIntervalsEdges:
             ivs = batch_key_intervals(df, F.col("k"), n_buckets=nb)
             for k in keys:
                 assert any(lo <= k <= hi for lo, hi in ivs), (nb, k)
+
+
+class TestMaxRowsPerFile:
+    def test_repeated_top_range_merges_split_overfull_files(
+        self, spark, tmp_path_factory
+    ):
+        """The repeated-merge pathology: daily appends into the SAME
+        key range must not re-fatten one file forever — with
+        max_rows_per_file the over-full range splits into several
+        still-disjoint sorted files."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            file_key_ranges,
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        base = tmp_path_factory.mktemp("growth")
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        write_range_sorted(df, str(base / "v0"), ["k"], num_files=8)
+        top = 4000
+        cur = str(base / "v0")
+        for day in range(1, 4):  # three daily appends at the top range
+            new = spark.createDataFrame(
+                [(top + i, -float(day)) for i in range(800)],
+                "k long, v double",
+            )
+            top += 800
+            nxt = str(base / f"v{day}")
+            merge_into_range_sorted(
+                spark, cur, new, nxt, ["k"], max_rows_per_file=1000
+            )
+            cur = nxt
+        ranges = sorted(
+            (lo, hi) for _, lo, hi in file_key_ranges(spark, cur, "k")
+        )
+        # invariant holds across the splits
+        for (_lo, prev_hi), (cur_lo, _hi) in zip(ranges, ranges[1:]):
+            assert prev_hi <= cur_lo
+        # and no file holds more than the cap
+        import pyarrow.parquet as pq
+        import glob, os
+
+        counts = [
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(cur, "*.parquet"))
+        ]
+        assert max(counts) <= 1000, counts
+        got = spark.read.parquet(cur)
+        assert got.count() == 4000 + 3 * 800
