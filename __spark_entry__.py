@@ -916,6 +916,37 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained equi-join view (operators/ivm.maintain_join_view,
+    r6): bootstrap orders⋈customer from the DB snapshot, repair only
+    the join-key groups the file-vs-db diff touches (inserted /
+    deleted / updated rows contribute their custkeys — before AND
+    after for updates). The oracle joins the file side directly, so a
+    hash match proves maintained view == full recompute while the
+    maintenance itself is delta-sized anti/semi joins."""
+    from mydatasyncer_spark.operators.ivm import (
+        affected_join_keys,
+        join_view_state,
+        maintain_join_view,
+    )
+
+    f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    state = join_view_state(d, c, "o_custkey")
+    diff = diff_snapshots(f, d, "o_orderkey", f.columns)
+    keys = affected_join_keys(diff, "o_custkey")
+    view = maintain_join_view(state, f, c, "o_custkey", keys)
+    return view.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
 def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum labels: per-SOURCE quality percentile (percent_rank
     over a deterministic total order) bucketed into low/mid/high
@@ -2985,9 +3016,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hand-counted positions. ALL entries, in or out of the window,
     # run under tests/test_oracle_parity.py locally every round.
     return {
-        # ---- NEW this round (r6): salted right join, half-open intervals ----
+        # ---- NEW this round (r6): salted right join, half-open ----
+        # ---- intervals, maintained join view ----------------------
         "skew_salted_join_right": skew_salted_join_right,
         "interval_overlap_half_open": interval_overlap_half_open,
+        "ivm_join_view_orders": ivm_join_view_orders,
         # ---- implementation or bench harness touched this round (r6) ----
         "pack_sequences_docs": pack_sequences_docs,
         "interval_overlap_pairs": interval_overlap_pairs,
@@ -3038,8 +3071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_pruned_counts": diff_pruned_counts,
         "doc_chunks_tokens": doc_chunks_tokens,
         "event_gaps": event_gaps,
-        "histogram_doc_lengths": histogram_doc_lengths,
         # ======== entries past the 50-query driver cap ===========
+        "histogram_doc_lengths": histogram_doc_lengths,
         # ---- last-green r4 remainder ----
         "incremental_rollup": incremental_rollup,
         "incremental_rollup_minmax": incremental_rollup_minmax,
@@ -3798,6 +3831,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM file_side
             GROUP BY o_orderstatus
+        """,
+        "ivm_join_view_orders": f"""
+            WITH {SNAPSHOT_SQL}
+            SELECT o_orderkey, o_custkey,
+                   c_name AS cust_name,
+                   c_mktsegment AS segment,
+                   CAST(o_totalprice AS DOUBLE) AS total_price
+            FROM file_side JOIN customer ON o_custkey = c_custkey
         """,
         "cap_docs_per_lang": _CAP_DOCS_SQL,
         # the scalable two-phase variant must be row-identical to the

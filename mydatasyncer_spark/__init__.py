@@ -70,6 +70,9 @@ from mydatasyncer_spark.operators.sketches import (
     theta_rollup,
 )
 from mydatasyncer_spark.operators.ivm import (
+    affected_join_keys,
+    join_view_state,
+    maintain_join_view,
     maintain_rollup,
     maintain_rollup_minmax,
     rollup_state,
@@ -149,6 +152,9 @@ __all__ = [
     "rollup_state",
     "maintain_rollup_minmax",
     "rollup_state_minmax",
+    "join_view_state",
+    "affected_join_keys",
+    "maintain_join_view",
     "interval_overlap_join",
     "epoch_shuffle",
     "weighted_sample",

@@ -339,3 +339,74 @@ def maintain_rollup_minmax(
         value_col,
     )
     return maintained.unionByName(repaired)
+
+
+# --- maintained equi-join views -------------------------------------
+
+
+def join_view_state(
+    left: DataFrame, right: DataFrame, join_key: str
+) -> DataFrame:
+    """Full-recompute bootstrap of a maintained inner equi-join view
+    (``left ⋈ right`` on ``join_key``). Run once; afterwards
+    :func:`maintain_join_view` keeps it fresh from diffs."""
+    return left.join(right, join_key)
+
+
+def affected_join_keys(diff: DiffResult, join_key: str) -> DataFrame:
+    """The join-key values whose view rows a diff invalidates — the
+    delta-sized repair scope of :func:`maintain_join_view`.
+
+    An updated row contributes BOTH its after-value and its
+    before-value of ``join_key`` (a row that moved between join
+    groups invalidates the group it left as well as the one it
+    joined); inserts contribute their new key, deletes the key of
+    the removed db-side row. All four legs come straight from the
+    diff triple — no snapshot re-scan."""
+    ins = diff.to_insert.select(join_key)
+    upd_after = diff.to_update.select(join_key)
+    upd_before = diff.to_update.select(
+        F.col(f"{BEFORE_COL}.{join_key}").alias(join_key)
+    )
+    dele = diff.to_delete.select(join_key)
+    return (
+        ins.unionByName(upd_after)
+        .unionByName(upd_before)
+        .unionByName(dele)
+        .distinct()
+    )
+
+
+def maintain_join_view(
+    state: DataFrame,
+    left_new: DataFrame,
+    right_new: DataFrame,
+    join_key: str,
+    affected_keys: DataFrame,
+) -> DataFrame:
+    """Incrementally maintained inner equi-join view: rows of the
+    materialized ``state`` whose join key is affected are dropped and
+    recomputed from the NEW snapshots, semi-join pruned to exactly
+    those keys.
+
+    The IVM identity behind it: for an equi join, a changed row can
+    only alter view rows sharing its join-key value, so
+    ``new_view = state − σ[k ∈ affected] ∪
+    (left' ⋉ affected) ⋈ (right' ⋉ affected)``. Exact for duplicate
+    join keys on either side (the whole key group is recomputed) and
+    for key-moving updates (both groups are in ``affected_keys`` via
+    :func:`affected_join_keys`). Changes on BOTH sides compose by
+    passing the union of each side's affected keys.
+
+    Scale shape: every leg is an equi/semi/anti join keyed on
+    ``join_key`` and sized by the DELTA — AQE broadcasts the affected
+    key set when small — and with snapshots stored bucketed on the
+    join key the two semi joins prune at the scan, so maintenance
+    never re-reads the unaffected bulk. The rollup twin for
+    aggregates is :func:`maintain_rollup`; this is the same repair
+    pattern applied to the join operator itself.
+    """
+    kept = state.join(affected_keys, join_key, "left_anti")
+    lf = left_new.join(affected_keys, join_key, "left_semi")
+    rf = right_new.join(affected_keys, join_key, "left_semi")
+    return kept.unionByName(lf.join(rf, join_key))

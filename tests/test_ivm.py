@@ -263,3 +263,68 @@ class TestMaintainRollupMinMax:
         got = self._mm_map(self._check(spark, old, new))
         assert got[("a",)] == (1.0, 1.0, 1)
         assert got[("b",)] == (5.0, 9.0, 2)
+
+
+class TestMaintainJoinView:
+    """Maintained equi-join views: maintained state must equal the
+    full recompute for inserts, deletes, key-moving updates, and
+    duplicate join keys on either side."""
+
+    def _maintain(self, spark, left_old, left_new, right, key):
+        from mydatasyncer_spark.operators.diff import diff_snapshots
+        from mydatasyncer_spark.operators.ivm import (
+            affected_join_keys,
+            join_view_state,
+            maintain_join_view,
+        )
+
+        state = join_view_state(left_old, right, key)
+        diff = diff_snapshots(left_new, left_old, "pk")
+        keys = affected_join_keys(diff, key)
+        return maintain_join_view(state, left_new, right, key, keys)
+
+    def test_key_moving_update_repairs_both_groups(self, spark):
+        left_old = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 10, "c")],
+            "pk long, k long, v string",
+        )
+        # row 1 MOVES from key group 10 to 20; row 3 deleted; row 4 new
+        left_new = spark.createDataFrame(
+            [(1, 20, "a"), (2, 20, "b"), (4, 30, "d")],
+            "pk long, k long, v string",
+        )
+        right = spark.createDataFrame(
+            [(10, "r10"), (20, "r20"), (30, "r30"), (30, "r30b")],
+            "k long, rv string",
+        )
+        got = self._maintain(spark, left_old, left_new, right, "k")
+        want = left_new.join(right, "k")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # row 4 with duplicate right keys produced both pairs
+        assert got.filter("pk = 4").count() == 2
+
+    def test_right_side_change_composes_via_key_union(self, spark):
+        from mydatasyncer_spark.operators.diff import diff_snapshots
+        from mydatasyncer_spark.operators.ivm import (
+            affected_join_keys,
+            join_view_state,
+            maintain_join_view,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "pk long, k long, v string"
+        )
+        right_old = spark.createDataFrame(
+            [(100, 10, "r1"), (200, 20, "r2")], "rpk long, k long, rv string"
+        )
+        right_new = spark.createDataFrame(
+            [(100, 10, "r1x"), (300, 20, "r3")], "rpk long, k long, rv string"
+        )
+        state = join_view_state(left, right_old, "k")
+        rd = diff_snapshots(right_new, right_old, "rpk")
+        keys = affected_join_keys(rd, "k")
+        got = maintain_join_view(state, left, right_new, "k", keys)
+        want = left.join(right_new, "k")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

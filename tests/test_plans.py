@@ -500,3 +500,15 @@ def test_salted_right_join_stays_equi_with_aggregated_probe(
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "HashAggregate" in plan
+
+
+def test_join_view_maintenance_is_delta_keyed_joins(spark, sf_dir):
+    """Join-view IVM must stay anti/semi/equi joins keyed on the join
+    key — no window, no pair blow-up; the affected-key legs visible
+    as LeftAnti + LeftSemi."""
+    plan = plan_of(spark, sf_dir, "ivm_join_view_orders")
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

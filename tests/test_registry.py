@@ -17,14 +17,15 @@ GATE_CAP = 50
 # the r6 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "histogram_doc_lengths"
-FIRST_PAST_CAP = "incremental_rollup"
+LAST_IN_WINDOW = "event_gaps"
+FIRST_PAST_CAP = "histogram_doc_lengths"
 
 # everything added or implementation-touched in r6 MUST sit inside
 # the gate window (rotation policy rule 1-2)
 R6_TOUCHED = [
     "skew_salted_join_right",
     "interval_overlap_half_open",
+    "ivm_join_view_orders",
     "pack_sequences_docs",
     "interval_overlap_pairs",
     "skew_salted_join",
