@@ -558,6 +558,103 @@ def continuous_rollup(
     return writer.start()
 
 
+def join_view_apply_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    primary_key: str,
+    join_key: str,
+    right_df: DataFrame,
+    view_path: str,
+    snapshot_path: str,
+) -> None:
+    """One :func:`continuous_join_view` micro-batch: diff the incoming
+    left snapshot against the stored previous one, repair only the
+    affected join-key groups of the materialized view
+    (``operators/ivm.maintain_join_view``). Same ``_last_batch_id``
+    replay guard and checkpoint-before-overwrite discipline as
+    :func:`rollup_apply_batch`."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.ivm import (
+        affected_join_keys,
+        join_view_state,
+        maintain_join_view,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    try:
+        view = spark.read.parquet(view_path)
+    except AnalysisException:
+        view = None
+    if view is not None and "_last_batch_id" in view.columns:
+        last = view.select(F.max("_last_batch_id")).first()[0]
+        if last is not None and last == batch_id:
+            batch_df.write.mode("overwrite").parquet(snapshot_path)
+            return
+        view = view.drop("_last_batch_id")
+    try:
+        prev = spark.read.parquet(snapshot_path)
+    except AnalysisException:
+        prev = None
+    if prev is None or view is None:
+        new_view = join_view_state(batch_df, right_df, join_key)
+    else:
+        diff = diff_snapshots(batch_df, prev, primary_key)
+        keys = affected_join_keys(diff, join_key)
+        new_view = maintain_join_view(
+            view, batch_df, right_df, join_key, keys
+        )
+    new_view = new_view.withColumn(
+        "_last_batch_id", F.lit(batch_id)
+    ).localCheckpoint(eager=True)
+    new_view.write.mode("overwrite").parquet(view_path)
+    batch_df.write.mode("overwrite").parquet(snapshot_path)
+
+
+def continuous_join_view(
+    stream_df: DataFrame,
+    primary_key: str,
+    join_key: str,
+    right_df: DataFrame,
+    view_path: str,
+    snapshot_path: str,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_join_view",
+):
+    """Continuously maintained equi-join view over a snapshot stream —
+    the streaming twin of ``operators/ivm.maintain_join_view``, with
+    :func:`continuous_rollup`'s store/replay contract: each
+    micro-batch is one complete LEFT snapshot, diffed against the
+    stored previous snapshot; only the affected join-key groups of
+    the materialized view are rewritten. ``right_df`` is the
+    (slow-moving) build side, re-read per batch; a changing right
+    side composes by keying its own diff through
+    ``affected_join_keys`` and unioning the key sets."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        join_view_apply_batch(
+            batch_df,
+            batch_id,
+            primary_key,
+            join_key,
+            right_df,
+            view_path,
+            snapshot_path,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def continuous_sync(
     stream_df: DataFrame,
     spec: TableSpec,

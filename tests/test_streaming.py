@@ -981,3 +981,75 @@ class TestContinuousScd2Table:
             assert len(hist) == 5
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestContinuousJoinView:
+    """Streaming maintained equi-join view: per-batch repair equals
+    the full join of the latest snapshot, and checkpoint replay
+    converges."""
+
+    def _drain(self, spark, in_dir, right, view, snap, ckpt, rows, fname):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_join_view,
+        )
+
+        (in_dir / fname).write_text("\n".join(_json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(
+            "pk long, k long, v string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_join_view(
+            stream, "pk", "k", right, view, snap, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    def test_view_tracks_latest_snapshot(self, spark, tmp_path_factory):
+        in_dir = tmp_path_factory.mktemp("jv_in")
+        out = tmp_path_factory.mktemp("jv_out")
+        view, snap, ckpt = (
+            str(out / "view"),
+            str(out / "snap"),
+            str(out / "ckpt"),
+        )
+        right = spark.createDataFrame(
+            [(10, "r10"), (20, "r20"), (30, "r30")], "k long, rv string"
+        )
+        s0 = [
+            {"pk": 1, "k": 10, "v": "a"},
+            {"pk": 2, "k": 20, "v": "b"},
+        ]
+        # pk 1 moves group 10 -> 30; pk 2 deleted; pk 3 new in 20
+        s1 = [
+            {"pk": 1, "k": 30, "v": "a2"},
+            {"pk": 3, "k": 20, "v": "c"},
+        ]
+        self._drain(spark, in_dir, right, view, snap, ckpt, s0, "s0.json")
+        self._drain(spark, in_dir, right, view, snap, ckpt, s1, "s1.json")
+        got = sorted(
+            (r["pk"], r["k"], r["v"], r["rv"])
+            for r in spark.read.parquet(view)
+            .drop("_last_batch_id")
+            .collect()
+        )
+        assert got == [(1, 30, "a2", "r30"), (3, 20, "c", "r20")]
+        # replay from a FRESH checkpoint over the same files converges
+        ckpt2 = str(out / "ckpt2")
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_join_view,
+        )
+
+        stream = spark.readStream.schema(
+            "pk long, k long, v string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_join_view(
+            stream, "pk", "k", right, view, snap, checkpoint_dir=ckpt2
+        )
+        q.awaitTermination(120)
+        again = sorted(
+            (r["pk"], r["k"], r["v"], r["rv"])
+            for r in spark.read.parquet(view)
+            .drop("_last_batch_id")
+            .collect()
+        )
+        assert again == got
