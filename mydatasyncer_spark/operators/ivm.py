@@ -345,12 +345,13 @@ def maintain_rollup_minmax(
 
 
 def join_view_state(
-    left: DataFrame, right: DataFrame, join_key: str
+    left: DataFrame, right: DataFrame, join_key: str, how: str = "inner"
 ) -> DataFrame:
-    """Full-recompute bootstrap of a maintained inner equi-join view
-    (``left ⋈ right`` on ``join_key``). Run once; afterwards
-    :func:`maintain_join_view` keeps it fresh from diffs."""
-    return left.join(right, join_key)
+    """Full-recompute bootstrap of a maintained equi-join view
+    (``left ⋈ right`` on ``join_key``; ``inner`` or ``left``). Run
+    once; afterwards :func:`maintain_join_view` keeps it fresh from
+    diffs."""
+    return left.join(right, join_key, how)
 
 
 def affected_join_keys(diff: DiffResult, join_key: str) -> DataFrame:
@@ -383,11 +384,15 @@ def maintain_join_view(
     right_new: DataFrame,
     join_key: str,
     affected_keys: DataFrame,
+    how: str = "inner",
 ) -> DataFrame:
-    """Incrementally maintained inner equi-join view: rows of the
-    materialized ``state`` whose join key is affected are dropped and
-    recomputed from the NEW snapshots, semi-join pruned to exactly
-    those keys.
+    """Incrementally maintained equi-join view (``inner`` or
+    ``left``): rows of the materialized ``state`` whose join key is
+    affected are dropped and recomputed from the NEW snapshots,
+    semi-join pruned to exactly those keys. For a LEFT view the same
+    repair is exact: a right-side delete that strands left rows has
+    its key in ``affected_keys``, so the group recomputes to the
+    null-padded form.
 
     The IVM identity behind it: for an equi join, a changed row can
     only alter view rows sharing its join-key value, so
@@ -406,7 +411,11 @@ def maintain_join_view(
     aggregates is :func:`maintain_rollup`; this is the same repair
     pattern applied to the join operator itself.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "maintain_join_view supports how='inner' or 'left'"
+        )
     kept = state.join(affected_keys, join_key, "left_anti")
     lf = left_new.join(affected_keys, join_key, "left_semi")
     rf = right_new.join(affected_keys, join_key, "left_semi")
-    return kept.unionByName(lf.join(rf, join_key))
+    return kept.unionByName(lf.join(rf, join_key, how))

@@ -249,17 +249,25 @@ def read_layout_manifest(spark, path: str) -> dict | None:
 def manifest_key_ranges(
     spark, path: str, key_sig: str
 ) -> list[tuple[str, float, float]] | None:
-    """Per-file ranges from the layout's manifest, or None when no
-    manifest exists or it was written for a DIFFERENT key (wrong
-    column, changed Z quantization) — callers then fall back to the
-    :func:`file_key_ranges` scan."""
+    """Per-file ranges from the layout's manifest, or None when the
+    manifest can't be trusted — callers then fall back to the
+    :func:`file_key_ranges` scan. Untrusted means: absent, written
+    for a DIFFERENT key (wrong column, changed Z quantization), or
+    its file set no longer matches the directory listing (a file was
+    added or removed outside the maintained write path — trusting a
+    stale manifest there would silently DROP the unlisted files from
+    the next merged layout version). The listing check costs one
+    metadata call, never a data read."""
     m = read_layout_manifest(spark, path)
     if not m or m.get("key") != key_sig:
+        return None
+    files = m.get("files", {})
+    if sorted(files) != sorted(_list_data_files(spark, path)):
         return None
     sep = "" if path.endswith("/") else "/"
     return [
         (f"{path}{sep}{name}", lo, hi)
-        for name, (lo, hi) in sorted(m.get("files", {}).items())
+        for name, (lo, hi) in sorted(files.items())
     ]
 
 

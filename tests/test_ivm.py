@@ -328,3 +328,33 @@ class TestMaintainJoinView:
         want = left.join(right_new, "k")
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+    def test_left_view_null_pads_stranded_rows(self, spark):
+        """Right-side delete strands left rows: the LEFT view's
+        affected group recomputes to the null-padded form."""
+        from mydatasyncer_spark.operators.diff import diff_snapshots
+        from mydatasyncer_spark.operators.ivm import (
+            affected_join_keys,
+            join_view_state,
+            maintain_join_view,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "pk long, k long, v string"
+        )
+        right_old = spark.createDataFrame(
+            [(100, 10, "r1"), (200, 20, "r2")],
+            "rpk long, k long, rv string",
+        )
+        right_new = right_old.filter("rpk != 200")  # strands pk=2
+        state = join_view_state(left, right_old, "k", how="left")
+        rd = diff_snapshots(right_new, right_old, "rpk")
+        keys = affected_join_keys(rd, "k")
+        got = maintain_join_view(
+            state, left, right_new, "k", keys, how="left"
+        )
+        want = left.join(right_new, "k", "left")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        [row] = got.filter("pk = 2").collect()
+        assert row["rv"] is None and row["rpk"] is None

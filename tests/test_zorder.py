@@ -839,3 +839,51 @@ class TestMaxRowsPerFile:
         assert max(counts) <= 1000, counts
         got = spark.read.parquet(cur)
         assert got.count() == 4000 + 3 * 800
+
+
+class TestStaleManifestGuard:
+    def test_out_of_band_file_invalidates_manifest(
+        self, spark, tmp_path_factory
+    ):
+        """A file added outside the maintained write path must NOT be
+        silently dropped by the next merge: the file-set check
+        invalidates the manifest and planning falls back to the scan,
+        so the extra rows survive into the merged layout."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            manifest_key_ranges,
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        base = tmp_path_factory.mktemp("stale")
+        v1, v2 = str(base / "v1"), str(base / "v2")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        write_range_sorted(df, v1, ["k"], num_files=4)
+        assert manifest_key_ranges(spark, v1, "col:k") is not None
+        # out-of-band append: rows 5000..5099 land in a file the
+        # manifest does not know about
+        extra_dir = str(base / "extra")
+        spark.range(5000, 5100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).coalesce(1).write.parquet(extra_dir)
+        import os
+
+        [extra_file] = [
+            f for f in os.listdir(extra_dir) if f.startswith("part-")
+        ]
+        shutil.copy(
+            os.path.join(extra_dir, extra_file),
+            os.path.join(v1, extra_file),
+        )
+        # the guard refuses the stale manifest...
+        assert manifest_key_ranges(spark, v1, "col:k") is None
+        # ...and the merge sees all 1100 rows
+        new = spark.createDataFrame([(200, -1.0)], "k long, v double")
+        merge_into_range_sorted(spark, v1, new, v2, ["k"])
+        assert spark.read.parquet(v2).count() == 1101
