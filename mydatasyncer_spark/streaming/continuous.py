@@ -735,6 +735,7 @@ def scd2_table_apply_batch(
     primary_key: str,
     table: str,
     effective_col: str = "_effective",
+    n_buckets: int | None = None,
 ) -> None:
     """One :func:`continuous_scd2_table` micro-batch: the same
     snapshot folding as :func:`scd2_apply_batch`, but into an
@@ -764,7 +765,10 @@ def scd2_table_apply_batch(
             effective_col
         )
         if not exists:
-            scd2_init_table(spark, table, snap, ts)
+            scd2_init_table(
+                spark, table, snap, ts,
+                primary_key=primary_key, n_buckets=n_buckets,
+            )
             exists = True
         else:
             scd2_apply_to_table(spark, table, snap, primary_key, ts)
@@ -777,6 +781,7 @@ def continuous_scd2_table(
     effective_col: str = "_effective",
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_scd2_table",
+    n_buckets: int | None = None,
 ):
     """:func:`continuous_scd2` with the history kept in an
     ``is_current``-partitioned managed table instead of a rewritten
@@ -786,7 +791,8 @@ def continuous_scd2_table(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         scd2_table_apply_batch(
-            batch_df, batch_id, primary_key, table, effective_col
+            batch_df, batch_id, primary_key, table, effective_col,
+            n_buckets=n_buckets,
         )
 
     writer = (

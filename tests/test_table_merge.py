@@ -195,3 +195,83 @@ class TestScd2ApplyToTable:
             assert ref.exceptAll(got).count() == 0
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestScd2BucketedApply:
+    """Bucketed SCD2 layout: an apply rewrites ONLY the current-side
+    buckets the delta touches; untouched current buckets stay
+    byte-identical (write cost becomes delta-proportional, not
+    current-slice-proportional)."""
+
+    def test_untouched_current_buckets_not_rewritten(self, spark):
+        import hashlib
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_apply_to_table,
+            scd2_init,
+            scd2_init_table,
+        )
+
+        name = f"scd2_b_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, v string"
+        )
+        scd2_init_table(
+            spark, name, t0, "2024-01-01", primary_key="id", n_buckets=8
+        )
+        try:
+
+            def current_bucket_files():
+                [loc] = [
+                    r[1]
+                    for r in spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {name}"
+                    ).collect()
+                    if r[0] == "Location"
+                ]
+                root = loc.removeprefix("file:") + "/is_current=true"
+                out = {}
+                for b in os.listdir(root):
+                    for f in os.listdir(os.path.join(root, b)):
+                        if f.endswith(".parquet"):
+                            with open(
+                                os.path.join(root, b, f), "rb"
+                            ) as fh:
+                                out[f"{b}/{f}"] = hashlib.sha256(
+                                    fh.read()
+                                ).hexdigest()
+                return out
+
+            before = current_bucket_files()
+            n_buckets_before = {p.split("/")[0] for p in before}
+            assert len(n_buckets_before) > 1  # data spread over buckets
+            # update ONE key
+            t1 = spark.createDataFrame(
+                [(i, "V0" if i == 0 else f"v{i}") for i in range(40)],
+                "id long, v string",
+            )
+            stats = scd2_apply_to_table(
+                spark, name, t1, "id", "2024-02-01", compute_stats=True
+            )
+            assert stats["closed"] == 1 and stats["opened"] == 1
+            after = current_bucket_files()
+            changed = {
+                p for p in before if p not in after or after[p] != before[p]
+            }
+            changed_buckets = {p.split("/")[0] for p in changed}
+            assert len(changed_buckets) <= 1, changed_buckets
+            # every untouched bucket byte-identical
+            for p, h in before.items():
+                if p.split("/")[0] not in changed_buckets:
+                    assert after[p] == h, p
+            # content equals the full-rewrite reference
+            ref = scd2_apply(
+                scd2_init(t0, "2024-01-01"), t1, "id", "2024-02-01"
+            )
+            got = spark.table(name).select(*ref.columns)
+            assert got.count() == ref.count()
+            assert got.exceptAll(ref).count() == 0
+            assert ref.exceptAll(got).count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
