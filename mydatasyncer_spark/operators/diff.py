@@ -222,10 +222,14 @@ def changed_buckets(
         bucket_fn = lambda d: bucket_col(d, primary_key, n_buckets)  # noqa: E731
 
     def summarize(df: DataFrame, side: str) -> DataFrame:
-        p = df.select(*columns)
+        # bucket_fn sees the FULL frame (not the projection) so a
+        # caller can bucket by a stored partition column that isn't a
+        # sync column — e.g. the SCD2 table's _pk_bucket, which makes
+        # the downstream pruned re-read partition-prunable
+        p = df.select(bucket_fn(df).alias("_bucket"), *columns)
         return (
             p.select(
-                bucket_fn(p).alias("_bucket"),
+                F.col("_bucket"),
                 row_fingerprint(p, columns).alias("_fp"),
             )
             .groupBy("_bucket")

@@ -415,7 +415,22 @@ def maintain_join_view(
         raise ValueError(
             "maintain_join_view supports how='inner' or 'left'"
         )
-    kept = state.join(affected_keys, join_key, "left_anti")
-    lf = left_new.join(affected_keys, join_key, "left_semi")
-    rf = right_new.join(affected_keys, join_key, "left_semi")
+    # null-SAFE repair scope: a plain `on=join_key` never matches a
+    # NULL key, which on a `left` view (where NULL-key left rows ARE
+    # view rows, null-padded) would keep the stale pre-change row AND
+    # drop its recompute — the same discipline maintain_rollup
+    # applies to NULL group values above. The final lf⋈rf rejoin
+    # stays plain equality on purpose: that IS the view's join
+    # semantics (NULL keys never inner-join; a left join null-pads
+    # them).
+    ak = affected_keys.alias("ak")
+
+    def scoped(df: DataFrame, mode: str) -> DataFrame:
+        d = df.alias("d")
+        cond = F.col(f"d.{join_key}").eqNullSafe(F.col(f"ak.{join_key}"))
+        return d.join(ak, on=cond, how=mode)
+
+    kept = scoped(state, "left_anti")
+    lf = scoped(left_new, "left_semi")
+    rf = scoped(right_new, "left_semi")
     return kept.unionByName(lf.join(rf, join_key, how))

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mydatasyncer_spark.operators.diff import diff_snapshots
+from mydatasyncer_spark.operators.diff import DiffResult, diff_snapshots
 
 VALID_FROM = "valid_from"
 VALID_TO = "valid_to"
@@ -50,6 +50,7 @@ def scd2_apply(
     ts: str,
     columns: list[str] | None = None,
     diff_fn=None,
+    delete_absent: bool = True,
 ) -> DataFrame:
     """New history = history with the diff between the incoming
     ``snapshot`` and the CURRENT versions folded in at ``ts``.
@@ -60,6 +61,13 @@ def scd2_apply(
     ``valid_from = ts``. Rows absent from the snapshot close with no
     successor. Non-current history passes through untouched.
 
+    Empty-snapshot POLICY: with the default ``delete_absent=True``
+    the snapshot is authoritative — rows absent from it close, so an
+    empty snapshot closes EVERYTHING (the reference's
+    ``deleteNotInFile: true`` semantics, ref: dbsync.go:409-420).
+    Pass ``delete_absent=False`` for append/update-only feeds: absent
+    rows then stay current and an empty snapshot is a no-op.
+
     ``diff_fn(snapshot, current, primary_key)`` defaults to the full
     :func:`~mydatasyncer_spark.operators.diff.diff_snapshots`; pass
     ``diff_snapshots_pruned`` (or a ``bucket_fn`` partial of it) for
@@ -69,7 +77,8 @@ def scd2_apply(
     update becomes proportional to the changed slice, not the corpus.
     """
     closed, surviving_current, opened = _scd2_legs(
-        history, snapshot, primary_key, ts, columns, diff_fn
+        history, snapshot, primary_key, ts, columns, diff_fn,
+        delete_absent=delete_absent,
     )
     if columns is None:
         columns = [c for c in snapshot.columns]
@@ -89,6 +98,7 @@ def _scd2_legs(
     ts: str,
     columns: list[str] | None = None,
     diff_fn=None,
+    delete_absent: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three delta legs of an SCD2 maintenance step:
     ``(closed, surviving_current, opened)`` — all equi/anti/semi joins
@@ -102,6 +112,12 @@ def _scd2_legs(
     diff = diff_fn(
         snapshot.select(*columns), cur.select(*columns), primary_key
     )
+    if not delete_absent:
+        # composes with ANY diff_fn (the gate needn't be in its
+        # signature): absent rows simply never close
+        diff = DiffResult(
+            diff.to_insert, diff.to_update, diff.to_delete.limit(0)
+        )
     # keys whose current version must close: updated or deleted
     closing_keys = (
         diff.to_update.select(primary_key)
@@ -195,6 +211,8 @@ def scd2_apply_to_table(
     columns: list[str] | None = None,
     diff_fn=None,
     compute_stats: bool = False,
+    delete_absent: bool = True,
+    pruned: bool = False,
 ) -> dict:
     """Apply one SCD2 maintenance step to a managed history table
     WITHOUT rewriting closed history.
@@ -219,10 +237,41 @@ def scd2_apply_to_table(
     (:func:`scd2_init_table` with ``n_buckets``) it is better still:
     only the current-side buckets holding a closed or opened key are
     rewritten, so the write is delta-proportional, not
-    current-slice-proportional. Pass ``diff_fn=diff_snapshots_pruned``
-    to also make the READ side delta-proportional. Returns
-    ``{"closed": n, "opened": n}`` (counts -1 unless
+    current-slice-proportional. To also make the READ side
+    delta-proportional on a bucketed layout pass ``pruned=True``: a
+    per-bucket fingerprint pre-pass (one narrow scan per side,
+    ``n_buckets`` rows out — ``operators/diff.changed_buckets``
+    keyed on the STORED ``_pk_bucket`` partition column) finds the
+    changed buckets, and the wide diff joins then re-read only those
+    bucket DIRECTORIES — genuine partition pruning at the scan, not
+    just exchange avoidance. (``diff_fn=diff_snapshots_pruned`` also
+    composes, but recomputes the bucket hash as an expression, which
+    prunes exchanges yet cannot prune partitions.) Returns
+    ``{"closed": n, "opened": n}`` plus ``pruned_buckets`` (the
+    changed-bucket list) when ``pruned`` (counts -1 unless
     ``compute_stats``).
+
+    A current partition the delta EMPTIES (every current row of a
+    bucket — or of the whole unbucketed current slice — closes with
+    no replacement) is cleared explicitly: dynamic partition
+    overwrite only replaces partitions it writes rows into, so
+    relying on it alone would leave those rows both closed AND still
+    current.
+
+    Empty-snapshot POLICY: as in :func:`scd2_apply`, the default
+    ``delete_absent=True`` treats the snapshot as authoritative — an
+    empty snapshot closes every current row (reference
+    ``deleteNotInFile: true``, ref: dbsync.go:409-420);
+    ``delete_absent=False`` makes absent rows stay current.
+
+    Durability: the legs are pinned with ``localCheckpoint`` (blocks
+    cached on executors, NOT replicated storage) before the table is
+    mutated. Losing an executor mid-apply can therefore fail the
+    job; the writes are staged append-then-overwrite, so on failure
+    re-run the apply from the same snapshot (a re-applied snapshot
+    diffs empty against already-updated state — idempotent). Swap in
+    a reliable ``df.checkpoint()`` via ``spark.sparkContext.
+    setCheckpointDir`` if executor loss must not fail the apply.
     """
     history = spark.table(table)
     n_buckets = (
@@ -234,8 +283,45 @@ def scd2_apply_to_table(
     cols = [c for c in history.columns if c not in meta]
     if columns is not None:
         cols = columns
+    pruned_bkts: list[int] | None = None
+    if pruned:
+        if n_buckets is None:
+            raise ValueError(
+                "pruned=True needs a bucketed layout "
+                "(scd2_init_table with n_buckets)"
+            )
+        from mydatasyncer_spark.operators.diff import changed_buckets
+
+        # fingerprint pre-pass keyed on the STORED bucket column for
+        # the table side (the snapshot recomputes the same hash):
+        # bounded driver list, and the .isin filter below lands on
+        # the partition column, so the wide legs prune directories
+        def bfn(d: DataFrame):
+            if BUCKET_COL in d.columns:
+                return F.col(BUCKET_COL).cast("long")
+            return _bucket_expr(primary_key, n_buckets)
+
+        pruned_bkts = changed_buckets(
+            snapshot,
+            history.filter(F.col(IS_CURRENT)),
+            primary_key,
+            cols,
+            n_buckets,
+            bfn,
+        )
+        history = history.filter(
+            F.col(BUCKET_COL).isin(pruned_bkts)
+            if pruned_bkts
+            else F.lit(False)
+        )
+        snapshot = snapshot.filter(
+            _bucket_expr(primary_key, n_buckets).isin(pruned_bkts)
+            if pruned_bkts
+            else F.lit(False)
+        )
     closed, surviving, opened = _scd2_legs(
-        history, snapshot, primary_key, ts, cols, diff_fn
+        history, snapshot, primary_key, ts, cols, diff_fn,
+        delete_absent=delete_absent,
     )
     order = history.columns  # partition columns last, Spark's layout
 
@@ -271,6 +357,8 @@ def scd2_apply_to_table(
         )
     new_current = shape(new_current).localCheckpoint()
     stats = {"closed": -1, "opened": -1}
+    if pruned_bkts is not None:
+        stats["pruned_buckets"] = pruned_bkts
     if compute_stats:
         stats["closed"] = closed.count()
         stats["opened"] = new_current.filter(
@@ -278,15 +366,65 @@ def scd2_apply_to_table(
         ).count()
     if closed.isEmpty() and new_current.isEmpty():
         return stats
+    # current partitions the delta EMPTIES: dynamic overwrite below
+    # never clears a partition it writes no rows into, so find the
+    # must-rewrite partitions that end up with zero surviving/opened
+    # rows and clear them explicitly after the writes (bounded
+    # collects: <= n_buckets values / one isEmpty probe)
+    if n_buckets is not None:
+        present = {
+            r[0] for r in new_current.select(BUCKET_COL).distinct().collect()
+        }
+        empty_specs = [
+            f"{IS_CURRENT}=true, {BUCKET_COL}={int(b)}"
+            for b in changed
+            if b not in present
+        ]
+    else:
+        empty_specs = (
+            [f"{IS_CURRENT}=true"] if new_current.isEmpty() else []
+        )
     closed.write.insertInto(table, overwrite=False)
     conf = spark.conf
     prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         new_current.write.insertInto(table, overwrite=True)
+        if empty_specs:
+            conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            _clear_partitions(spark, table, empty_specs, history, order)
     finally:
         if prev is not None:
             conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:
             conf.unset("spark.sql.sources.partitionOverwriteMode")
     return stats
+
+
+def _clear_partitions(
+    spark, table: str, specs: list[str], history: DataFrame, order: list[str]
+) -> None:
+    """Truncate the given fully-static partition specs of ``table``
+    by static-mode ``INSERT OVERWRITE`` from an EMPTY frame — the
+    file-source path that works on any catalog (the in-memory
+    catalog rejects ``ALTER TABLE ... DROP PARTITION`` for
+    datasource tables). Caller must have partitionOverwriteMode set
+    to ``static``."""
+    import uuid as _uuid
+
+    part = {IS_CURRENT, BUCKET_COL}
+    data_cols = [c for c in order if c not in part]
+    view = f"scd2_empty_{_uuid.uuid4().hex[:12]}"
+    spark.createDataFrame(
+        [], history.select(*data_cols).schema
+    ).createOrReplaceTempView(view)
+    try:
+        for spec in specs:
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {table} PARTITION ({spec}) "
+                f"SELECT * FROM {view}"
+            )
+    finally:
+        spark.catalog.dropTempView(view)

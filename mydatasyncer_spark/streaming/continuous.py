@@ -566,6 +566,7 @@ def join_view_apply_batch(
     right_df: DataFrame,
     view_path: str,
     snapshot_path: str,
+    how: str = "inner",
 ) -> None:
     """One :func:`continuous_join_view` micro-batch: diff the incoming
     left snapshot against the stored previous one, repair only the
@@ -600,12 +601,12 @@ def join_view_apply_batch(
     except AnalysisException:
         prev = None
     if prev is None or view is None:
-        new_view = join_view_state(batch_df, right_df, join_key)
+        new_view = join_view_state(batch_df, right_df, join_key, how)
     else:
         diff = diff_snapshots(batch_df, prev, primary_key)
         keys = affected_join_keys(diff, join_key)
         new_view = maintain_join_view(
-            view, batch_df, right_df, join_key, keys
+            view, batch_df, right_df, join_key, keys, how
         )
     new_view = new_view.withColumn(
         "_last_batch_id", F.lit(batch_id)
@@ -623,6 +624,7 @@ def continuous_join_view(
     snapshot_path: str,
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_join_view",
+    how: str = "inner",
 ):
     """Continuously maintained equi-join view over a snapshot stream —
     the streaming twin of ``operators/ivm.maintain_join_view``, with
@@ -632,7 +634,10 @@ def continuous_join_view(
     the materialized view are rewritten. ``right_df`` is the
     (slow-moving) build side, re-read per batch; a changing right
     side composes by keying its own diff through
-    ``affected_join_keys`` and unioning the key sets."""
+    ``affected_join_keys`` and unioning the key sets. ``how``
+    (``inner``/``left``) selects the view's join semantics — a
+    ``left`` view keeps unmatched (and NULL-key) left rows
+    null-padded, and a right-side change re-pads them on repair."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         join_view_apply_batch(
@@ -643,6 +648,7 @@ def continuous_join_view(
             right_df,
             view_path,
             snapshot_path,
+            how=how,
         )
 
     writer = (
@@ -736,6 +742,7 @@ def scd2_table_apply_batch(
     table: str,
     effective_col: str = "_effective",
     n_buckets: int | None = None,
+    delete_absent: bool = True,
 ) -> None:
     """One :func:`continuous_scd2_table` micro-batch: the same
     snapshot folding as :func:`scd2_apply_batch`, but into an
@@ -771,7 +778,10 @@ def scd2_table_apply_batch(
             )
             exists = True
         else:
-            scd2_apply_to_table(spark, table, snap, primary_key, ts)
+            scd2_apply_to_table(
+                spark, table, snap, primary_key, ts,
+                delete_absent=delete_absent,
+            )
 
 
 def continuous_scd2_table(
@@ -782,6 +792,7 @@ def continuous_scd2_table(
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_scd2_table",
     n_buckets: int | None = None,
+    delete_absent: bool = True,
 ):
     """:func:`continuous_scd2` with the history kept in an
     ``is_current``-partitioned managed table instead of a rewritten
@@ -792,7 +803,7 @@ def continuous_scd2_table(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         scd2_table_apply_batch(
             batch_df, batch_id, primary_key, table, effective_col,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, delete_absent=delete_absent,
         )
 
     writer = (

@@ -358,3 +358,76 @@ class TestMaintainJoinView:
         assert want.exceptAll(got).count() == 0
         [row] = got.filter("pk = 2").collect()
         assert row["rv"] is None and row["rpk"] is None
+
+    def test_left_view_null_join_key_rows_repair(self, spark):
+        """NULL-join-key left rows ARE rows of a LEFT view
+        (null-padded). The repair's kept/semi legs must match NULL
+        null-safely, or an update keeps the stale pre-update row
+        while losing the recompute, and an insert vanishes."""
+        from mydatasyncer_spark.operators.diff import diff_snapshots
+        from mydatasyncer_spark.operators.ivm import (
+            affected_join_keys,
+            join_view_state,
+            maintain_join_view,
+        )
+
+        left_old = spark.createDataFrame(
+            [(1, None, "a"), (2, 20, "b"), (3, None, "c")],
+            "pk long, k long, v string",
+        )
+        # pk=1: NULL-key row UPDATED in place; pk=3: NULL-key row
+        # deleted; pk=4: brand-new NULL-key row; pk=5: keyed row
+        # moves TO a NULL key
+        left_new = spark.createDataFrame(
+            [(1, None, "a2"), (2, None, "b"), (4, None, "d")],
+            "pk long, k long, v string",
+        )
+        right = spark.createDataFrame(
+            [(20, "r20")], "k long, rv string"
+        )
+        state = join_view_state(left_old, right, "k", how="left")
+        diff = diff_snapshots(left_new, left_old, "pk")
+        keys = affected_join_keys(diff, "k")
+        got = maintain_join_view(
+            state, left_new, right, "k", keys, how="left"
+        )
+        want = left_new.join(right, "k", "left")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # the stale pre-update row is gone, the update/new rows exist
+        vals = sorted(
+            (r["pk"], r["v"], r["rv"]) for r in got.collect()
+        )
+        assert vals == [
+            (1, "a2", None),
+            (2, "b", None),
+            (4, "d", None),
+        ]
+
+    def test_inner_view_drops_null_key_rows(self, spark):
+        """On an INNER view NULL keys never join — repair must not
+        resurrect them (the final rejoin stays plain equality)."""
+        from mydatasyncer_spark.operators.diff import diff_snapshots
+        from mydatasyncer_spark.operators.ivm import (
+            affected_join_keys,
+            join_view_state,
+            maintain_join_view,
+        )
+
+        left_old = spark.createDataFrame(
+            [(1, 10, "a")], "pk long, k long, v string"
+        )
+        left_new = spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "b")], "pk long, k long, v string"
+        )
+        right = spark.createDataFrame(
+            [(10, "r10")], "k long, rv string"
+        )
+        state = join_view_state(left_old, right, "k")
+        diff = diff_snapshots(left_new, left_old, "pk")
+        keys = affected_join_keys(diff, "k")
+        got = maintain_join_view(state, left_new, right, "k", keys)
+        want = left_new.join(right, "k")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        assert got.filter("pk = 2").count() == 0

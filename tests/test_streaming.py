@@ -982,6 +982,76 @@ class TestContinuousScd2Table:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    def test_bucket_wipe_out_clears_stale_current(
+        self, spark, tmp_path_factory
+    ):
+        """A snapshot that deletes EVERY current key of one bucket
+        must leave that bucket with zero is_current=true rows — the
+        streaming twin inherits the batch apply's explicit partition
+        clear (dynamic overwrite alone would keep the deleted keys
+        both closed and current)."""
+        import json as _json
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_scd2_table,
+        )
+
+        in_dir = tmp_path_factory.mktemp("scdw_in")
+        out = tmp_path_factory.mktemp("scdw_out")
+        table = f"scd2_swipe_{_uuid.uuid4().hex[:8]}"
+
+        def drain(rows, fname, ckpt):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "id long, v string, _effective string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_scd2_table(
+                stream, table, "id", checkpoint_dir=ckpt, n_buckets=4
+            )
+            q.awaitTermination(120)
+
+        try:
+            ids = list(range(1, 9))
+            s0 = [
+                {"id": i, "v": f"v{i}", "_effective": "2024-01-01"}
+                for i in ids
+            ]
+            drain(s0, "s0.json", str(out / "ckpt"))
+            by_bucket = {}
+            for r in spark.createDataFrame(
+                [(i,) for i in ids], "id long"
+            ).select(
+                "id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("b")
+            ).collect():
+                by_bucket.setdefault(r["b"], []).append(r["id"])
+            victim_bucket, victim_ids = min(
+                by_bucket.items(), key=lambda kv: len(kv[1])
+            )
+            s1 = [
+                {"id": i, "v": f"v{i}", "_effective": "2024-02-01"}
+                for i in ids
+                if i not in victim_ids
+            ]
+            assert s1  # snapshot itself is non-empty
+            drain(s1, "s1.json", str(out / "ckpt"))
+            tbl = spark.table(table)
+            stale = tbl.filter(
+                F.col("is_current")
+                & (F.col("_pk_bucket") == victim_bucket)
+            )
+            assert stale.count() == 0
+            assert tbl.filter("is_current").count() == len(ids) - len(
+                victim_ids
+            )
+            assert tbl.filter("NOT is_current").count() == len(victim_ids)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+
 
 class TestContinuousJoinView:
     """Streaming maintained equi-join view: per-batch repair equals
@@ -1053,3 +1123,71 @@ class TestContinuousJoinView:
             .collect()
         )
         assert again == got
+
+    def test_left_view_tracks_unmatched_and_null_keys(
+        self, spark, tmp_path_factory
+    ):
+        """how='left': unmatched and NULL-key left rows stay in the
+        view null-padded across batches, and a left-side update of a
+        NULL-key row repairs (the null-safe repair legs)."""
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_join_view,
+        )
+
+        in_dir = tmp_path_factory.mktemp("jvl_in")
+        out = tmp_path_factory.mktemp("jvl_out")
+        view, snap = str(out / "view"), str(out / "snap")
+        ckpt = str(out / "ckpt")
+        right = spark.createDataFrame(
+            [(10, "r10")], "k long, rv string"
+        )
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "pk long, k long, v string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_join_view(
+                stream, "pk", "k", right, view, snap,
+                checkpoint_dir=ckpt, how="left",
+            )
+            q.awaitTermination(120)
+
+        s0 = [
+            {"pk": 1, "k": 10, "v": "a"},   # matched
+            {"pk": 2, "k": 99, "v": "b"},   # unmatched -> padded
+            {"pk": 3, "k": None, "v": "c"}, # NULL key -> padded
+        ]
+        drain(s0, "s0.json")
+        got0 = sorted(
+            (r["pk"], r["v"], r["rv"])
+            for r in spark.read.parquet(view)
+            .drop("_last_batch_id")
+            .collect()
+        )
+        assert got0 == [(1, "a", "r10"), (2, "b", None), (3, "c", None)]
+        # batch 2: NULL-key row updates in place, unmatched row moves
+        # to the matched group, a new NULL-key row appears
+        s1 = [
+            {"pk": 1, "k": 10, "v": "a"},
+            {"pk": 2, "k": 10, "v": "b2"},
+            {"pk": 3, "k": None, "v": "c2"},
+            {"pk": 4, "k": None, "v": "d"},
+        ]
+        drain(s1, "s1.json")
+        got1 = sorted(
+            (r["pk"], r["v"], r["rv"])
+            for r in spark.read.parquet(view)
+            .drop("_last_batch_id")
+            .collect()
+        )
+        assert got1 == [
+            (1, "a", "r10"),
+            (2, "b2", "r10"),
+            (3, "c2", None),
+            (4, "d", None),
+        ]

@@ -193,8 +193,95 @@ class TestScd2ApplyToTable:
             assert got.count() == ref.count()
             assert got.exceptAll(ref).count() == 0
             assert ref.exceptAll(got).count() == 0
+            assert_one_current_per_key(spark, name, "id")
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_empty_snapshot_closes_all_current(self, spark):
+        """The delete-all edge (reference deleteNotInFile=true,
+        dbsync.go:409-420): an EMPTY snapshot closes every current
+        row. Dynamic partition overwrite writes zero rows into the
+        current partition, so without the explicit clear the rows
+        stay BOTH closed and current."""
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_apply_to_table,
+            scd2_init,
+            scd2_init_table,
+        )
+
+        name = f"scd2_wipe_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )
+        scd2_init_table(spark, name, t0, "2024-01-01")
+        try:
+            empty = spark.createDataFrame([], "id long, v string")
+            stats = scd2_apply_to_table(
+                spark, name, empty, "id", "2024-02-01",
+                compute_stats=True,
+            )
+            assert stats["closed"] == 2 and stats["opened"] == 0
+            tbl = spark.table(name)
+            assert tbl.filter("is_current").count() == 0
+            assert tbl.count() == 2  # closed versions only
+            ref = scd2_apply(
+                scd2_init(t0, "2024-01-01"), empty, "id", "2024-02-01"
+            )
+            got = tbl.select(*ref.columns)
+            assert got.exceptAll(ref).count() == 0
+            assert ref.exceptAll(got).count() == 0
+            # and the table still accepts a later re-open
+            t2 = spark.createDataFrame([(1, "A")], "id long, v string")
+            scd2_apply_to_table(spark, name, t2, "id", "2024-03-01")
+            cur = spark.table(name).filter("is_current").collect()
+            assert [(r["id"], r["v"]) for r in cur] == [(1, "A")]
+            assert_one_current_per_key(spark, name, "id")
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_empty_snapshot_noop_with_delete_absent_false(self, spark):
+        """delete_absent=False: absent rows stay current — an empty
+        snapshot is a no-op (the reference's deleteNotInFile=false
+        policy)."""
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply_to_table,
+            scd2_init_table,
+        )
+
+        name = f"scd2_keep_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )
+        scd2_init_table(spark, name, t0, "2024-01-01")
+        try:
+            empty = spark.createDataFrame([], "id long, v string")
+            stats = scd2_apply_to_table(
+                spark, name, empty, "id", "2024-02-01",
+                compute_stats=True, delete_absent=False,
+            )
+            assert stats["closed"] == 0 and stats["opened"] == 0
+            tbl = spark.table(name)
+            assert tbl.filter("is_current").count() == 2
+            assert tbl.count() == 2
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def assert_one_current_per_key(spark, name, pk):
+    """SCD2 invariant: at most one is_current=true version per key,
+    and no key is simultaneously open-ended-closed and current with
+    the same valid_from."""
+    from pyspark.sql import functions as F
+
+    dup = (
+        spark.table(name)
+        .filter("is_current")
+        .groupBy(pk)
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
 
 
 class TestScd2BucketedApply:
@@ -273,5 +360,121 @@ class TestScd2BucketedApply:
             assert got.count() == ref.count()
             assert got.exceptAll(ref).count() == 0
             assert ref.exceptAll(got).count() == 0
+            assert_one_current_per_key(spark, name, "id")
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_bucket_wipe_out_clears_stale_current(self, spark):
+        """Deleting EVERY current key of one bucket must leave that
+        bucket with zero current rows — dynamic overwrite writes no
+        rows there, so only the explicit partition clear prevents a
+        stale is_current=true twin of the closed version."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_apply_to_table,
+            scd2_init,
+            scd2_init_table,
+        )
+
+        name = f"scd2_bw_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, v string"
+        )
+        scd2_init_table(
+            spark, name, t0, "2024-01-01", primary_key="id", n_buckets=8
+        )
+        try:
+            # bucket assignment exactly as the layout computes it
+            by_bucket = {}
+            for r in t0.select(
+                "id", F.pmod(F.xxhash64("id"), F.lit(8)).alias("b")
+            ).collect():
+                by_bucket.setdefault(r["b"], []).append(r["id"])
+            victim_bucket, victim_ids = min(
+                by_bucket.items(), key=lambda kv: len(kv[1])
+            )
+            t1 = t0.filter(~F.col("id").isin(victim_ids))
+            stats = scd2_apply_to_table(
+                spark, name, t1, "id", "2024-02-01", compute_stats=True
+            )
+            assert stats["closed"] == len(victim_ids)
+            tbl = spark.table(name)
+            # the wiped bucket has NO current rows left
+            stale = tbl.filter(
+                F.col("is_current")
+                & (F.col("_pk_bucket") == victim_bucket)
+            )
+            assert stale.count() == 0
+            assert_one_current_per_key(spark, name, "id")
+            ref = scd2_apply(
+                scd2_init(t0, "2024-01-01"), t1, "id", "2024-02-01"
+            )
+            got = tbl.select(*ref.columns)
+            assert got.count() == ref.count()
+            assert got.exceptAll(ref).count() == 0
+            assert ref.exceptAll(got).count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_pruned_apply_matches_full_and_prunes_scan(self, spark):
+        """pruned=True composition: per-bucket fingerprints keyed on
+        the STORED _pk_bucket find the changed buckets, the wide legs
+        re-read only those bucket directories, and the result is
+        identical to the full-diff apply."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply_to_table,
+            scd2_init_table,
+        )
+
+        t0 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, v string"
+        )
+        t1 = spark.createDataFrame(
+            [(i, "V0" if i == 0 else f"v{i}") for i in range(40)],
+            "id long, v string",
+        )
+        names = [f"scd2_pr_{uuid.uuid4().hex[:8]}" for _ in range(2)]
+        try:
+            for n in names:
+                scd2_init_table(
+                    spark, n, t0, "2024-01-01",
+                    primary_key="id", n_buckets=8,
+                )
+            full = scd2_apply_to_table(
+                spark, names[0], t1, "id", "2024-02-01",
+                compute_stats=True,
+            )
+            pr = scd2_apply_to_table(
+                spark, names[1], t1, "id", "2024-02-01",
+                compute_stats=True, pruned=True,
+            )
+            assert (pr["closed"], pr["opened"]) == (
+                full["closed"],
+                full["opened"],
+            ) == (1, 1)
+            # one key changed -> exactly one fingerprint bucket
+            assert len(pr["pruned_buckets"]) == 1
+            a = spark.table(names[0]).select("id", "v", "valid_from",
+                                             "valid_to", "is_current")
+            b = spark.table(names[1]).select("id", "v", "valid_from",
+                                             "valid_to", "is_current")
+            assert a.exceptAll(b).count() == 0
+            assert b.exceptAll(a).count() == 0
+            # partition-pruning pin: the filter the pruned apply puts
+            # on the stored bucket column reads ONLY that bucket's
+            # directories
+            [bkt] = pr["pruned_buckets"]
+            files = (
+                spark.table(names[1])
+                .filter(F.col("_pk_bucket").isin([bkt]))
+                .inputFiles()
+            )
+            assert files
+            assert all(f"_pk_bucket={bkt}" in f for f in files)
+        finally:
+            for n in names:
+                spark.sql(f"DROP TABLE IF EXISTS {n}")
