@@ -161,6 +161,7 @@ def pack_sequences(
     )
 
     pcols = [partition_col] if partition_col else []
+    sampled_here = False
     if chunk_splits is None:
         if n_chunks is None:
             n_chunks = cluster_parallelism(df)
@@ -182,15 +183,17 @@ def pack_sequences(
                 ).alias("_s")
             ).collect()[0]
             chunk_splits = sorted(set(row["_s"] or []))
+            sampled_here = True
         else:
             chunk_splits = []
     if chunk_splits:
-        # sampled splits are floats compared against the id cast to
-        # double; CALLER-supplied splits keep their own type (so
-        # string/date ids chunk by native ordering)
-        sampled = n_chunks is not None or isinstance(
-            chunk_splits[0], float
-        )
+        # splits sampled IN THIS CALL are floats compared against the
+        # id cast to double; CALLER-supplied splits always keep their
+        # own type and comparison semantics (string/date ids chunk by
+        # native ordering; explicit splits win even when n_chunks is
+        # also passed), except float literals which naturally compare
+        # double
+        sampled = sampled_here or isinstance(chunk_splits[0], float)
         id_cmp = (
             F.col(id_col).cast("double") if sampled else F.col(id_col)
         )

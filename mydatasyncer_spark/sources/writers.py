@@ -200,7 +200,13 @@ def write_layout_manifest(
     Iceberg manifest: with it, incremental-merge PLANNING reads one
     JSON object instead of scanning the key column of the whole
     layout — at 100 TB the difference between a metadata read and a
-    full-corpus narrow scan."""
+    full-corpus narrow scan.
+
+    Bounds that aren't losslessly numeric (string/date sort keys —
+    valid layouts, just not incrementally mergeable) make this a
+    silent NO-OP rather than an error: the layout stays readable and
+    a later merge falls back to the :func:`file_key_ranges` scan,
+    whose ``_num`` raises the clear incremental-merge message."""
     import json as _json
     import os as _os
 
@@ -209,16 +215,14 @@ def write_layout_manifest(
             return v
         return float(v)  # Decimal and friends
 
-    payload = _json.dumps(
-        {
-            "key": key_sig,
-            "files": {
-                _os.path.basename(f): [num(lo), num(hi)]
-                for f, lo, hi in entries
-            },
-        },
-        sort_keys=True,
-    )
+    try:
+        files = {
+            _os.path.basename(f): [num(lo), num(hi)]
+            for f, lo, hi in entries
+        }
+    except (TypeError, ValueError):
+        return
+    payload = _json.dumps({"key": key_sig, "files": files}, sort_keys=True)
     jvm, fs, _ = _hadoop_fs(spark, path)
     target = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
     out = fs.create(target, True)
@@ -335,14 +339,24 @@ def batch_key_intervals(
     bimodal batch (backfill cluster + today's cluster) yields two
     tight intervals instead of one keyspace-spanning envelope, so the
     files between the clusters are provably untouched. Returns ``[]``
-    for an empty batch. ``key`` must be a numeric Column expression.
+    for an empty batch; a NON-empty batch whose keys are ALL NULL
+    (no numeric span at all — min() is null but rows exist) returns
+    the ``[(-inf, -inf)]`` sentinel: NULLs sort first and route to
+    the first group, so the sentinel sits below every finite key and
+    touches only always-touched (null-lo) files — treating it like
+    an empty batch would silently DROP the rows from the merged
+    layout. ``key`` must be a numeric Column expression.
     """
     import math
 
     kd = key.cast("double") if not isinstance(key, str) else F.col(key).cast("double")
-    stats = new_df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).collect()[0]
+    stats = new_df.agg(
+        F.min(kd).alias("lo"),
+        F.max(kd).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
     if stats["lo"] is None:
-        return []
+        return [] if stats["n"] == 0 else [(float("-inf"), float("-inf"))]
     lo, hi = float(stats["lo"]), float(stats["hi"])
     if math.isnan(lo) or math.isnan(hi):
         # all keys NaN: no usable span — conservatively touch all
@@ -586,7 +600,10 @@ def _merge_layout(
         group_of_row = F.size(F.filter(arr, lambda t: t < kd))
     else:
         group_of_row = F.lit(0)
-    routed = new_df.withColumn("_grp", group_of_row)
+    # persist the routed batch: each group's write re-reads it, and
+    # without the pin that re-evaluates the batch's whole upstream
+    # lineage (possibly a join) up to max_groups times
+    routed = new_df.withColumn("_grp", group_of_row).persist()
     new_files = 0
     for k, g in enumerate(groups):
         rows = routed.filter(F.col("_grp") == k).drop("_grp")
@@ -616,6 +633,7 @@ def _merge_layout(
             # the same key range re-fattens one file forever.
             writer = writer.option("maxRecordsPerFile", max_rows_per_file)
         writer.save(out_path)
+    routed.unpersist()
     rewritten = len(ranges) - len(untouched)
     if key_sig is not None:
         by_name = {

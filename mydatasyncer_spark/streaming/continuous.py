@@ -19,6 +19,14 @@ inside one transaction. Semantics notes:
   the diff is idempotent (re-syncing the same snapshot produces an
   empty triple), so at-least-once delivery converges to the right DB
   state.
+- Durability of the maintained-state appliers (rollup / join-view /
+  SCD2 batches below): each pins its read side with
+  ``localCheckpoint`` — executor-cached blocks, NOT replicated
+  storage — before overwriting the store. Executor loss mid-apply
+  can fail that micro-batch; the stream checkpoint then replays it,
+  and replay converges (batch-id guard or empty re-diff). Swap in a
+  reliable ``df.checkpoint()`` where a failed-then-replayed batch is
+  too expensive.
 """
 
 from __future__ import annotations

@@ -834,3 +834,42 @@ class TestPackSequencesChunked:
         for r in out:
             assert r["offset"] == acc and r["bin_id"] == acc // 512
             acc += 100
+
+    def test_explicit_splits_win_over_n_chunks(self, spark):
+        """Passing BOTH n_chunks and non-numeric chunk_splits must
+        respect the explicit splits (native-ordering comparison), not
+        force them through float() because n_chunks is set."""
+        rows = [(f"d{i:03d}", 100) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id string, n_chars long")
+        out = sorted(
+            SP.pack_sequences(
+                df, "doc_id", "n_chars", 512,
+                n_chunks=4,
+                chunk_splits=["d005", "d010", "d015"],
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        acc = 0
+        for r in out:
+            assert r["offset"] == acc and r["bin_id"] == acc // 512
+            acc += 100
+
+    def test_explicit_int_splits_with_n_chunks_keep_native_typing(
+        self, spark
+    ):
+        rows = [(i, (i * 37) % 997 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        a = sorted(
+            SP.pack_sequences(df, "doc_id", "n_chars", 1024).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            SP.pack_sequences(
+                df, "doc_id", "n_chars", 1024,
+                n_chunks=4, chunk_splits=[50, 100, 150],
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [(r["doc_id"], r["offset"], r["bin_id"]) for r in a] == [
+            (r["doc_id"], r["offset"], r["bin_id"]) for r in b
+        ]

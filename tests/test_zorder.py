@@ -887,3 +887,133 @@ class TestStaleManifestGuard:
         new = spark.createDataFrame([(200, -1.0)], "k long, v double")
         merge_into_range_sorted(spark, v1, new, v2, ["k"])
         assert spark.read.parquet(v2).count() == 1101
+
+
+class TestMergeBatchEdges:
+    """Regression pins for batch edge cases of the incremental merge."""
+
+    def test_all_null_key_batch_rows_survive_merge(
+        self, spark, tmp_path_factory
+    ):
+        """A non-empty batch whose keys are ALL NULL must not take the
+        empty-batch copy-only path (that silently dropped the rows):
+        NULLs route to the first group and land in the merged layout."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            batch_key_intervals,
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        base = tmp_path_factory.mktemp("nullbatch")
+        v1, v2 = str(base / "v1"), str(base / "v2")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        write_range_sorted(df, v1, ["k"], num_files=4)
+        new = spark.createDataFrame(
+            [(None, -1.0), (None, -2.0)], "k long, v double"
+        )
+        # the sentinel, not the empty list
+        assert batch_key_intervals(new, F.col("k")) == [
+            (float("-inf"), float("-inf"))
+        ]
+        stats = merge_into_range_sorted(spark, v1, new, v2, ["k"])
+        merged = spark.read.parquet(v2)
+        assert merged.count() == 102
+        assert merged.filter("k IS NULL").count() == 2
+        assert (
+            merged.filter("k IS NOT NULL")
+            .exceptAll(df)
+            .count()
+            == 0
+        )
+        # no finite key range is touched: all four files copy
+        assert stats["copied"] == 4
+
+    def test_string_sort_key_layout_writes_without_manifest(
+        self, spark, tmp_path_factory
+    ):
+        """write_range_sorted on a string key is a valid layout; the
+        manifest (numeric-only) silently skips instead of raising
+        after the data write."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            MANIFEST_NAME,
+            write_range_sorted,
+        )
+
+        path = str(tmp_path_factory.mktemp("strlayout") / "v1")
+        df = spark.range(50).select(
+            F.concat(F.lit("id-"), F.col("id")).alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        write_range_sorted(df, path, ["k"], num_files=3)
+        assert spark.read.parquet(path).count() == 50
+        assert MANIFEST_NAME not in os.listdir(path)
+
+    def test_date_sort_key_layout_writes_without_manifest(
+        self, spark, tmp_path_factory
+    ):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.sources.writers import (
+            MANIFEST_NAME,
+            write_range_sorted,
+        )
+
+        path = str(tmp_path_factory.mktemp("datelayout") / "v1")
+        df = spark.range(50).select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        write_range_sorted(df, path, ["k"], num_files=3)
+        assert spark.read.parquet(path).count() == 50
+        assert MANIFEST_NAME not in os.listdir(path)
+
+    def test_routed_batch_computed_once(self, spark, tmp_path_factory):
+        """The per-group write loop must not re-evaluate the batch's
+        lineage once per group: the routed frame is persisted, so a
+        row-counting UDF in the batch lineage fires exactly once per
+        row even when the batch spans several rewrite groups."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import udf
+
+        from mydatasyncer_spark.sources.writers import (
+            merge_into_range_sorted,
+            write_range_sorted,
+        )
+
+        base = tmp_path_factory.mktemp("once")
+        v1, v2 = str(base / "v1"), str(base / "v2")
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        write_range_sorted(df, v1, ["k"], num_files=8)
+        acc = spark.sparkContext.accumulator(0)
+
+        @udf("long")
+        def tracked(x):
+            acc.add(1)
+            return x
+
+        # two distant clusters -> at least two rewrite groups
+        batch_keys = [5, 6, 7, 990, 991, 992]
+        new = (
+            spark.createDataFrame([(k,) for k in batch_keys], "k0 long")
+            .select(tracked(F.col("k0")).alias("k"), F.lit(-1.0).alias("v"))
+        )
+        stats = merge_into_range_sorted(spark, v1, new, v2, ["k"])
+        assert stats["groups"] >= 2
+        assert spark.read.parquet(v2).count() == 1000 + len(batch_keys)
+        # exactly 3 passes over the batch: the two bounded planning
+        # aggregates of batch_key_intervals + ONE materialization into
+        # the persisted routed frame. Without the persist this would
+        # be (2 + n_groups) passes — >= 4 evaluations per row here.
+        assert acc.value == 3 * len(batch_keys)
