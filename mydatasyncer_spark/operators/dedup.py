@@ -678,3 +678,99 @@ def edit_distance_pairs(
             ).alias("edit_similarity"),
         )
     )
+
+
+# ---------------------------------------------- exact similarity join
+
+
+def jaccard_self_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard self-join above ``threshold``
+    — the SSJoin/prefix-filter family (Chaudhuri et al. ICDE'06,
+    Xiao et al. PPJoin), the complement of the approximate MinHash
+    path: zero false negatives AND zero false positives, at the cost
+    of an exact verification join.
+
+    Why it scales (the whole point of prefix filtering): two sets
+    with Jaccard >= t MUST share at least one token among each set's
+    FIRST ``n - ceil(t*n) + 1`` tokens under any fixed global token
+    order. Ordering tokens rarest-document-frequency-first makes
+    those prefix tokens the rarest ones, so the candidate equi-join
+    on prefix tokens shuffles tiny buckets — never the O(n²) pair
+    space and never the hot-token buckets a naive token join would
+    build. A size filter (``t*|a| <= |b| <= |a|/t``) prunes further
+    before verification.
+
+    Plan shape: one narrow token-frequency aggregate, one equi-join
+    of exploded prefixes (AQE-handled skew), distinct candidate
+    pairs, then one exact-Jaccard verification join — all built-in
+    array/higher-order functions, no UDFs, nothing quadratic in the
+    corpus. Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``
+    and jaccard rounded to 6 places (the threshold is applied to the
+    UNROUNDED value, so engine-identical).
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_t")
+    )
+    ex = toks.select(F.col(id_col), F.explode("_t").alias("_tok"))
+    tok_freq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc tokens ordered rarest-first by (document frequency,
+    # token): the order is GLOBAL and total, which the prefix-filter
+    # guarantee requires
+    ordered = (
+        ex.join(tok_freq, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ord")
+        )
+    )
+    n = F.size("_ord")
+    prefix_len = n - F.ceil(n * F.lit(t)).cast("int") + F.lit(1)
+    prefixes = ordered.select(
+        F.col(id_col).alias("_id"),
+        n.alias("_n"),
+        F.explode(
+            F.slice(
+                F.transform("_ord", lambda s: s.getField("_tok")),
+                1,
+                prefix_len,
+            )
+        ).alias("_ptok"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._ptok") == F.col("b._ptok"))
+            & (F.col("a._id") < F.col("b._id"))
+            # size filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|)
+            & (F.col("b._n") * F.lit(t) <= F.col("a._n"))
+            & (F.col("a._n") * F.lit(t) <= F.col("b._n")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = (
+        F.size("_ta").cast("double") + F.size("_tb").cast("double") - inter
+    )
+    raw = inter / F.greatest(union, F.lit(1.0))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(raw >= F.lit(t))
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+    )

@@ -1151,3 +1151,81 @@ class TestQuantileAndThetaSketches:
         ).collect()[0]["n"]
         exact = df.select("u").distinct().count()
         assert est == exact
+
+
+class TestJaccardSelfJoin:
+    """Exact prefix-filtered Jaccard self-join: the blocking must be
+    LOSSLESS (result identical to brute force) at any threshold."""
+
+    def _brute(self, spark, df, t):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.text import tokens
+
+        toks = df.select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tk")
+        )
+        a = toks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("ta"))
+        b = toks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tb"))
+        inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+        union = (
+            F.size("ta").cast("double")
+            + F.size("tb").cast("double")
+            - inter
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(inter / F.greatest(union, F.lit(1.0)) >= t)
+            .collect()
+        }
+
+    def test_matches_brute_force_at_multiple_thresholds(self, spark):
+        from mydatasyncer_spark.operators.dedup import jaccard_self_join
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",
+            "a completely different sentence about spark engines",
+            "a completely different sentence about spark engine",
+            "the quick brown fox",
+            "spark engines process completely different data",
+            "",  # zero-token doc never pairs
+            "singleton",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        from mydatasyncer_spark.operators.dedup import jaccard_self_join
+
+        for t in (0.3, 0.5, 0.8, 1.0):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_self_join(df, threshold=t).collect()
+            }
+            assert got == self._brute(spark, df, t), t
+
+    def test_exact_duplicates_pair_at_threshold_one(self, spark):
+        from mydatasyncer_spark.operators.dedup import jaccard_self_join
+
+        df = spark.createDataFrame(
+            [(1, "same words here"), (2, "same words here"),
+             (3, "words here same extra")],
+            "doc_id long, text string",
+        )
+        got = jaccard_self_join(df, threshold=1.0).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [
+            (1, 2, 1.0)
+        ]
+
+    def test_threshold_guard(self, spark):
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.dedup import jaccard_self_join
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="threshold"):
+            jaccard_self_join(df, threshold=0.0)
+        with _pytest.raises(ValueError, match="threshold"):
+            jaccard_self_join(df, threshold=1.5)

@@ -512,3 +512,26 @@ def test_join_view_maintenance_is_delta_keyed_joins(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_join_exact_is_equi_not_cartesian(spark, sf_dir):
+    """The prefix-filter candidate stage must be an EQUI join on the
+    prefix token (tiny rare-token buckets), never a cross/nested-loop
+    product — that is the entire scale claim of the SSJoin family."""
+    plan = plan_of(spark, sf_dir, "dedup_jaccard_join_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exact verification runs over DISTINCT candidate pairs
+    assert "HashAggregate" in plan
+
+
+def test_left_join_view_repair_is_null_safe(spark, sf_dir):
+    """The left-view repair legs must join null-safely — Catalyst
+    rewrites a <=> equi join into (coalesce(k, 0), isnull(k)) join
+    keys, so the isnull key marker must appear on the join-key
+    column (a plain '=' would strand NULL-key rows)."""
+    plan = plan_of(spark, sf_dir, "ivm_join_view_left")
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "isnull(o_custkey" in plan
+    assert "CartesianProduct" not in plan

@@ -14,55 +14,64 @@ import __spark_entry__ as entry_mod
 
 GATE_CAP = 50
 
-# the r6 window boundary, pinned by name: position 50 (last inside
+# the r7 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "event_gaps"
-FIRST_PAST_CAP = "histogram_doc_lengths"
+LAST_IN_WINDOW = "diff_delete"
+FIRST_PAST_CAP = "diff_insert"
 
-# everything added or implementation-touched in r6 MUST sit inside
+# everything added or implementation-touched in r7 MUST sit inside
 # the gate window (rotation policy rule 1-2)
-R6_TOUCHED = [
-    "skew_salted_join_right",
-    "interval_overlap_half_open",
+R7_TOUCHED = [
+    # new in r7
+    "ivm_join_view_left",
+    "scd2_keep_policy",
+    "dedup_jaccard_join_exact",
+    # implementation touched in r7 (ivm.py eqNullSafe repair, scd.py
+    # wipe-out fix + policy gate + pruned apply, sampling.py split
+    # typing, diff.py changed_buckets bucket_fn widening)
     "ivm_join_view_orders",
-    "pack_sequences_docs",
-    "interval_overlap_pairs",
-    "skew_salted_join",
     "scd2_orders_history",
     "scd2_asof_state",
-    "diff_full_localized",
+    "pack_sequences_docs",
+    "diff_pruned_counts",
     "diff_pruned_localized",
+    "diff_full_localized",
 ]
 
-# the entire last-green-r3 cohort rotates in this round (VERDICT r5
-# item #5: no proof may grow older than two rounds)
-R3_STALE_COHORT = [
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "array_functions_pack",
-    "asof_purchase_view",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "domain_mix_weights",
-    "embedding_near_dup",
-    "funnel_steps",
-    "json_extract_events",
-    "lang_id_pred",
-    "pack_sequences_docs",
-    "pii_redaction",
-    "pivot_event_type_counts",
-    "range_join_view_purchase",
-    "semi_join_big_orders",
-    "sessionization",
-    "text_quality",
-    "text_stats",
-    "tfidf_top_terms",
-    "trailing_hour_value",
-    "train_test_split_assign",
-    "tumbling_windows",
-    "window_analytics_suite",
+# the entire last-green-r4 cohort rotates in this round (VERDICT r6
+# item #4: no proof may grow older than two rounds)
+R4_STALE_COHORT = [
+    "histogram_doc_lengths",
+    "incremental_rollup",
+    "incremental_rollup_minmax",
+    "mix_resample_docs",
+    "multimodal_features",
+    "multimodal_frames",
+    "mutual_info_orders",
+    "pk_validation_histogram",
+    "q10_returned_items",
+    "q11_part_value_concentration",
+    "q12_shipping_delay",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_heavy_promo_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "repetition_ngrams",
+    "scalar_datetime_pack",
+    "skew_report_lineitem",
+    "stratified_sample_docs",
+    "table_profile",
+    "unpivot_part_measures",
+    "weighted_sample_docs",
+    "zorder_orders_key",
 ]
 
 
@@ -85,13 +94,13 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 def test_round_touched_queries_sit_inside_the_gate_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R6_TOUCHED if n not in window]
+    missing = [n for n in R7_TOUCHED if n not in window]
     assert not missing, missing
 
 
 def test_stale_cohort_rotated_into_the_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R3_STALE_COHORT if n not in window]
+    missing = [n for n in R4_STALE_COHORT if n not in window]
     assert not missing, missing
 
 
