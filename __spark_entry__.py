@@ -1029,6 +1029,29 @@ def dedup_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_self_join(d, threshold=0.8)
 
 
+def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT Jaccard ingest (r7,
+    operators/dedup.jaccard_join_incremental): a new doc batch joins
+    an indexed corpus — corpus text never re-read, per-ingest cost
+    |batch| × collisions — and the result is EXACTLY the brute-force
+    pairs involving a batch doc (new ids ride in id_a; new-vs-new
+    pairs ordered id_a < id_b). The exact counterpart of the MinHash
+    incremental ingest; the oracle brute-forces the same split."""
+    from mydatasyncer_spark.operators.dedup import (
+        jaccard_join_incremental,
+        jaccard_prefix_index,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return jaccard_join_incremental(
+        batch, jaccard_prefix_index(corpus), threshold=0.8
+    )
+
+
 def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum labels: per-SOURCE quality percentile (percent_rank
     over a deterministic total order) bucketed into low/mid/high
@@ -3102,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join_view_left": ivm_join_view_left,
         "scd2_keep_policy": scd2_keep_policy,
         "dedup_jaccard_join_exact": dedup_jaccard_join_exact,
+        "dedup_jaccard_incremental": dedup_jaccard_incremental,
         # ---- implementation touched this round (r7): ivm.py, scd.py, ----
         # ---- sampling.py, diff.py changed_buckets (+ its measured pair) ----
         "ivm_join_view_orders": ivm_join_view_orders,
@@ -3152,9 +3176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_tiers_scalable": curriculum_tiers_scalable,
         "dedup_exact_best_quality": dedup_exact_best_quality,
         "dedup_simhash": dedup_simhash,
-        "diff_delete": diff_delete,
         # ======== entries past the 50-query driver cap ===========
         # ---- last-green r5 remainder ----
+        "diff_delete": diff_delete,
         "diff_insert": diff_insert,
         "diff_plan_counts": diff_plan_counts,
         "diff_update": diff_update,
@@ -3704,6 +3728,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                   / greatest(len(a.t) + len(b.t)
                              - len(list_intersect(a.t, b.t)), 1) >= 0.8
+        """,
+        "dedup_jaccard_incremental": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS t
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            c AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+            b AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+            pairs AS (
+                SELECT b.doc_id AS id_a, c.doc_id AS id_b,
+                       b.t AS ta, c.t AS tb
+                FROM b, c
+                UNION ALL
+                SELECT x.doc_id, y.doc_id, x.t, y.t
+                FROM b x JOIN b y ON x.doc_id < y.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                         / greatest(len(ta) + len(tb)
+                                    - len(list_intersect(ta, tb)), 1),
+                         6) AS jaccard
+            FROM pairs
+            WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                  / greatest(len(ta) + len(tb)
+                             - len(list_intersect(ta, tb)), 1) >= 0.8
         """,
         "diff_pruned_localized": f"""
             WITH {SNAPSHOT_LOCALIZED_SQL}

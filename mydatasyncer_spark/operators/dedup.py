@@ -774,3 +774,155 @@ def jaccard_self_join(
         .filter(raw >= F.lit(t))
         .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
+
+
+def jaccard_prefix_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build (or extend) the corpus index for
+    :func:`jaccard_join_incremental`: one row per document with its
+    DISTINCT token set and size — tokenized once, text never re-read
+    by later ingests. Append each ingested batch's index rows so the
+    next ingest sees them (same contract as the MinHash signature
+    index)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    return df.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("n")
+    )
+
+
+def jaccard_join_incremental(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    include_new_pairs: bool = True,
+    token_order: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT Jaccard pairs for a NEW document batch against an
+    indexed corpus — the daily-ingest twin of
+    :func:`jaccard_self_join` (the exact counterpart of
+    :func:`minhash_lsh_pairs_incremental`): per-ingest cost scales
+    with |batch| x candidate collisions, never corpus x corpus, and
+    corpus TEXT is never re-read (only the token arrays stored in
+    :func:`jaccard_prefix_index`).
+
+    Exactness of the prefix filter holds under ANY single fixed total
+    token order applied to BOTH sides. By default the order is
+    (document frequency in the index, token) recomputed per ingest
+    from the index itself — one narrow explode+count over token
+    arrays; batch-only tokens get df 0 (they cannot be shared with
+    any indexed doc, so their front position is harmless). At the
+    100 TB end, pass ``token_order`` (a ``(token, df)`` frame frozen
+    at index-build time) instead: unseen tokens order as df 0 on both
+    sides, the order stays a fixed total order, the join stays exact,
+    and the per-ingest corpus re-order disappears.
+
+    Returns ``(id_a, id_b, jaccard)`` with new ids in ``id_a`` for
+    new-vs-corpus pairs and ``id_a < id_b`` for new-vs-new pairs
+    (emitted when ``include_new_pairs``); a re-ingested id never
+    pairs with itself.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    new_toks = jaccard_prefix_index(new_df, text_col, id_col)
+    if token_order is None:
+        token_order = (
+            corpus_index.select(F.explode("toks").alias("_tok"))
+            .groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+    else:
+        cols = token_order.columns
+        token_order = token_order.select(
+            F.col(cols[0]).alias("_tok"), F.col(cols[1]).alias("_df")
+        )
+
+    def prefixes(idx: DataFrame, side: str) -> DataFrame:
+        ex = idx.select(F.col(id_col), "n", F.explode("toks").alias("_tok"))
+        ordered = (
+            ex.join(token_order, "_tok", "left")
+            .groupBy(id_col, "n")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce(F.col("_df"), F.lit(0)).alias("_df"),
+                            F.col("_tok"),
+                        )
+                    )
+                ).alias("_ord")
+            )
+        )
+        plen = F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("int") + F.lit(1)
+        return ordered.select(
+            F.col(id_col).alias(f"_id_{side}"),
+            F.col("n").alias(f"_n_{side}"),
+            F.explode(
+                F.slice(
+                    F.transform("_ord", lambda s: s.getField("_tok")),
+                    1,
+                    plen,
+                )
+            ).alias("_ptok"),
+        )
+
+    pn = prefixes(new_toks, "a")
+    pc = prefixes(corpus_index, "b")
+    size_ok = (F.col("_n_b") * F.lit(t) <= F.col("_n_a")) & (
+        F.col("_n_a") * F.lit(t) <= F.col("_n_b")
+    )
+    cand_corpus = (
+        pn.join(
+            pc,
+            (pn["_ptok"] == pc["_ptok"])
+            & (F.col("_id_a") != F.col("_id_b"))
+            & size_ok,
+        )
+        .select(F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b"))
+        .distinct()
+    )
+    # verification joins keep each side's OWN token version: a
+    # re-ingested id may carry changed text, so new-vs-corpus pairs
+    # compare the new tokens against the INDEXED tokens, never a
+    # first()-wins mixture
+    def verified(pairs: DataFrame, b_src: DataFrame) -> DataFrame:
+        ta = new_toks.select(
+            F.col(id_col).alias("id_a"), F.col("toks").alias("_ta")
+        )
+        tb = b_src.select(
+            F.col(id_col).alias("id_b"), F.col("toks").alias("_tb")
+        )
+        inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+        union = (
+            F.size("_ta").cast("double")
+            + F.size("_tb").cast("double")
+            - inter
+        )
+        raw = inter / F.greatest(union, F.lit(1.0))
+        return (
+            pairs.join(ta, "id_a")
+            .join(tb, "id_b")
+            .filter(raw >= F.lit(t))
+            .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
+        )
+
+    out = verified(cand_corpus, corpus_index)
+    if include_new_pairs:
+        pb = prefixes(new_toks, "b")
+        cand_new = (
+            pn.join(
+                pb,
+                (pn["_ptok"] == pb["_ptok"])
+                & (F.col("_id_a") < F.col("_id_b"))
+                & size_ok,
+            )
+            .select(
+                F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b")
+            )
+            .distinct()
+        )
+        out = out.unionByName(verified(cand_new, new_toks))
+    return out

@@ -1229,3 +1229,124 @@ class TestJaccardSelfJoin:
             jaccard_self_join(df, threshold=0.0)
         with _pytest.raises(ValueError, match="threshold"):
             jaccard_self_join(df, threshold=1.5)
+
+
+class TestJaccardJoinIncremental:
+    """Incremental exact Jaccard: batch-vs-index must equal the brute
+    force over pairs involving a batch doc, under both the
+    recomputed and the frozen token order."""
+
+    CORPUS = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different sentence about spark engines"),
+        (4, "the quick brown fox"),
+        (6, "unrelated corpus content entirely"),
+    ]
+    BATCH = [
+        (1, "the quick brown fox jumped over the lazy dog"),
+        (3, "a completely different sentence about spark engine"),
+        (5, "the quick brown fox jumped over the lazy dog"),
+    ]
+
+    def _brute(self, spark, t):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.text import tokens
+
+        all_rows = spark.createDataFrame(
+            self.CORPUS + self.BATCH, "doc_id long, text string"
+        )
+        toks = all_rows.select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tk")
+        )
+        batch_ids = {i for i, _ in self.BATCH}
+        rows = toks.collect()
+        tk = {r["doc_id"]: set(r["tk"]) for r in rows}
+        out = set()
+        for a in batch_ids:
+            for bid in tk:
+                if bid == a:
+                    continue
+                inter = len(tk[a] & tk[bid])
+                union = max(len(tk[a] | tk[bid]), 1)
+                if inter / union >= t:
+                    if bid in batch_ids:
+                        if a < bid:
+                            out.add((a, bid))
+                    else:
+                        out.add((a, bid))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_prefix_index,
+        )
+
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        idx = jaccard_prefix_index(corpus)
+        for t in (0.4, 0.8, 1.0):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_join_incremental(
+                    batch, idx, threshold=t
+                ).collect()
+            }
+            assert got == self._brute(spark, t), t
+
+    def test_frozen_token_order_is_still_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_prefix_index,
+        )
+
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        idx = jaccard_prefix_index(corpus)
+        frozen = (
+            idx.select(F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                batch, idx, threshold=0.4, token_order=frozen
+            ).collect()
+        }
+        assert got == self._brute(spark, 0.4)
+
+    def test_reingested_id_never_self_pairs_and_index_extends(self, spark):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_prefix_index,
+        )
+
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        idx = jaccard_prefix_index(corpus)
+        re_batch = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog extra")],
+            "doc_id long, text string",
+        )
+        got = jaccard_join_incremental(
+            re_batch, idx, threshold=0.5, include_new_pairs=False
+        ).collect()
+        assert all(r["id_a"] != r["id_b"] for r in got)
+        # index extension contract: appending the batch index rows
+        # makes the next ingest see them
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        idx2 = idx.unionByName(jaccard_prefix_index(batch))
+        nxt = spark.createDataFrame(
+            [(9, "the quick brown fox jumped over the lazy dog")],
+            "doc_id long, text string",
+        )
+        got2 = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                nxt, idx2, threshold=1.0, include_new_pairs=False
+            ).collect()
+        }
+        assert got2 == {(9, 1), (9, 5)}  # exact dups from batch round

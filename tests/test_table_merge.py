@@ -478,3 +478,97 @@ class TestScd2BucketedApply:
         finally:
             for n in names:
                 spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+    def test_pruned_apply_composes_with_bucket_wipe_out(self, spark):
+        """pruned=True × wipe-out: when a pruned apply deletes the
+        ONLY keys of a bucket, the fingerprint pass must flag the
+        bucket AND the emptied-partition clear must still fire."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_apply_to_table,
+            scd2_init,
+            scd2_init_table,
+        )
+
+        name = f"scd2_pw_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, v string"
+        )
+        scd2_init_table(
+            spark, name, t0, "2024-01-01", primary_key="id", n_buckets=8
+        )
+        try:
+            by_bucket = {}
+            for r in t0.select(
+                "id", F.pmod(F.xxhash64("id"), F.lit(8)).alias("b")
+            ).collect():
+                by_bucket.setdefault(r["b"], []).append(r["id"])
+            victim_bucket, victim_ids = min(
+                by_bucket.items(), key=lambda kv: len(kv[1])
+            )
+            t1 = t0.filter(~F.col("id").isin(victim_ids))
+            stats = scd2_apply_to_table(
+                spark, name, t1, "id", "2024-02-01",
+                compute_stats=True, pruned=True,
+            )
+            assert stats["closed"] == len(victim_ids)
+            assert victim_bucket in stats["pruned_buckets"]
+            tbl = spark.table(name)
+            assert (
+                tbl.filter(
+                    F.col("is_current")
+                    & (F.col("_pk_bucket") == victim_bucket)
+                ).count()
+                == 0
+            )
+            assert_one_current_per_key(spark, name, "id")
+            ref = scd2_apply(
+                scd2_init(t0, "2024-01-01"), t1, "id", "2024-02-01"
+            )
+            got = tbl.select(*ref.columns)
+            assert got.count() == ref.count()
+            assert got.exceptAll(ref).count() == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_pruned_apply_composes_with_keep_policy(self, spark):
+        """pruned=True × delete_absent=False: a snapshot missing a
+        whole bucket's keys flags the bucket as changed (count
+        mismatch), but the keep policy must leave those rows current
+        and untouched."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply_to_table,
+            scd2_init_table,
+        )
+
+        name = f"scd2_pk_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, v string"
+        )
+        scd2_init_table(
+            spark, name, t0, "2024-01-01", primary_key="id", n_buckets=8
+        )
+        try:
+            # snapshot: drop half the keys, update one
+            t1 = t0.filter(F.col("id") % 2 == 0).withColumn(
+                "v", F.when(F.col("id") == 0, "V0").otherwise(F.col("v"))
+            )
+            stats = scd2_apply_to_table(
+                spark, name, t1, "id", "2024-02-01",
+                compute_stats=True, pruned=True, delete_absent=False,
+            )
+            assert stats["closed"] == 1 and stats["opened"] == 1
+            tbl = spark.table(name)
+            cur = {
+                r["id"]: r["v"] for r in tbl.filter("is_current").collect()
+            }
+            assert len(cur) == 40  # nothing deleted
+            assert cur[0] == "V0" and cur[1] == "v1"
+            assert tbl.filter("NOT is_current").count() == 1
+            assert_one_current_per_key(spark, name, "id")
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
