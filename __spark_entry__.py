@@ -1052,6 +1052,21 @@ def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment self-join (r7,
+    operators/dedup.containment_join): pairs where doc A's token set
+    is 90%-contained in doc B — the directional quote/chunk-absorption
+    question Jaccard misses when B is much longer. Probe prefixes
+    against a full inverted index; lossless, so the brute-force
+    oracle must hash-match."""
+    from mydatasyncer_spark.operators.dedup import containment_join
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    return containment_join(d, threshold=0.9)
+
+
 def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum labels: per-SOURCE quality percentile (percent_rank
     over a deterministic total order) bucketed into low/mid/high
@@ -3126,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_keep_policy": scd2_keep_policy,
         "dedup_jaccard_join_exact": dedup_jaccard_join_exact,
         "dedup_jaccard_incremental": dedup_jaccard_incremental,
+        "dedup_containment_join": dedup_containment_join,
         # ---- implementation touched this round (r7): ivm.py, scd.py, ----
         # ---- sampling.py, diff.py changed_buckets (+ its measured pair) ----
         "ivm_join_view_orders": ivm_join_view_orders,
@@ -3175,9 +3191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_quality_tiers": curriculum_quality_tiers,
         "curriculum_tiers_scalable": curriculum_tiers_scalable,
         "dedup_exact_best_quality": dedup_exact_best_quality,
-        "dedup_simhash": dedup_simhash,
         # ======== entries past the 50-query driver cap ===========
         # ---- last-green r5 remainder ----
+        "dedup_simhash": dedup_simhash,
         "diff_delete": diff_delete,
         "diff_insert": diff_insert,
         "diff_plan_counts": diff_plan_counts,
@@ -3756,6 +3772,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
                   / greatest(len(ta) + len(tb)
                              - len(list_intersect(ta, tb)), 1) >= 0.8
+        """,
+        "dedup_containment_join": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS t
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                         / greatest(len(a.t), 1), 6) AS containment
+            FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+            WHERE len(a.t) > 0
+              AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                  / greatest(len(a.t), 1) >= 0.9
         """,
         "diff_pruned_localized": f"""
             WITH {SNAPSHOT_LOCALIZED_SQL}

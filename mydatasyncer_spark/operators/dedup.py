@@ -683,6 +683,101 @@ def edit_distance_pairs(
 # ---------------------------------------------- exact similarity join
 
 
+def _ordered_token_rows(
+    df: DataFrame,
+    id_col: str,
+    token_order: DataFrame,
+) -> DataFrame:
+    """Per-doc ordered token array under the given ``(_tok, _df)``
+    order: ``(id, n, toks)`` with ``toks`` sorted rarest-first (ties
+    by token). The sorted struct array IS the full distinct token
+    set, so this one table serves both prefix generation and the
+    exact verification join."""
+    ex = df.select(F.col(id_col), F.explode("toks").alias("_tok"))
+    return (
+        ex.join(token_order, "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce(F.col("_df"), F.lit(0)).alias("_df"),
+                            F.col("_tok"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("_tok"),
+            ).alias("toks")
+        )
+        .select(F.col(id_col), F.size("toks").alias("n"), "toks")
+    )
+
+
+def _prefix_rows(ordered: DataFrame, id_col: str, t: float, side: str) -> DataFrame:
+    """Explode each doc's rarest-first prefix (length
+    ``n - ceil(t*n) + 1``) into NARROW rows ``(_id, _n, _ptok)`` —
+    token arrays stay behind in ``ordered`` and rejoin by id after
+    pair dedup. Carrying the arrays on prefix rows instead is the
+    MinHash-style trade and loses twice here: arrays are unbounded
+    (signatures are fixed 128B), and prefix-collision multiplicity
+    then pays the expensive set intersection per COLLISION rather
+    than per PAIR (measured 3x slower end-to-end)."""
+    plen = F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("int") + F.lit(1)
+    return ordered.select(
+        F.col(id_col).alias(f"_id_{side}"),
+        F.col("n").alias(f"_n_{side}"),
+        F.explode(F.slice("toks", 1, plen)).alias("_ptok"),
+    )
+
+
+def _verify_pairs(
+    pairs: DataFrame,
+    a_src: DataFrame,
+    b_src: DataFrame,
+    id_col: str,
+    t: float,
+    out_col: str,
+    containment: bool = False,
+) -> DataFrame:
+    """Exact verification of DISTINCT candidate id pairs: join each
+    side's token array back by id (delta-sized equi joins,
+    AQE-broadcastable) and score once per pair. ``containment``
+    divides by |a| instead of the union size. The threshold applies
+    to the UNROUNDED score, so results are engine-identical."""
+    ta = a_src.select(
+        F.col(id_col).alias("_id_a"),
+        F.col("toks").alias("_t_a"),
+        F.col("n").alias("_n_a"),
+    )
+    tb = b_src.select(
+        F.col(id_col).alias("_id_b"),
+        F.col("toks").alias("_t_b"),
+        F.col("n").alias("_n_b"),
+    )
+    inter = F.size(F.array_intersect("_t_a", "_t_b")).cast("double")
+    if containment:
+        denom = F.greatest(F.col("_n_a").cast("double"), F.lit(1.0))
+    else:
+        denom = F.greatest(
+            F.col("_n_a").cast("double")
+            + F.col("_n_b").cast("double")
+            - inter,
+            F.lit(1.0),
+        )
+    raw = inter / denom
+    return (
+        pairs.join(ta, "_id_a")
+        .join(tb, "_id_b")
+        .filter(raw >= F.lit(t))
+        .select(
+            F.col("_id_a").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            F.round(raw, 6).alias(out_col),
+        )
+    )
+
+
 def jaccard_self_join(
     df: DataFrame,
     text_col: str = "text",
@@ -692,8 +787,7 @@ def jaccard_self_join(
     """EXACT all-pairs token-set Jaccard self-join above ``threshold``
     — the SSJoin/prefix-filter family (Chaudhuri et al. ICDE'06,
     Xiao et al. PPJoin), the complement of the approximate MinHash
-    path: zero false negatives AND zero false positives, at the cost
-    of an exact verification join.
+    path: zero false negatives AND zero false positives.
 
     Why it scales (the whole point of prefix filtering): two sets
     with Jaccard >= t MUST share at least one token among each set's
@@ -702,78 +796,41 @@ def jaccard_self_join(
     those prefix tokens the rarest ones, so the candidate equi-join
     on prefix tokens shuffles tiny buckets — never the O(n²) pair
     space and never the hot-token buckets a naive token join would
-    build. A size filter (``t*|a| <= |b| <= |a|/t``) prunes further
-    before verification.
+    build. A size filter (``t*|a| <= |b| <= |a|/t``) prunes further.
 
-    Plan shape: one narrow token-frequency aggregate, one equi-join
-    of exploded prefixes (AQE-handled skew), distinct candidate
-    pairs, then one exact-Jaccard verification join — all built-in
-    array/higher-order functions, no UDFs, nothing quadratic in the
-    corpus. Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``
-    and jaccard rounded to 6 places (the threshold is applied to the
-    UNROUNDED value, so engine-identical).
+    Plan shape: one narrow token-frequency aggregate, one groupBy
+    building each doc's ordered token array, a NARROW prefix
+    equi-join (ids + sizes only), pair dedup, then ONE exact
+    intersection per distinct candidate pair via id-keyed joins back
+    to the token table — all built-in array/higher-order functions,
+    no UDFs, nothing quadratic in the corpus. Returns
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, jaccard rounded
+    to 6 places (threshold applied UNROUNDED, engine-identical).
     """
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_t")
+    toks = jaccard_prefix_index(df, text_col, id_col)
+    token_order = (
+        toks.select(F.explode("toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
     )
-    ex = toks.select(F.col(id_col), F.explode("_t").alias("_tok"))
-    tok_freq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    # per-doc tokens ordered rarest-first by (document frequency,
-    # token): the order is GLOBAL and total, which the prefix-filter
-    # guarantee requires
-    ordered = (
-        ex.join(tok_freq, "_tok")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
-            ).alias("_ord")
-        )
-    )
-    n = F.size("_ord")
-    prefix_len = n - F.ceil(n * F.lit(t)).cast("int") + F.lit(1)
-    prefixes = ordered.select(
-        F.col(id_col).alias("_id"),
-        n.alias("_n"),
-        F.explode(
-            F.slice(
-                F.transform("_ord", lambda s: s.getField("_tok")),
-                1,
-                prefix_len,
-            )
-        ).alias("_ptok"),
-    )
-    a, b = prefixes.alias("a"), prefixes.alias("b")
+    ordered = _ordered_token_rows(toks, id_col, token_order)
+    a = _prefix_rows(ordered, id_col, t, "a")
+    b = _prefix_rows(ordered, id_col, t, "b")
     cand = (
         a.join(
             b,
-            (F.col("a._ptok") == F.col("b._ptok"))
-            & (F.col("a._id") < F.col("b._id"))
-            # size filter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|)
-            & (F.col("b._n") * F.lit(t) <= F.col("a._n"))
-            & (F.col("a._n") * F.lit(t) <= F.col("b._n")),
+            (a["_ptok"] == b["_ptok"])
+            & (F.col("_id_a") < F.col("_id_b"))
+            & (F.col("_n_b") * F.lit(t) <= F.col("_n_a"))
+            & (F.col("_n_a") * F.lit(t) <= F.col("_n_b")),
         )
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
+        .select("_id_a", "_id_b")
         .distinct()
     )
-    ta = toks.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
-    tb = toks.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
-    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
-    union = (
-        F.size("_ta").cast("double") + F.size("_tb").cast("double") - inter
-    )
-    raw = inter / F.greatest(union, F.lit(1.0))
-    return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .filter(raw >= F.lit(t))
-        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
-    )
+    return _verify_pairs(cand, ordered, ordered, id_col, t, "jaccard")
 
 
 def jaccard_prefix_index(
@@ -819,10 +876,12 @@ def jaccard_join_incremental(
     sides, the order stays a fixed total order, the join stays exact,
     and the per-ingest corpus re-order disappears.
 
+    Verification joins each pair side back to its OWN token table, so
+    a re-ingested id (possibly with changed text) compares new tokens
+    against the INDEXED tokens — and never pairs with itself.
     Returns ``(id_a, id_b, jaccard)`` with new ids in ``id_a`` for
     new-vs-corpus pairs and ``id_a < id_b`` for new-vs-new pairs
-    (emitted when ``include_new_pairs``); a re-ingested id never
-    pairs with itself.
+    (emitted when ``include_new_pairs``).
     """
     t = float(threshold)
     if not 0.0 < t <= 1.0:
@@ -839,90 +898,120 @@ def jaccard_join_incremental(
         token_order = token_order.select(
             F.col(cols[0]).alias("_tok"), F.col(cols[1]).alias("_df")
         )
-
-    def prefixes(idx: DataFrame, side: str) -> DataFrame:
-        ex = idx.select(F.col(id_col), "n", F.explode("toks").alias("_tok"))
-        ordered = (
-            ex.join(token_order, "_tok", "left")
-            .groupBy(id_col, "n")
-            .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.coalesce(F.col("_df"), F.lit(0)).alias("_df"),
-                            F.col("_tok"),
-                        )
-                    )
-                ).alias("_ord")
-            )
-        )
-        plen = F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("int") + F.lit(1)
-        return ordered.select(
-            F.col(id_col).alias(f"_id_{side}"),
-            F.col("n").alias(f"_n_{side}"),
-            F.explode(
-                F.slice(
-                    F.transform("_ord", lambda s: s.getField("_tok")),
-                    1,
-                    plen,
-                )
-            ).alias("_ptok"),
-        )
-
-    pn = prefixes(new_toks, "a")
-    pc = prefixes(corpus_index, "b")
+    new_ordered = _ordered_token_rows(new_toks, id_col, token_order)
+    corpus_ordered = _ordered_token_rows(corpus_index, id_col, token_order)
+    pa = _prefix_rows(new_ordered, id_col, t, "a")
+    pc = _prefix_rows(corpus_ordered, id_col, t, "b")
     size_ok = (F.col("_n_b") * F.lit(t) <= F.col("_n_a")) & (
         F.col("_n_a") * F.lit(t) <= F.col("_n_b")
     )
     cand_corpus = (
-        pn.join(
+        pa.join(
             pc,
-            (pn["_ptok"] == pc["_ptok"])
+            (pa["_ptok"] == pc["_ptok"])
             & (F.col("_id_a") != F.col("_id_b"))
             & size_ok,
         )
-        .select(F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b"))
+        .select("_id_a", "_id_b")
         .distinct()
     )
-    # verification joins keep each side's OWN token version: a
-    # re-ingested id may carry changed text, so new-vs-corpus pairs
-    # compare the new tokens against the INDEXED tokens, never a
-    # first()-wins mixture
-    def verified(pairs: DataFrame, b_src: DataFrame) -> DataFrame:
-        ta = new_toks.select(
-            F.col(id_col).alias("id_a"), F.col("toks").alias("_ta")
-        )
-        tb = b_src.select(
-            F.col(id_col).alias("id_b"), F.col("toks").alias("_tb")
-        )
-        inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
-        union = (
-            F.size("_ta").cast("double")
-            + F.size("_tb").cast("double")
-            - inter
-        )
-        raw = inter / F.greatest(union, F.lit(1.0))
-        return (
-            pairs.join(ta, "id_a")
-            .join(tb, "id_b")
-            .filter(raw >= F.lit(t))
-            .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
-        )
-
-    out = verified(cand_corpus, corpus_index)
+    out = _verify_pairs(
+        cand_corpus, new_ordered, corpus_ordered, id_col, t, "jaccard"
+    )
     if include_new_pairs:
-        pb = prefixes(new_toks, "b")
+        pb = _prefix_rows(new_ordered, id_col, t, "b")
         cand_new = (
-            pn.join(
+            pa.join(
                 pb,
-                (pn["_ptok"] == pb["_ptok"])
+                (pa["_ptok"] == pb["_ptok"])
                 & (F.col("_id_a") < F.col("_id_b"))
                 & size_ok,
             )
-            .select(
-                F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b")
-            )
+            .select("_id_a", "_id_b")
             .distinct()
         )
-        out = out.unionByName(verified(cand_new, new_toks))
+        out = out.unionByName(
+            _verify_pairs(
+                cand_new, new_ordered, new_ordered, id_col, t, "jaccard"
+            )
+        )
     return out
+
+
+def containment_join(
+    probe_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT containment join: pairs where the PROBE doc's token set
+    is ``threshold``-contained in a corpus doc —
+    ``|probe ∩ corpus| / |probe| >= t``. The asymmetric cousin of
+    :func:`jaccard_self_join` for curation's "is this doc mostly a
+    quote/chunk of an existing one" question, which Jaccard misses
+    when the corpus doc is much longer.
+
+    Exactness: if containment >= t, at most ``|a| - ceil(t*|a|)``
+    probe tokens are missing from the corpus doc, so under ANY fixed
+    token order at least one of the probe's FIRST
+    ``|a| - ceil(t*|a|) + 1`` tokens is shared. Candidates therefore
+    come from probe-PREFIX tokens equi-joined against the corpus's
+    FULL inverted index (containment puts no upper bound on the
+    corpus doc's size, so the corpus side cannot be prefix- or
+    size-filtered — this join is inherently heavier than the Jaccard
+    one). Rarest-first ordering keeps probe prefixes in rare-token
+    buckets; residual hot-token skew is AQE skew-join territory.
+    Candidate rows are narrow (ids only); the single exact
+    intersection per pair happens in id-keyed verification joins.
+
+    ``corpus_df=None`` means self-containment over ``probe_df``
+    (pairs with distinct ids, both directions possible). Returns
+    ``(id_a, id_b, containment)``: ``id_a`` the probe/contained doc,
+    ``id_b`` the corpus/containing doc, containment rounded to 6
+    places (threshold applied unrounded). Zero-token probes never
+    pair.
+    """
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    self_mode = corpus_df is None
+    if self_mode:
+        corpus_df = probe_df
+    probe = jaccard_prefix_index(probe_df, text_col, id_col)
+    corpus = (
+        probe
+        if self_mode
+        else jaccard_prefix_index(corpus_df, text_col, id_col)
+    )
+    # one fixed global order over BOTH vocabularies: rarest-first by
+    # combined document frequency (ties by token)
+    token_order = (
+        probe.select(F.explode("toks").alias("_tok"))
+        .unionByName(corpus.select(F.explode("toks").alias("_tok")))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    probe_ordered = _ordered_token_rows(probe, id_col, token_order)
+    corpus_ordered = (
+        probe_ordered
+        if self_mode
+        else _ordered_token_rows(corpus, id_col, token_order)
+    )
+    pfx = _prefix_rows(probe_ordered, id_col, t, "a")
+    inv = corpus_ordered.select(
+        F.col(id_col).alias("_id_b"), F.explode("toks").alias("_ptok")
+    )
+    cond = pfx["_ptok"] == inv["_ptok"]
+    if self_mode:
+        cond = cond & (F.col("_id_a") != F.col("_id_b"))
+    cand = pfx.join(inv, cond).select("_id_a", "_id_b").distinct()
+    return _verify_pairs(
+        cand,
+        probe_ordered,
+        corpus_ordered,
+        id_col,
+        t,
+        "containment",
+        containment=True,
+    )

@@ -1350,3 +1350,75 @@ class TestJaccardJoinIncremental:
             ).collect()
         }
         assert got2 == {(9, 1), (9, 5)}  # exact dups from batch round
+
+
+class TestContainmentJoin:
+    """Exact containment join: probe docs t-contained in corpus docs,
+    lossless prefix blocking against a full inverted index."""
+
+    def test_matches_brute_force_self_mode(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import containment_join
+        from mydatasyncer_spark.operators.text import tokens
+
+        texts = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma"),                      # in 1
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            (4, "completely unrelated words here"),
+            (5, "beta gamma"),                            # in 1,2,3
+            (6, ""),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        for t in (0.5, 0.8, 1.0):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in containment_join(df, threshold=t).collect()
+            }
+            toks = {
+                r["doc_id"]: set(r["tk"])
+                for r in df.select(
+                    "doc_id",
+                    F.array_distinct(tokens(F.col("text"))).alias("tk"),
+                ).collect()
+            }
+            want = {
+                (a, b)
+                for a in toks
+                for b in toks
+                if a != b
+                and len(toks[a] & toks[b]) / max(len(toks[a]), 1) >= t
+                and len(toks[a]) > 0
+            }
+            assert got == want, t
+
+    def test_asymmetry_probe_vs_corpus(self, spark):
+        """Containment is directional: the short quote is contained
+        in the long doc, never the reverse."""
+        from mydatasyncer_spark.operators.dedup import containment_join
+
+        probe = spark.createDataFrame(
+            [(10, "to be or not to be")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(20, "hamlet asks to be or not to be that is the question")],
+            "doc_id long, text string",
+        )
+        got = containment_join(probe, corpus, threshold=1.0).collect()
+        assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [
+            (10, 20, 1.0)
+        ]
+        rev = containment_join(corpus, probe, threshold=1.0).collect()
+        assert rev == []
+
+    def test_zero_token_probe_never_pairs(self, spark):
+        from mydatasyncer_spark.operators.dedup import containment_join
+
+        probe = spark.createDataFrame(
+            [(1, "")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(2, "anything at all")], "doc_id long, text string"
+        )
+        assert containment_join(probe, corpus, threshold=0.5).count() == 0

@@ -521,7 +521,7 @@ def test_jaccard_join_exact_is_equi_not_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_jaccard_join_exact")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # exact verification runs over DISTINCT candidate pairs
+    # across-prefix pair dedup is the final aggregate
     assert "HashAggregate" in plan
 
 
@@ -535,3 +535,12 @@ def test_left_join_view_repair_is_null_safe(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "isnull(o_custkey" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_jaccard_and_containment_stay_equi(spark, sf_dir):
+    """Both r7 similarity joins must candidate via EQUI joins (prefix
+    tokens / inverted index) — never a cross product."""
+    for name in ("dedup_jaccard_incremental", "dedup_containment_join"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -17,8 +17,8 @@ GATE_CAP = 50
 # the r7 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "dedup_simhash"
-FIRST_PAST_CAP = "diff_delete"
+LAST_IN_WINDOW = "dedup_exact_best_quality"
+FIRST_PAST_CAP = "dedup_simhash"
 
 # everything added or implementation-touched in r7 MUST sit inside
 # the gate window (rotation policy rule 1-2)
@@ -28,6 +28,7 @@ R7_TOUCHED = [
     "scd2_keep_policy",
     "dedup_jaccard_join_exact",
     "dedup_jaccard_incremental",
+    "dedup_containment_join",
     # implementation touched in r7 (ivm.py eqNullSafe repair, scd.py
     # wipe-out fix + policy gate + pruned apply, sampling.py split
     # typing, diff.py changed_buckets bucket_fn widening)
