@@ -1067,6 +1067,42 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(d, threshold=0.9)
 
 
+def scd2_asof_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (r7,
+    operators/scd.scd2_asof_join): every lineitem joins the order
+    VERSION effective at its ship date — per-row time travel over
+    the SCD2 history, an equi join on the key with the effectivity
+    range as a cheap residual (at most one version matches by SCD2
+    construction; no window, no range-join machinery). Lines shipped
+    before the history begins, or for deleted-at-ship-time orders,
+    drop out like any inner lookup."""
+    from mydatasyncer_spark.operators.scd import (
+        scd2_apply,
+        scd2_asof_join,
+        scd2_init,
+    )
+
+    d, f = snapshot_db(spark, sf_dir), snapshot_file(spark, sf_dir)
+    hist = scd2_apply(
+        scd2_init(d, "1994-01-01"), f, "o_orderkey", "1995-06-01"
+    )
+    fact = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_shipdate",
+    )
+    out = scd2_asof_join(
+        fact, hist, "o_orderkey", "l_shipdate",
+        history_cols=["o_totalprice"],
+    )
+    return out.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("timestamp_ntz").alias("ship_ts"),
+        F.col("o_totalprice").cast("double").alias("price_at_ship"),
+    )
+
+
 def curriculum_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum labels: per-SOURCE quality percentile (percent_rank
     over a deterministic total order) bucketed into low/mid/high
@@ -3142,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_join_exact": dedup_jaccard_join_exact,
         "dedup_jaccard_incremental": dedup_jaccard_incremental,
         "dedup_containment_join": dedup_containment_join,
+        "scd2_asof_join_lineitem": scd2_asof_join_lineitem,
         # ---- implementation touched this round (r7): ivm.py, scd.py, ----
         # ---- sampling.py, diff.py changed_buckets (+ its measured pair) ----
         "ivm_join_view_orders": ivm_join_view_orders,
@@ -3190,9 +3227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders_profile": cube_orders_profile,
         "curriculum_quality_tiers": curriculum_quality_tiers,
         "curriculum_tiers_scalable": curriculum_tiers_scalable,
-        "dedup_exact_best_quality": dedup_exact_best_quality,
         # ======== entries past the 50-query driver cap ===========
         # ---- last-green r5 remainder ----
+        "dedup_exact_best_quality": dedup_exact_best_quality,
         "dedup_simhash": dedup_simhash,
         "diff_delete": diff_delete,
         "diff_insert": diff_insert,
@@ -3772,6 +3809,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
                   / greatest(len(ta) + len(tb)
                              - len(list_intersect(ta, tb)), 1) >= 0.8
+        """,
+        "scd2_asof_join_lineitem": f"""
+            WITH {SNAPSHOT_SQL},
+            closing AS (
+                SELECT d.o_orderkey FROM db_side d
+                WHERE NOT EXISTS (SELECT 1 FROM file_side f
+                                  WHERE f.o_orderkey = d.o_orderkey)
+                UNION ALL
+                SELECT f.o_orderkey
+                FROM file_side f JOIN db_side d USING (o_orderkey)
+                WHERE f.o_totalprice <> d.o_totalprice
+            ),
+            hist AS (
+                SELECT d.o_orderkey, d.o_totalprice,
+                       TIMESTAMP '1994-01-01 00:00:00' AS valid_from,
+                       TIMESTAMP '1995-06-01 00:00:00' AS valid_to
+                FROM db_side d JOIN closing c USING (o_orderkey)
+                UNION ALL
+                SELECT d.o_orderkey, d.o_totalprice,
+                       TIMESTAMP '1994-01-01 00:00:00',
+                       CAST(NULL AS TIMESTAMP)
+                FROM db_side d
+                WHERE NOT EXISTS (SELECT 1 FROM closing c
+                                  WHERE c.o_orderkey = d.o_orderkey)
+                UNION ALL
+                SELECT f.o_orderkey, f.o_totalprice,
+                       TIMESTAMP '1995-06-01 00:00:00',
+                       CAST(NULL AS TIMESTAMP)
+                FROM file_side f
+                WHERE NOT EXISTS (SELECT 1 FROM db_side d
+                                  WHERE d.o_orderkey = f.o_orderkey)
+                UNION ALL
+                SELECT f.o_orderkey, f.o_totalprice,
+                       TIMESTAMP '1995-06-01 00:00:00',
+                       CAST(NULL AS TIMESTAMP)
+                FROM file_side f JOIN db_side d USING (o_orderkey)
+                WHERE f.o_totalprice <> d.o_totalprice
+            )
+            SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+                   l.l_shipdate AS ship_ts,
+                   CAST(h.o_totalprice AS DOUBLE) AS price_at_ship
+            FROM lineitem l JOIN hist h ON h.o_orderkey = l.l_orderkey
+            WHERE h.valid_from <= CAST(l.l_shipdate AS DATE)
+              AND (h.valid_to IS NULL
+                   OR CAST(l.l_shipdate AS DATE) < h.valid_to)
         """,
         "dedup_containment_join": """
             WITH toks AS (

@@ -428,3 +428,38 @@ def _clear_partitions(
             )
     finally:
         spark.catalog.dropTempView(view)
+
+
+def scd2_asof_join(
+    fact: DataFrame,
+    history: DataFrame,
+    primary_key: str,
+    ts_col: str,
+    history_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time join: each fact row picks up the dimension
+    VERSION that was effective at its event time — the lookup every
+    SCD2 history exists to serve (state ``as of`` a column, not a
+    constant; :func:`scd2_apply`'s time-travel filter generalized to
+    per-row timestamps).
+
+    Scale shape: an EQUI join on ``primary_key`` with the
+    half-open effectivity check ``valid_from <= ts < valid_to`` as a
+    cheap residual — per key there are only a handful of versions,
+    so the residual never amplifies rows and no range/window
+    machinery is needed. Versions are half-open and non-overlapping
+    per key by SCD2 construction, so at most ONE version matches a
+    fact row; facts dated before the key's first version (or with an
+    unknown key) drop out, exactly like an inner dimension lookup.
+    Pass ``history_cols`` to prune the dimension payload BEFORE the
+    join (column pruning at the scan on a stored history).
+    """
+    meta = [VALID_FROM, VALID_TO, IS_CURRENT]
+    if history_cols is not None:
+        history = history.select(primary_key, *history_cols, *meta)
+    h = history.drop(IS_CURRENT)
+    ts = F.col(ts_col).cast("date")
+    eff = (F.col(VALID_FROM) <= ts) & (
+        F.col(VALID_TO).isNull() | (ts < F.col(VALID_TO))
+    )
+    return fact.join(h, primary_key).filter(eff).drop(VALID_FROM, VALID_TO)

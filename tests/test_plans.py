@@ -544,3 +544,13 @@ def test_incremental_jaccard_and_containment_stay_equi(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_scd2_asof_join_is_equi_with_residual(spark, sf_dir):
+    """The point-in-time lookup must ride the key equi join with the
+    effectivity range as a residual — no range-join blow-up, no
+    window."""
+    plan = plan_of(spark, sf_dir, "scd2_asof_join_lineitem")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -17,8 +17,8 @@ GATE_CAP = 50
 # the r7 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "dedup_exact_best_quality"
-FIRST_PAST_CAP = "dedup_simhash"
+LAST_IN_WINDOW = "curriculum_tiers_scalable"
+FIRST_PAST_CAP = "dedup_exact_best_quality"
 
 # everything added or implementation-touched in r7 MUST sit inside
 # the gate window (rotation policy rule 1-2)
@@ -29,6 +29,7 @@ R7_TOUCHED = [
     "dedup_jaccard_join_exact",
     "dedup_jaccard_incremental",
     "dedup_containment_join",
+    "scd2_asof_join_lineitem",
     # implementation touched in r7 (ivm.py eqNullSafe repair, scd.py
     # wipe-out fix + policy gate + pruned apply, sampling.py split
     # typing, diff.py changed_buckets bucket_fn widening)

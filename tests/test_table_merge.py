@@ -572,3 +572,70 @@ class TestScd2BucketedApply:
             assert_one_current_per_key(spark, name, "id")
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestScd2AsofJoin:
+    def test_each_fact_row_gets_its_effective_version(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_asof_join,
+            scd2_init,
+        )
+
+        t0 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )
+        hist = scd2_init(t0, "2024-01-01")
+        t1 = spark.createDataFrame(
+            [(1, "A"), (3, "c")], "id long, v string"  # update 1, del 2, ins 3
+        )
+        hist = scd2_apply(hist, t1, "id", "2024-02-01")
+        facts = spark.createDataFrame(
+            [
+                (100, 1, "2024-01-15"),  # v1 of key 1
+                (101, 1, "2024-02-15"),  # v2 of key 1
+                (102, 2, "2024-01-20"),  # key 2 still alive
+                (103, 2, "2024-03-01"),  # key 2 deleted -> no match
+                (104, 3, "2024-01-10"),  # key 3 not born yet -> no match
+                (105, 3, "2024-02-10"),  # key 3 alive
+                (106, 9, "2024-02-10"),  # unknown key -> no match
+            ],
+            "fact_id long, id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("date"))
+        got = {
+            r["fact_id"]: r["v"]
+            for r in scd2_asof_join(facts, hist, "id", "ts").collect()
+        }
+        assert got == {100: "a", 101: "A", 102: "b", 105: "c"}
+
+    def test_at_most_one_version_per_fact_row(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_asof_join,
+            scd2_init,
+        )
+
+        hist = scd2_init(
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+            "2024-01-01",
+        )
+        for i, (day, v) in enumerate(
+            [("2024-02-01", "b"), ("2024-03-01", "c"), ("2024-04-01", "d")]
+        ):
+            hist = scd2_apply(
+                hist,
+                spark.createDataFrame([(1, v)], "id long, v string"),
+                "id",
+                day,
+            )
+        facts = spark.createDataFrame(
+            [(i, 1, f"2024-0{m}-15") for i, m in enumerate(range(1, 5))],
+            "fact_id long, id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("date"))
+        out = scd2_asof_join(facts, hist, "id", "ts")
+        assert out.count() == 4  # exactly one version each
+        assert {r["v"] for r in out.collect()} == {"a", "b", "c", "d"}
