@@ -841,7 +841,9 @@ def jaccard_prefix_index(
     DISTINCT token set and size — tokenized once, text never re-read
     by later ingests. Append each ingested batch's index rows so the
     next ingest sees them (same contract as the MinHash signature
-    index)."""
+    index). ``id_col`` must be UNIQUE — duplicate ids would merge
+    token sets downstream; the validation operator (V3) is the
+    guard, as everywhere else in the engine."""
     toks = F.array_distinct(tokens(F.col(text_col)))
     return df.select(
         F.col(id_col), toks.alias("toks"), F.size(toks).alias("n")

@@ -1422,3 +1422,109 @@ class TestContainmentJoin:
             [(2, "anything at all")], "doc_id long, text string"
         )
         assert containment_join(probe, corpus, threshold=0.5).count() == 0
+
+
+class TestSimilarityJoinRandomized:
+    """Seeded randomized corpora: the prefix blocking of all three
+    exact similarity joins must be LOSSLESS against brute force —
+    template-like overlap, random lengths, shared vocab, empties."""
+
+    def _corpus(self, rng, n_docs, vocab):
+        docs = []
+        for i in range(n_docs):
+            kind = rng.random()
+            if kind < 0.15:
+                docs.append((i, ""))
+            elif kind < 0.55 and docs:
+                # near-copy of an earlier doc with edits
+                base = docs[rng.randrange(len(docs))][1].split()
+                for _ in range(rng.randrange(0, 3)):
+                    if base and rng.random() < 0.5:
+                        base.pop(rng.randrange(len(base)))
+                    else:
+                        base.append(rng.choice(vocab))
+                docs.append((i, " ".join(base)))
+            else:
+                k = rng.randrange(1, 12)
+                docs.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(k)))
+                )
+        return docs
+
+    def test_lossless_on_random_corpora(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            containment_join,
+            jaccard_join_incremental,
+            jaccard_prefix_index,
+            jaccard_self_join,
+        )
+        from mydatasyncer_spark.operators.text import tokens
+
+        vocab = [f"w{i}" for i in range(30)]
+        for seed in (7, 21, 99):
+            rng = random.Random(seed)
+            docs = self._corpus(rng, 24, vocab)
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            tk = {
+                r["doc_id"]: set(r["tk"])
+                for r in df.select(
+                    "doc_id",
+                    F.array_distinct(tokens(F.col("text"))).alias("tk"),
+                ).collect()
+            }
+            t = rng.choice([0.3, 0.5, 0.7, 0.9])
+
+            def jac(a, b):
+                u = len(tk[a] | tk[b])
+                return len(tk[a] & tk[b]) / u if u else 0.0
+
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_self_join(df, threshold=t).collect()
+            }
+            want = {
+                (a, b)
+                for a in tk
+                for b in tk
+                if a < b and jac(a, b) >= t
+            }
+            assert got == want, (seed, t, "self")
+
+            got_c = {
+                (r["id_a"], r["id_b"])
+                for r in containment_join(df, threshold=t).collect()
+            }
+            want_c = {
+                (a, b)
+                for a in tk
+                for b in tk
+                if a != b
+                and tk[a]
+                and len(tk[a] & tk[b]) / len(tk[a]) >= t
+            }
+            assert got_c == want_c, (seed, t, "containment")
+
+            corpus = df.filter("doc_id % 2 = 0")
+            batch = df.filter("doc_id % 2 = 1")
+            got_i = {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_join_incremental(
+                    batch, jaccard_prefix_index(corpus), threshold=t
+                ).collect()
+            }
+            bids = {i for i, _ in docs if i % 2 == 1}
+            want_i = set()
+            for a in bids:
+                for b in tk:
+                    if b == a or jac(a, b) < t:
+                        continue
+                    if b in bids:
+                        if a < b:
+                            want_i.add((a, b))
+                    else:
+                        want_i.add((a, b))
+            assert got_i == want_i, (seed, t, "incremental")
