@@ -855,3 +855,77 @@ def continuous_scd2(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def continuous_jaccard_index(
+    stream_docs: DataFrame,
+    index_path: str,
+    pairs_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_jaccard_index",
+):
+    """Continuous document ingestion into a growing EXACT-Jaccard
+    prefix index — the streaming twin of
+    ``operators/dedup.jaccard_join_incremental`` (what
+    :func:`continuous_ann_index` is to IVF): each micro-batch of new
+    docs is exact-joined against everything indexed so far, its
+    duplicate pairs (optionally) append to ``pairs_path``, and its
+    token rows extend the index so the next batch sees them.
+
+    Replay idempotence mirrors the IVF twin: ids already indexed are
+    anti-joined away first, so an at-least-once redelivery neither
+    duplicates index rows nor re-emits pairs. Corpus text is never
+    re-read — only the stored token arrays. The per-ingest token
+    order is recomputed from the index (exact under any fixed order,
+    see the batch operator); a deployment with a frozen order map
+    passes it via the batch operator directly.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.dedup import (
+        jaccard_join_incremental,
+        jaccard_prefix_index,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:
+            index = None
+        if index is not None:
+            batch = batch.join(
+                index.select(id_col), id_col, "left_anti"
+            )
+        if batch.isEmpty():
+            return
+        if index is not None:
+            pairs = jaccard_join_incremental(
+                batch, index, text_col, id_col, threshold
+            )
+        else:
+            from mydatasyncer_spark.operators.dedup import (
+                jaccard_self_join,
+            )
+
+            pairs = jaccard_self_join(batch, text_col, id_col, threshold)
+        if pairs_path is not None:
+            pairs.write.mode("append").parquet(pairs_path)
+        jaccard_prefix_index(batch, text_col, id_col).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1191,3 +1191,85 @@ class TestContinuousJoinView:
             (3, "c2", None),
             (4, "d", None),
         ]
+
+
+class TestContinuousJaccardIndex:
+    """Streaming exact-Jaccard index: per-batch pairs equal the batch
+    operator's, the index grows batch by batch, and replay with a
+    fresh checkpoint neither duplicates index rows nor pairs."""
+
+    def _drain(self, spark, in_dir, index, pairs, ckpt, rows, fname):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        (in_dir / fname).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_jaccard_index(
+            stream, index, pairs, threshold=0.8, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    def test_pairs_accumulate_and_replay_is_idempotent(
+        self, spark, tmp_path_factory
+    ):
+        in_dir = tmp_path_factory.mktemp("jx_in")
+        out = tmp_path_factory.mktemp("jx_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        ckpt = str(out / "ckpt")
+        b0 = [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 2, "text": "totally unrelated content here"},
+        ]
+        # doc 3 is a near-copy of doc 1 (8/9 tokens); doc 4 extends 2
+        b1 = [
+            {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat"},
+            {"doc_id": 4, "text": "totally unrelated content here now"},
+        ]
+        self._drain(spark, in_dir, index, pairs, ckpt, b0, "b0.json")
+        self._drain(spark, in_dir, index, pairs, ckpt, b1, "b1.json")
+        idx = spark.read.parquet(index)
+        assert idx.count() == 4
+        # new-vs-corpus pairs carry the NEW id in id_a; normalize to
+        # (min, max) for the brute-force compare
+        got = sorted(
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in spark.read.parquet(pairs).collect()
+        )
+        from pyspark.sql import functions as F
+
+        sim = F.size(F.array_intersect("ta", "tb")) / (
+            F.size("ta") + F.size("tb")
+            - F.size(F.array_intersect("ta", "tb"))
+        )
+        a = idx.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+        b = idx.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+        want = sorted(
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in a.crossJoin(b)
+            .filter("id_a < id_b")
+            .filter(sim >= 0.8)
+            .collect()
+        )
+        assert got == want and got  # pairs found, exactly the brute set
+        # fresh-checkpoint replay over the same files: no growth
+        ckpt2 = str(out / "ckpt2")
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_jaccard_index(
+            stream, index, pairs, threshold=0.8, checkpoint_dir=ckpt2
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(index).count() == 4
+        assert spark.read.parquet(pairs).count() == len(got)
