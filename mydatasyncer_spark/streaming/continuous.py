@@ -882,6 +882,12 @@ def continuous_jaccard_index(
     order is recomputed from the index (exact under any fixed order,
     see the batch operator); a deployment with a frozen order map
     passes it via the batch operator directly.
+
+    Failure-mode choice: pairs append BEFORE the index extension, so
+    a crash between the two writes re-emits that batch's pairs on
+    replay (pairs are idempotent facts — dedupe on (id_a, id_b)
+    downstream) rather than silently losing them, which the reverse
+    order would.
     """
     from pyspark.sql.utils import AnalysisException
 

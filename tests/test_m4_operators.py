@@ -1528,3 +1528,35 @@ class TestSimilarityJoinRandomized:
                     else:
                         want_i.add((a, b))
             assert got_i == want_i, (seed, t, "incremental")
+
+
+class TestExactJaccardClusterComposition:
+    def test_exact_pairs_feed_cluster_assignment(self, spark):
+        """The curation decision step composes: exact prefix-filtered
+        pairs -> union-find clusters -> min-id survivors, with
+        transitive chains collapsing (a~b, b~c => one cluster even if
+        a!~c)."""
+        from mydatasyncer_spark.operators.dedup import (
+            dedup_clusters,
+            jaccard_self_join,
+        )
+
+        texts = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),     # ~1
+            (3, "alpha beta gamma eta zeta"),       # ~2, not ~1
+            (4, "totally different content here"),
+            (5, "totally different content there"), # ~4
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        pairs = jaccard_self_join(df, threshold=0.6)
+        got_pairs = {
+            (r["id_a"], r["id_b"]) for r in pairs.collect()
+        }
+        assert got_pairs == {(1, 2), (2, 3), (4, 5)}
+        clusters = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs).collect()
+        }
+        # transitive: 1-2-3 one cluster rooted at 1; 4-5 at 4
+        assert clusters == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
