@@ -639,3 +639,79 @@ class TestScd2AsofJoin:
         out = scd2_asof_join(facts, hist, "id", "ts")
         assert out.count() == 4  # exactly one version each
         assert {r["v"] for r in out.collect()} == {"a", "b", "c", "d"}
+
+
+class TestScd2MixedChain:
+    def test_interleaved_pruned_policies_converge(self, spark):
+        """Four-day torture chain over one bucketed table mixing
+        pruned and full applies, close-all and keep policies, a
+        bucket wipe-out, and a brand-new-bucket insert — the table
+        must equal the DataFrame-level scd2_apply chain with the
+        same policies, with the one-current invariant after every
+        step."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_apply_to_table,
+            scd2_init,
+            scd2_init_table,
+        )
+
+        name = f"scd2_mix_{uuid.uuid4().hex[:8]}"
+        t0 = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "id long, v string"
+        )
+        scd2_init_table(
+            spark, name, t0, "2024-01-01", primary_key="id", n_buckets=8
+        )
+        ref = scd2_init(t0, "2024-01-01")
+        try:
+            by_bucket = {}
+            for r in t0.select(
+                "id", F.pmod(F.xxhash64("id"), F.lit(8)).alias("b")
+            ).collect():
+                by_bucket.setdefault(r["b"], []).append(r["id"])
+            _, victim_ids = min(
+                by_bucket.items(), key=lambda kv: len(kv[1])
+            )
+            # day 2 (pruned): update two keys, insert a fresh key 1000
+            t1 = t0.withColumn(
+                "v",
+                F.when(F.col("id").isin([0, 7]), F.concat(F.col("v"), F.lit("x")))
+                .otherwise(F.col("v")),
+            ).unionByName(
+                spark.createDataFrame([(1000, "new")], "id long, v string")
+            )
+            scd2_apply_to_table(
+                spark, name, t1, "id", "2024-02-01", pruned=True
+            )
+            ref = scd2_apply(ref, t1, "id", "2024-02-01").localCheckpoint()
+            assert_one_current_per_key(spark, name, "id")
+            # day 3 (full): delete the victim bucket's keys entirely
+            t2 = t1.filter(~F.col("id").isin(victim_ids))
+            scd2_apply_to_table(spark, name, t2, "id", "2024-03-01")
+            ref = scd2_apply(ref, t2, "id", "2024-03-01").localCheckpoint()
+            assert_one_current_per_key(spark, name, "id")
+            # day 4 (pruned + keep policy): partial snapshot updates
+            # one key; absent keys must stay current
+            t3 = spark.createDataFrame(
+                [(0, "v0xz")], "id long, v string"
+            )
+            scd2_apply_to_table(
+                spark, name, t3, "id", "2024-04-01",
+                pruned=True, delete_absent=False,
+            )
+            ref = scd2_apply(
+                ref, t3, "id", "2024-04-01", delete_absent=False
+            ).localCheckpoint()
+            assert_one_current_per_key(spark, name, "id")
+            got = spark.table(name).select(*ref.columns)
+            assert got.count() == ref.count()
+            assert got.exceptAll(ref).count() == 0
+            assert ref.exceptAll(got).count() == 0
+            # the keep-policy day preserved every absent current row
+            cur = spark.table(name).filter("is_current")
+            assert cur.count() == 30 - len(victim_ids) + 1
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
