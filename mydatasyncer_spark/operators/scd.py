@@ -457,7 +457,9 @@ def scd2_asof_join(
     meta = [VALID_FROM, VALID_TO, IS_CURRENT]
     if history_cols is not None:
         history = history.select(primary_key, *history_cols, *meta)
-    h = history.drop(IS_CURRENT)
+    # the bucketed managed layout carries its partition helper column;
+    # it is not dimension payload
+    h = history.drop(IS_CURRENT, BUCKET_COL)
     ts = F.col(ts_col).cast("date")
     eff = (F.col(VALID_FROM) <= ts) & (
         F.col(VALID_TO).isNull() | (ts < F.col(VALID_TO))

@@ -715,3 +715,35 @@ class TestScd2MixedChain:
             assert cur.count() == 30 - len(victim_ids) + 1
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_asof_join_reads_managed_bucketed_history(spark):
+    """scd2_asof_join composes with the bucketed managed table: the
+    _pk_bucket partition helper never leaks into the output and
+    version selection works straight off spark.table()."""
+    from pyspark.sql import functions as F
+
+    from mydatasyncer_spark.operators.scd import (
+        scd2_apply_to_table,
+        scd2_asof_join,
+        scd2_init_table,
+    )
+
+    name = f"scd2_aj_{uuid.uuid4().hex[:8]}"
+    t0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    scd2_init_table(
+        spark, name, t0, "2024-01-01", primary_key="id", n_buckets=4
+    )
+    try:
+        t1 = spark.createDataFrame([(1, "A"), (2, "b")], "id long, v string")
+        scd2_apply_to_table(spark, name, t1, "id", "2024-02-01")
+        facts = spark.createDataFrame(
+            [(10, 1, "2024-01-15"), (11, 1, "2024-02-15")],
+            "fact_id long, id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("date"))
+        out = scd2_asof_join(facts, spark.table(name), "id", "ts")
+        assert "_pk_bucket" not in out.columns
+        got = {r["fact_id"]: r["v"] for r in out.collect()}
+        assert got == {10: "a", 11: "A"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
