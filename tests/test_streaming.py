@@ -101,6 +101,10 @@ def test_streaming_dedup_drops_replayed_batch(spark, sf_dir, tmp_path_factory):
     n = ev.count()
     ev.write.mode("overwrite").parquet(out)
     ev.write.mode("append").parquet(out)  # exact replay
+    # release the pin: a lingering cache trips the session-wide
+    # cache-manager-empty asserts in other test files when the run
+    # order differs from alphabetical
+    ev.unpersist()
     stream = read_event_stream(spark, out, max_files_per_trigger=1)
     run_to_memory(dedup_stream(stream), "dedup_events", output_mode="append")
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_events").first()
