@@ -739,12 +739,24 @@ def _verify_pairs(
     t: float,
     out_col: str,
     containment: bool = False,
+    prune_b: bool = False,
 ) -> DataFrame:
     """Exact verification of DISTINCT candidate id pairs: join each
     side's token array back by id (delta-sized equi joins,
     AQE-broadcastable) and score once per pair. ``containment``
     divides by |a| instead of the union size. The threshold applies
-    to the UNROUNDED score, so results are engine-identical."""
+    to the UNROUNDED score, so results are engine-identical.
+
+    ``prune_b`` semi-joins ``b_src`` down to the candidate ids (the
+    id list broadcast) BEFORE the array rejoin — when ``b_src`` is a
+    stored corpus index this keeps the corpus side of the plan
+    scan-only: no corpus-wide exchange ever forms below a join. The
+    candidate subtree is referenced twice, but it ends in a
+    ``distinct()`` whose exchange Spark reuses (ReusedExchange), so
+    the work below it still runs once."""
+    if prune_b:
+        ids_b = pairs.select(F.col("_id_b").alias(id_col)).distinct()
+        b_src = b_src.join(F.broadcast(ids_b), id_col, "left_semi")
     ta = a_src.select(
         F.col(id_col).alias("_id_a"),
         F.col("toks").alias("_t_a"),
@@ -850,6 +862,62 @@ def jaccard_prefix_index(
     )
 
 
+def jaccard_token_order(index: DataFrame) -> DataFrame:
+    """The FROZEN ``(token, df)`` total-order table for the ordered
+    index contract: document frequency of every token across the
+    given :func:`jaccard_prefix_index` rows (rarest first downstream;
+    ties break by token string). Persist this alongside the ordered
+    index at build time — every later ingest orders its batch under
+    it, so the corpus is never re-ordered. One row per token (the
+    groupBy guarantees uniqueness, which the ordering join relies
+    on); tokens absent from the table order as df 0 on every side,
+    so the combined relation stays one fixed total order and the
+    prefix filter stays EXACT as the vocabulary grows."""
+    return (
+        index.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def jaccard_ordered_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_order: DataFrame | None = None,
+) -> DataFrame:
+    """The STORED-ORDER corpus index for
+    :func:`jaccard_join_incremental`'s ``corpus_ordered=True`` path:
+    ``(id, n, toks)`` with each doc's distinct token set sorted
+    rarest-first under the FROZEN ``token_order``
+    (:func:`jaccard_token_order`) — the ordering work happens ONCE at
+    index build/extend time, so later ingests slice prefixes straight
+    off the stored arrays instead of re-ordering the corpus
+    (`ref behavioral parity: the reference never re-reads synced
+    rows either — dbsync.go keeps per-run work delta-sized`).
+
+    ``df`` is either raw documents (tokenized here) or an existing
+    :func:`jaccard_prefix_index` frame (detected by its
+    ``toks``/``n`` columns — text is then never re-read). Append each
+    ingested batch's ordered rows (built under the SAME frozen order)
+    so the next ingest sees them."""
+    if token_order is None:
+        raise ValueError(
+            "jaccard_ordered_index requires the frozen token_order "
+            "(build it once with jaccard_token_order and persist it "
+            "alongside the index)"
+        )
+    cols = token_order.columns
+    order = token_order.select(
+        F.col(cols[0]).alias("_tok"), F.col(cols[1]).alias("_df")
+    )
+    if "toks" in df.columns and "n" in df.columns:
+        idx = df.select(id_col, "toks", "n")
+    else:
+        idx = jaccard_prefix_index(df, text_col, id_col)
+    return _ordered_token_rows(idx, id_col, order)
+
+
 def jaccard_join_incremental(
     new_df: DataFrame,
     corpus_index: DataFrame,
@@ -858,6 +926,8 @@ def jaccard_join_incremental(
     threshold: float = 0.8,
     include_new_pairs: bool = True,
     token_order: DataFrame | None = None,
+    corpus_ordered: bool = False,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs for a NEW document batch against an
     indexed corpus — the daily-ingest twin of
@@ -872,22 +942,49 @@ def jaccard_join_incremental(
     (document frequency in the index, token) recomputed per ingest
     from the index itself — one narrow explode+count over token
     arrays; batch-only tokens get df 0 (they cannot be shared with
-    any indexed doc, so their front position is harmless). At the
-    100 TB end, pass ``token_order`` (a ``(token, df)`` frame frozen
-    at index-build time) instead: unseen tokens order as df 0 on both
-    sides, the order stays a fixed total order, the join stays exact,
-    and the per-ingest corpus re-order disappears.
+    any indexed doc, so their front position is harmless). That
+    default path also re-SORTS every indexed doc's array per ingest
+    (a corpus-wide explode+shuffle+groupBy) — fine for one-off runs,
+    wrong for a standing daily pipeline.
+
+    The 100 TB path is ``corpus_ordered=True``: ``corpus_index`` is
+    then a :func:`jaccard_ordered_index` (arrays STORED rarest-first)
+    and ``token_order`` is REQUIRED — the ``(token, df)`` frame
+    frozen when that index was built. Corpus prefixes are then plain
+    ``slice`` projections over the stored arrays, the batch is
+    ordered under the frozen order pruned to the batch's own
+    vocabulary, and verification semi-joins the index down to the
+    candidate ids first — the corpus side of the whole plan is
+    scan-only: no corpus-wide exchange or aggregate, per-ingest cost
+    ∝ |batch| × collisions plus linear index scans.
+    ``broadcast_batch`` (default: on exactly when ``corpus_ordered``)
+    broadcast-hints the batch-derived sides of those joins, which is
+    what keeps the corpus side exchange-free; turn it off for batches
+    too large to broadcast (the joins then shuffle, but still never
+    aggregate the corpus).
 
     Verification joins each pair side back to its OWN token table, so
     a re-ingested id (possibly with changed text) compares new tokens
     against the INDEXED tokens — and never pairs with itself.
     Returns ``(id_a, id_b, jaccard)`` with new ids in ``id_a`` for
     new-vs-corpus pairs and ``id_a < id_b`` for new-vs-new pairs
-    (emitted when ``include_new_pairs``).
+    (emitted when ``include_new_pairs``). NOTE: when a batch
+    RE-INGESTS both ids of an already-indexed pair, up to three rows
+    describe it (x_new vs y_indexed, y_new vs x_indexed, x_new vs
+    y_new) — deliberate, since the three scores can differ when the
+    text changed. Feeds that re-deliver unchanged docs should
+    anti-join the batch against the index first (exactly what
+    ``streaming/continuous.continuous_jaccard_index`` does) or dedupe
+    downstream on ``least/greatest(id_a, id_b)``.
     """
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if corpus_ordered and token_order is None:
+        raise ValueError(
+            "corpus_ordered=True requires the frozen token_order the "
+            "ordered index was built under"
+        )
     new_toks = jaccard_prefix_index(new_df, text_col, id_col)
     if token_order is None:
         token_order = (
@@ -900,10 +997,30 @@ def jaccard_join_incremental(
         token_order = token_order.select(
             F.col(cols[0]).alias("_tok"), F.col(cols[1]).alias("_df")
         )
+    if broadcast_batch is None:
+        broadcast_batch = corpus_ordered
+    if corpus_ordered:
+        # prune the (possibly corpus-vocabulary-sized) stored order to
+        # the batch's own tokens before the ordering join: rows for
+        # tokens the batch lacks can never join, and the pruned table
+        # is batch-vocabulary-sized, hence broadcastable. Missing
+        # tokens still coalesce to df 0, so the order is unchanged.
+        batch_vocab = new_toks.select(
+            F.explode("toks").alias("_tok")
+        ).distinct()
+        if broadcast_batch:
+            batch_vocab = F.broadcast(batch_vocab)
+        token_order = token_order.join(batch_vocab, "_tok", "left_semi")
+        if broadcast_batch:
+            token_order = F.broadcast(token_order)
+        corpus_src = corpus_index.select(F.col(id_col), "n", "toks")
+    else:
+        corpus_src = _ordered_token_rows(corpus_index, id_col, token_order)
     new_ordered = _ordered_token_rows(new_toks, id_col, token_order)
-    corpus_ordered = _ordered_token_rows(corpus_index, id_col, token_order)
     pa = _prefix_rows(new_ordered, id_col, t, "a")
-    pc = _prefix_rows(corpus_ordered, id_col, t, "b")
+    if broadcast_batch:
+        pa = F.broadcast(pa)
+    pc = _prefix_rows(corpus_src, id_col, t, "b")
     size_ok = (F.col("_n_b") * F.lit(t) <= F.col("_n_a")) & (
         F.col("_n_a") * F.lit(t) <= F.col("_n_b")
     )
@@ -918,7 +1035,8 @@ def jaccard_join_incremental(
         .distinct()
     )
     out = _verify_pairs(
-        cand_corpus, new_ordered, corpus_ordered, id_col, t, "jaccard"
+        cand_corpus, new_ordered, corpus_src, id_col, t, "jaccard",
+        prune_b=corpus_ordered,
     )
     if include_new_pairs:
         pb = _prefix_rows(new_ordered, id_col, t, "b")
@@ -946,6 +1064,8 @@ def containment_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    token_order: DataFrame | None = None,
+    prefilter_index: bool = True,
 ) -> DataFrame:
     """EXACT containment join: pairs where the PROBE doc's token set
     is ``threshold``-contained in a corpus doc —
@@ -959,13 +1079,30 @@ def containment_join(
     token order at least one of the probe's FIRST
     ``|a| - ceil(t*|a|) + 1`` tokens is shared. Candidates therefore
     come from probe-PREFIX tokens equi-joined against the corpus's
-    FULL inverted index (containment puts no upper bound on the
-    corpus doc's size, so the corpus side cannot be prefix- or
+    inverted index (containment puts no upper bound on the corpus
+    doc's size, so the corpus side cannot be prefix- or
     size-filtered — this join is inherently heavier than the Jaccard
-    one). Rarest-first ordering keeps probe prefixes in rare-token
-    buckets; residual hot-token skew is AQE skew-join territory.
-    Candidate rows are narrow (ids only); the single exact
-    intersection per pair happens in id-keyed verification joins.
+    one). ONLY the probe side needs ordering at all: the corpus
+    inverted index and the verification intersections are
+    order-independent, so the corpus is never re-sorted here.
+    Rarest-first ordering keeps probe prefixes in rare-token buckets;
+    residual hot-token skew is AQE skew-join territory. Candidate
+    rows are narrow (ids only); the single exact intersection per
+    pair happens in id-keyed verification joins.
+
+    In probe-vs-corpus mode (``corpus_df`` given — the daily-curation
+    shape) only corpus tokens that occur in some probe PREFIX can
+    ever produce a candidate, so with ``prefilter_index`` (default)
+    the inverted index is semi-joined by the broadcast distinct probe
+    prefix tokens BEFORE the candidate join — the corpus side then
+    streams through scan-side filters instead of shuffling its whole
+    inverted index. Lossless by construction; disable it only when
+    the probe side is itself corpus-sized. Self-mode keeps the full
+    index (every corpus token is then also a probe token).
+    ``token_order`` (an optional frozen ``(token, df)`` frame, e.g.
+    :func:`jaccard_token_order` of the corpus) skips the per-call
+    vocabulary count; exactness holds under any fixed order either
+    way.
 
     ``corpus_df=None`` means self-containment over ``probe_df``
     (pairs with distinct ids, both directions possible). Returns
@@ -986,24 +1123,29 @@ def containment_join(
         if self_mode
         else jaccard_prefix_index(corpus_df, text_col, id_col)
     )
-    # one fixed global order over BOTH vocabularies: rarest-first by
-    # combined document frequency (ties by token)
-    token_order = (
-        probe.select(F.explode("toks").alias("_tok"))
-        .unionByName(corpus.select(F.explode("toks").alias("_tok")))
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
+    if token_order is None:
+        # one fixed global order over BOTH vocabularies: rarest-first
+        # by combined document frequency (ties by token)
+        token_order = (
+            probe.select(F.explode("toks").alias("_tok"))
+            .unionByName(corpus.select(F.explode("toks").alias("_tok")))
+            .groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+    else:
+        cols = token_order.columns
+        token_order = token_order.select(
+            F.col(cols[0]).alias("_tok"), F.col(cols[1]).alias("_df")
+        )
     probe_ordered = _ordered_token_rows(probe, id_col, token_order)
-    corpus_ordered = (
-        probe_ordered
-        if self_mode
-        else _ordered_token_rows(corpus, id_col, token_order)
-    )
     pfx = _prefix_rows(probe_ordered, id_col, t, "a")
-    inv = corpus_ordered.select(
+    inv = corpus.select(
         F.col(id_col).alias("_id_b"), F.explode("toks").alias("_ptok")
     )
+    if not self_mode and prefilter_index:
+        inv = inv.join(
+            F.broadcast(pfx.select("_ptok").distinct()), "_ptok", "left_semi"
+        )
     cond = pfx["_ptok"] == inv["_ptok"]
     if self_mode:
         cond = cond & (F.col("_id_a") != F.col("_id_b"))
@@ -1011,7 +1153,7 @@ def containment_join(
     return _verify_pairs(
         cand,
         probe_ordered,
-        corpus_ordered,
+        corpus,
         id_col,
         t,
         "containment",

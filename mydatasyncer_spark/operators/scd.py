@@ -31,16 +31,33 @@ VALID_TO = "valid_to"
 IS_CURRENT = "is_current"
 
 
-def scd2_init(snapshot: DataFrame, ts: str) -> DataFrame:
+def scd2_init(
+    snapshot: DataFrame, ts: str, effective_type: str = "date"
+) -> DataFrame:
     """Bootstrap a history table from a first snapshot: every row is
     the open current version effective at ``ts`` (a date/timestamp
-    string literal)."""
+    string literal).
+
+    ``effective_type`` fixes the GRANULARITY of the whole history:
+    the default ``"date"`` matches the reference's daily-sync
+    contract (two same-day versions of a key are unrepresentable —
+    the second apply simply supersedes); ``"timestamp"`` gives
+    sub-day effectivity, letting intraday applies stack versions.
+    Every later :func:`scd2_apply` / :func:`scd2_asof_join` derives
+    the type from the history's ``valid_from`` column, so this one
+    choice threads through the whole lifecycle."""
     return snapshot.select(
         "*",
-        F.lit(ts).cast("date").alias(VALID_FROM),
-        F.lit(None).cast("date").alias(VALID_TO),
+        F.lit(ts).cast(effective_type).alias(VALID_FROM),
+        F.lit(None).cast(effective_type).alias(VALID_TO),
         F.lit(True).alias(IS_CURRENT),
     )
+
+
+def _effective_type(history: DataFrame):
+    """The history's effectivity granularity = ``valid_from``'s
+    dtype (date for daily histories, timestamp for sub-day)."""
+    return history.schema[VALID_FROM].dataType
 
 
 def scd2_apply(
@@ -108,6 +125,7 @@ def _scd2_legs(
         columns = [c for c in snapshot.columns]
     if diff_fn is None:
         diff_fn = diff_snapshots
+    eff_type = _effective_type(history)
     cur = history.filter(F.col(IS_CURRENT)).select(*columns, VALID_FROM)
     diff = diff_fn(
         snapshot.select(*columns), cur.select(*columns), primary_key
@@ -128,7 +146,7 @@ def _scd2_legs(
     closed = cur.join(closing_keys, primary_key, "left_semi").select(
         *columns,
         F.col(VALID_FROM),
-        F.lit(ts).cast("date").alias(VALID_TO),
+        F.lit(ts).cast(eff_type).alias(VALID_TO),
         F.lit(False).alias(IS_CURRENT),
     )
     surviving_current = cur.join(
@@ -136,7 +154,7 @@ def _scd2_legs(
     ).select(
         *columns,
         F.col(VALID_FROM),
-        F.lit(None).cast("date").alias(VALID_TO),
+        F.lit(None).cast(eff_type).alias(VALID_TO),
         F.lit(True).alias(IS_CURRENT),
     )
     opened = (
@@ -144,8 +162,8 @@ def _scd2_legs(
         .unionByName(diff.to_update.select(*columns))
         .select(
             *columns,
-            F.lit(ts).cast("date").alias(VALID_FROM),
-            F.lit(None).cast("date").alias(VALID_TO),
+            F.lit(ts).cast(eff_type).alias(VALID_FROM),
+            F.lit(None).cast(eff_type).alias(VALID_TO),
             F.lit(True).alias(IS_CURRENT),
         )
     )
@@ -168,6 +186,7 @@ def scd2_init_table(
     ts: str,
     primary_key: str | None = None,
     n_buckets: int | None = None,
+    effective_type: str = "date",
 ) -> None:
     """Bootstrap a MANAGED history table partitioned by
     ``is_current`` from a first snapshot (the layout
@@ -179,8 +198,10 @@ def scd2_init_table(
     of the whole current slice — at 100 TB the difference between a
     delta-proportional write and a daily full-snapshot rewrite. The
     bucket count is recorded as a table property so applies recompute
-    identical bucket values."""
-    h = scd2_init(snapshot, ts)
+    identical bucket values. ``effective_type`` as in
+    :func:`scd2_init` — later applies derive it from the stored
+    ``valid_from`` column."""
+    h = scd2_init(snapshot, ts, effective_type)
     if n_buckets is not None:
         if primary_key is None:
             raise ValueError("n_buckets requires primary_key")
@@ -282,6 +303,18 @@ def scd2_apply_to_table(
     meta = {VALID_FROM, VALID_TO, IS_CURRENT, BUCKET_COL}
     cols = [c for c in history.columns if c not in meta]
     if columns is not None:
+        # unlike scd2_apply (whose OUTPUT is the selected columns), a
+        # managed table has a fixed schema: the step must produce every
+        # stored data column, so only a permutation of the full set is
+        # meaningful here. Fail fast — before any Spark work — instead
+        # of the late AnalysisException the wide legs used to throw.
+        if set(columns) != set(cols):
+            raise ValueError(
+                "scd2_apply_to_table needs the table's full data-column"
+                f" set {sorted(cols)}; got {sorted(columns)}. Project "
+                "the snapshot (or use scd2_apply) for partial-column "
+                "histories."
+            )
         cols = columns
     pruned_bkts: list[int] | None = None
     if pruned:
@@ -362,7 +395,7 @@ def scd2_apply_to_table(
     if compute_stats:
         stats["closed"] = closed.count()
         stats["opened"] = new_current.filter(
-            F.col(VALID_FROM) == F.lit(ts).cast("date")
+            F.col(VALID_FROM) == F.lit(ts).cast(_effective_type(history))
         ).count()
     if closed.isEmpty() and new_current.isEmpty():
         return stats
@@ -453,6 +486,13 @@ def scd2_asof_join(
     unknown key) drop out, exactly like an inner dimension lookup.
     Pass ``history_cols`` to prune the dimension payload BEFORE the
     join (column pruning at the scan on a stored history).
+
+    The fact timestamp is cast to the HISTORY's effectivity dtype
+    (``valid_from``'s): against a date-grained history (the
+    reference's daily-sync contract) event times floor to the day;
+    against a ``scd2_init(..., effective_type="timestamp")`` history
+    the comparison keeps full sub-day precision, so two same-day
+    versions resolve correctly.
     """
     meta = [VALID_FROM, VALID_TO, IS_CURRENT]
     if history_cols is not None:
@@ -460,7 +500,7 @@ def scd2_asof_join(
     # the bucketed managed layout carries its partition helper column;
     # it is not dimension payload
     h = history.drop(IS_CURRENT, BUCKET_COL)
-    ts = F.col(ts_col).cast("date")
+    ts = F.col(ts_col).cast(_effective_type(history))
     eff = (F.col(VALID_FROM) <= ts) & (
         F.col(VALID_TO).isNull() | (ts < F.col(VALID_TO))
     )

@@ -206,7 +206,12 @@ def write_layout_manifest(
     valid layouts, just not incrementally mergeable) make this a
     silent NO-OP rather than an error: the layout stays readable and
     a later merge falls back to the :func:`file_key_ranges` scan,
-    whose ``_num`` raises the clear incremental-merge message."""
+    whose ``_num`` raises the clear incremental-merge message. The
+    key TYPE is probed ONCE (first non-null bound): if that probe is
+    non-numeric the whole manifest is skipped, but once the key
+    proved numeric a conversion failure on a LATER entry raises —
+    one corrupt bound must not silently degrade every future merge
+    to a full-layout scan."""
     import json as _json
     import os as _os
 
@@ -215,13 +220,19 @@ def write_layout_manifest(
             return v
         return float(v)  # Decimal and friends
 
-    try:
-        files = {
-            _os.path.basename(f): [num(lo), num(hi)]
-            for f, lo, hi in entries
-        }
-    except (TypeError, ValueError):
-        return
+    probe = next(
+        (v for _, lo, hi in entries for v in (lo, hi) if v is not None),
+        None,
+    )
+    if probe is not None and not isinstance(probe, (int, float)):
+        try:
+            float(probe)
+        except (TypeError, ValueError):
+            return  # string/date sort key: valid layout, no manifest
+    files = {
+        _os.path.basename(f): [num(lo), num(hi)]
+        for f, lo, hi in entries
+    }
     payload = _json.dumps({"key": key_sig, "files": files}, sort_keys=True)
     jvm, fs, _ = _hadoop_fs(spark, path)
     target = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
@@ -605,35 +616,42 @@ def _merge_layout(
     # lineage (possibly a join) up to max_groups times
     routed = new_df.withColumn("_grp", group_of_row).persist()
     new_files = 0
-    for k, g in enumerate(groups):
-        rows = routed.filter(F.col("_grp") == k).drop("_grp")
-        if g["files"]:
-            rows = (
-                spark.read.format(fmt)
-                .load(g["files"])
-                .unionByName(rows)
+    try:
+        for k, g in enumerate(groups):
+            rows = routed.filter(F.col("_grp") == k).drop("_grp")
+            if g["files"]:
+                rows = (
+                    spark.read.format(fmt)
+                    .load(g["files"])
+                    .unionByName(rows)
+                )
+            if prep is not None:
+                rows = prep(rows)
+            n = max(len(g["files"]), 1)
+            new_files += n
+            writer = (
+                rows.repartitionByRange(n, *sort_exprs)
+                .sortWithinPartitions(*sort_exprs)
+                .drop("_zkey_sort")
+                .write.format(fmt)
+                .mode("append")
             )
-        if prep is not None:
-            rows = prep(rows)
-        n = max(len(g["files"]), 1)
-        new_files += n
-        writer = (
-            rows.repartitionByRange(n, *sort_exprs)
-            .sortWithinPartitions(*sort_exprs)
-            .drop("_zkey_sort")
-            .write.format(fmt)
-            .mode("append")
-        )
-        if max_rows_per_file is not None:
-            # splits an over-full range partition into several files
-            # at write time — the split points fall inside one task's
-            # SORTED stream, so the resulting files stay consecutive
-            # and the non-overlap invariant holds. This is what stops
-            # the repeated-merge pathology where a daily append into
-            # the same key range re-fattens one file forever.
-            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
-        writer.save(out_path)
-    routed.unpersist()
+            if max_rows_per_file is not None:
+                # splits an over-full range partition into several
+                # files at write time — the split points fall inside
+                # one task's SORTED stream, so the resulting files stay
+                # consecutive and the non-overlap invariant holds. This
+                # is what stops the repeated-merge pathology where a
+                # daily append into the same key range re-fattens one
+                # file forever.
+                writer = writer.option(
+                    "maxRecordsPerFile", max_rows_per_file
+                )
+            writer.save(out_path)
+    finally:
+        # a failed group write must not leak the cached batch for the
+        # rest of the session
+        routed.unpersist()
     rewritten = len(ranges) - len(untouched)
     if key_sig is not None:
         by_name = {

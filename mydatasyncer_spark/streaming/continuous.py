@@ -866,35 +866,51 @@ def continuous_jaccard_index(
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_jaccard_index",
+    order_path: str | None = None,
 ):
     """Continuous document ingestion into a growing EXACT-Jaccard
-    prefix index — the streaming twin of
+    ORDERED index — the streaming twin of
     ``operators/dedup.jaccard_join_incremental`` (what
     :func:`continuous_ann_index` is to IVF): each micro-batch of new
     docs is exact-joined against everything indexed so far, its
     duplicate pairs (optionally) append to ``pairs_path``, and its
     token rows extend the index so the next batch sees them.
 
+    The token order is FROZEN at bootstrap: the first batch's
+    ``(token, df)`` table is written once to ``order_path`` (default
+    ``index_path + "_order"``) and never rewritten; the index stores
+    each doc's array pre-sorted under that order
+    (``jaccard_ordered_index``), so later batches run the
+    ``corpus_ordered=True`` path — corpus prefixes are slice
+    projections over stored arrays and per-batch work is batch-sized
+    plus linear index scans, with NO corpus-wide exchange or
+    re-sort. Tokens unseen at bootstrap order as df 0 on every side
+    (one fixed total order — exactness is order-independent, see the
+    batch operator).
+
     Replay idempotence mirrors the IVF twin: ids already indexed are
     anti-joined away first, so an at-least-once redelivery neither
     duplicates index rows nor re-emits pairs. Corpus text is never
-    re-read — only the stored token arrays. The per-ingest token
-    order is recomputed from the index (exact under any fixed order,
-    see the batch operator); a deployment with a frozen order map
-    passes it via the batch operator directly.
+    re-read — only the stored token arrays.
 
-    Failure-mode choice: pairs append BEFORE the index extension, so
-    a crash between the two writes re-emits that batch's pairs on
-    replay (pairs are idempotent facts — dedupe on (id_a, id_b)
-    downstream) rather than silently losing them, which the reverse
-    order would.
+    Failure-mode choices: the order writes FIRST at bootstrap (a
+    crash before the first index write replays as a fresh bootstrap
+    and simply overwrites it), and pairs append BEFORE the index
+    extension, so a crash between the two writes re-emits that
+    batch's pairs on replay (pairs are idempotent facts — dedupe on
+    (id_a, id_b) downstream) rather than silently losing them, which
+    the reverse order would.
     """
     from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.dedup import (
         jaccard_join_incremental,
+        jaccard_ordered_index,
         jaccard_prefix_index,
+        jaccard_token_order,
     )
+
+    order_loc = order_path or index_path.rstrip("/") + "_order"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -911,21 +927,27 @@ def continuous_jaccard_index(
             )
         if batch.isEmpty():
             return
+        batch_idx = jaccard_prefix_index(batch, text_col, id_col)
         if index is not None:
+            order = spark.read.parquet(order_loc)
             pairs = jaccard_join_incremental(
-                batch, index, text_col, id_col, threshold
+                batch, index, text_col, id_col, threshold,
+                token_order=order, corpus_ordered=True,
             )
         else:
             from mydatasyncer_spark.operators.dedup import (
                 jaccard_self_join,
             )
 
+            order = jaccard_token_order(batch_idx)
+            order.write.mode("overwrite").parquet(order_loc)
+            order = spark.read.parquet(order_loc)
             pairs = jaccard_self_join(batch, text_col, id_col, threshold)
         if pairs_path is not None:
             pairs.write.mode("append").parquet(pairs_path)
-        jaccard_prefix_index(batch, text_col, id_col).write.mode(
-            "append"
-        ).parquet(index_path)
+        jaccard_ordered_index(
+            batch_idx, text_col, id_col, token_order=order
+        ).write.mode("append").parquet(index_path)
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)

@@ -1352,6 +1352,148 @@ class TestJaccardJoinIncremental:
         assert got2 == {(9, 1), (9, 5)}  # exact dups from batch round
 
 
+class TestJaccardOrderedIndex:
+    """Stored-order corpus index (r8): the ``corpus_ordered=True``
+    ingest must equal both brute force and the legacy re-ordering
+    path, stay exact as the index grows past the frozen vocabulary,
+    and fail fast when the frozen order is missing."""
+
+    CORPUS = TestJaccardJoinIncremental.CORPUS
+    BATCH = TestJaccardJoinIncremental.BATCH
+
+    def _brute(self, spark, t):
+        return TestJaccardJoinIncremental()._brute(spark, t)
+
+    def _ordered(self, spark):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_token_order,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        order = jaccard_token_order(idx)
+        return jaccard_ordered_index(idx, token_order=order), order
+
+    def test_ordered_path_matches_brute_force(self, spark):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        ordered, order = self._ordered(spark)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        for t in (0.4, 0.8, 1.0):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_join_incremental(
+                    batch, ordered, threshold=t,
+                    token_order=order, corpus_ordered=True,
+                ).collect()
+            }
+            assert got == self._brute(spark, t), t
+
+    def test_no_broadcast_fallback_is_still_exact(self, spark):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        ordered, order = self._ordered(spark)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                batch, ordered, threshold=0.4,
+                token_order=order, corpus_ordered=True,
+                broadcast_batch=False,
+            ).collect()
+        }
+        assert got == self._brute(spark, 0.4)
+
+    def test_ordered_index_from_raw_docs_equals_from_prefix_index(
+        self, spark
+    ):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_token_order,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        order = jaccard_token_order(idx)
+        via_idx = {
+            (r["doc_id"], r["n"], tuple(r["toks"]))
+            for r in jaccard_ordered_index(idx, token_order=order).collect()
+        }
+        via_raw = {
+            (r["doc_id"], r["n"], tuple(r["toks"]))
+            for r in jaccard_ordered_index(
+                corpus, token_order=order
+            ).collect()
+        }
+        assert via_idx == via_raw and via_idx
+        # arrays are genuinely rarest-first: every doc's first token
+        # has minimal (df, token) among its tokens
+        dfs = {r["token"]: r["df"] for r in order.collect()}
+        for _, _, toks in via_idx:
+            keys = [(dfs[t], t) for t in toks]
+            assert keys == sorted(keys)
+
+    def test_extension_with_unseen_tokens_stays_exact(self, spark):
+        """Docs appended AFTER the order froze carry df-0 tokens; the
+        combined relation must still be one total order on both
+        sides, so a later ingest against the extended index is still
+        brute-force-identical."""
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_ordered_index,
+        )
+
+        ordered, order = self._ordered(spark)
+        # the batch introduces tokens absent from the frozen order
+        # ("jumped", "engine"); append its ordered rows
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        extended = ordered.unionByName(
+            jaccard_ordered_index(batch, token_order=order)
+        )
+        nxt = spark.createDataFrame(
+            [(9, "the quick brown fox jumped over the lazy dog")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                nxt, extended, threshold=1.0, include_new_pairs=False,
+                token_order=order, corpus_ordered=True,
+            ).collect()
+        }
+        assert got == {(9, 1), (9, 5)}
+
+    def test_missing_token_order_fails_fast(self, spark):
+        import pytest
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        with pytest.raises(ValueError, match="token_order"):
+            jaccard_ordered_index(idx)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="token_order"):
+            jaccard_join_incremental(batch, idx, corpus_ordered=True)
+
+
 class TestContainmentJoin:
     """Exact containment join: probe docs t-contained in corpus docs,
     lossless prefix blocking against a full inverted index."""
@@ -1422,6 +1564,66 @@ class TestContainmentJoin:
             [(2, "anything at all")], "doc_id long, text string"
         )
         assert containment_join(probe, corpus, threshold=0.5).count() == 0
+
+    def test_probe_mode_prefilter_and_frozen_order_are_lossless(
+        self, spark
+    ):
+        """The r8 inverted-index semi-prefilter and a frozen token
+        order must not change probe-vs-corpus results — all four
+        combinations agree with brute force."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            containment_join,
+            jaccard_prefix_index,
+            jaccard_token_order,
+        )
+        from mydatasyncer_spark.operators.text import tokens
+
+        probe = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "beta gamma delta unseen"),
+                (3, ""),
+                (4, "zeta eta"),
+            ],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),
+                (11, "beta gamma"),
+                (12, "completely different words"),
+            ],
+            "doc_id long, text string",
+        )
+        tk = {
+            r["doc_id"]: set(r["tk"])
+            for r in probe.unionByName(corpus)
+            .select(
+                "doc_id",
+                F.array_distinct(tokens(F.col("text"))).alias("tk"),
+            )
+            .collect()
+        }
+        t = 0.6
+        want = {
+            (a, b)
+            for a in (1, 2, 3, 4)
+            for b in (10, 11, 12)
+            if tk[a] and len(tk[a] & tk[b]) / len(tk[a]) >= t
+        }
+        frozen = jaccard_token_order(jaccard_prefix_index(corpus))
+        for pf in (True, False):
+            for order in (None, frozen):
+                got = {
+                    (r["id_a"], r["id_b"])
+                    for r in containment_join(
+                        probe, corpus, threshold=t,
+                        token_order=order, prefilter_index=pf,
+                    ).collect()
+                }
+                assert got == want, (pf, order is not None)
 
 
 class TestSimilarityJoinRandomized:
@@ -1528,6 +1730,23 @@ class TestSimilarityJoinRandomized:
                     else:
                         want_i.add((a, b))
             assert got_i == want_i, (seed, t, "incremental")
+
+            # the stored-order path must agree with the legacy path
+            from mydatasyncer_spark.operators.dedup import (
+                jaccard_ordered_index,
+                jaccard_token_order,
+            )
+
+            cidx = jaccard_prefix_index(corpus)
+            order = jaccard_token_order(cidx)
+            got_o = {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_join_incremental(
+                    batch, jaccard_ordered_index(cidx, token_order=order),
+                    threshold=t, token_order=order, corpus_ordered=True,
+                ).collect()
+            }
+            assert got_o == want_i, (seed, t, "ordered")
 
 
 class TestExactJaccardClusterComposition:

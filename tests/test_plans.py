@@ -554,3 +554,137 @@ def test_scd2_asof_join_is_equi_with_residual(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def _tree_nodes(plan: str):
+    """Parse the tree section of a formatted explain into
+    ``[(depth, name, id)]`` rows (id None for unnumbered nodes)."""
+    import re
+
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(
+            r"^([ :+|-]*)([A-Za-z][\w .]*?)(?:\s+\((\d+)\))?\s*$", line
+        )
+        if not m:
+            continue
+        prefix, name, nid = m.groups()
+        nodes.append((len(prefix), name.strip(), nid))
+    return nodes
+
+
+def _scan_chains(plan: str, scan_name: str):
+    """For every tree node whose name starts with ``scan_name``,
+    return the list of ancestor names from the scan (exclusive) up
+    the tree to the root."""
+    nodes = _tree_nodes(plan)
+    chains = []
+    for i, (depth, name, _) in enumerate(nodes):
+        if not name.startswith(scan_name):
+            continue
+        chain, d = [], depth
+        for j in range(i - 1, -1, -1):
+            pdepth, pname, _ = nodes[j]
+            if pdepth < d:
+                chain.append(pname)
+                d = pdepth
+        chains.append(chain)
+    return chains
+
+
+def test_ordered_incremental_jaccard_corpus_side_is_scan_only(
+    spark, tmp_path
+):
+    """VERDICT r7 #1: with a stored-order index the per-ingest plan
+    must contain NO corpus-wide Exchange/Aggregate/Sort — every
+    stored-table (parquet) scan flows through narrow Filter/Project/
+    Generate nodes straight into a join; all exchanges sit above
+    joins, i.e. on batch- or candidate-sized data. The legacy path
+    (re-ordering the corpus per ingest) must FAIL this pin, proving
+    it distinguishes."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from mydatasyncer_spark.operators.dedup import (
+        jaccard_join_incremental,
+        jaccard_ordered_index,
+        jaccard_prefix_index,
+        jaccard_token_order,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2} common") for i in range(0, 40, 2)],
+        "doc_id long, text string",
+    )
+    idx = jaccard_prefix_index(corpus)
+    order = jaccard_token_order(idx)
+    jaccard_ordered_index(idx, token_order=order).write.parquet(
+        str(tmp_path / "idx")
+    )
+    order.write.parquet(str(tmp_path / "order"))
+    sidx = spark.read.parquet(str(tmp_path / "idx"))
+    sorder = spark.read.parquet(str(tmp_path / "order"))
+    batch = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2} common") for i in range(1, 11, 2)],
+        "doc_id long, text string",
+    )
+
+    def fmt(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plan = fmt(
+        jaccard_join_incremental(
+            batch, sidx, threshold=0.8,
+            token_order=sorder, corpus_ordered=True,
+        )
+    )
+    chains = _scan_chains(plan, "Scan parquet")
+    # the stored index is read for candidates AND verification, the
+    # stored order once => at least 3 parquet scans
+    assert len(chains) >= 3, plan
+    for chain in chains:
+        upto_join = []
+        for name in chain:
+            if "Join" in name:
+                break
+            upto_join.append(name)
+        else:
+            raise AssertionError(f"no join above a stored scan: {chain}")
+        bad = [
+            n
+            for n in upto_join
+            if "Exchange" in n or "Aggregate" in n or "Sort" in n
+        ]
+        assert not bad, (bad, chain)
+    # contrast: the legacy path re-aggregates the corpus below any
+    # join (ObjectHashAggregate building ordered arrays) — the pin
+    # must catch exactly that
+    legacy = fmt(jaccard_join_incremental(batch, sidx, threshold=0.8))
+    legacy_chains = _scan_chains(legacy, "Scan parquet")
+    assert any(
+        any("Aggregate" in n or "Exchange" in n for n in c[: _first_join(c)])
+        for c in legacy_chains
+    ), "legacy path unexpectedly scan-only — pin would be vacuous"
+
+
+def _first_join(chain):
+    for i, name in enumerate(chain):
+        if "Join" in name:
+            return i
+    return len(chain)
+
+
+def test_containment_probe_mode_semi_prefilters_index(spark, sf_dir):
+    """VERDICT r7 #3: in probe-vs-corpus mode the corpus inverted
+    index must be semi-joined by the broadcast probe prefix tokens
+    BEFORE the candidate join — the semi join sits between the
+    corpus scan and the candidate join in the plan."""
+    plan = plan_of(spark, sf_dir, "dedup_containment_probe")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

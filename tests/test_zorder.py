@@ -1017,3 +1017,28 @@ class TestMergeBatchEdges:
         # the persisted routed frame. Without the persist this would
         # be (2 + n_groups) passes — >= 4 evaluations per row here.
         assert acc.value == 3 * len(batch_keys)
+
+    def test_manifest_one_corrupt_bound_raises_not_silently_skips(
+        self, spark, tmp_path_factory
+    ):
+        """r8 (ADVICE): once the probe proved the key numeric, a later
+        corrupt bound must RAISE — the old blanket except silently
+        dropped the whole manifest, degrading every future merge to a
+        full scan. A genuinely string-keyed layout still no-ops."""
+        import pytest
+
+        from mydatasyncer_spark.sources.writers import (
+            read_layout_manifest,
+            write_layout_manifest,
+        )
+
+        out = str(tmp_path_factory.mktemp("manifest_probe"))
+        with pytest.raises(ValueError):
+            write_layout_manifest(
+                spark, out, "col:k",
+                [("a.parquet", 1.0, 2.0), ("b.parquet", "junk", 4.0)],
+            )
+        write_layout_manifest(
+            spark, out, "col:k", [("a.parquet", "aa", "bb")]
+        )
+        assert read_layout_manifest(spark, out) is None
