@@ -14,67 +14,72 @@ import __spark_entry__ as entry_mod
 
 GATE_CAP = 50
 
-# the r7 window boundary, pinned by name: position 50 (last inside
+# the r8 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "curriculum_tiers_scalable"
-FIRST_PAST_CAP = "dedup_exact_best_quality"
+LAST_IN_WINDOW = "ann_lsh_topk"
+FIRST_PAST_CAP = "ivm_join_view_left"
 
-# everything added or implementation-touched in r7 MUST sit inside
+# everything added or implementation-touched in r8 MUST sit inside
 # the gate window (rotation policy rule 1-2)
-R7_TOUCHED = [
-    # new in r7
-    "ivm_join_view_left",
-    "scd2_keep_policy",
-    "dedup_jaccard_join_exact",
+R8_TOUCHED = [
+    # new in r8
+    "scd2_asof_join_ts",
+    "dedup_containment_probe",
+    "dedup_jaccard_incr_reorder",
+    # implementation touched in r8 (dedup.py stored-order ingest +
+    # containment corpus-side simplification/prefilter + _verify_pairs
+    # prune, scd.py effectivity-type derivation + asof dtype cast +
+    # columns guard)
     "dedup_jaccard_incremental",
+    "dedup_jaccard_join_exact",
     "dedup_containment_join",
     "scd2_asof_join_lineitem",
-    # implementation touched in r7 (ivm.py eqNullSafe repair, scd.py
-    # wipe-out fix + policy gate + pruned apply, sampling.py split
-    # typing, diff.py changed_buckets bucket_fn widening)
-    "ivm_join_view_orders",
+    "scd2_keep_policy",
     "scd2_orders_history",
     "scd2_asof_state",
-    "pack_sequences_docs",
-    "diff_pruned_counts",
-    "diff_pruned_localized",
-    "diff_full_localized",
 ]
 
-# the entire last-green-r4 cohort rotates in this round (VERDICT r6
+# the entire last-green-r5 cohort rotates in this round (VERDICT r7
 # item #4: no proof may grow older than two rounds)
-R4_STALE_COHORT = [
-    "histogram_doc_lengths",
-    "incremental_rollup",
-    "incremental_rollup_minmax",
-    "mix_resample_docs",
-    "multimodal_features",
-    "multimodal_frames",
-    "mutual_info_orders",
-    "pk_validation_histogram",
-    "q10_returned_items",
-    "q11_part_value_concentration",
-    "q12_shipping_delay",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_heavy_promo_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "repetition_ngrams",
-    "scalar_datetime_pack",
-    "skew_report_lineitem",
-    "stratified_sample_docs",
-    "table_profile",
-    "unpivot_part_measures",
-    "weighted_sample_docs",
-    "zorder_orders_key",
+R5_STALE_COHORT = [
+    "dedup_exact_best_quality",
+    "dedup_simhash",
+    "diff_delete",
+    "diff_insert",
+    "diff_plan_counts",
+    "diff_update",
+    "distinct_agg_segments",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_rolling_hash",
+    "duplicate_key_detection",
+    "grouping_sets_parts",
+    "intersect_repeat_buyers",
+    "multimodal_meta",
+    "percentiles_by_segment",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "quantile_rollup_values",
+    "rollup_revenue",
+    "running_total_events",
+    "session_window_native",
+    "set_ops_except",
+    "sketch_error_bounds",
+    "sketch_rollup_cube",
+    "sketch_rollup_users",
+    "sliding_windows_events",
+    "theta_audience_overlap",
+    "top_ngrams_per_lang",
+    "unigram_perplexity_docs",
+    "unigram_perplexity_oov",
+    "window_topk_customers",
 ]
 
 
@@ -97,13 +102,13 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 def test_round_touched_queries_sit_inside_the_gate_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R7_TOUCHED if n not in window]
+    missing = [n for n in R8_TOUCHED if n not in window]
     assert not missing, missing
 
 
 def test_stale_cohort_rotated_into_the_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R4_STALE_COHORT if n not in window]
+    missing = [n for n in R5_STALE_COHORT if n not in window]
     assert not missing, missing
 
 
