@@ -918,6 +918,47 @@ def jaccard_ordered_index(
     return _ordered_token_rows(idx, id_col, order)
 
 
+#: partition column of a bucketed prefix store (not a data column)
+PREFIX_BUCKET_COL = "_tok_bucket"
+
+
+def jaccard_prefix_store(
+    ordered_index: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    n_token_buckets: int | None = None,
+) -> DataFrame:
+    """Materializable corpus PREFIX rows ``(_id_b, _n_b, _ptok)`` for
+    the stored-order ingest — the last scan-side cost of
+    :func:`jaccard_join_incremental` made delta-proportional: write
+    this frame ``partitionBy(PREFIX_BUCKET_COL)`` (pass
+    ``n_token_buckets``) and hand the read-back frame to the join as
+    ``corpus_prefix``. The candidate equi-join then also keys on the
+    token bucket, so Spark's dynamic partition pruning reads ONLY the
+    bucket directories the batch's prefix tokens hash into —
+    per-ingest prefix IO scales with the batch's vocabulary, not the
+    corpus (the verify scan still reads the ordered index, pruned to
+    candidate ids by the semi join).
+
+    EXACTNESS PRECONDITION: prefixes lengthen as the threshold
+    drops, so a store built at threshold ``t_b`` is exact for any
+    join threshold ``>= t_b`` (longer-than-needed prefixes only add
+    candidates, which verification discards) and WRONG below it —
+    build the store at the lowest threshold you will ever query.
+    Maintain it like the index: append each ingested batch's own
+    prefix rows (same call over the batch's ordered rows)."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    rows = _prefix_rows(ordered_index, id_col, t, "b")
+    if n_token_buckets is not None:
+        rows = rows.withColumn(
+            PREFIX_BUCKET_COL,
+            F.pmod(F.xxhash64("_ptok"), F.lit(int(n_token_buckets))),
+        )
+    return rows
+
+
 def jaccard_join_incremental(
     new_df: DataFrame,
     corpus_index: DataFrame,
@@ -928,6 +969,8 @@ def jaccard_join_incremental(
     token_order: DataFrame | None = None,
     corpus_ordered: bool = False,
     broadcast_batch: bool | None = None,
+    corpus_prefix: DataFrame | None = None,
+    n_token_buckets: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs for a NEW document batch against an
     indexed corpus — the daily-ingest twin of
@@ -961,7 +1004,12 @@ def jaccard_join_incremental(
     broadcast-hints the batch-derived sides of those joins, which is
     what keeps the corpus side exchange-free; turn it off for batches
     too large to broadcast (the joins then shuffle, but still never
-    aggregate the corpus).
+    aggregate the corpus). To make even the prefix SCAN
+    delta-proportional, persist a :func:`jaccard_prefix_store`
+    partitioned by token bucket and pass it as ``corpus_prefix`` (+
+    ``n_token_buckets``): the candidate join then also keys on the
+    bucket and dynamic partition pruning reads only the directories
+    the batch's prefix tokens hash into.
 
     Verification joins each pair side back to its OWN token table, so
     a re-ingested id (possibly with changed text) compares new tokens
@@ -1018,21 +1066,42 @@ def jaccard_join_incremental(
         corpus_src = _ordered_token_rows(corpus_index, id_col, token_order)
     new_ordered = _ordered_token_rows(new_toks, id_col, token_order)
     pa = _prefix_rows(new_ordered, id_col, t, "a")
+    if corpus_prefix is not None:
+        # a persisted jaccard_prefix_store: skip deriving prefix rows
+        # from the index; with the bucket partition column present the
+        # join also keys on it, so dynamic partition pruning reads
+        # only the batch-touched token-bucket directories
+        if not corpus_ordered:
+            raise ValueError("corpus_prefix requires corpus_ordered=True")
+        pc = corpus_prefix
+        if PREFIX_BUCKET_COL in pc.columns:
+            if n_token_buckets is None:
+                raise ValueError(
+                    "a bucketed corpus_prefix needs n_token_buckets "
+                    "(the bucket count the store was written with)"
+                )
+            pa = pa.withColumn(
+                PREFIX_BUCKET_COL,
+                F.pmod(F.xxhash64("_ptok"), F.lit(int(n_token_buckets))),
+            )
+    else:
+        pc = _prefix_rows(corpus_src, id_col, t, "b")
     if broadcast_batch:
         pa = F.broadcast(pa)
-    pc = _prefix_rows(corpus_src, id_col, t, "b")
     size_ok = (F.col("_n_b") * F.lit(t) <= F.col("_n_a")) & (
         F.col("_n_a") * F.lit(t) <= F.col("_n_b")
     )
+    cand_cond = (
+        (pa["_ptok"] == pc["_ptok"])
+        & (F.col("_id_a") != F.col("_id_b"))
+        & size_ok
+    )
+    if corpus_prefix is not None and PREFIX_BUCKET_COL in pc.columns:
+        cand_cond = (
+            pa[PREFIX_BUCKET_COL] == pc[PREFIX_BUCKET_COL]
+        ) & cand_cond
     cand_corpus = (
-        pa.join(
-            pc,
-            (pa["_ptok"] == pc["_ptok"])
-            & (F.col("_id_a") != F.col("_id_b"))
-            & size_ok,
-        )
-        .select("_id_a", "_id_b")
-        .distinct()
+        pa.join(pc, cand_cond).select("_id_a", "_id_b").distinct()
     )
     out = _verify_pairs(
         cand_corpus, new_ordered, corpus_src, id_col, t, "jaccard",
@@ -1105,7 +1174,13 @@ def containment_join(
     way.
 
     ``corpus_df=None`` means self-containment over ``probe_df``
-    (pairs with distinct ids, both directions possible). Returns
+    (pairs with distinct ids, both directions possible). Either side
+    may be a pre-built token index instead of raw documents — a
+    :func:`jaccard_prefix_index` or :func:`jaccard_ordered_index`
+    frame, detected by its ``toks``/``n`` columns — so a standing
+    curation pipeline probes daily batches against a STORED corpus
+    index without ever re-reading or re-tokenizing corpus text (the
+    same contract as the incremental Jaccard ingest). Returns
     ``(id_a, id_b, containment)``: ``id_a`` the probe/contained doc,
     ``id_b`` the corpus/containing doc, containment rounded to 6
     places (threshold applied unrounded). Zero-token probes never
@@ -1117,12 +1192,14 @@ def containment_join(
     self_mode = corpus_df is None
     if self_mode:
         corpus_df = probe_df
-    probe = jaccard_prefix_index(probe_df, text_col, id_col)
-    corpus = (
-        probe
-        if self_mode
-        else jaccard_prefix_index(corpus_df, text_col, id_col)
-    )
+
+    def as_index(df: DataFrame) -> DataFrame:
+        if "toks" in df.columns and "n" in df.columns:
+            return df.select(id_col, "toks", "n")
+        return jaccard_prefix_index(df, text_col, id_col)
+
+    probe = as_index(probe_df)
+    corpus = probe if self_mode else as_index(corpus_df)
     if token_order is None:
         # one fixed global order over BOTH vocabularies: rarest-first
         # by combined document frequency (ties by token)

@@ -707,6 +707,7 @@ def scd2_apply_batch(
     primary_key: str,
     history_path: str,
     effective_col: str = "_effective",
+    effective_type: str = "date",
 ) -> None:
     """One :func:`continuous_scd2` micro-batch: fold each full
     snapshot the batch carries into the stored history, ordered by
@@ -735,7 +736,7 @@ def scd2_apply_batch(
             effective_col
         )
         hist = (
-            scd2_init(snap, ts)
+            scd2_init(snap, ts, effective_type)
             if hist is None
             else scd2_apply(hist, snap, primary_key, ts)
         )
@@ -751,6 +752,7 @@ def scd2_table_apply_batch(
     effective_col: str = "_effective",
     n_buckets: int | None = None,
     delete_absent: bool = True,
+    effective_type: str = "date",
 ) -> None:
     """One :func:`continuous_scd2_table` micro-batch: the same
     snapshot folding as :func:`scd2_apply_batch`, but into an
@@ -783,6 +785,7 @@ def scd2_table_apply_batch(
             scd2_init_table(
                 spark, table, snap, ts,
                 primary_key=primary_key, n_buckets=n_buckets,
+                effective_type=effective_type,
             )
             exists = True
         else:
@@ -801,6 +804,7 @@ def continuous_scd2_table(
     query_name: str = "continuous_scd2_table",
     n_buckets: int | None = None,
     delete_absent: bool = True,
+    effective_type: str = "date",
 ):
     """:func:`continuous_scd2` with the history kept in an
     ``is_current``-partitioned managed table instead of a rewritten
@@ -812,6 +816,7 @@ def continuous_scd2_table(
         scd2_table_apply_batch(
             batch_df, batch_id, primary_key, table, effective_col,
             n_buckets=n_buckets, delete_absent=delete_absent,
+            effective_type=effective_type,
         )
 
     writer = (
@@ -831,6 +836,7 @@ def continuous_scd2(
     effective_col: str = "_effective",
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_scd2",
+    effective_type: str = "date",
 ):
     """Continuously maintained SCD type-2 history: the watched stream
     delivers FULL snapshots (each row stamped with its snapshot's
@@ -844,7 +850,8 @@ def continuous_scd2(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         scd2_apply_batch(
-            batch_df, batch_id, primary_key, history_path, effective_col
+            batch_df, batch_id, primary_key, history_path, effective_col,
+            effective_type=effective_type,
         )
 
     writer = (

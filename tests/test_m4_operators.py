@@ -1494,6 +1494,92 @@ class TestJaccardOrderedIndex:
             jaccard_join_incremental(batch, idx, corpus_ordered=True)
 
 
+class TestJaccardPrefixStore:
+    """Persisted corpus prefix rows partitioned by token bucket (r8):
+    the candidate join scan-prunes via dynamic partition pruning, and
+    results stay brute-force-identical — including when the store was
+    built at a LOWER threshold than the join runs at."""
+
+    CORPUS = TestJaccardJoinIncremental.CORPUS
+    BATCH = TestJaccardJoinIncremental.BATCH
+
+    def _stored(self, spark, tmp_path, build_t, n_buckets=8):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_prefix_store,
+            jaccard_token_order,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        order = jaccard_token_order(idx)
+        ordered = jaccard_ordered_index(idx, token_order=order)
+        ordered.write.parquet(str(tmp_path / "idx"))
+        order.write.parquet(str(tmp_path / "order"))
+        jaccard_prefix_store(
+            ordered, build_t, n_token_buckets=n_buckets
+        ).write.partitionBy("_tok_bucket").parquet(str(tmp_path / "pfx"))
+        return (
+            spark.read.parquet(str(tmp_path / "idx")),
+            spark.read.parquet(str(tmp_path / "order")),
+            spark.read.parquet(str(tmp_path / "pfx")),
+        )
+
+    def test_matches_brute_and_scan_prunes(self, spark, tmp_path):
+        import contextlib
+        import io
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        sidx, sorder, store = self._stored(spark, tmp_path, 0.4)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        for t in (0.4, 0.8, 1.0):  # store built at 0.4: all exact
+            out = jaccard_join_incremental(
+                batch, sidx, threshold=t,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=store, n_token_buckets=8,
+            )
+            got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+            assert got == TestJaccardJoinIncremental()._brute(spark, t), t
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruningexpression" in plan, plan
+        assert "_tok_bucket" in plan
+
+    def test_store_preconditions_fail_fast(self, spark, tmp_path):
+        import pytest
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_prefix_index,
+            jaccard_prefix_store,
+        )
+
+        sidx, sorder, store = self._stored(spark, tmp_path, 0.8)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_token_buckets"):
+            jaccard_join_incremental(
+                batch, sidx, threshold=0.8,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=store,
+            )
+        with pytest.raises(ValueError, match="corpus_ordered"):
+            jaccard_join_incremental(
+                batch, jaccard_prefix_index(batch), threshold=0.8,
+                token_order=sorder, corpus_prefix=store,
+                n_token_buckets=8,
+            )
+        with pytest.raises(ValueError, match="threshold"):
+            jaccard_prefix_store(sidx, 0.0)
+
+
 class TestContainmentJoin:
     """Exact containment join: probe docs t-contained in corpus docs,
     lossless prefix blocking against a full inverted index."""
@@ -1624,6 +1710,21 @@ class TestContainmentJoin:
                     ).collect()
                 }
                 assert got == want, (pf, order is not None)
+        # a STORED index as the corpus side (prefix or ordered — no
+        # text re-read) must give identical pairs
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_ordered_index,
+        )
+
+        cidx = jaccard_prefix_index(corpus)
+        for stored in (cidx, jaccard_ordered_index(cidx, token_order=frozen)):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in containment_join(
+                    probe, stored, threshold=t, token_order=frozen
+                ).collect()
+            }
+            assert got == want
 
 
 class TestSimilarityJoinRandomized:

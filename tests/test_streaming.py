@@ -889,6 +889,56 @@ class TestContinuousScd2:
         self._drain(spark, in_dir, history, str(out / "c2"), [], "empty.json")
         assert spark.read.parquet(history).count() == n1
 
+    def test_timestamp_effectivity_streams_intraday_versions(
+        self, spark, tmp_path_factory
+    ):
+        """r8: effective_type='timestamp' at bootstrap lets one day
+        carry TWO versions of a key; later batches derive the
+        granularity from the stored history (no param needed)."""
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_scd2,
+        )
+
+        in_dir = tmp_path_factory.mktemp("scd_in_ts")
+        out = tmp_path_factory.mktemp("scd_out_ts")
+        history = str(out / "hist")
+
+        def drain(rows, fname, ckpt):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "id long, v string, _effective string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_scd2(
+                stream, history, "id", checkpoint_dir=ckpt,
+                effective_type="timestamp",
+            )
+            q.awaitTermination(120)
+
+        drain(
+            [{"id": 1, "v": "am", "_effective": "2024-01-01 08:00:00"}],
+            "s0.json", str(out / "ckpt"),
+        )
+        drain(
+            [{"id": 1, "v": "pm", "_effective": "2024-01-01 13:00:00"}],
+            "s1.json", str(out / "ckpt"),
+        )
+        hist = spark.read.parquet(history)
+        assert hist.schema["valid_from"].dataType.typeName().startswith(
+            "timestamp"
+        )
+        rows = sorted(
+            (str(r["valid_from"]), str(r["valid_to"]), r["v"])
+            for r in hist.collect()
+        )
+        assert rows == [
+            ("2024-01-01 08:00:00", "2024-01-01 13:00:00", "am"),
+            ("2024-01-01 13:00:00", "None", "pm"),
+        ]
+
 
 class TestContinuousScd2Table:
     """Streaming SCD2 into an is_current-partitioned managed table:
@@ -1236,10 +1286,38 @@ class TestContinuousJaccardIndex:
             {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat"},
             {"doc_id": 4, "text": "totally unrelated content here now"},
         ]
+        import glob as _glob
+        import os
+
         self._drain(spark, in_dir, index, pairs, ckpt, b0, "b0.json")
+        # r8: the token order FREEZES at bootstrap — its files must
+        # not change when later batches (with unseen tokens) arrive
+        order_files = sorted(
+            (f, os.path.getmtime(f), os.path.getsize(f))
+            for f in _glob.glob(index + "_order/*.parquet")
+        )
+        assert order_files
+        b0_tokens = {
+            r["token"]
+            for r in spark.read.parquet(index + "_order").collect()
+        }
         self._drain(spark, in_dir, index, pairs, ckpt, b1, "b1.json")
+        assert sorted(
+            (f, os.path.getmtime(f), os.path.getsize(f))
+            for f in _glob.glob(index + "_order/*.parquet")
+        ) == order_files
+        assert "cat" not in b0_tokens  # b1 really brought new tokens
         idx = spark.read.parquet(index)
         assert idx.count() == 4
+        # the index stores arrays pre-sorted under the frozen order:
+        # per-batch ingest work is slice projections, not re-sorts
+        dfs = {
+            r["token"]: r["df"]
+            for r in spark.read.parquet(index + "_order").collect()
+        }
+        for r in idx.collect():
+            keys = [(dfs.get(t, 0), t) for t in r["toks"]]
+            assert keys == sorted(keys), r["doc_id"]
         # new-vs-corpus pairs carry the NEW id in id_a; normalize to
         # (min, max) for the brute-force compare
         got = sorted(
