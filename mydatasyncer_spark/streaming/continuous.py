@@ -874,6 +874,8 @@ def continuous_jaccard_index(
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_jaccard_index",
     order_path: str | None = None,
+    prefix_store_path: str | None = None,
+    n_token_buckets: int = 64,
 ):
     """Continuous document ingestion into a growing EXACT-Jaccard
     ORDERED index — the streaming twin of
@@ -900,6 +902,18 @@ def continuous_jaccard_index(
     duplicates index rows nor re-emits pairs. Corpus text is never
     re-read — only the stored token arrays.
 
+    With ``prefix_store_path`` the stream also maintains a
+    token-bucketed :func:`~mydatasyncer_spark.operators.dedup.
+    jaccard_prefix_store` (``n_token_buckets`` partitions, built at
+    this stream's ``threshold``): joins then scan-prune the corpus
+    prefix read to the bucket directories the batch touches (dynamic
+    partition pruning), each batch appends its own prefix rows, and
+    an index that predates the store gets a one-time backfill. Write
+    order per batch is pairs → prefix store → index: the anti-join
+    replay guard keys on the INDEX, so a crash mid-sequence replays
+    the batch and at worst appends duplicate store rows — harmless,
+    candidate pairs are deduped before verification.
+
     Failure-mode choices: the order writes FIRST at bootstrap (a
     crash before the first index write replays as a fresh bootstrap
     and simply overwrites it), and pairs append BEFORE the index
@@ -911,13 +925,22 @@ def continuous_jaccard_index(
     from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.dedup import (
+        PREFIX_BUCKET_COL,
         jaccard_join_incremental,
         jaccard_ordered_index,
         jaccard_prefix_index,
+        jaccard_prefix_store,
         jaccard_token_order,
     )
 
     order_loc = order_path or index_path.rstrip("/") + "_order"
+
+    def write_store(rows, mode: str) -> None:
+        jaccard_prefix_store(
+            rows, threshold, id_col, n_token_buckets
+        ).write.partitionBy(PREFIX_BUCKET_COL).mode(mode).parquet(
+            prefix_store_path
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -937,9 +960,24 @@ def continuous_jaccard_index(
         batch_idx = jaccard_prefix_index(batch, text_col, id_col)
         if index is not None:
             order = spark.read.parquet(order_loc)
+            corpus_prefix = None
+            if prefix_store_path is not None:
+                try:
+                    corpus_prefix = spark.read.parquet(prefix_store_path)
+                except AnalysisException:
+                    # store enabled on a pre-existing index: one-time
+                    # backfill from the stored ordered arrays (the only
+                    # corpus-linear step; partial stores would silently
+                    # miss pairs, so never start one)
+                    write_store(index, "overwrite")
+                    corpus_prefix = spark.read.parquet(prefix_store_path)
             pairs = jaccard_join_incremental(
                 batch, index, text_col, id_col, threshold,
                 token_order=order, corpus_ordered=True,
+                corpus_prefix=corpus_prefix,
+                n_token_buckets=(
+                    n_token_buckets if corpus_prefix is not None else None
+                ),
             )
         else:
             from mydatasyncer_spark.operators.dedup import (
@@ -952,9 +990,12 @@ def continuous_jaccard_index(
             pairs = jaccard_self_join(batch, text_col, id_col, threshold)
         if pairs_path is not None:
             pairs.write.mode("append").parquet(pairs_path)
-        jaccard_ordered_index(
+        ordered_rows = jaccard_ordered_index(
             batch_idx, text_col, id_col, token_order=order
-        ).write.mode("append").parquet(index_path)
+        )
+        if prefix_store_path is not None:
+            write_store(ordered_rows, "append")
+        ordered_rows.write.mode("append").parquet(index_path)
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)

@@ -1355,3 +1355,82 @@ class TestContinuousJaccardIndex:
         q.awaitTermination(120)
         assert spark.read.parquet(index).count() == 4
         assert spark.read.parquet(pairs).count() == len(got)
+
+    def test_prefix_store_maintained_and_backfilled(
+        self, spark, tmp_path_factory
+    ):
+        """r8: with prefix_store_path the stream maintains a
+        token-bucketed prefix store (scan-pruned candidate joins);
+        enabling the store on a pre-existing index triggers a
+        one-time backfill, and pairs stay brute-force-identical."""
+        import json as _json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("jxs_in")
+        out = tmp_path_factory.mktemp("jxs_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        store, ckpt = str(out / "pfx"), str(out / "ckpt")
+
+        def drain(rows, fname, with_store):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_jaccard_index(
+                stream, index, pairs, threshold=0.8,
+                checkpoint_dir=ckpt,
+                prefix_store_path=store if with_store else None,
+                n_token_buckets=8,
+            )
+            q.awaitTermination(120)
+
+        b0 = [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 2, "text": "totally unrelated content here"},
+        ]
+        b1 = [
+            {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat"},
+            {"doc_id": 4, "text": "totally unrelated content here now"},
+        ]
+        b2 = [
+            {"doc_id": 5, "text": "the quick brown fox jumps over the lazy dog"},
+        ]
+        # batch 0+1 WITHOUT a store, batch 2 enables it mid-stream
+        drain(b0, "b0.json", with_store=False)
+        drain(b1, "b1.json", with_store=False)
+        assert not os.path.exists(store)
+        drain(b2, "b2.json", with_store=True)
+        # backfill + batch append: store covers ALL indexed docs,
+        # partitioned by token bucket
+        sdf = spark.read.parquet(store)
+        assert "_tok_bucket" in sdf.columns
+        assert {r["_id_b"] for r in sdf.select("_id_b").collect()} == {
+            1, 2, 3, 4, 5,
+        }
+        idx = spark.read.parquet(index)
+        got = sorted(
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in spark.read.parquet(pairs).collect()
+        )
+        sim = F.size(F.array_intersect("ta", "tb")) / (
+            F.size("ta") + F.size("tb")
+            - F.size(F.array_intersect("ta", "tb"))
+        )
+        a = idx.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+        b = idx.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+        want = sorted(
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in a.crossJoin(b)
+            .filter("id_a < id_b")
+            .filter(sim >= 0.8)
+            .collect()
+        )
+        assert got == want and (1, 5) in got
