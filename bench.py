@@ -44,7 +44,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_spark("mydatasyncer-bench")
+    # UI on: the jaccard-ingest scale probe reads per-stage shuffle
+    # bytes from the status REST API (deterministic, unlike wall time)
+    spark = get_spark("mydatasyncer-bench", **{"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     registry = entry_mod.queries()
     names = [n for n in HEADLINE if n in registry] + [
@@ -91,27 +93,143 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def timed(name: str) -> float:
+    def timed_fn(fn) -> float:
         start = time.perf_counter()
-        registry[name](spark, sf_dir).count()
+        fn().count()
         return time.perf_counter() - start
 
-    # each repetition guards ITS query: an error lands on the query
-    # that threw, and the partner keeps the medians it completed
-    samples = {n: [] for n in pair}
-    for _ in range(3):
-        for n in pair:
-            if n in errors:
-                continue
-            try:
-                samples[n].append(timed(n))
-            except Exception as exc:
-                errors[n] = f"{type(exc).__name__}: {exc}"[:200]
-    for n in pair:
-        if samples[n] and n not in errors:
-            timings[n] = round(
-                sorted(samples[n])[len(samples[n]) // 2], 4
+    def timed(name: str) -> float:
+        return timed_fn(lambda: registry[name](spark, sf_dir))
+
+    def run_pair(pair_fns: dict) -> None:
+        # interleaved median-of-3; an error lands on the member that
+        # threw, the partner keeps its medians
+        samples = {n: [] for n in pair_fns}
+        for _ in range(3):
+            for n, fn in pair_fns.items():
+                if n in errors:
+                    continue
+                try:
+                    samples[n].append(timed_fn(fn))
+                except Exception as exc:
+                    errors[n] = f"{type(exc).__name__}: {exc}"[:200]
+        for n in pair_fns:
+            if samples[n] and n not in errors:
+                timings[n] = round(
+                    sorted(samples[n])[len(samples[n]) // 2], 4
+                )
+
+    run_pair({n: (lambda n=n: registry[n](spark, sf_dir)) for n in pair})
+
+    # Stored-order Jaccard ingest pair (r8): the gate queries cannot
+    # show the stored-order win because they build the ordering inside
+    # the measured query — here the index/order build is UNTIMED setup
+    # (that is the point of a stored index), and the timed part is the
+    # daily-ingest shape: a SMALL batch against a LARGE stored corpus.
+    # The reorder member re-sorts the whole stored corpus per ingest;
+    # the stored member slices prefixes off the pre-ordered arrays.
+    import json as _json
+    import shutil
+    import tempfile
+    import urllib.request
+
+    def total_shuffle_write() -> int:
+        url = (
+            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+            f"{spark.sparkContext.applicationId}/stages"
+        )
+        with urllib.request.urlopen(url) as r:
+            return sum(s.get("shuffleWriteBytes", 0) for s in _json.load(r))
+
+    jaccard_shuffle_mb: dict[str, float] = {}
+    jtmp = tempfile.mkdtemp(prefix="bench_jaccard_")
+    try:
+        from mydatasyncer_spark.contract import table as _table
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_token_order,
+        )
+
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        batch = docs.filter("doc_id % 100 = 1")
+        # untimed setup: stored raw + ordered indexes at two corpus
+        # sizes (full = every even id, quarter = every eighth)
+        stored = {}
+        for tag, pred in (("full", "doc_id % 2 = 0"), ("quarter", "doc_id % 8 = 0")):
+            idx = jaccard_prefix_index(docs.filter(pred))
+            order = jaccard_token_order(idx)
+            idx.write.parquet(f"{jtmp}/idx_{tag}")
+            order.write.parquet(f"{jtmp}/order_{tag}")
+            jaccard_ordered_index(idx, token_order=order).write.parquet(
+                f"{jtmp}/oidx_{tag}"
             )
+            stored[tag] = (
+                spark.read.parquet(f"{jtmp}/idx_{tag}"),
+                spark.read.parquet(f"{jtmp}/oidx_{tag}"),
+                spark.read.parquet(f"{jtmp}/order_{tag}"),
+            )
+
+        def reorder_fn(tag):
+            return lambda: jaccard_join_incremental(
+                batch, stored[tag][0], threshold=0.8
+            )
+
+        def stored_fn(tag):
+            return lambda: jaccard_join_incremental(
+                batch, stored[tag][1], threshold=0.8,
+                token_order=stored[tag][2], corpus_ordered=True,
+            )
+
+        # wall-clock pair on the FULL corpus (interleaved median-of-3)
+        run_pair(
+            {
+                "jaccard_ingest_reorder": reorder_fn("full"),
+                "jaccard_ingest_stored": stored_fn("full"),
+            }
+        )
+        # the scale signal wall time cannot show at sf0.1: per-ingest
+        # SHUFFLE bytes as the corpus grows. Candidate volume is
+        # corpus-proportional on this near-dup-dense fixture and would
+        # swamp the signal, so the probe ingests a TOKEN-DISJOINT
+        # batch (every token prefixed) — zero candidates, isolating
+        # index-side cost: the reorder path re-sorts the whole corpus
+        # (shuffle grows with the index), the stored path's shuffles
+        # are batch-sized (flat).
+        from pyspark.sql import functions as F
+
+        disjoint = batch.withColumn(
+            "text", F.regexp_replace("text", r"(\w+)", r"zz$1")
+        )
+
+        def probe_reorder(tag):
+            return jaccard_join_incremental(
+                disjoint, stored[tag][0], threshold=0.8
+            )
+
+        def probe_stored(tag):
+            return jaccard_join_incremental(
+                disjoint, stored[tag][1], threshold=0.8,
+                token_order=stored[tag][2], corpus_ordered=True,
+            )
+
+        for name, df in (
+            ("reorder_quarter", probe_reorder("quarter")),
+            ("reorder_full", probe_reorder("full")),
+            ("stored_quarter", probe_stored("quarter")),
+            ("stored_full", probe_stored("full")),
+        ):
+            before = total_shuffle_write()
+            df.count()
+            jaccard_shuffle_mb[name] = round(
+                (total_shuffle_write() - before) / 1e6, 3
+            )
+    except Exception as exc:
+        errors["jaccard_ingest_pair"] = f"{type(exc).__name__}: {exc}"[:200]
+    finally:
+        shutil.rmtree(jtmp, ignore_errors=True)
+
     for name in names:
         if name in pair:
             continue
@@ -136,6 +254,8 @@ def main() -> None:
             "calibration": calibration,
             "warmup_scan": warmup_scan,
         }
+        if jaccard_shuffle_mb:
+            out["jaccard_ingest_shuffle_mb"] = jaccard_shuffle_mb
         if suppressed:
             out["suppressed_fast_queries"] = suppressed
         if errors:
