@@ -920,6 +920,8 @@ def jaccard_ordered_index(
 
 #: partition column of a bucketed prefix store (not a data column)
 PREFIX_BUCKET_COL = "_tok_bucket"
+#: metadata key carrying a prefix store's build threshold
+_PREFIX_T_KEY = "jaccard_prefix_threshold"
 
 
 def jaccard_prefix_store(
@@ -944,13 +946,23 @@ def jaccard_prefix_store(
     drops, so a store built at threshold ``t_b`` is exact for any
     join threshold ``>= t_b`` (longer-than-needed prefixes only add
     candidates, which verification discards) and WRONG below it —
-    build the store at the lowest threshold you will ever query.
-    Maintain it like the index: append each ingested batch's own
-    prefix rows (same call over the batch's ordered rows)."""
+    build the store at the lowest threshold you will ever query. The
+    build threshold rides along as ``_ptok`` column METADATA
+    (survives the parquet round-trip at zero row cost), and
+    :func:`jaccard_join_incremental` refuses a join below it instead
+    of silently missing pairs. Maintain the store like the index:
+    append each ingested batch's own prefix rows (same call over the
+    batch's ordered rows)."""
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     rows = _prefix_rows(ordered_index, id_col, t, "b")
+    rows = rows.withColumn(
+        "_ptok",
+        F.col("_ptok").alias(
+            "_ptok", metadata={_PREFIX_T_KEY: t}
+        ),
+    )
     if n_token_buckets is not None:
         rows = rows.withColumn(
             PREFIX_BUCKET_COL,
@@ -1074,6 +1086,14 @@ def jaccard_join_incremental(
         if not corpus_ordered:
             raise ValueError("corpus_prefix requires corpus_ordered=True")
         pc = corpus_prefix
+        if "_ptok" in pc.columns:
+            t_build = pc.schema["_ptok"].metadata.get(_PREFIX_T_KEY)
+            if t_build is not None and t < float(t_build) - 1e-9:
+                raise ValueError(
+                    f"corpus_prefix was built at threshold {t_build}; "
+                    f"joining at {t} would silently miss pairs — "
+                    "rebuild the store at (or below) the join threshold"
+                )
         if PREFIX_BUCKET_COL in pc.columns:
             if n_token_buckets is None:
                 raise ValueError(

@@ -1578,6 +1578,15 @@ class TestJaccardPrefixStore:
             )
         with pytest.raises(ValueError, match="threshold"):
             jaccard_prefix_store(sidx, 0.0)
+        # the build threshold survives the parquet round-trip as
+        # column metadata: a join BELOW it would silently miss pairs
+        # and must refuse instead (store here was built at 0.8)
+        with pytest.raises(ValueError, match="built at threshold"):
+            jaccard_join_incremental(
+                batch, sidx, threshold=0.5,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=store, n_token_buckets=8,
+            )
 
 
 class TestContainmentJoin:
