@@ -46,7 +46,16 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     # UI on: the jaccard-ingest scale probe reads per-stage shuffle
     # bytes from the status REST API (deterministic, unlike wall time)
-    spark = get_spark("mydatasyncer-bench", **{"spark.ui.enabled": "true"})
+    spark = get_spark(
+        "mydatasyncer-bench",
+        **{
+            "spark.ui.enabled": "true",
+            # the shuffle probe diffs the stages endpoint; keep far
+            # more stage history than a bench run produces so eviction
+            # can never corrupt a delta
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = entry_mod.queries()
     names = [n for n in HEADLINE if n in registry] + [
@@ -133,13 +142,18 @@ def main() -> None:
     import tempfile
     import urllib.request
 
-    def total_shuffle_write() -> int:
+    def shuffle_by_stage() -> dict:
         url = (
             f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
             f"{spark.sparkContext.applicationId}/stages"
         )
         with urllib.request.urlopen(url) as r:
-            return sum(s.get("shuffleWriteBytes", 0) for s in _json.load(r))
+            return {
+                (s["stageId"], s.get("attemptId", 0)): s.get(
+                    "shuffleWriteBytes", 0
+                )
+                for s in _json.load(r)
+            }
 
     jaccard_shuffle_mb: dict[str, float] = {}
     jtmp = tempfile.mkdtemp(prefix="bench_jaccard_")
@@ -220,11 +234,13 @@ def main() -> None:
             ("stored_quarter", probe_stored("quarter")),
             ("stored_full", probe_stored("full")),
         ):
-            before = total_shuffle_write()
+            # sum only stages NEW since the snapshot: immune to the
+            # UI evicting old stages between the two reads
+            before = shuffle_by_stage()
             df.count()
-            jaccard_shuffle_mb[name] = round(
-                (total_shuffle_write() - before) / 1e6, 3
-            )
+            after = shuffle_by_stage()
+            delta = sum(v for k, v in after.items() if k not in before)
+            jaccard_shuffle_mb[name] = round(delta / 1e6, 3)
     except Exception as exc:
         errors["jaccard_ingest_pair"] = f"{type(exc).__name__}: {exc}"[:200]
     finally:

@@ -740,6 +740,7 @@ def _verify_pairs(
     out_col: str,
     containment: bool = False,
     prune_b: bool = False,
+    prune_b_broadcast: bool = True,
 ) -> DataFrame:
     """Exact verification of DISTINCT candidate id pairs: join each
     side's token array back by id (delta-sized equi joins,
@@ -748,7 +749,9 @@ def _verify_pairs(
     to the UNROUNDED score, so results are engine-identical.
 
     ``prune_b`` semi-joins ``b_src`` down to the candidate ids (the
-    id list broadcast) BEFORE the array rejoin — when ``b_src`` is a
+    id list broadcast when ``prune_b_broadcast``, a shuffled semi
+    otherwise — for batches whose candidate set is itself too large
+    to broadcast) BEFORE the array rejoin — when ``b_src`` is a
     stored corpus index this keeps the corpus side of the plan
     scan-only: no corpus-wide exchange ever forms below a join. The
     candidate subtree is referenced twice, but it ends in a
@@ -756,7 +759,9 @@ def _verify_pairs(
     the work below it still runs once."""
     if prune_b:
         ids_b = pairs.select(F.col("_id_b").alias(id_col)).distinct()
-        b_src = b_src.join(F.broadcast(ids_b), id_col, "left_semi")
+        if prune_b_broadcast:
+            ids_b = F.broadcast(ids_b)
+        b_src = b_src.join(ids_b, id_col, "left_semi")
     ta = a_src.select(
         F.col(id_col).alias("_id_a"),
         F.col("toks").alias("_t_a"),
@@ -922,6 +927,8 @@ def jaccard_ordered_index(
 PREFIX_BUCKET_COL = "_tok_bucket"
 #: metadata key carrying a prefix store's build threshold
 _PREFIX_T_KEY = "jaccard_prefix_threshold"
+#: metadata key carrying a bucketed prefix store's bucket count
+_PREFIX_NB_KEY = "jaccard_prefix_buckets"
 
 
 def jaccard_prefix_store(
@@ -957,11 +964,14 @@ def jaccard_prefix_store(
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     rows = _prefix_rows(ordered_index, id_col, t, "b")
+    # both provenance facts ride the _ptok DATA column's metadata —
+    # the partition column itself is rebuilt from directory names on
+    # read, so metadata attached to it would not survive
+    meta = {_PREFIX_T_KEY: t}
+    if n_token_buckets is not None:
+        meta[_PREFIX_NB_KEY] = int(n_token_buckets)
     rows = rows.withColumn(
-        "_ptok",
-        F.col("_ptok").alias(
-            "_ptok", metadata={_PREFIX_T_KEY: t}
-        ),
+        "_ptok", F.col("_ptok").alias("_ptok", metadata=meta)
     )
     if n_token_buckets is not None:
         rows = rows.withColumn(
@@ -1095,6 +1105,25 @@ def jaccard_join_incremental(
                     "rebuild the store at (or below) the join threshold"
                 )
         if PREFIX_BUCKET_COL in pc.columns:
+            # the store's bucket count rides _ptok's metadata: derive
+            # it when the caller didn't pass one, and refuse a
+            # MISMATCH — a wrong modulus makes the bucket equality
+            # silently drop true prefix matches
+            nb_meta = (
+                pc.schema["_ptok"].metadata.get(_PREFIX_NB_KEY)
+                if "_ptok" in pc.columns
+                else None
+            )
+            if n_token_buckets is None:
+                n_token_buckets = nb_meta
+            elif nb_meta is not None and int(nb_meta) != int(
+                n_token_buckets
+            ):
+                raise ValueError(
+                    f"corpus_prefix was written with "
+                    f"{int(nb_meta)} token buckets; n_token_buckets="
+                    f"{int(n_token_buckets)} would silently miss pairs"
+                )
             if n_token_buckets is None:
                 raise ValueError(
                     "a bucketed corpus_prefix needs n_token_buckets "
@@ -1125,7 +1154,7 @@ def jaccard_join_incremental(
     )
     out = _verify_pairs(
         cand_corpus, new_ordered, corpus_src, id_col, t, "jaccard",
-        prune_b=corpus_ordered,
+        prune_b=corpus_ordered, prune_b_broadcast=broadcast_batch,
     )
     if include_new_pairs:
         pb = _prefix_rows(new_ordered, id_col, t, "b")

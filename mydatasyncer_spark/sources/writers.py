@@ -207,11 +207,11 @@ def write_layout_manifest(
     silent NO-OP rather than an error: the layout stays readable and
     a later merge falls back to the :func:`file_key_ranges` scan,
     whose ``_num`` raises the clear incremental-merge message. The
-    key TYPE is probed ONCE (first non-null bound): if that probe is
-    non-numeric the whole manifest is skipped, but once the key
-    proved numeric a conversion failure on a LATER entry raises —
-    one corrupt bound must not silently degrade every future merge
-    to a full-layout scan."""
+    distinction is made over ALL bounds, not a single probe: only
+    when EVERY non-null bound is non-numeric is the key treated as a
+    string/date sort key (silent no-op); a numeric-keyed layout with
+    some corrupt bound RAISES — one bad value must not silently
+    degrade every future merge to a full-layout scan."""
     import json as _json
     import os as _os
 
@@ -220,15 +220,23 @@ def write_layout_manifest(
             return v
         return float(v)  # Decimal and friends
 
-    probe = next(
-        (v for _, lo, hi in entries for v in (lo, hi) if v is not None),
-        None,
-    )
-    if probe is not None and not isinstance(probe, (int, float)):
+    bounds = [v for _, lo, hi in entries for v in (lo, hi) if v is not None]
+    convertible = []
+    for v in bounds:
         try:
-            float(probe)
+            num(v)
+            convertible.append(True)
         except (TypeError, ValueError):
-            return  # string/date sort key: valid layout, no manifest
+            convertible.append(False)
+    if bounds and not any(convertible):
+        return  # string/date sort key: valid layout, no manifest
+    if not all(convertible):
+        bad = bounds[convertible.index(False)]
+        raise ValueError(
+            f"layout manifest for numeric key {key_sig!r} has a "
+            f"non-numeric bound {bad!r} — refusing to silently drop "
+            "the manifest"
+        )
     files = {
         _os.path.basename(f): [num(lo), num(hi)]
         for f, lo, hi in entries

@@ -942,6 +942,18 @@ def continuous_jaccard_index(
             prefix_store_path
         )
 
+    def job_completed(spark, path: str) -> bool:
+        # the committer's _SUCCESS marker: present only when a write
+        # JOB finished. Distinguishes a complete store from one a
+        # crash left half-written (task outputs can be visible
+        # per-task under v2/direct committers). With success markers
+        # disabled this reads as never-complete and the backfill
+        # re-runs each batch — correct, just not incremental.
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(p)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -955,47 +967,75 @@ def continuous_jaccard_index(
             batch = batch.join(
                 index.select(id_col), id_col, "left_anti"
             )
-        if batch.isEmpty():
-            return
-        batch_idx = jaccard_prefix_index(batch, text_col, id_col)
-        if index is not None:
-            order = spark.read.parquet(order_loc)
-            corpus_prefix = None
-            if prefix_store_path is not None:
+        # pin the anti-joined batch: pairs, the store append, and the
+        # index append each action this lineage — without the pin
+        # every action re-runs the anti-join against the full index
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            batch_idx = jaccard_prefix_index(batch, text_col, id_col)
+            if index is not None:
                 try:
-                    corpus_prefix = spark.read.parquet(prefix_store_path)
+                    order = spark.read.parquet(order_loc)
                 except AnalysisException:
-                    # store enabled on a pre-existing index: one-time
-                    # backfill from the stored ordered arrays (the only
-                    # corpus-linear step; partial stores would silently
-                    # miss pairs, so never start one)
-                    write_store(index, "overwrite")
+                    # index predates the ordered contract (arrays
+                    # stored unsorted, no order file): one-time
+                    # migration. The order file is written LAST, so a
+                    # crash mid-migration replays it — re-ordering an
+                    # already-ordered index under the same recomputed
+                    # order is idempotent.
+                    order = jaccard_token_order(index)
+                    migrated = jaccard_ordered_index(
+                        index, text_col, id_col, token_order=order
+                    ).localCheckpoint(eager=True)
+                    migrated.write.mode("overwrite").parquet(index_path)
+                    order.write.mode("overwrite").parquet(order_loc)
+                    order = spark.read.parquet(order_loc)
+                    index = spark.read.parquet(index_path)
+                corpus_prefix = None
+                if prefix_store_path is not None:
+                    if not job_completed(spark, prefix_store_path):
+                        # store absent OR half-written (crash mid-
+                        # backfill): rebuild from the stored ordered
+                        # arrays — the only corpus-linear step; a
+                        # partial store would silently miss pairs
+                        write_store(index, "overwrite")
                     corpus_prefix = spark.read.parquet(prefix_store_path)
-            pairs = jaccard_join_incremental(
-                batch, index, text_col, id_col, threshold,
-                token_order=order, corpus_ordered=True,
-                corpus_prefix=corpus_prefix,
-                n_token_buckets=(
-                    n_token_buckets if corpus_prefix is not None else None
-                ),
-            )
-        else:
-            from mydatasyncer_spark.operators.dedup import (
-                jaccard_self_join,
-            )
+                pairs = jaccard_join_incremental(
+                    batch, index, text_col, id_col, threshold,
+                    token_order=order, corpus_ordered=True,
+                    corpus_prefix=corpus_prefix,
+                    n_token_buckets=(
+                        n_token_buckets
+                        if corpus_prefix is not None
+                        else None
+                    ),
+                )
+            else:
+                from mydatasyncer_spark.operators.dedup import (
+                    jaccard_self_join,
+                )
 
-            order = jaccard_token_order(batch_idx)
-            order.write.mode("overwrite").parquet(order_loc)
-            order = spark.read.parquet(order_loc)
-            pairs = jaccard_self_join(batch, text_col, id_col, threshold)
-        if pairs_path is not None:
-            pairs.write.mode("append").parquet(pairs_path)
-        ordered_rows = jaccard_ordered_index(
-            batch_idx, text_col, id_col, token_order=order
-        )
-        if prefix_store_path is not None:
-            write_store(ordered_rows, "append")
-        ordered_rows.write.mode("append").parquet(index_path)
+                order = jaccard_token_order(batch_idx)
+                order.write.mode("overwrite").parquet(order_loc)
+                order = spark.read.parquet(order_loc)
+                pairs = jaccard_self_join(
+                    batch, text_col, id_col, threshold
+                )
+            if pairs_path is not None:
+                pairs.write.mode("append").parquet(pairs_path)
+            ordered_rows = jaccard_ordered_index(
+                batch_idx, text_col, id_col, token_order=order
+            ).persist()
+            try:
+                if prefix_store_path is not None:
+                    write_store(ordered_rows, "append")
+                ordered_rows.write.mode("append").parquet(index_path)
+            finally:
+                ordered_rows.unpersist()
+        finally:
+            batch.unpersist()
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)

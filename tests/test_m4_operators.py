@@ -1562,13 +1562,20 @@ class TestJaccardPrefixStore:
             jaccard_prefix_store,
         )
 
+        from pyspark.sql import functions as F
+
         sidx, sorder, store = self._stored(spark, tmp_path, 0.8)
         batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        # a hand-built bucketed frame without provenance metadata
+        # cannot reveal its modulus — must be told explicitly
+        bare = store.withColumn(
+            "_ptok", F.col("_ptok").alias("_ptok", metadata={})
+        )
         with pytest.raises(ValueError, match="n_token_buckets"):
             jaccard_join_incremental(
                 batch, sidx, threshold=0.8,
                 token_order=sorder, corpus_ordered=True,
-                corpus_prefix=store,
+                corpus_prefix=bare,
             )
         with pytest.raises(ValueError, match="corpus_ordered"):
             jaccard_join_incremental(
@@ -1587,6 +1594,53 @@ class TestJaccardPrefixStore:
                 token_order=sorder, corpus_ordered=True,
                 corpus_prefix=store, n_token_buckets=8,
             )
+        # so does the bucket count: a wrong modulus would silently
+        # drop true prefix matches via the bucket-equality join term
+        with pytest.raises(ValueError, match="token buckets"):
+            jaccard_join_incremental(
+                batch, sidx, threshold=0.8,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=store, n_token_buckets=16,
+            )
+
+    def test_bucket_count_derived_from_store_metadata(self, spark, tmp_path):
+        """n_token_buckets can be omitted entirely — the store knows
+        its own bucket count (ridden on _ptok metadata)."""
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        sidx, sorder, store = self._stored(spark, tmp_path, 0.4)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                batch, sidx, threshold=0.8,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=store,
+            ).collect()
+        }
+        assert got == TestJaccardJoinIncremental()._brute(spark, 0.8)
+
+    def test_no_broadcast_store_path_is_still_exact(self, spark, tmp_path):
+        """broadcast_batch=False must reach the verify-prune semi too
+        (shuffled semi instead of a forced broadcast) and stay
+        exact."""
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        sidx, sorder, store = self._stored(spark, tmp_path, 0.8)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                batch, sidx, threshold=0.8,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=store, broadcast_batch=False,
+            ).collect()
+        }
+        assert got == TestJaccardJoinIncremental()._brute(spark, 0.8)
 
 
 class TestContainmentJoin:

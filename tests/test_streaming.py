@@ -1434,3 +1434,67 @@ class TestContinuousJaccardIndex:
             .collect()
         )
         assert got == want and (1, 5) in got
+
+    def test_legacy_unordered_index_is_migrated_once(
+        self, spark, tmp_path_factory
+    ):
+        """r8: an index written by the pre-ordered-contract version
+        (unsorted arrays, no order file) must not crash-loop the
+        stream — the first post-upgrade batch freezes an order from
+        the full index, rewrites the arrays sorted, and proceeds with
+        exact pairs."""
+        import json as _json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_prefix_index,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("jxm_in")
+        out = tmp_path_factory.mktemp("jxm_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        # legacy layout: raw prefix-index rows (id, toks, n), arrays
+        # in tokenization order, NO <index>_order file
+        legacy = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "totally unrelated content here"),
+            ],
+            "doc_id long, text string",
+        )
+        jaccard_prefix_index(legacy).write.parquet(index)
+        assert not os.path.exists(index + "_order")
+        b1 = [
+            {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog"},
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in b1)
+        )
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_jaccard_index(
+            stream, index, pairs, threshold=0.8,
+            checkpoint_dir=str(out / "ckpt"),
+        )
+        q.awaitTermination(120)
+        # order frozen from the legacy index; arrays now sorted
+        dfs = {
+            r["token"]: r["df"]
+            for r in spark.read.parquet(index + "_order").collect()
+        }
+        idx = spark.read.parquet(index)
+        assert idx.count() == 3
+        for r in idx.collect():
+            keys = [(dfs.get(t, 0), t) for t in r["toks"]]
+            assert keys == sorted(keys), r["doc_id"]
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(pairs).collect()
+        }
+        assert got == {(3, 1)}  # exact copy of doc 1

@@ -1038,6 +1038,13 @@ class TestMergeBatchEdges:
                 spark, out, "col:k",
                 [("a.parquet", 1.0, 2.0), ("b.parquet", "junk", 4.0)],
             )
+        # corrupt bound FIRST must raise too (the r8 review caught a
+        # single-probe version silently skipping this position)
+        with pytest.raises(ValueError):
+            write_layout_manifest(
+                spark, out, "col:k",
+                [("b.parquet", "junk", 4.0), ("a.parquet", 1.0, 2.0)],
+            )
         write_layout_manifest(
             spark, out, "col:k", [("a.parquet", "aa", "bb")]
         )
