@@ -984,8 +984,12 @@ def continuous_jaccard_index(
                     # migration. The order file is written LAST, so a
                     # crash mid-migration replays it — re-ordering an
                     # already-ordered index under the same recomputed
-                    # order is idempotent.
-                    order = jaccard_token_order(index)
+                    # order is idempotent. BOTH frames are pinned
+                    # eagerly before the overwrite: their lineage
+                    # reads the very files the overwrite deletes.
+                    order = jaccard_token_order(index).localCheckpoint(
+                        eager=True
+                    )
                     migrated = jaccard_ordered_index(
                         index, text_col, id_col, token_order=order
                     ).localCheckpoint(eager=True)
