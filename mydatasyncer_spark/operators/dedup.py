@@ -981,6 +981,73 @@ def jaccard_prefix_store(
     return rows
 
 
+def jaccard_compact(
+    spark,
+    index_path: str,
+    id_col: str = "doc_id",
+    prefix_store_path: str | None = None,
+    files_per_billion_rows: int = 2000,
+) -> dict:
+    """Maintenance compaction for a standing ordered-index pipeline:
+    every ingest/stream batch APPENDS to the index (and prefix
+    store), so over time they accumulate one small file per batch —
+    and crash replays may leave duplicate store rows (harmless for
+    exactness, but paid on every scan) or, under per-task-visible
+    committers, duplicate index rows. This rewrites the index
+    deduplicated by id and coalesced, and — when
+    ``prefix_store_path`` is given — REBUILDS the store from the
+    compacted index (same threshold and bucket count, read back from
+    the store's own ``_ptok`` metadata), which removes duplicate and
+    orphaned store rows in one pass.
+
+    Run it between drains/ingests (like any layout maintenance — it
+    overwrites the paths a concurrent ingest would be reading). The
+    frozen order file is untouched: compaction reorders FILES, never
+    tokens. Returns ``{"docs": n, "removed_index_rows": n,
+    "index_files": n}``.
+    """
+    import math
+
+    index = spark.read.parquet(index_path)
+    raw_rows = index.count()
+    compacted = index.dropDuplicates([id_col])
+    docs = compacted.count()
+    n_files = max(1, math.ceil(docs * files_per_billion_rows / 1e9))
+    pinned = compacted.repartition(n_files).localCheckpoint(eager=True)
+    pinned.write.mode("overwrite").parquet(index_path)
+    if prefix_store_path is not None:
+        store = spark.read.parquet(prefix_store_path)
+        meta = (
+            store.schema["_ptok"].metadata
+            if "_ptok" in store.columns
+            else {}
+        )
+        t_build = meta.get(_PREFIX_T_KEY)
+        if t_build is None:
+            raise ValueError(
+                "prefix store carries no build-threshold metadata — "
+                "rebuild it explicitly with jaccard_prefix_store"
+            )
+        nb = meta.get(_PREFIX_NB_KEY)
+        rebuilt = jaccard_prefix_store(
+            spark.read.parquet(index_path),
+            float(t_build),
+            id_col,
+            int(nb) if nb is not None else None,
+        )
+        if nb is not None:
+            rebuilt.write.partitionBy(PREFIX_BUCKET_COL).mode(
+                "overwrite"
+            ).parquet(prefix_store_path)
+        else:
+            rebuilt.write.mode("overwrite").parquet(prefix_store_path)
+    return {
+        "docs": docs,
+        "removed_index_rows": raw_rows - docs,
+        "index_files": n_files,
+    }
+
+
 def jaccard_join_incremental(
     new_df: DataFrame,
     corpus_index: DataFrame,

@@ -1603,6 +1603,69 @@ class TestJaccardPrefixStore:
                 corpus_prefix=store, n_token_buckets=16,
             )
 
+    def test_compact_dedupes_and_preserves_results(self, spark, tmp_path):
+        """r8 maintenance op: crash-replay duplicate rows in the
+        index/store compact away, results and provenance metadata
+        survive, and the threshold guard still bites afterwards."""
+        import pytest
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_compact,
+            jaccard_join_incremental,
+        )
+
+        sidx, sorder, store = self._stored(spark, tmp_path, 0.8)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        want = TestJaccardJoinIncremental()._brute(spark, 0.8)
+        # simulate replayed appends: duplicate 2 index rows + their
+        # store rows (localCheckpoint breaks the read-write cycle)
+        sidx.limit(2).localCheckpoint(eager=True).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "idx"))
+        store.limit(5).localCheckpoint(eager=True).write.partitionBy(
+            "_tok_bucket"
+        ).mode("append").parquet(str(tmp_path / "pfx"))
+        # exactness survives duplicates (pair dedup) ...
+        dup_idx = spark.read.parquet(str(tmp_path / "idx"))
+        dup_store = spark.read.parquet(str(tmp_path / "pfx"))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                batch, dup_idx, threshold=0.8,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=dup_store,
+            ).collect()
+        }
+        assert got == want
+        store_rows = store.count()  # before overwrite: listing goes stale
+        # ... but compaction removes them
+        stats = jaccard_compact(
+            spark, str(tmp_path / "idx"),
+            prefix_store_path=str(tmp_path / "pfx"),
+        )
+        assert stats["docs"] == len(self.CORPUS)
+        assert stats["removed_index_rows"] == 2
+        cidx = spark.read.parquet(str(tmp_path / "idx"))
+        cstore = spark.read.parquet(str(tmp_path / "pfx"))
+        assert cidx.count() == len(self.CORPUS)
+        assert cstore.count() == store_rows  # duplicates gone
+        got2 = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                batch, cidx, threshold=0.8,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=cstore,
+            ).collect()
+        }
+        assert got2 == want
+        # provenance metadata survived the rebuild
+        with pytest.raises(ValueError, match="built at threshold"):
+            jaccard_join_incremental(
+                batch, cidx, threshold=0.5,
+                token_order=sorder, corpus_ordered=True,
+                corpus_prefix=cstore,
+            )
+
     def test_bucket_count_derived_from_store_metadata(self, spark, tmp_path):
         """n_token_buckets can be omitted entirely — the store knows
         its own bucket count (ridden on _ptok metadata)."""
