@@ -981,6 +981,64 @@ def jaccard_prefix_store(
     return rows
 
 
+#: sibling directory holding the staged copy during an in-place
+#: index rewrite (migration / compaction) — see jaccard_restore_staging
+INDEX_STAGING_SUFFIX = "_staging"
+
+
+def _job_succeeded(spark, path: str) -> bool:
+    """The committer's ``_SUCCESS`` marker — a directory whose write
+    JOB finished (task outputs can be visible per-task under
+    v2/direct committers, so mere readability proves nothing)."""
+    from mydatasyncer_spark.sources.writers import _hadoop_fs
+
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+
+
+def _delete_path(spark, path: str) -> None:
+    from mydatasyncer_spark.sources.writers import _hadoop_fs
+
+    _, fs, p = _hadoop_fs(spark, path)
+    fs.delete(p, True)
+
+
+def jaccard_restore_staging(spark, index_path: str) -> bool:
+    """Recover from a crash during an in-place ordered-index rewrite.
+
+    Migration and :func:`jaccard_compact` both stage the new index to
+    ``index_path + INDEX_STAGING_SUFFIX`` (gated on its ``_SUCCESS``
+    marker) BEFORE overwriting the index in place — the overwrite
+    deletes the old files first, so a crash mid-overwrite would
+    otherwise leave a missing/partial index that the stream would
+    mistake for a fresh bootstrap and silently wipe. If a COMPLETE
+    staged copy exists, this rewrites the index from it and removes
+    the staging dir; returns True when a restore happened. Every
+    index writer (the streaming twin, compaction) calls this first,
+    so the staged copy can never go stale against later appends —
+    call it yourself before appending to the index out-of-band."""
+    staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
+    if not _job_succeeded(spark, staging):
+        return False
+    pinned = spark.read.parquet(staging).localCheckpoint(eager=True)
+    pinned.write.mode("overwrite").parquet(index_path)
+    _delete_path(spark, staging)
+    return True
+
+
+def _staged_index_rewrite(spark, frame: DataFrame, index_path: str) -> None:
+    """Crash-safe in-place rewrite: stage ``frame`` to the sibling
+    staging dir (complete = ``_SUCCESS``), overwrite the index from
+    the staged files, then drop the staging copy. A crash at any
+    point either leaves the old index intact (staging incomplete) or
+    leaves a complete staged copy that
+    :func:`jaccard_restore_staging` replays."""
+    staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
+    frame.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(index_path)
+    _delete_path(spark, staging)
+
+
 def jaccard_compact(
     spark,
     index_path: str,
@@ -1003,18 +1061,33 @@ def jaccard_compact(
     Run it between drains/ingests (like any layout maintenance — it
     overwrites the paths a concurrent ingest would be reading). The
     frozen order file is untouched: compaction reorders FILES, never
-    tokens. Returns ``{"docs": n, "removed_index_rows": n,
-    "index_files": n}``.
+    tokens. The index rewrite is STAGED (sibling ``_staging`` dir,
+    ``_SUCCESS``-gated): a crash mid-rewrite leaves either the old
+    index or a complete staged copy that the next compaction — or
+    the streaming twin's next batch — restores via
+    :func:`jaccard_restore_staging`; a crash mid-STORE-rebuild is
+    healed the same way the streaming backfill is (the store's
+    ``_SUCCESS`` gate / a rerun of this op). Returns
+    ``{"docs": n, "removed_index_rows": n, "index_files": n,
+    "restored_from_staging": bool}``.
     """
     import math
 
+    restored = jaccard_restore_staging(spark, index_path)
     index = spark.read.parquet(index_path)
     raw_rows = index.count()
-    compacted = index.dropDuplicates([id_col])
+    # pin the dedup ONCE: the count and the write both consume the
+    # cached result instead of re-running the shuffle
+    compacted = index.dropDuplicates([id_col]).localCheckpoint(eager=True)
     docs = compacted.count()
     n_files = max(1, math.ceil(docs * files_per_billion_rows / 1e9))
-    pinned = compacted.repartition(n_files).localCheckpoint(eager=True)
-    pinned.write.mode("overwrite").parquet(index_path)
+    # coalesce when shrinking (no extra shuffle); repartition to grow
+    sized = (
+        compacted.coalesce(n_files)
+        if n_files <= compacted.rdd.getNumPartitions()
+        else compacted.repartition(n_files)
+    )
+    _staged_index_rewrite(spark, sized, index_path)
     if prefix_store_path is not None:
         store = spark.read.parquet(prefix_store_path)
         meta = (
@@ -1045,6 +1118,7 @@ def jaccard_compact(
         "docs": docs,
         "removed_index_rows": raw_rows - docs,
         "index_files": n_files,
+        "restored_from_staging": restored,
     }
 
 
@@ -1172,15 +1246,12 @@ def jaccard_join_incremental(
                     "rebuild the store at (or below) the join threshold"
                 )
         if PREFIX_BUCKET_COL in pc.columns:
-            # the store's bucket count rides _ptok's metadata: derive
-            # it when the caller didn't pass one, and refuse a
-            # MISMATCH — a wrong modulus makes the bucket equality
-            # silently drop true prefix matches
-            nb_meta = (
-                pc.schema["_ptok"].metadata.get(_PREFIX_NB_KEY)
-                if "_ptok" in pc.columns
-                else None
-            )
+            # the store's bucket count rides _ptok's metadata (a
+            # prefix store always carries _ptok — the candidate join
+            # keys on it): derive it when the caller didn't pass one,
+            # and refuse a MISMATCH — a wrong modulus makes the
+            # bucket equality silently drop true prefix matches
+            nb_meta = pc.schema["_ptok"].metadata.get(_PREFIX_NB_KEY)
             if n_token_buckets is None:
                 n_token_buckets = nb_meta
             elif nb_meta is not None and int(nb_meta) != int(

@@ -182,7 +182,8 @@ def write_zordered(
             .collect()
         ]
         write_layout_manifest(
-            spark, path, zorder_signature(cols, dims, bits), ranges
+            spark, path, zorder_signature(cols, dims, bits), ranges,
+            numeric_key=True,  # the z-key is an integer by construction
         )
 
 

@@ -135,11 +135,16 @@ def write_range_sorted(
         .save(path)
     )
     if write_manifest:
+        from pyspark.sql.types import NumericType
+
         write_layout_manifest(
             spark := df.sparkSession,
             path,
             f"col:{sort_cols[0]}",
             file_key_ranges(spark, path, sort_cols[0], fmt),
+            numeric_key=isinstance(
+                df.schema[sort_cols[0]].dataType, NumericType
+            ),
         )
 
 
@@ -189,7 +194,11 @@ def _hadoop_fs(spark, path: str):
 
 
 def write_layout_manifest(
-    spark, path: str, key_sig: str, entries: list[tuple[str, float, float]]
+    spark,
+    path: str,
+    key_sig: str,
+    entries: list[tuple[str, float, float]],
+    numeric_key: bool | None = None,
 ) -> None:
     """Persist per-file key ranges next to the layout.
 
@@ -206,12 +215,17 @@ def write_layout_manifest(
     valid layouts, just not incrementally mergeable) make this a
     silent NO-OP rather than an error: the layout stays readable and
     a later merge falls back to the :func:`file_key_ranges` scan,
-    whose ``_num`` raises the clear incremental-merge message. The
-    distinction is made over ALL bounds, not a single probe: only
-    when EVERY non-null bound is non-numeric is the key treated as a
-    string/date sort key (silent no-op); a numeric-keyed layout with
-    some corrupt bound RAISES — one bad value must not silently
-    degrade every future merge to a full-layout scan."""
+    whose ``_num`` raises the clear incremental-merge message.
+
+    ``numeric_key`` is the caller's DECLARATION from the key
+    column's Spark dtype — the reliable signal: ``False`` no-ops,
+    ``True`` makes any unconvertible bound RAISE (one bad value must
+    not silently degrade every future merge to a full-layout scan).
+    Left ``None`` (external callers without a dtype), the decision
+    falls back to sniffing ALL bounds: only when EVERY non-null
+    bound is non-numeric is the key treated as string/date (the
+    sniff misclassifies a string key whose values all LOOK numeric
+    — pass the dtype when you have it)."""
     import json as _json
     import os as _os
 
@@ -220,6 +234,8 @@ def write_layout_manifest(
             return v
         return float(v)  # Decimal and friends
 
+    if numeric_key is False:
+        return  # string/date sort key: valid layout, no manifest
     bounds = [v for _, lo, hi in entries for v in (lo, hi) if v is not None]
     convertible = []
     for v in bounds:
@@ -228,8 +244,8 @@ def write_layout_manifest(
             convertible.append(True)
         except (TypeError, ValueError):
             convertible.append(False)
-    if bounds and not any(convertible):
-        return  # string/date sort key: valid layout, no manifest
+    if numeric_key is None and bounds and not any(convertible):
+        return  # sniffed as string/date key
     if not all(convertible):
         bad = bounds[convertible.index(False)]
         raise ValueError(
@@ -689,7 +705,11 @@ def _merge_layout(
             entries += [
                 (r["_file"], r["_lo"], r["_hi"]) for r in scanned
             ]
-        write_layout_manifest(spark, out_path, key_sig, entries)
+        # the merge itself required numeric bounds (plan_merge_groups
+        # ran _num over them), so the key is numeric by construction
+        write_layout_manifest(
+            spark, out_path, key_sig, entries, numeric_key=True
+        )
     return {
         "copied": len(untouched),
         "rewritten": rewritten,

@@ -908,11 +908,24 @@ def continuous_jaccard_index(
     this stream's ``threshold``): joins then scan-prune the corpus
     prefix read to the bucket directories the batch touches (dynamic
     partition pruning), each batch appends its own prefix rows, and
-    an index that predates the store gets a one-time backfill. Write
-    order per batch is pairs → prefix store → index: the anti-join
-    replay guard keys on the INDEX, so a crash mid-sequence replays
-    the batch and at worst appends duplicate store rows — harmless,
-    candidate pairs are deduped before verification.
+    an index that predates the store gets a one-time backfill (gated
+    on the committer's ``_SUCCESS`` marker, so a half-written store
+    is rebuilt rather than trusted). Write order per batch is pairs
+    → prefix store → index: the anti-join replay guard keys on the
+    INDEX, so a crash mid-sequence replays the batch and at worst
+    appends duplicate store rows — harmless, candidate pairs are
+    deduped before verification (``jaccard_compact`` clears them).
+
+    An index written before the ordered contract (unsorted arrays,
+    no order file) is migrated once, before any batch lineage is
+    built over it: order frozen from the full index, arrays
+    rewritten sorted through the STAGED rewrite protocol — every
+    batch first replays ``jaccard_restore_staging``, so a crash at
+    any point of the in-place rewrite leaves either the old index or
+    a complete staged copy, never a half-index the stream would
+    mistake for a fresh bootstrap. With success markers disabled the
+    staging/backfill gates degrade to readability checks
+    (documented crash windows instead of per-batch corpus repairs).
 
     Failure-mode choices: the order writes FIRST at bootstrap (a
     crash before the first index write replays as a fresh bootstrap
@@ -926,10 +939,13 @@ def continuous_jaccard_index(
 
     from mydatasyncer_spark.operators.dedup import (
         PREFIX_BUCKET_COL,
+        _job_succeeded,
+        _staged_index_rewrite,
         jaccard_join_incremental,
         jaccard_ordered_index,
         jaccard_prefix_index,
         jaccard_prefix_store,
+        jaccard_restore_staging,
         jaccard_token_order,
     )
 
@@ -942,27 +958,53 @@ def continuous_jaccard_index(
             prefix_store_path
         )
 
-    def job_completed(spark, path: str) -> bool:
-        # the committer's _SUCCESS marker: present only when a write
-        # JOB finished. Distinguishes a complete store from one a
-        # crash left half-written (task outputs can be visible
-        # per-task under v2/direct committers). With success markers
-        # disabled this reads as never-complete and the backfill
-        # re-runs each batch — correct, just not incremental.
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs.exists(p)
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # a crashed in-place index rewrite (migration or compaction)
+        # leaves a complete staged copy; replay it BEFORE building any
+        # lineage over the index — otherwise a missing/partial index
+        # reads as a fresh bootstrap and the corpus silently vanishes
+        jaccard_restore_staging(spark, index_path)
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         try:
             index = spark.read.parquet(index_path)
         except AnalysisException:
             index = None
+
+        def complete(path: str) -> bool:
+            # readable AND job-committed (_SUCCESS). When the
+            # deployment disables success markers (the index itself
+            # carries none), fall back to readability — degraded
+            # crash-window protection instead of re-running the
+            # corpus-linear repair every batch.
+            try:
+                spark.read.parquet(path)
+            except AnalysisException:
+                return False
+            return _job_succeeded(spark, path) or not _job_succeeded(
+                spark, index_path
+            )
+
+        if index is not None and not complete(order_loc):
+            # index predates the ordered contract (arrays stored
+            # unsorted, no/partial order file): one-time migration,
+            # BEFORE any batch lineage touches the old index files.
+            # The rewrite is staged (crash-safe, see
+            # jaccard_restore_staging); the order file is written
+            # AFTER the index swap, so any crash replays the
+            # migration — re-ordering already-ordered arrays under
+            # the same recomputed order is idempotent.
+            order = jaccard_token_order(index).localCheckpoint(
+                eager=True
+            )
+            migrated = jaccard_ordered_index(
+                index, text_col, id_col, token_order=order
+            )
+            _staged_index_rewrite(spark, migrated, index_path)
+            order.write.mode("overwrite").parquet(order_loc)
+            index = spark.read.parquet(index_path)
         if index is not None:
             batch = batch.join(
                 index.select(id_col), id_col, "left_anti"
@@ -976,30 +1018,10 @@ def continuous_jaccard_index(
                 return
             batch_idx = jaccard_prefix_index(batch, text_col, id_col)
             if index is not None:
-                try:
-                    order = spark.read.parquet(order_loc)
-                except AnalysisException:
-                    # index predates the ordered contract (arrays
-                    # stored unsorted, no order file): one-time
-                    # migration. The order file is written LAST, so a
-                    # crash mid-migration replays it — re-ordering an
-                    # already-ordered index under the same recomputed
-                    # order is idempotent. BOTH frames are pinned
-                    # eagerly before the overwrite: their lineage
-                    # reads the very files the overwrite deletes.
-                    order = jaccard_token_order(index).localCheckpoint(
-                        eager=True
-                    )
-                    migrated = jaccard_ordered_index(
-                        index, text_col, id_col, token_order=order
-                    ).localCheckpoint(eager=True)
-                    migrated.write.mode("overwrite").parquet(index_path)
-                    order.write.mode("overwrite").parquet(order_loc)
-                    order = spark.read.parquet(order_loc)
-                    index = spark.read.parquet(index_path)
+                order = spark.read.parquet(order_loc)
                 corpus_prefix = None
                 if prefix_store_path is not None:
-                    if not job_completed(spark, prefix_store_path):
+                    if not complete(prefix_store_path):
                         # store absent OR half-written (crash mid-
                         # backfill): rebuild from the stored ordered
                         # arrays — the only corpus-linear step; a

@@ -1666,6 +1666,51 @@ class TestJaccardPrefixStore:
                 corpus_prefix=cstore,
             )
 
+    def test_crashed_inplace_rewrite_restores_from_staging(
+        self, spark, tmp_path
+    ):
+        """r8 review: an in-place index rewrite stages a complete
+        copy first; if the crash lands mid-overwrite (old files gone)
+        the staged copy restores instead of the corpus silently
+        reading as a fresh bootstrap."""
+        import shutil
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+            jaccard_compact,
+            jaccard_restore_staging,
+        )
+
+        sidx, sorder, store = self._stored(spark, tmp_path, 0.8)
+        idx_path = str(tmp_path / "idx")
+        rows_before = {
+            (r["doc_id"], tuple(r["toks"]))
+            for r in spark.read.parquet(idx_path).collect()
+        }
+        # simulate: staging written completely, then crash mid index
+        # overwrite (index dir destroyed)
+        spark.read.parquet(idx_path).localCheckpoint(
+            eager=True
+        ).write.parquet(idx_path + INDEX_STAGING_SUFFIX)
+        shutil.rmtree(idx_path)
+        assert jaccard_restore_staging(spark, idx_path) is True
+        rows_after = {
+            (r["doc_id"], tuple(r["toks"]))
+            for r in spark.read.parquet(idx_path).collect()
+        }
+        assert rows_after == rows_before
+        import os
+
+        assert not os.path.exists(idx_path + INDEX_STAGING_SUFFIX)
+        # compaction also self-heals: re-stage + re-crash, then compact
+        spark.read.parquet(idx_path).localCheckpoint(
+            eager=True
+        ).write.parquet(idx_path + INDEX_STAGING_SUFFIX)
+        shutil.rmtree(idx_path)
+        stats = jaccard_compact(spark, idx_path)
+        assert stats["restored_from_staging"] is True
+        assert stats["docs"] == len(self.CORPUS)
+
     def test_bucket_count_derived_from_store_metadata(self, spark, tmp_path):
         """n_token_buckets can be omitted entirely — the store knows
         its own bucket count (ridden on _ptok metadata)."""

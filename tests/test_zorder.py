@@ -1049,3 +1049,38 @@ class TestMergeBatchEdges:
             spark, out, "col:k", [("a.parquet", "aa", "bb")]
         )
         assert read_layout_manifest(spark, out) is None
+
+    def test_manifest_key_type_declared_from_dtype(
+        self, spark, tmp_path_factory
+    ):
+        """r8 review: the caller's dtype declaration beats value
+        sniffing — a STRING sort key whose values all look numeric
+        must NOT get a numeric manifest (lexicographic file ranges
+        don't overlap the way numeric ones do), and numeric_key=True
+        raises on any corrupt bound."""
+        import pytest
+
+        from mydatasyncer_spark.sources.writers import (
+            read_layout_manifest,
+            write_layout_manifest,
+            write_range_sorted,
+        )
+
+        base = tmp_path_factory.mktemp("manifest_dtype")
+        out = str(base / "strkey")
+        df = spark.createDataFrame(
+            [(str(i), i) for i in (1, 2, 10, 20, 100)], "k string, v long"
+        )
+        write_range_sorted(df, out, ["k"], 2)
+        assert read_layout_manifest(spark, out) is None  # string key
+        out2 = str(base / "declared")
+        with pytest.raises(ValueError):
+            write_layout_manifest(
+                spark, out2, "col:k",
+                [("a.parquet", "junk", "more")], numeric_key=True,
+            )
+        write_layout_manifest(
+            spark, out2, "col:k",
+            [("a.parquet", 1.0, 2.0)], numeric_key=False,
+        )
+        assert read_layout_manifest(spark, out2) is None  # declared off
