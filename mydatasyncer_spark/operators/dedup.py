@@ -959,7 +959,11 @@ def jaccard_prefix_store(
     :func:`jaccard_join_incremental` refuses a join below it instead
     of silently missing pairs. Maintain the store like the index:
     append each ingested batch's own prefix rows (same call over the
-    batch's ordered rows)."""
+    batch's ordered rows). NOTE: a store whose files MIX
+    metadata-less (pre-contract) and metadata-carrying parquet reads
+    back with whichever footer Spark samples — the guards then fire
+    nondeterministically; rebuild such a store once (this function,
+    or :func:`jaccard_compact`) rather than appending to it."""
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
