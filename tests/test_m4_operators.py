@@ -1493,6 +1493,65 @@ class TestJaccardOrderedIndex:
         with pytest.raises(ValueError, match="token_order"):
             jaccard_join_incremental(batch, idx, corpus_ordered=True)
 
+    def test_empty_ordered_corpus_yields_batch_only_pairs(self, spark):
+        """Bootstrap edge: an EMPTY ordered index (and empty frozen
+        order) must produce exactly the new-vs-new pairs — no crash,
+        no corpus pairs."""
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        empty_idx = spark.createDataFrame(
+            [], "doc_id long, n int, toks array<string>"
+        )
+        empty_order = spark.createDataFrame([], "token string, df long")
+        batch = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                batch, empty_idx, threshold=1.0,
+                token_order=empty_order, corpus_ordered=True,
+            ).collect()
+        }
+        assert got == {(1, 2)}
+
+    def test_reingested_id_never_self_pairs_on_ordered_path(self, spark):
+        """Mirror of the legacy-path re-ingest guard: an id already
+        indexed, arriving again with changed text, compares new
+        tokens against the INDEXED tokens and never pairs with
+        itself."""
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_token_order,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        order = jaccard_token_order(idx)
+        ordered = jaccard_ordered_index(idx, token_order=order)
+        re_batch = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog extra")],
+            "doc_id long, text string",
+        )
+        # at 0.4 the new text pairs with doc 4 (4/9) but its own
+        # indexed version (8/9) is excluded as a self-pair
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_incremental(
+                re_batch, ordered, threshold=0.4,
+                include_new_pairs=False,
+                token_order=order, corpus_ordered=True,
+            ).collect()
+        }
+        assert got == {(0, 4)}
+
 
 class TestJaccardPrefixStore:
     """Persisted corpus prefix rows partitioned by token bucket (r8):
