@@ -1024,8 +1024,11 @@ def jaccard_restore_staging(spark, index_path: str) -> bool:
     staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
     if not _job_succeeded(spark, staging):
         return False
-    pinned = spark.read.parquet(staging).localCheckpoint(eager=True)
-    pinned.write.mode("overwrite").parquet(index_path)
+    # staging and index are distinct paths: a direct file-to-file
+    # copy, no executor-memory pinning of the corpus
+    spark.read.parquet(staging).write.mode("overwrite").parquet(
+        index_path
+    )
     _delete_path(spark, staging)
     return True
 
@@ -1080,18 +1083,24 @@ def jaccard_compact(
     restored = jaccard_restore_staging(spark, index_path)
     index = spark.read.parquet(index_path)
     raw_rows = index.count()
-    # pin the dedup ONCE: the count and the write both consume the
-    # cached result instead of re-running the shuffle
-    compacted = index.dropDuplicates([id_col]).localCheckpoint(eager=True)
-    docs = compacted.count()
+    staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
+    # ONE dedup pass, straight into the staged copy — no
+    # executor-memory pinning of the corpus; sizing happens on the
+    # staging→index copy, where the row count is already known
+    index.dropDuplicates([id_col]).write.mode("overwrite").parquet(
+        staging
+    )
+    staged = spark.read.parquet(staging)
+    docs = staged.count()
     n_files = max(1, math.ceil(docs * files_per_billion_rows / 1e9))
     # coalesce when shrinking (no extra shuffle); repartition to grow
     sized = (
-        compacted.coalesce(n_files)
-        if n_files <= compacted.rdd.getNumPartitions()
-        else compacted.repartition(n_files)
+        staged.coalesce(n_files)
+        if n_files <= staged.rdd.getNumPartitions()
+        else staged.repartition(n_files)
     )
-    _staged_index_rewrite(spark, sized, index_path)
+    sized.write.mode("overwrite").parquet(index_path)
+    _delete_path(spark, staging)
     if prefix_store_path is not None:
         store = spark.read.parquet(prefix_store_path)
         meta = (
