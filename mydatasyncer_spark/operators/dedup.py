@@ -1020,10 +1020,30 @@ def jaccard_restore_staging(spark, index_path: str) -> bool:
     the staging dir; returns True when a restore happened. Every
     index writer (the streaming twin, compaction) calls this first,
     so the staged copy can never go stale against later appends —
-    call it yourself before appending to the index out-of-band."""
+    call it yourself before appending to the index out-of-band.
+
+    Markers-disabled deployments: with ``_SUCCESS`` files suppressed
+    the marker gate never opens, so the fallback restores whenever
+    the staging dir is READABLE and the index itself is
+    unreadable/absent. That combination only arises from a crash
+    mid-overwrite (the rewrite protocol completes staging BEFORE it
+    deletes a single index file — a crash mid-STAGING leaves the old
+    index intact, so this gate stays closed), which means the
+    fallback cannot resurrect a half-written staged copy over a
+    live index."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _readable(path: str) -> bool:
+        try:
+            spark.read.parquet(path)
+            return True
+        except AnalysisException:
+            return False
+
     staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
     if not _job_succeeded(spark, staging):
-        return False
+        if not (_readable(staging) and not _readable(index_path)):
+            return False
     # staging and index are distinct paths: a direct file-to-file
     # copy, no executor-memory pinning of the corpus
     spark.read.parquet(staging).write.mode("overwrite").parquet(

@@ -223,9 +223,16 @@ def write_layout_manifest(
     not silently degrade every future merge to a full-layout scan).
     Left ``None`` (external callers without a dtype), the decision
     falls back to sniffing ALL bounds: only when EVERY non-null
-    bound is non-numeric is the key treated as string/date (the
-    sniff misclassifies a string key whose values all LOOK numeric
-    — pass the dtype when you have it)."""
+    bound is non-numeric is the key treated as string/date. MIXED
+    bounds then RAISE — deliberately: a mix is far more often a
+    numeric key with one corrupt bound (where a silent skip degrades
+    every future merge to a full-layout scan) than a string key
+    whose lexicographic min/max happen to straddle numeric-looking
+    values (lo='123', hi='abc'). A genuinely string-keyed layout
+    with such values must pass ``numeric_key=False`` explicitly —
+    the sniff also misclassifies a string key whose values ALL look
+    numeric, so declaring the dtype is the contract whenever you
+    have it."""
     import json as _json
     import os as _os
 

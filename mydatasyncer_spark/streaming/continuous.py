@@ -910,7 +910,14 @@ def continuous_jaccard_index(
     partition pruning), each batch appends its own prefix rows, and
     an index that predates the store gets a one-time backfill (gated
     on the committer's ``_SUCCESS`` marker, so a half-written store
-    is rebuilt rather than trusted). Write order per batch is pairs
+    is rebuilt rather than trusted), and a store whose recorded
+    build threshold / bucket count (``_ptok`` metadata) disagrees
+    with THIS stream's config is rebuilt under the current config
+    before any batch appends to it — restarting the stream with new
+    params must not mix provenance within one store's files. A
+    legacy-index migration also drops the store (its prefix rows
+    were sliced under the lost order) and lets that same backfill
+    rebuild it. Write order per batch is pairs
     → prefix store → index: the anti-join replay guard keys on the
     INDEX, so a crash mid-sequence replays the batch and at worst
     appends duplicate store rows — harmless, candidate pairs are
@@ -939,6 +946,9 @@ def continuous_jaccard_index(
 
     from mydatasyncer_spark.operators.dedup import (
         PREFIX_BUCKET_COL,
+        _PREFIX_NB_KEY,
+        _PREFIX_T_KEY,
+        _delete_path,
         _job_succeeded,
         _staged_index_rewrite,
         jaccard_join_incremental,
@@ -956,6 +966,27 @@ def continuous_jaccard_index(
             rows, threshold, id_col, n_token_buckets
         ).write.partitionBy(PREFIX_BUCKET_COL).mode(mode).parquet(
             prefix_store_path
+        )
+
+    def store_matches_config(store: DataFrame) -> bool:
+        # provenance check BEFORE the store is trusted or appended
+        # to: a store built under a different threshold or bucket
+        # count must not receive this stream's rows — mixed-footer
+        # parquet makes the join-time guards fire nondeterministically
+        # (whichever footer Spark samples), and the non-sampled rows
+        # would silently miss true pairs. Missing metadata (a
+        # pre-contract store) is treated as a mismatch for the same
+        # reason.
+        if "_ptok" not in store.columns:
+            return False
+        meta = store.schema["_ptok"].metadata
+        t_build = meta.get(_PREFIX_T_KEY)
+        nb_build = meta.get(_PREFIX_NB_KEY)
+        return (
+            t_build is not None
+            and abs(float(t_build) - float(threshold)) < 1e-9
+            and nb_build is not None
+            and int(nb_build) == int(n_token_buckets)
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1005,6 +1036,14 @@ def continuous_jaccard_index(
             _staged_index_rewrite(spark, migrated, index_path)
             order.write.mode("overwrite").parquet(order_loc)
             index = spark.read.parquet(index_path)
+            if prefix_store_path is not None:
+                # a store that survived the lost order file holds
+                # prefix rows sliced under the OLD order — candidate
+                # joins against it would silently miss pairs. Drop
+                # it; the incomplete-store backfill below rebuilds it
+                # from the freshly migrated arrays (and a crash here
+                # replays the same way).
+                _delete_path(spark, prefix_store_path)
         if index is not None:
             batch = batch.join(
                 index.select(id_col), id_col, "left_anti"
@@ -1028,6 +1067,16 @@ def continuous_jaccard_index(
                         # partial store would silently miss pairs
                         write_store(index, "overwrite")
                     corpus_prefix = spark.read.parquet(prefix_store_path)
+                    if not store_matches_config(corpus_prefix):
+                        # built under a different threshold / bucket
+                        # count (stream restarted with new params):
+                        # rebuild under the CURRENT config before
+                        # this batch appends — mirrors the
+                        # _SUCCESS-gated backfill above
+                        write_store(index, "overwrite")
+                        corpus_prefix = spark.read.parquet(
+                            prefix_store_path
+                        )
                 pairs = jaccard_join_incremental(
                     batch, index, text_col, id_col, threshold,
                     token_order=order, corpus_ordered=True,

@@ -1770,6 +1770,45 @@ class TestJaccardPrefixStore:
         assert stats["restored_from_staging"] is True
         assert stats["docs"] == len(self.CORPUS)
 
+    def test_restore_staging_without_success_markers(self, spark, tmp_path):
+        """r9 (ADVICE): with ``_SUCCESS`` markers disabled the staging
+        gate must fall back to readability — restore exactly when the
+        staging dir reads and the index does NOT (the only state a
+        crash mid-overwrite can leave), and never clobber a live
+        index with an unmarked staging dir."""
+        import shutil
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+            jaccard_restore_staging,
+        )
+
+        self._stored(spark, tmp_path, 0.8)
+        idx_path = str(tmp_path / "idx")
+        rows = {
+            (r["doc_id"], tuple(r["toks"]))
+            for r in spark.read.parquet(idx_path).collect()
+        }
+        staging = idx_path + INDEX_STAGING_SUFFIX
+        spark.read.parquet(idx_path).localCheckpoint(
+            eager=True
+        ).write.parquet(staging)
+        import os
+
+        os.remove(os.path.join(staging, "_SUCCESS"))  # markers off
+        # index still alive: an unmarked staging dir must NOT restore
+        # (it could be a half-written stage under enabled markers)
+        assert jaccard_restore_staging(spark, idx_path) is False
+        assert os.path.exists(staging)
+        # crash mid-overwrite: index gone, unmarked staging readable
+        shutil.rmtree(idx_path)
+        assert jaccard_restore_staging(spark, idx_path) is True
+        assert {
+            (r["doc_id"], tuple(r["toks"]))
+            for r in spark.read.parquet(idx_path).collect()
+        } == rows
+        assert not os.path.exists(staging)
+
     def test_bucket_count_derived_from_store_metadata(self, spark, tmp_path):
         """n_token_buckets can be omitted entirely — the store knows
         its own bucket count (ridden on _ptok metadata)."""

@@ -1435,6 +1435,188 @@ class TestContinuousJaccardIndex:
         )
         assert got == want and (1, 5) in got
 
+    def test_store_rebuilt_when_stream_config_changes(
+        self, spark, tmp_path_factory
+    ):
+        """r9 (ADVICE): restarting the stream with a different
+        threshold / bucket count must REBUILD the prefix store under
+        the new config before appending — mixed-provenance files make
+        the join-time guards fire nondeterministically (whichever
+        parquet footer Spark samples) and the non-sampled rows would
+        silently miss pairs."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            _PREFIX_NB_KEY,
+            _PREFIX_T_KEY,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("jxc_in")
+        out = tmp_path_factory.mktemp("jxc_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        store, ckpt = str(out / "pfx"), str(out / "ckpt")
+
+        def drain(rows, fname, threshold, nb):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_jaccard_index(
+                stream, index, pairs, threshold=threshold,
+                checkpoint_dir=ckpt, prefix_store_path=store,
+                n_token_buckets=nb,
+            )
+            q.awaitTermination(120)
+
+        def store_meta():
+            sdf = spark.read.parquet(store)
+            meta = sdf.schema["_ptok"].metadata
+            return sdf, meta[_PREFIX_T_KEY], int(meta[_PREFIX_NB_KEY])
+
+        drain(
+            [
+                {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+                {"doc_id": 2, "text": "totally unrelated content here"},
+            ],
+            "b0.json", threshold=0.8, nb=8,
+        )
+        drain(
+            [{"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat"}],
+            "b1.json", threshold=0.8, nb=8,
+        )
+        _, t_meta, nb_meta = store_meta()
+        assert (float(t_meta), nb_meta) == (0.8, 8)
+        # restart with new params: lower threshold, fewer buckets
+        drain(
+            [{"doc_id": 4, "text": "the quick brown fox naps under the lazy dog"}],
+            "b2.json", threshold=0.5, nb=4,
+        )
+        sdf, t_meta, nb_meta = store_meta()
+        assert (float(t_meta), nb_meta) == (0.5, 4)
+        # fully rebuilt: covers every indexed doc, old modulus gone
+        assert {r["_id_b"] for r in sdf.select("_id_b").collect()} == {
+            1, 2, 3, 4,
+        }
+        assert sdf.agg(F.max("_tok_bucket")).first()[0] < 4
+        # batch 2's pairs (threshold 0.5) are brute-exact: the doc-4
+        # ingest ran against the REBUILT store, not mixed files
+        idx = spark.read.parquet(index)
+        sim = F.size(F.array_intersect("ta", "tb")) / (
+            F.size("ta") + F.size("tb")
+            - F.size(F.array_intersect("ta", "tb"))
+        )
+        a = idx.filter("doc_id = 4").select(
+            F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")
+        )
+        b = idx.filter("doc_id != 4").select(
+            F.col("doc_id").alias("id_b"), F.col("toks").alias("tb")
+        )
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b).filter(sim >= 0.5).collect()
+        }
+        got4 = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(pairs)
+            .filter("id_a = 4 or id_b = 4")
+            .collect()
+        }
+        assert want and got4 == want
+
+    def test_migration_rebuilds_stale_prefix_store(
+        self, spark, tmp_path_factory
+    ):
+        """r9 (ADVICE): losing the order file while the prefix store
+        survives triggers the one-time migration — which must also
+        drop/rebuild the store, because its rows were sliced under
+        the OLD order and the recomputed order (df over the full
+        index, not just the bootstrap batch) generally differs."""
+        import json as _json
+        import shutil
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_prefix_store,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("jxm_in")
+        out = tmp_path_factory.mktemp("jxm_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        store, ckpt = str(out / "pfx"), str(out / "ckpt")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_jaccard_index(
+                stream, index, pairs, threshold=0.5,
+                checkpoint_dir=ckpt, prefix_store_path=store,
+                n_token_buckets=8,
+            )
+            q.awaitTermination(120)
+
+        # bootstrap freezes the order over b0's dfs; b1 then skews
+        # document frequencies so a recomputed order ranks tokens
+        # differently (alpha/beta rare at bootstrap, common after b1)
+        drain(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+                {"doc_id": 2, "text": "gamma delta epsilon zeta eta theta"},
+            ],
+            "b0.json",
+        )
+        drain(
+            [
+                {"doc_id": 3, "text": "alpha beta iota kappa"},
+                {"doc_id": 4, "text": "alpha beta lamda mu"},
+            ],
+            "b1.json",
+        )
+        stale_rows = {
+            (r["_id_b"], r["_ptok"])
+            for r in spark.read.parquet(store)
+            .select("_id_b", "_ptok")
+            .collect()
+        }
+        shutil.rmtree(index + "_order")  # the damage: order lost
+        drain(
+            [{"doc_id": 5, "text": "nu xi omicron pi"}],
+            "b2.json",
+        )
+        # expected store: prefix rows sliced from the MIGRATED arrays
+        fresh = {
+            (r["_id_b"], r["_ptok"])
+            for r in jaccard_prefix_store(
+                spark.read.parquet(index), 0.5, n_token_buckets=8
+            )
+            .select("_id_b", "_ptok")
+            .collect()
+        }
+        got = {
+            (r["_id_b"], r["_ptok"])
+            for r in spark.read.parquet(store)
+            .select("_id_b", "_ptok")
+            .collect()
+        }
+        assert got == fresh
+        # non-vacuous: the recomputed order really moved prefixes —
+        # a stale store would NOT equal the fresh rows
+        stale_pre_b2 = {p for p in stale_rows}
+        fresh_pre_b2 = {p for p in fresh if p[0] != 5}
+        assert stale_pre_b2 != fresh_pre_b2
+
     def test_legacy_unordered_index_is_migrated_once(
         self, spark, tmp_path_factory
     ):
