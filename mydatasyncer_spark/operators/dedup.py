@@ -985,6 +985,65 @@ def jaccard_prefix_store(
     return rows
 
 
+#: metadata key carrying a containment inverted store's bucket count
+_CONTAIN_NB_KEY = "containment_inv_buckets"
+#: metadata marker: the store holds the FULL corpus token explosion
+#: (what distinguishes it from a prefix-only jaccard_prefix_store)
+_CONTAIN_FULL_KEY = "containment_inv_full"
+
+
+def containment_inverted_store(
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    n_token_buckets: int | None = None,
+) -> DataFrame:
+    """Materializable corpus INVERTED-INDEX rows ``(_id_b, _ptok)``
+    for :func:`containment_join`'s probe mode — the containment
+    analogue of :func:`jaccard_prefix_store`: write this frame
+    ``partitionBy(PREFIX_BUCKET_COL)`` (pass ``n_token_buckets``) and
+    hand the read-back frame to the join as ``corpus_inv``. The
+    candidate equi-join then also keys on the token bucket, so
+    dynamic partition pruning reads ONLY the bucket directories the
+    probe's prefix tokens hash into — per-probe corpus IO scales with
+    the probe batch's vocabulary, not the corpus (today's store-less
+    probe scans the full corpus token explosion every time and only
+    then filters it).
+
+    Two properties make this store SIMPLER than the Jaccard one:
+
+    - **Threshold-free.** Containment puts no bound on the corpus
+      doc, so the corpus side is the FULL token explosion — valid
+      for every join threshold; there is no build-threshold
+      precondition and no below-threshold refusal.
+    - **Order-free.** An inverted index has no token ordering, so
+      the frozen-order lifecycle (migration, re-freeze) never
+      invalidates it; only index membership changes do (append the
+      ingested batch's own explosion; :func:`jaccard_compact`
+      rebuilds it alongside the index).
+
+    The one hazard is structural: a :func:`jaccard_prefix_store`
+    frame has the SAME column shape but holds PREFIX rows only —
+    passed as ``corpus_inv`` it would silently miss pairs. Both
+    stores therefore ride provenance in ``_ptok`` metadata
+    (full-explosion marker + bucket count here, build threshold
+    there) and :func:`containment_join` refuses a prefix store."""
+    rows = corpus_index.select(
+        F.col(id_col).alias("_id_b"), F.explode("toks").alias("_ptok")
+    )
+    meta: dict = {_CONTAIN_FULL_KEY: True}
+    if n_token_buckets is not None:
+        meta[_CONTAIN_NB_KEY] = int(n_token_buckets)
+    rows = rows.withColumn(
+        "_ptok", F.col("_ptok").alias("_ptok", metadata=meta)
+    )
+    if n_token_buckets is not None:
+        rows = rows.withColumn(
+            PREFIX_BUCKET_COL,
+            F.pmod(F.xxhash64("_ptok"), F.lit(int(n_token_buckets))),
+        )
+    return rows
+
+
 #: sibling directory holding the staged copy during an in-place
 #: index rewrite (migration / compaction) — see jaccard_restore_staging
 INDEX_STAGING_SUFFIX = "_staging"
@@ -1072,6 +1131,7 @@ def jaccard_compact(
     id_col: str = "doc_id",
     prefix_store_path: str | None = None,
     files_per_billion_rows: int = 2000,
+    containment_store_path: str | None = None,
 ) -> dict:
     """Maintenance compaction for a standing ordered-index pipeline:
     every ingest/stream batch APPENDS to the index (and prefix
@@ -1083,7 +1143,16 @@ def jaccard_compact(
     ``prefix_store_path`` is given — REBUILDS the store from the
     compacted index (same threshold and bucket count, read back from
     the store's own ``_ptok`` metadata), which removes duplicate and
-    orphaned store rows in one pass.
+    orphaned store rows in one pass. ``containment_store_path`` does
+    the same for a :func:`containment_inverted_store` (bucket count
+    from its own metadata; threshold-free by construction).
+
+    Duplicate ids are resolved by ``dropDuplicates([id_col])`` — an
+    ARBITRARY survivor, which is only correct because the streaming
+    path anti-joins each batch against the index before appending
+    (duplicates can then only be bit-identical replay copies).
+    Out-of-band appends that re-ingest an id with CHANGED text must
+    reconcile themselves before compacting.
 
     Run it between drains/ingests (like any layout maintenance — it
     overwrites the paths a concurrent ingest would be reading). The
@@ -1147,6 +1216,33 @@ def jaccard_compact(
             ).parquet(prefix_store_path)
         else:
             rebuilt.write.mode("overwrite").parquet(prefix_store_path)
+    if containment_store_path is not None:
+        cstore = spark.read.parquet(containment_store_path)
+        cmeta = (
+            cstore.schema["_ptok"].metadata
+            if "_ptok" in cstore.columns
+            else {}
+        )
+        cnb = cmeta.get(_CONTAIN_NB_KEY)
+        if cnb is None and PREFIX_BUCKET_COL in cstore.columns:
+            raise ValueError(
+                "containment store is bucketed but carries no "
+                "bucket-count metadata — rebuild it explicitly with "
+                "containment_inverted_store"
+            )
+        crebuilt = containment_inverted_store(
+            spark.read.parquet(index_path),
+            id_col,
+            int(cnb) if cnb is not None else None,
+        )
+        if cnb is not None:
+            crebuilt.write.partitionBy(PREFIX_BUCKET_COL).mode(
+                "overwrite"
+            ).parquet(containment_store_path)
+        else:
+            crebuilt.write.mode("overwrite").parquet(
+                containment_store_path
+            )
     return {
         "docs": docs,
         "removed_index_rows": raw_rows - docs,
@@ -1355,6 +1451,9 @@ def containment_join(
     threshold: float = 0.8,
     token_order: DataFrame | None = None,
     prefilter_index: bool = True,
+    corpus_inv: DataFrame | None = None,
+    n_token_buckets: int | None = None,
+    broadcast_probe: bool | None = None,
 ) -> DataFrame:
     """EXACT containment join: pairs where the PROBE doc's token set
     is ``threshold``-contained in a corpus doc —
@@ -1393,6 +1492,28 @@ def containment_join(
     vocabulary count; exactness holds under any fixed order either
     way.
 
+    The 100 TB standing-pipeline path adds ``corpus_inv``: a
+    persisted :func:`containment_inverted_store` read back from a
+    ``partitionBy(PREFIX_BUCKET_COL)`` layout. The probe's prefix
+    rows then bucket their tokens with the store's recorded modulus
+    and the candidate join keys on the bucket too, so dynamic
+    partition pruning reads ONLY the bucket directories the probe's
+    prefix tokens hash into — per-probe corpus READ IO ∝ probe
+    vocabulary instead of corpus size (the semi-prefilter above only
+    removed the shuffle; the scan stayed corpus-linear).
+    ``corpus_df`` stays required alongside it (the verification
+    arrays live in the INDEX, not the store; verification semi-prunes
+    it to candidate ids, so that side stays scan-only as well).
+    Fail-fast provenance guards mirror the Jaccard store: a
+    :func:`jaccard_prefix_store` (prefix rows only — would silently
+    miss pairs) is refused by its build-threshold metadata, a
+    bucketed store without a discoverable modulus is refused, and a
+    bucket-count mismatch is refused. ``broadcast_probe`` (default:
+    on exactly when ``corpus_inv`` is given) broadcast-hints the
+    probe-derived sides, which is what keeps the corpus exchange-free
+    and DPP-eligible; disable for probe batches too large to
+    broadcast.
+
     ``corpus_df=None`` means self-containment over ``probe_df``
     (pairs with distinct ids, both directions possible). Either side
     may be a pre-built token index instead of raw documents — a
@@ -1410,6 +1531,12 @@ def containment_join(
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     self_mode = corpus_df is None
+    if corpus_inv is not None and self_mode:
+        raise ValueError(
+            "corpus_inv requires probe-vs-corpus mode (pass corpus_df "
+            "— verification reads token arrays from the index, the "
+            "store holds only inverted-index rows)"
+        )
     if self_mode:
         corpus_df = probe_df
 
@@ -1436,16 +1563,58 @@ def containment_join(
         )
     probe_ordered = _ordered_token_rows(probe, id_col, token_order)
     pfx = _prefix_rows(probe_ordered, id_col, t, "a")
-    inv = corpus.select(
-        F.col(id_col).alias("_id_b"), F.explode("toks").alias("_ptok")
-    )
-    if not self_mode and prefilter_index:
-        inv = inv.join(
-            F.broadcast(pfx.select("_ptok").distinct()), "_ptok", "left_semi"
+    if broadcast_probe is None:
+        broadcast_probe = corpus_inv is not None
+    if corpus_inv is not None:
+        inv = corpus_inv
+        if "_ptok" in inv.columns:
+            meta = inv.schema["_ptok"].metadata
+            if meta.get(_PREFIX_T_KEY) is not None:
+                raise ValueError(
+                    "corpus_inv is a jaccard_prefix_store (prefix rows "
+                    f"only, built at threshold {meta[_PREFIX_T_KEY]}) — "
+                    "containment needs the FULL corpus token explosion "
+                    "or it silently misses pairs; build the store with "
+                    "containment_inverted_store"
+                )
+        if PREFIX_BUCKET_COL in inv.columns:
+            nb_meta = inv.schema["_ptok"].metadata.get(_CONTAIN_NB_KEY)
+            if n_token_buckets is None:
+                n_token_buckets = nb_meta
+            elif nb_meta is not None and int(nb_meta) != int(
+                n_token_buckets
+            ):
+                raise ValueError(
+                    f"corpus_inv was written with {int(nb_meta)} token "
+                    f"buckets; n_token_buckets={int(n_token_buckets)} "
+                    "would silently miss pairs"
+                )
+            if n_token_buckets is None:
+                raise ValueError(
+                    "a bucketed corpus_inv needs n_token_buckets (the "
+                    "bucket count the store was written with)"
+                )
+            pfx = pfx.withColumn(
+                PREFIX_BUCKET_COL,
+                F.pmod(F.xxhash64("_ptok"), F.lit(int(n_token_buckets))),
+            )
+    else:
+        inv = corpus.select(
+            F.col(id_col).alias("_id_b"), F.explode("toks").alias("_ptok")
         )
+        if not self_mode and prefilter_index:
+            inv = inv.join(
+                F.broadcast(pfx.select("_ptok").distinct()),
+                "_ptok",
+                "left_semi",
+            )
+    if broadcast_probe:
+        pfx = F.broadcast(pfx)
     cond = pfx["_ptok"] == inv["_ptok"]
     if self_mode:
         cond = cond & (F.col("_id_a") != F.col("_id_b"))
+    if corpus_inv is not None and PREFIX_BUCKET_COL in inv.columns:
+        cond = (pfx[PREFIX_BUCKET_COL] == inv[PREFIX_BUCKET_COL]) & cond
     cand = pfx.join(inv, cond).select("_id_a", "_id_b").distinct()
     return _verify_pairs(
         cand,
@@ -1455,4 +1624,6 @@ def containment_join(
         t,
         "containment",
         containment=True,
+        prune_b=corpus_inv is not None,
+        prune_b_broadcast=broadcast_probe,
     )

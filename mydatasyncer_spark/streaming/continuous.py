@@ -876,6 +876,7 @@ def continuous_jaccard_index(
     order_path: str | None = None,
     prefix_store_path: str | None = None,
     n_token_buckets: int = 64,
+    containment_store_path: str | None = None,
 ):
     """Continuous document ingestion into a growing EXACT-Jaccard
     ORDERED index — the streaming twin of
@@ -923,6 +924,18 @@ def continuous_jaccard_index(
     appends duplicate store rows — harmless, candidate pairs are
     deduped before verification (``jaccard_compact`` clears them).
 
+    ``containment_store_path`` maintains a
+    :func:`~mydatasyncer_spark.operators.dedup.
+    containment_inverted_store` alongside (same ``n_token_buckets``):
+    the stream itself never reads it — it exists so a SEPARATE
+    standing probe job (``containment_join(..., corpus_inv=...)``)
+    gets delta-proportional corpus IO against this index. Same
+    lifecycle as the prefix store (one-time backfill, half-written
+    rebuild, bucket-count provenance rebuild on restart with new
+    params, each batch appends its own explosion) with one
+    difference: an inverted index is ORDER-FREE, so the legacy-order
+    migration leaves it standing.
+
     An index written before the ordered contract (unsorted arrays,
     no order file) is migrated once, before any batch lineage is
     built over it: order frozen from the full index, arrays
@@ -946,11 +959,13 @@ def continuous_jaccard_index(
 
     from mydatasyncer_spark.operators.dedup import (
         PREFIX_BUCKET_COL,
+        _CONTAIN_NB_KEY,
         _PREFIX_NB_KEY,
         _PREFIX_T_KEY,
         _delete_path,
         _job_succeeded,
         _staged_index_rewrite,
+        containment_inverted_store,
         jaccard_join_incremental,
         jaccard_ordered_index,
         jaccard_prefix_index,
@@ -966,6 +981,24 @@ def continuous_jaccard_index(
             rows, threshold, id_col, n_token_buckets
         ).write.partitionBy(PREFIX_BUCKET_COL).mode(mode).parquet(
             prefix_store_path
+        )
+
+    def write_cstore(rows, mode: str) -> None:
+        containment_inverted_store(
+            rows, id_col, n_token_buckets
+        ).write.partitionBy(PREFIX_BUCKET_COL).mode(mode).parquet(
+            containment_store_path
+        )
+
+    def cstore_matches_config(store: DataFrame) -> bool:
+        # same restart-with-new-params guard as the prefix store,
+        # with the containment store's own provenance key (it has no
+        # threshold — the full explosion is valid at every threshold)
+        if "_ptok" not in store.columns:
+            return False
+        nb_build = store.schema["_ptok"].metadata.get(_CONTAIN_NB_KEY)
+        return nb_build is not None and int(nb_build) == int(
+            n_token_buckets
         )
 
     def store_matches_config(store: DataFrame) -> bool:
@@ -1077,6 +1110,17 @@ def continuous_jaccard_index(
                         corpus_prefix = spark.read.parquet(
                             prefix_store_path
                         )
+                if containment_store_path is not None:
+                    # maintained for separate probe jobs, never read
+                    # by this stream — same backfill/provenance
+                    # lifecycle as the prefix store (order-free, so
+                    # migration never touches it)
+                    if not complete(containment_store_path):
+                        write_cstore(index, "overwrite")
+                    elif not cstore_matches_config(
+                        spark.read.parquet(containment_store_path)
+                    ):
+                        write_cstore(index, "overwrite")
                 pairs = jaccard_join_incremental(
                     batch, index, text_col, id_col, threshold,
                     token_order=order, corpus_ordered=True,
@@ -1106,6 +1150,8 @@ def continuous_jaccard_index(
             try:
                 if prefix_store_path is not None:
                     write_store(ordered_rows, "append")
+                if containment_store_path is not None:
+                    write_cstore(ordered_rows, "append")
                 ordered_rows.write.mode("append").parquet(index_path)
             finally:
                 ordered_rows.unpersist()

@@ -1996,6 +1996,190 @@ class TestContainmentJoin:
             assert got == want
 
 
+class TestContainmentInvertedStore:
+    """r9: persisted token-bucketed inverted-index store for
+    containment probe mode — per-probe corpus IO dynamic-partition-
+    prunes to the probe's token buckets; threshold-free and
+    order-free by construction, results brute-identical."""
+
+    PROBE = [
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta unseen"),
+        (3, ""),
+        (4, "zeta eta"),
+    ]
+    CORPUS = [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "beta gamma"),
+        (12, "completely different words"),
+    ]
+
+    def _brute(self, spark, t):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.text import tokens
+
+        probe = spark.createDataFrame(self.PROBE, "doc_id long, text string")
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        tk = {
+            r["doc_id"]: set(r["tk"])
+            for r in probe.unionByName(corpus)
+            .select(
+                "doc_id",
+                F.array_distinct(tokens(F.col("text"))).alias("tk"),
+            )
+            .collect()
+        }
+        return {
+            (a, b)
+            for a, _ in self.PROBE
+            for b, _ in self.CORPUS
+            if tk[a] and len(tk[a] & tk[b]) / len(tk[a]) >= t
+        }
+
+    def _stored(self, spark, tmp_path, n_buckets=8):
+        from mydatasyncer_spark.operators.dedup import (
+            containment_inverted_store,
+            jaccard_prefix_index,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        idx.write.parquet(str(tmp_path / "cidx"))
+        containment_inverted_store(
+            idx, n_token_buckets=n_buckets
+        ).write.partitionBy("_tok_bucket").parquet(str(tmp_path / "cinv"))
+        return (
+            spark.read.parquet(str(tmp_path / "cidx")),
+            spark.read.parquet(str(tmp_path / "cinv")),
+        )
+
+    def test_matches_brute_at_every_threshold_and_scan_prunes(
+        self, spark, tmp_path
+    ):
+        """ONE store serves every join threshold (full explosion has
+        no build-threshold precondition), and the candidate join
+        dynamic-partition-prunes the store scan."""
+        import contextlib
+        import io
+
+        from mydatasyncer_spark.operators.dedup import containment_join
+
+        cidx, cinv = self._stored(spark, tmp_path)
+        probe = spark.createDataFrame(self.PROBE, "doc_id long, text string")
+        for t in (0.5, 0.8, 1.0):
+            out = containment_join(
+                probe, cidx, threshold=t, corpus_inv=cinv
+            )
+            got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+            assert got == self._brute(spark, t), t
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruningexpression" in plan, plan
+        assert "_tok_bucket" in plan
+
+    def test_no_broadcast_probe_is_still_exact(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.dedup import containment_join
+
+        cidx, cinv = self._stored(spark, tmp_path)
+        probe = spark.createDataFrame(self.PROBE, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in containment_join(
+                probe, cidx, threshold=0.6, corpus_inv=cinv,
+                broadcast_probe=False,
+            ).collect()
+        }
+        assert got == self._brute(spark, 0.6)
+
+    def test_store_preconditions_fail_fast(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            containment_join,
+            jaccard_ordered_index,
+            jaccard_prefix_store,
+            jaccard_token_order,
+        )
+
+        cidx, cinv = self._stored(spark, tmp_path)
+        probe = spark.createDataFrame(self.PROBE, "doc_id long, text string")
+        # self-mode has no separate verification index for the store
+        with pytest.raises(ValueError, match="probe-vs-corpus"):
+            containment_join(probe, corpus_inv=cinv)
+        # a jaccard prefix store has the same shape but PREFIX rows
+        # only — trusting it would silently miss pairs
+        order = jaccard_token_order(cidx)
+        pstore = jaccard_prefix_store(
+            jaccard_ordered_index(cidx, token_order=order),
+            0.8,
+            n_token_buckets=8,
+        )
+        with pytest.raises(ValueError, match="jaccard_prefix_store"):
+            containment_join(
+                probe, cidx, threshold=0.8, corpus_inv=pstore
+            )
+        # a bucketed frame without provenance cannot reveal its
+        # modulus — must be told explicitly
+        bare = cinv.withColumn(
+            "_ptok", F.col("_ptok").alias("_ptok", metadata={})
+        )
+        with pytest.raises(ValueError, match="n_token_buckets"):
+            containment_join(probe, cidx, threshold=0.8, corpus_inv=bare)
+        # a wrong modulus silently drops true matches — refuse
+        with pytest.raises(ValueError, match="token buckets"):
+            containment_join(
+                probe, cidx, threshold=0.8, corpus_inv=cinv,
+                n_token_buckets=16,
+            )
+
+    def test_compact_rebuilds_containment_store(self, spark, tmp_path):
+        """Replayed-append duplicate rows compact away; results stay
+        brute-identical and the bucket-count provenance survives the
+        rebuild."""
+        from mydatasyncer_spark.operators.dedup import (
+            containment_inverted_store,
+            containment_join,
+            jaccard_compact,
+            jaccard_prefix_index,
+        )
+
+        cidx, cinv = self._stored(spark, tmp_path)
+        inv_path = str(tmp_path / "cinv")
+        rows = cinv.count()
+        # simulate a crash-replayed append: duplicate one doc's rows
+        corpus = spark.createDataFrame(
+            self.CORPUS[:1], "doc_id long, text string"
+        )
+        containment_inverted_store(
+            jaccard_prefix_index(corpus), n_token_buckets=8
+        ).write.partitionBy("_tok_bucket").mode("append").parquet(inv_path)
+        assert spark.read.parquet(inv_path).count() > rows
+        jaccard_compact(
+            spark,
+            str(tmp_path / "cidx"),
+            containment_store_path=inv_path,
+        )
+        rebuilt = spark.read.parquet(inv_path)
+        assert rebuilt.count() == rows
+        probe = spark.createDataFrame(self.PROBE, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in containment_join(
+                probe,
+                spark.read.parquet(str(tmp_path / "cidx")),
+                threshold=0.6,
+                corpus_inv=rebuilt,
+            ).collect()
+        }
+        assert got == self._brute(spark, 0.6)
+
+
 class TestSimilarityJoinRandomized:
     """Seeded randomized corpora: the prefix blocking of all three
     exact similarity joins must be LOSSLESS against brute force —

@@ -1435,6 +1435,106 @@ class TestContinuousJaccardIndex:
         )
         assert got == want and (1, 5) in got
 
+    def test_containment_store_maintained_for_probe_jobs(
+        self, spark, tmp_path_factory
+    ):
+        """r9: with containment_store_path the stream maintains a
+        token-bucketed inverted store (enabling it mid-stream
+        backfills from the index; a restart with a different bucket
+        count rebuilds), and a separate probe job over the store is
+        brute-force-exact."""
+        import json as _json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            _CONTAIN_NB_KEY,
+            containment_join,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("jxv_in")
+        out = tmp_path_factory.mktemp("jxv_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        cstore, ckpt = str(out / "cinv"), str(out / "ckpt")
+
+        def drain(rows, fname, with_store, nb=8):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_jaccard_index(
+                stream, index, pairs, threshold=0.8,
+                checkpoint_dir=ckpt,
+                containment_store_path=cstore if with_store else None,
+                n_token_buckets=nb,
+            )
+            q.awaitTermination(120)
+
+        drain(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+                {"doc_id": 2, "text": "completely different words"},
+            ],
+            "b0.json", with_store=False,
+        )
+        assert not os.path.exists(cstore)
+        # enabling mid-stream backfills the full index's explosion
+        drain(
+            [{"doc_id": 3, "text": "beta gamma"}],
+            "b1.json", with_store=True,
+        )
+        sdf = spark.read.parquet(cstore)
+        assert "_tok_bucket" in sdf.columns
+        assert {r["_id_b"] for r in sdf.select("_id_b").collect()} == {
+            1, 2, 3,
+        }
+        # restart with a different bucket count: full rebuild
+        drain(
+            [{"doc_id": 4, "text": "epsilon zeta eta theta"}],
+            "b2.json", with_store=True, nb=4,
+        )
+        sdf = spark.read.parquet(cstore)
+        assert int(sdf.schema["_ptok"].metadata[_CONTAIN_NB_KEY]) == 4
+        assert sdf.agg(F.max("_tok_bucket")).first()[0] < 4
+        assert {r["_id_b"] for r in sdf.select("_id_b").collect()} == {
+            1, 2, 3, 4,
+        }
+        # a separate probe job against the maintained store is exact
+        probe = spark.createDataFrame(
+            [(100, "alpha beta gamma"), (101, "eta theta unseen")],
+            "doc_id long, text string",
+        )
+        idx = spark.read.parquet(index)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in containment_join(
+                probe, idx, threshold=0.6, corpus_inv=sdf
+            ).collect()
+        }
+        from mydatasyncer_spark.operators.text import tokens as _tokens
+
+        tk = {
+            r["doc_id"]: set(r["tk"])
+            for r in probe.select(
+                "doc_id",
+                F.array_distinct(_tokens(F.col("text"))).alias("tk"),
+            ).collect()
+        }
+        ck = {r["doc_id"]: set(r["toks"]) for r in idx.collect()}
+        want = {
+            (a, b)
+            for a in tk
+            for b in ck
+            if tk[a] and len(tk[a] & ck[b]) / len(tk[a]) >= 0.6
+        }
+        assert got == want and got
+
     def test_store_rebuilt_when_stream_config_changes(
         self, spark, tmp_path_factory
     ):
