@@ -522,3 +522,79 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    salt_factor: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (the published
+    embedding-cluster dedup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the coarse quantizer
+    and compare by exact cosine WITHIN clusters only — the dedup
+    modality token-level ops cannot see (paraphrases, translations,
+    re-encodings land in the same cluster but share few tokens).
+
+    Composition of the engine's existing pieces, nothing new to
+    operate: cluster assignment is :func:`ivf_buckets` probe-1
+    against broadcast centroid literals (train with
+    :func:`kmeans_centroids`, or rely on the deterministic defaults
+    for oracle-checkable runs — the same injection contract as
+    :func:`ivf_topk`), and the within-cluster pair scan is
+    :func:`embedding_near_dup_pairs`' salted self-join, so the pair
+    space is Σ C(n_c, 2) over clusters — NEVER corpus², and no
+    single hot cluster serializes the cosine work. Feed the result
+    to ``operators/dedup.dedup_clusters`` /
+    :func:`semantic_dedup_survivors` for the keep-one-per-cluster
+    decision.
+
+    Caveat inherent to the method (not this implementation): a
+    near-dup pair split across two clusters is missed — recall is
+    the quantizer's, exactly as published; raise ``n_centroids``
+    quality via real k-means training when it matters. Returns
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine rounded
+    to 6 places (threshold applied to the rounded value, matching
+    :func:`embedding_near_dup_pairs`)."""
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_buckets(F.col(vec_col), cens, 1)[0].alias("_sem_cluster"),
+    )
+    return embedding_near_dup_pairs(
+        assigned, "_sem_cluster", threshold, id_col, vec_col, salt_factor
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Keep one representative per semantic near-dup cluster: the
+    transitive-closure survivor selection every other dedup modality
+    in the engine uses (``dedup_clusters`` minimum-id components +
+    anti-join), applied to :func:`semantic_dedup_pairs`. Returns the
+    surviving corpus rows unchanged."""
+    from mydatasyncer_spark.operators.dedup import dedup_clusters
+
+    pairs = semantic_dedup_pairs(
+        corpus, dim, threshold, n_centroids, id_col, vec_col, centroids
+    )
+    clusters = dedup_clusters(pairs)
+    dropped = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return corpus.join(dropped, id_col, "left_anti")

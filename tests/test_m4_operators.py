@@ -301,6 +301,124 @@ def test_embedding_near_dup_blocked_by_label(spark, vectors):
     assert (1, 5) not in got  # would match but different label (blocked)
 
 
+class TestSemanticDedup:
+    """r9 SemDeDup composition: within-cluster exact-cosine pairs +
+    the engine's standard survivor selection; pair space bounded by
+    the quantizer's clusters, recall caveat pinned."""
+
+    def _clusters(self, spark, vectors, n_centroids=4):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_buckets,
+            ivf_centroid_values,
+        )
+
+        cens = [ivf_centroid_values(3, c) for c in range(n_centroids)]
+        return {
+            r["vec_id"]: r["c"]
+            for r in vectors.select(
+                "vec_id",
+                ivf_buckets(F.col("embedding"), cens, 1)[0].alias("c"),
+            ).collect()
+        }
+
+    def test_matches_within_cluster_brute(self, spark, vectors):
+        from mydatasyncer_spark.operators.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        clusters = self._clusters(spark, vectors)
+        vecs = {
+            r["vec_id"]: r["embedding"] for r in vectors.collect()
+        }
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            na = sum(x * x for x in vecs[a]) ** 0.5
+            nb = sum(x * x for x in vecs[b]) ** 0.5
+            return round(num / (na * nb), 6)
+
+        t = 0.9
+        want = {
+            (a, b, cos(a, b))
+            for a in vecs
+            for b in vecs
+            if a < b and clusters[a] == clusters[b] and cos(a, b) >= t
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in semantic_dedup_pairs(
+                vectors, dim=3, threshold=t, n_centroids=4
+            ).collect()
+        }
+        assert got == want and got
+
+    def test_cross_cluster_pairs_are_missed_by_design(
+        self, spark, vectors
+    ):
+        """The published SemDeDup recall caveat, pinned: a near-dup
+        pair landing in two different clusters never surfaces — the
+        pair space really is cluster-bounded."""
+        from mydatasyncer_spark.operators.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        clusters = self._clusters(spark, vectors)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_dedup_pairs(
+                vectors, dim=3, threshold=0.0, n_centroids=4
+            ).collect()
+        }
+        split = {
+            (a, b)
+            for a in clusters
+            for b in clusters
+            if a < b and clusters[a] != clusters[b]
+        }
+        assert split  # fixture really spans >1 cluster
+        assert not (got & split)
+
+    def test_survivors_keep_min_id_per_component(self, spark, vectors):
+        from mydatasyncer_spark.operators.similarity import (
+            semantic_dedup_pairs,
+            semantic_dedup_survivors,
+        )
+
+        t = 0.9
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_dedup_pairs(
+                vectors, dim=3, threshold=t, n_centroids=4
+            ).collect()
+        }
+        # union-find in-test over the pair graph
+        parent = {r["vec_id"]: r["vec_id"] for r in vectors.collect()}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for v in parent:
+            comp.setdefault(find(v), set()).add(v)
+        want = {min(members) for members in comp.values()}
+        got = {
+            r["vec_id"]
+            for r in semantic_dedup_survivors(
+                vectors, dim=3, threshold=t, n_centroids=4
+            ).collect()
+        }
+        assert got == want
+        assert pairs  # non-vacuous: something was actually dropped
+
+
 class TestMultimodal:
     def test_payload_roundtrip_and_stats(self, spark, docs):
         media = M.attach_binary_payload(docs)

@@ -688,3 +688,28 @@ def test_containment_probe_mode_semi_prefilters_index(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_inv_store_path_is_bucket_keyed(spark, sf_dir):
+    """r9: with a bucketed inverted store the candidate join keys on
+    (bucket, token) and verification prunes the index to candidate
+    ids — no cartesian, no nested loop; the bucket column appears as
+    a join key (the gate query builds the store inline; the
+    DPP-over-parquet pin lives in
+    test_m4_operators.TestContainmentInvertedStore)."""
+    plan = plan_of(spark, sf_dir, "dedup_containment_inv")
+    assert "_tok_bucket" in plan
+    assert "LeftSemi" in plan  # verify-side candidate-id prune
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pair_space_is_cluster_bounded(spark, sf_dir):
+    """r9 SemDeDup: the within-cluster cosine self-join must be an
+    equi join on (cluster, salt) — never a cross-cluster or
+    all-pairs product."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic")
+    assert "_sem_cluster" in plan
+    assert "salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -14,72 +14,68 @@ import __spark_entry__ as entry_mod
 
 GATE_CAP = 50
 
-# the r8 window boundary, pinned by name: position 50 (last inside
+# the r9 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "ann_lsh_topk"
-FIRST_PAST_CAP = "ivm_join_view_left"
+LAST_IN_WINDOW = "curriculum_quality_tiers"
+FIRST_PAST_CAP = "scd2_asof_join_ts"
 
-# everything added or implementation-touched in r8 MUST sit inside
+# everything added or implementation-touched in r9 MUST sit inside
 # the gate window (rotation policy rule 1-2)
-R8_TOUCHED = [
-    # new in r8
-    "scd2_asof_join_ts",
-    "dedup_containment_probe",
-    "dedup_jaccard_incr_reorder",
-    # implementation touched in r8 (dedup.py stored-order ingest +
-    # containment corpus-side simplification/prefilter + _verify_pairs
-    # prune, scd.py effectivity-type derivation + asof dtype cast +
-    # columns guard)
-    "dedup_jaccard_incremental",
-    "dedup_jaccard_join_exact",
+R9_TOUCHED = [
+    # new in r9
+    "dedup_containment_inv",
+    "dedup_semantic",
+    # implementation touched in r9 (containment_join grew the
+    # corpus_inv store path: provenance guards, probe bucketing,
+    # verify-side candidate-id prune)
     "dedup_containment_join",
-    "scd2_asof_join_lineitem",
-    "scd2_keep_policy",
-    "scd2_orders_history",
-    "scd2_asof_state",
+    "dedup_containment_probe",
 ]
 
-# the entire last-green-r5 cohort rotates in this round (VERDICT r7
-# item #4: no proof may grow older than two rounds)
-R5_STALE_COHORT = [
-    "dedup_exact_best_quality",
-    "dedup_simhash",
-    "diff_delete",
-    "diff_insert",
-    "diff_plan_counts",
-    "diff_update",
-    "distinct_agg_segments",
-    "doc_chunks",
-    "doc_fingerprint",
-    "doc_rolling_hash",
-    "duplicate_key_detection",
-    "grouping_sets_parts",
-    "intersect_repeat_buyers",
-    "multimodal_meta",
-    "percentiles_by_segment",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "quantile_rollup_values",
-    "rollup_revenue",
-    "running_total_events",
-    "session_window_native",
-    "set_ops_except",
-    "sketch_error_bounds",
-    "sketch_rollup_cube",
-    "sketch_rollup_users",
-    "sliding_windows_events",
-    "theta_audience_overlap",
-    "top_ngrams_per_lang",
-    "unigram_perplexity_docs",
-    "unigram_perplexity_oov",
-    "window_topk_customers",
+# the entire last-green-r6 cohort rotates in this round (VERDICT r8
+# item #2: no proof may grow older than two rounds)
+R6_STALE_COHORT = [
+    "array_agg_customer_orders",
+    "array_functions_pack",
+    "asof_next_purchase",
+    "asof_purchase_view",
+    "boilerplate_line_removal",
+    "cap_docs_per_lang",
+    "column_entropy_profile",
+    "contamination_check",
+    "corpus_shuffle_epoch",
+    "curation_pipeline",
+    "dedup_cluster_assign",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_near",
+    "dedup_survivors",
+    "doc_chunks_tokens",
+    "domain_mix_weights",
+    "embedding_near_dup",
+    "event_gaps",
+    "funnel_steps",
+    "interval_overlap_half_open",
+    "interval_overlap_pairs",
+    "json_extract_events",
+    "lang_id_pred",
+    "pii_redaction",
+    "pivot_event_type_counts",
+    "range_join_view_purchase",
+    "semi_join_big_orders",
+    "sessionization",
+    "skew_salted_join",
+    "skew_salted_join_right",
+    "text_quality",
+    "text_stats",
+    "tfidf_top_terms",
+    "trailing_hour_value",
+    "train_test_split_assign",
+    "tumbling_windows",
+    "window_analytics_suite",
 ]
 
 
@@ -102,13 +98,13 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 def test_round_touched_queries_sit_inside_the_gate_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R8_TOUCHED if n not in window]
+    missing = [n for n in R9_TOUCHED if n not in window]
     assert not missing, missing
 
 
 def test_stale_cohort_rotated_into_the_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R5_STALE_COHORT if n not in window]
+    missing = [n for n in R6_STALE_COHORT if n not in window]
     assert not missing, missing
 
 
