@@ -242,6 +242,198 @@ def _est_jaccard(k: int) -> Column:
     ).alias("est_jaccard")
 
 
+def _store_candidates_scored(
+    sig_new: DataFrame,
+    corpus_signatures: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    k: int,
+    band_size: int,
+    n_band_buckets: int | None,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """new-vs-corpus candidates from a persisted
+    :func:`minhash_band_store` (narrow rows, bucket-keyed join for
+    DPP), scored by rejoining both sides' signature tables by id —
+    the corpus side semi-pruned to candidate ids first, so the
+    signature index never shuffles. Provenance guards fail fast on
+    any mismatch that would silently change the band scheme."""
+    meta = (
+        corpus_bands.schema["band_key"].metadata
+        if "band_key" in corpus_bands.columns
+        else {}
+    )
+    for key, val, what in (
+        (_BAND_K_KEY, k, "k"),
+        (_BAND_BS_KEY, band_size, "band_size"),
+    ):
+        rec = meta.get(key)
+        if rec is not None and int(rec) != int(val):
+            raise ValueError(
+                f"corpus_bands was built with {what}={int(rec)}; "
+                f"joining with {what}={int(val)} produces "
+                "incomparable band keys — rebuild the store or match "
+                "the parameters"
+            )
+    bucketed = BAND_BUCKET_COL in corpus_bands.columns
+    bn = lsh_bands(sig_new, id_col, k, band_size)
+    if bucketed:
+        nb_meta = meta.get(_BAND_NB_KEY)
+        if n_band_buckets is None:
+            n_band_buckets = nb_meta
+        elif nb_meta is not None and int(nb_meta) != int(n_band_buckets):
+            raise ValueError(
+                f"corpus_bands was written with {int(nb_meta)} band "
+                f"buckets; n_band_buckets={int(n_band_buckets)} would "
+                "silently miss pairs"
+            )
+        if n_band_buckets is None:
+            raise ValueError(
+                "a bucketed corpus_bands needs n_band_buckets (the "
+                "bucket count the store was written with)"
+            )
+        bn = bn.withColumn(
+            BAND_BUCKET_COL,
+            F.pmod(
+                F.xxhash64("band", "band_key"),
+                F.lit(int(n_band_buckets)),
+            ),
+        )
+        # STATIC partition pruning: the batch's touched buckets are a
+        # bounded driver list (≤ n_band_buckets values, from the
+        # already-persisted batch signatures), and an explicit IN on
+        # the partition column prunes directories at PLANNING time —
+        # guaranteed, visible as PartitionFilters in the scan, and
+        # independent of the optimizer's DPP selectivity heuristics
+        # (which pass on this probe side: a banded batch is a pure
+        # projection with no filter Spark deems selective)
+        touched = [
+            r[0]
+            for r in bn.select(BAND_BUCKET_COL).distinct().collect()
+        ]
+        corpus_bands = corpus_bands.filter(
+            F.col(BAND_BUCKET_COL).isin(touched)
+        )
+    # side-rename both frames: the two may derive from the SAME base
+    # scan (store built inline over the corpus source), where
+    # df[col]-style cross-references are ambiguous self-join refs
+    side_cols = ["band", "band_key"] + ([BAND_BUCKET_COL] if bucketed else [])
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"_id_{tag}"),
+            *[F.col(c).alias(f"_{c}_{tag}") for c in side_cols],
+        )
+
+    bn = _side(bn, "a")
+    cb = _side(corpus_bands, "b")
+    if broadcast_batch:
+        bn = F.broadcast(bn)
+    cond = F.lit(True)
+    for c in side_cols:
+        cond = cond & (F.col(f"_{c}_a") == F.col(f"_{c}_b"))
+    cond = cond & (F.col("_id_a") != F.col("_id_b"))
+    cand = (
+        bn.join(cb, cond)
+        .select(
+            F.col("_id_a").alias("id_a"), F.col("_id_b").alias("id_b")
+        )
+        .distinct()
+    )
+    sig_cols = [F.col(f"mh{s}") for s in range(k)]
+    sa = sig_new.select(
+        F.col(id_col).alias("id_a"), F.array(*sig_cols).alias("_sa")
+    )
+    ids_b = cand.select(F.col("id_b").alias(id_col)).distinct()
+    if broadcast_batch:
+        ids_b = F.broadcast(ids_b)
+    sb = (
+        corpus_signatures.join(ids_b, id_col, "left_semi")
+        .select(F.col(id_col).alias("id_b"), F.array(*sig_cols).alias("_sb"))
+    )
+    if broadcast_batch:
+        sa = F.broadcast(sa)
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_sa"),
+                F.col("_sb"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k)),
+        6,
+    ).alias("est_jaccard")
+    return cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", est
+    )
+
+
+#: partition column of a bucketed MinHash band store (not data)
+BAND_BUCKET_COL = "_band_bucket"
+#: metadata keys carrying a band store's provenance on ``band_key``
+_BAND_NB_KEY = "minhash_band_buckets"
+_BAND_K_KEY = "minhash_band_k"
+_BAND_BS_KEY = "minhash_band_size"
+
+
+def minhash_band_store(
+    corpus_signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    band_size: int = LSH_BAND_SIZE,
+    n_band_buckets: int | None = None,
+) -> DataFrame:
+    """Materializable corpus BAND rows ``(id, band, band_key)`` for
+    :func:`minhash_lsh_pairs_incremental` — the MinHash analogue of
+    :func:`jaccard_prefix_store` / :func:`containment_inverted_store`,
+    completing the pattern across all three incremental ingest
+    families: write this frame ``partitionBy(BAND_BUCKET_COL)`` (pass
+    ``n_band_buckets``) and hand the read-back frame to the join as
+    ``corpus_bands``. The candidate join then also keys on the band
+    bucket AND statically prunes the store scan to the batch's
+    touched-bucket list (a bounded ≤ ``n_band_buckets`` driver
+    collect — explicit IN on the partition column, so the pruning is
+    planning-time-guaranteed rather than left to the optimizer's DPP
+    selectivity heuristics) — per-ingest corpus band IO ∝ the
+    batch's band keys, not corpus size (without it every ingest
+    scans and explodes the whole signature index).
+
+    Rows are NARROW (no signature arrays — the prefix-store trade,
+    same rationale as ``_prefix_rows``): estimated Jaccard is
+    verified by joining BOTH candidate sides back to their signature
+    tables by id, the corpus side semi-pruned to candidate ids first,
+    so the store stays ~n_bands small rows per doc instead of
+    carrying k hashes on each.
+
+    Provenance rides ``band_key`` column metadata and is
+    fail-fast-guarded at join time: ``k`` and ``band_size`` (a store
+    banded under a different scheme produces incomparable keys —
+    silently zero or garbage candidates) and the bucket count (a
+    wrong modulus silently drops true band collisions). Maintain
+    like the other stores: append each ingested batch's own band
+    rows; rebuild via ``operators/maintenance.compact_minhash_index
+    (band_store_path=...)``."""
+    rows = lsh_bands(corpus_signatures, id_col, k, band_size)
+    meta: dict = {_BAND_K_KEY: int(k), _BAND_BS_KEY: int(band_size)}
+    if n_band_buckets is not None:
+        meta[_BAND_NB_KEY] = int(n_band_buckets)
+    rows = rows.withColumn(
+        "band_key", F.col("band_key").alias("band_key", metadata=meta)
+    )
+    if n_band_buckets is not None:
+        rows = rows.withColumn(
+            BAND_BUCKET_COL,
+            F.pmod(
+                F.xxhash64("band", "band_key"),
+                F.lit(int(n_band_buckets)),
+            ),
+        )
+    return rows
+
+
 def minhash_lsh_pairs_incremental(
     new_df: DataFrame,
     corpus_signatures: DataFrame,
@@ -252,6 +444,9 @@ def minhash_lsh_pairs_incremental(
     shingle_n: int = 5,
     include_new_pairs: bool = True,
     eager: bool = True,
+    corpus_bands: DataFrame | None = None,
+    n_band_buckets: int | None = None,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for a NEW document batch against an
     existing corpus signature index — the daily-ingest shape.
@@ -273,22 +468,55 @@ def minhash_lsh_pairs_incremental(
 
     After pruning, append the batch's signatures to the index so the
     next ingest sees them.
+
+    The 100 TB standing-pipeline path adds ``corpus_bands``: a
+    persisted :func:`minhash_band_store` read back from a
+    ``partitionBy(BAND_BUCKET_COL)`` layout. The batch's band rows
+    then bucket with the store's recorded modulus, the store scan is
+    statically pruned to the batch's touched-bucket list (bounded
+    driver collect, explicit IN on the partition column), and the
+    candidate join keys on the bucket too — per-ingest corpus IO ∝
+    the batch's bands, and the signature index is touched only
+    semi-pruned to candidate ids for the estimate.
+    ``corpus_signatures`` stays required alongside it (the estimate
+    needs the indexed hashes). Provenance guards refuse a store
+    banded under a different ``k``/``band_size`` or bucket modulus
+    instead of silently missing pairs. ``broadcast_batch`` (default:
+    on exactly when ``corpus_bands`` is given) broadcast-hints the
+    batch-derived sides, keeping the corpus exchange-free and
+    DPP-eligible.
     """
+    if broadcast_batch is None:
+        broadcast_batch = corpus_bands is not None
     sig_new = minhash_signature(new_df, text_col, id_col, k, shingle_n).persist()
     try:
         banded_new = _banded_with_sig(sig_new, id_col, k, band_size)
-        banded_idx = _banded_with_sig(corpus_signatures, id_col, k, band_size)
-        a, b = banded_new.alias("a"), banded_idx.alias("b")
-        vs_corpus = a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            _est_jaccard(k),
-        )
+        if corpus_bands is not None:
+            vs_corpus = _store_candidates_scored(
+                sig_new,
+                corpus_signatures,
+                corpus_bands,
+                id_col,
+                k,
+                band_size,
+                n_band_buckets,
+                broadcast_batch,
+            )
+        else:
+            banded_idx = _banded_with_sig(
+                corpus_signatures, id_col, k, band_size
+            )
+            a, b = banded_new.alias("a"), banded_idx.alias("b")
+            vs_corpus = a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            ).select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                _est_jaccard(k),
+            )
         scored = vs_corpus
         if include_new_pairs:
             a2, b2 = banded_new.alias("a"), banded_new.alias("b")
@@ -1257,6 +1485,8 @@ def jaccard_refreeze(
     order_path: str | None = None,
     id_col: str = "doc_id",
     prefix_store_path: str | None = None,
+    store_threshold: float | None = None,
+    store_buckets: int | None = None,
 ) -> dict:
     """Re-freeze the token order of a drifted ordered-index pipeline.
 
@@ -1283,8 +1513,14 @@ def jaccard_refreeze(
     staged copy first. At no point can a stale order file coexist
     with re-sorted arrays. The stale prefix store is deleted in the
     same pre-swap window (migration's rule) and rebuilt at the end
-    under its recorded threshold/bucket count. Returns ``{"docs": n,
-    "vocab": n, "restored_from_staging": bool}``."""
+    under its recorded threshold/bucket count —
+    ``store_threshold``/``store_buckets`` override that recording,
+    which is also how a RERUN recovers when the prior attempt
+    crashed after the store delete (nothing left to read provenance
+    from). Returns ``{"docs": n, "vocab": n,
+    "restored_from_staging": bool}``."""
+    from pyspark.sql.utils import AnalysisException
+
     restored = jaccard_restore_staging(spark, index_path)
     order_loc = order_path or index_path.rstrip("/") + "_order"
     index = spark.read.parquet(index_path)
@@ -1292,9 +1528,20 @@ def jaccard_refreeze(
     # the index files the overwrite below deletes (same pin as the
     # streaming migration, commit 73a927a)
     new_order = jaccard_token_order(index).localCheckpoint(eager=True)
-    store_t = store_nb = None
-    if prefix_store_path is not None:
-        store = spark.read.parquet(prefix_store_path)
+    store_t, store_nb = store_threshold, store_buckets
+    if prefix_store_path is not None and store_t is None:
+        # provenance from the store itself; a store a PRIOR crashed
+        # refreeze already deleted cannot reveal it — rerun recovery
+        # passes store_threshold/store_buckets explicitly instead
+        try:
+            store = spark.read.parquet(prefix_store_path)
+        except AnalysisException as exc:
+            raise ValueError(
+                f"prefix store at {prefix_store_path!r} is unreadable "
+                "(crashed earlier refreeze?) and no store_threshold "
+                "was given — pass store_threshold/store_buckets to "
+                "rebuild it, or rebuild via jaccard_prefix_store"
+            ) from exc
         meta = (
             store.schema["_ptok"].metadata
             if "_ptok" in store.columns

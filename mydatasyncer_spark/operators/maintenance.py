@@ -152,12 +152,55 @@ def compact_table(
     }
 
 
-def compact_minhash_index(spark, path: str, id_col: str = "doc_id") -> dict:
+def compact_minhash_index(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    band_store_path: str | None = None,
+) -> dict:
     """Compact a ``continuous_dedup`` signature index: duplicates of
     an id are bit-identical replay copies (the stream anti-joins each
     batch against the index before appending), so key-dedupe is
-    lossless."""
-    return compact_table(spark, path, dedupe_cols=[id_col])
+    lossless. ``band_store_path`` additionally REBUILDS a
+    :func:`~mydatasyncer_spark.operators.dedup.minhash_band_store`
+    from the compacted index under its own recorded k/band_size/
+    bucket-count provenance — duplicate and orphaned band rows gone
+    in one pass (the ``jaccard_compact`` prefix-store contract)."""
+    from mydatasyncer_spark.operators.dedup import (
+        _BAND_BS_KEY,
+        _BAND_K_KEY,
+        _BAND_NB_KEY,
+        BAND_BUCKET_COL,
+        minhash_band_store,
+    )
+
+    stats = compact_table(spark, path, dedupe_cols=[id_col])
+    if band_store_path is not None:
+        store = spark.read.parquet(band_store_path)
+        meta = (
+            store.schema["band_key"].metadata
+            if "band_key" in store.columns
+            else {}
+        )
+        bk, bs = meta.get(_BAND_K_KEY), meta.get(_BAND_BS_KEY)
+        if bk is None or bs is None:
+            raise ValueError(
+                "band store carries no k/band_size metadata — rebuild "
+                "it explicitly with minhash_band_store"
+            )
+        nb = meta.get(_BAND_NB_KEY)
+        rebuilt = minhash_band_store(
+            spark.read.parquet(path),
+            id_col,
+            int(bk),
+            int(bs),
+            int(nb) if nb is not None else None,
+        )
+        w = rebuilt.write.mode("overwrite")
+        if nb is not None:
+            w = w.partitionBy(BAND_BUCKET_COL)
+        w.parquet(band_store_path)
+    return stats
 
 
 def compact_survivors(spark, path: str, id_col: str = "doc_id") -> dict:

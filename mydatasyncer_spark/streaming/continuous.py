@@ -161,6 +161,8 @@ def continuous_dedup(
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_dedup",
+    band_store_path: str | None = None,
+    n_band_buckets: int = 64,
 ):
     """Continuous corpus ingestion with near-dup rejection against a
     GROWING MinHash signature index.
@@ -186,16 +188,69 @@ def continuous_dedup(
     Scale: the per-batch cost is batch × bucket-collisions — the index
     is touched only as (a) an id-projection anti-join and (b) a
     band-key equi-join; it is never re-shingled or self-joined.
+
+    With ``band_store_path`` the stream also maintains a
+    band-bucketed :func:`~mydatasyncer_spark.operators.dedup.
+    minhash_band_store` (``n_band_buckets`` partitions) and runs the
+    incremental join through it: the per-batch corpus read is then
+    statically pruned to the batch's touched band buckets instead of
+    scanning+exploding the whole signature index, and the index is
+    read only id-semi-pruned for the estimate. Same lifecycle as the
+    Jaccard stores: one-time ``_SUCCESS``-gated backfill for an index
+    that predates the store, a rebuild when the store's recorded
+    k/band_size/bucket count disagrees with this stream's (restart
+    with new params), and each batch appends its survivors' own band
+    rows; compaction via ``operators/maintenance.
+    compact_minhash_index(band_store_path=...)``.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.dedup import (
+        _BAND_BS_KEY,
+        _BAND_K_KEY,
+        _BAND_NB_KEY,
+        BAND_BUCKET_COL,
+        LSH_BAND_SIZE,
+        MINHASH_K,
+        _job_succeeded,
         dedup_clusters,
+        minhash_band_store,
         minhash_lsh_pairs,
         minhash_lsh_pairs_incremental,
         minhash_signature,
     )
+
+    def write_bands(sigs, mode: str) -> None:
+        minhash_band_store(
+            sigs, id_col, n_band_buckets=n_band_buckets
+        ).write.partitionBy(BAND_BUCKET_COL).mode(mode).parquet(
+            band_store_path
+        )
+
+    def bands_match_config(store: DataFrame) -> bool:
+        if "band_key" not in store.columns:
+            return False
+        meta = store.schema["band_key"].metadata
+        return (
+            meta.get(_BAND_K_KEY) is not None
+            and int(meta[_BAND_K_KEY]) == MINHASH_K
+            and meta.get(_BAND_BS_KEY) is not None
+            and int(meta[_BAND_BS_KEY]) == LSH_BAND_SIZE
+            and meta.get(_BAND_NB_KEY) is not None
+            and int(meta[_BAND_NB_KEY]) == int(n_band_buckets)
+        )
+
+    def bands_complete(spark) -> bool:
+        # readable AND job-committed; markers-disabled fallback keyed
+        # on the index (the continuous_jaccard_index contract)
+        try:
+            spark.read.parquet(band_store_path)
+        except AnalysisException:
+            return False
+        return _job_succeeded(spark, band_store_path) or not _job_succeeded(
+            spark, index_path
+        )
 
     def resolve_rejections(near: DataFrame, vs_idx: DataFrame) -> DataFrame:
         """Cluster-semantics rejection set for one batch: ``near`` is
@@ -241,8 +296,24 @@ def continuous_dedup(
         if batch.isEmpty():
             return
         if index is not None:
+            corpus_bands = None
+            if band_store_path is not None:
+                if not bands_complete(spark) or not (
+                    bands_match_config(
+                        spark.read.parquet(band_store_path)
+                    )
+                ):
+                    # absent / half-written / built under different
+                    # params: rebuild from the index (corpus-linear
+                    # once, like the Jaccard backfill)
+                    write_bands(index, "overwrite")
+                corpus_bands = spark.read.parquet(band_store_path)
             pairs = minhash_lsh_pairs_incremental(
-                batch, index, text_col=text_col, id_col=id_col
+                batch, index, text_col=text_col, id_col=id_col,
+                corpus_bands=corpus_bands,
+                n_band_buckets=(
+                    n_band_buckets if corpus_bands is not None else None
+                ),
             )
             near = pairs.filter(F.col("est_jaccard") >= threshold)
             # id_b from the index -> the new doc (id_a) near-dups an
@@ -268,9 +339,19 @@ def continuous_dedup(
         # The reverse order would LOSE survivor rows instead. Dedup
         # survivors by id downstream after an unclean shutdown.
         survivors.write.mode("append").parquet(survivors_path)
-        minhash_signature(
+        sig_sur = minhash_signature(
             survivors, text_col=text_col, id_col=id_col
-        ).write.mode("append").parquet(index_path)
+        ).persist()
+        try:
+            if band_store_path is not None:
+                # bands before the index: the replay guard keys on
+                # the INDEX, so a crash between the two at worst
+                # appends duplicate band rows on replay — harmless
+                # (candidates are deduped; compaction clears them)
+                write_bands(sig_sur, "append")
+            sig_sur.write.mode("append").parquet(index_path)
+        finally:
+            sig_sur.unpersist()
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -336,6 +417,94 @@ def continuous_ann_index(
 
     writer = (
         stream_vecs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def continuous_containment_probe(
+    stream_docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    containment_store_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_containment_probe",
+    batch_id_col: str = "_batch_id",
+):
+    """Standing containment probe: each micro-batch of NEW docs is
+    asked "is this mostly a quote/chunk of something indexed" against
+    a FIXED stored corpus index — the read-only counterpart of
+    :func:`continuous_jaccard_index` (probes never extend the corpus;
+    pair that stream with this one when they should). Completes the
+    daily-curation loop the containment operators exist for: the
+    index comes from the ingest stream, the bucketed
+    :func:`~mydatasyncer_spark.operators.dedup.
+    containment_inverted_store` (``containment_store_path``) makes
+    each probe's corpus read ∝ its own vocabulary via dynamic
+    partition pruning, and this wrapper turns batches into an
+    append-only pairs table.
+
+    Replay safety is the ``_continuous_partials`` batch-id guard, not
+    an anti-join: probes have no index to key idempotence on, so
+    emitted pairs are stamped with the streaming batch id and a
+    replayed id is dropped before append (the check scans only the
+    pairs table's stamp column). Per batch the corpus-side work is
+    the probe operator's: DPP-pruned store scan for candidates plus
+    one index scan semi-pruned to candidate ids for verification —
+    never a corpus-wide exchange. A missing index raises rather than
+    bootstrapping: a probe stream against an empty corpus is a
+    configuration error, not a fresh start."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.dedup import containment_join
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            seen = (
+                spark.read.parquet(pairs_path)
+                .select(batch_id_col)
+                .filter(F.col(batch_id_col) == batch_id)
+                .limit(1)
+                .count()
+            )
+        except AnalysisException:
+            seen = 0
+        if seen:
+            return  # replayed batch: pairs already appended
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException as exc:
+            raise ValueError(
+                f"containment probe stream found no corpus index at "
+                f"{index_path!r} — build/ingest the corpus first "
+                "(continuous_jaccard_index or jaccard_ordered_index)"
+            ) from exc
+        corpus_inv = (
+            spark.read.parquet(containment_store_path)
+            if containment_store_path is not None
+            else None
+        )
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        pairs = containment_join(
+            batch, index, text_col, id_col, threshold,
+            corpus_inv=corpus_inv,
+        )
+        pairs.withColumn(batch_id_col, F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_path)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
         .queryName(query_name)
         .trigger(availableNow=True)
     )

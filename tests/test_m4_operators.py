@@ -1967,6 +1967,143 @@ class TestJaccardPrefixStore:
         assert got == TestJaccardJoinIncremental()._brute(spark, 0.8)
 
 
+class TestMinhashBandStore:
+    """r9: persisted band-bucketed MinHash store — the third ingest
+    family gets the DPP store treatment; results identical to the
+    store-less incremental path, provenance fail-fast."""
+
+    CORPUS = TestJaccardJoinIncremental.CORPUS
+    BATCH = TestJaccardJoinIncremental.BATCH
+
+    def _stored(self, spark, tmp_path, n_buckets=8):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_band_store,
+            minhash_signature,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        minhash_signature(corpus).write.parquet(str(tmp_path / "sig"))
+        sigs = spark.read.parquet(str(tmp_path / "sig"))
+        minhash_band_store(
+            sigs, n_band_buckets=n_buckets
+        ).write.partitionBy("_band_bucket").parquet(str(tmp_path / "bands"))
+        return sigs, spark.read.parquet(str(tmp_path / "bands"))
+
+    def _pairs(self, spark, batch, sigs, **kw):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+        )
+
+        return {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in minhash_lsh_pairs_incremental(
+                batch, sigs, **kw
+            ).collect()
+        }
+
+    def test_identical_to_storeless_path_and_scan_prunes(
+        self, spark, tmp_path
+    ):
+        import contextlib
+        import io
+
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+        )
+
+        sigs, bands = self._stored(spark, tmp_path)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        plain = self._pairs(spark, batch, sigs)
+        stored = self._pairs(spark, batch, sigs, corpus_bands=bands)
+        assert stored == plain and plain
+        out = minhash_lsh_pairs_incremental(
+            batch, sigs, corpus_bands=bands, eager=False
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # STATIC pruning: the store scan's PartitionFilters carries an
+        # explicit IN over the batch's touched buckets — guaranteed at
+        # planning time, no DPP heuristics involved
+        scan_lines = [
+            line
+            for line in plan.splitlines()
+            if "PartitionFilters" in line and "_band_bucket" in line
+        ]
+        assert any(
+            "IN" in line or "in(" in line.lower() for line in scan_lines
+        ), plan
+
+    def test_store_preconditions_fail_fast(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        sigs, bands = self._stored(spark, tmp_path)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        # a different banding scheme produces incomparable keys
+        with pytest.raises(ValueError, match="band_size"):
+            self._pairs(
+                spark, batch, sigs, corpus_bands=bands, band_size=8
+            )
+        # bucketed frame stripped of provenance: modulus unknowable
+        bare = bands.withColumn(
+            "band_key", F.col("band_key").alias("band_key", metadata={})
+        )
+        with pytest.raises(ValueError, match="n_band_buckets"):
+            self._pairs(spark, batch, sigs, corpus_bands=bare)
+        # wrong modulus would silently drop collisions
+        with pytest.raises(ValueError, match="band buckets"):
+            self._pairs(
+                spark, batch, sigs, corpus_bands=bands, n_band_buckets=16
+            )
+
+    def test_compact_rebuilds_band_store(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_band_store,
+            minhash_signature,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_minhash_index,
+        )
+
+        sigs, bands = self._stored(spark, tmp_path)
+        rows = bands.count()
+        # replayed append: one doc's band rows duplicated
+        dup = spark.createDataFrame(
+            self.CORPUS[:1], "doc_id long, text string"
+        )
+        minhash_band_store(
+            minhash_signature(dup), n_band_buckets=8
+        ).write.partitionBy("_band_bucket").mode("append").parquet(
+            str(tmp_path / "bands")
+        )
+        minhash_signature(dup).write.mode("append").parquet(
+            str(tmp_path / "sig")
+        )
+        assert spark.read.parquet(str(tmp_path / "bands")).count() > rows
+        compact_minhash_index(
+            spark,
+            str(tmp_path / "sig"),
+            band_store_path=str(tmp_path / "bands"),
+        )
+        rebuilt = spark.read.parquet(str(tmp_path / "bands"))
+        assert rebuilt.count() == rows
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        plain = self._pairs(
+            spark, batch, spark.read.parquet(str(tmp_path / "sig"))
+        )
+        stored = self._pairs(
+            spark,
+            batch,
+            spark.read.parquet(str(tmp_path / "sig")),
+            corpus_bands=rebuilt,
+        )
+        assert stored == plain and plain
+
+
 class TestJaccardRefreeze:
     """r9 maintenance: re-freezing a drifted order keeps results
     brute-identical while collapsing the candidate-collision space
@@ -2091,6 +2228,50 @@ class TestJaccardRefreeze:
             keys = [(dfs.get(t, 0), t) for t in r["toks"]]
             assert keys == sorted(keys), r["doc_id"]
         # store rebuilt under the new order with provenance intact
+        fresh = {
+            (r["_id_b"], r["_ptok"])
+            for r in jaccard_prefix_store(
+                spark.read.parquet(str(tmp_path / "idx")), 0.8,
+                n_token_buckets=8,
+            )
+            .select("_id_b", "_ptok")
+            .collect()
+        }
+        got = {
+            (r["_id_b"], r["_ptok"])
+            for r in spark.read.parquet(str(tmp_path / "pfx"))
+            .select("_id_b", "_ptok")
+            .collect()
+        }
+        assert got == fresh
+
+    def test_rerun_after_store_delete_crash_recovers_with_params(
+        self, spark, tmp_path
+    ):
+        """A refreeze that crashed after deleting the store leaves no
+        provenance to read — the rerun must refuse with a clear
+        message without params, and fully recover with them."""
+        import shutil
+
+        import pytest
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_prefix_store,
+            jaccard_refreeze,
+        )
+
+        self._build(spark, tmp_path)
+        shutil.rmtree(str(tmp_path / "pfx"))  # the crash window
+        with pytest.raises(ValueError, match="store_threshold"):
+            jaccard_refreeze(
+                spark, str(tmp_path / "idx"),
+                prefix_store_path=str(tmp_path / "pfx"),
+            )
+        jaccard_refreeze(
+            spark, str(tmp_path / "idx"),
+            prefix_store_path=str(tmp_path / "pfx"),
+            store_threshold=0.8, store_buckets=8,
+        )
         fresh = {
             (r["_id_b"], r["_ptok"])
             for r in jaccard_prefix_store(

@@ -17,8 +17,8 @@ GATE_CAP = 50
 # the r9 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "curriculum_quality_tiers"
-FIRST_PAST_CAP = "scd2_asof_join_ts"
+LAST_IN_WINDOW = "cube_orders_profile"
+FIRST_PAST_CAP = "curriculum_quality_tiers"
 
 # everything added or implementation-touched in r9 MUST sit inside
 # the gate window (rotation policy rule 1-2)
@@ -26,6 +26,7 @@ R9_TOUCHED = [
     # new in r9
     "dedup_containment_inv",
     "dedup_semantic",
+    "dedup_minhash_incr",
     # implementation touched in r9 (containment_join grew the
     # corpus_inv store path: provenance guards, probe bucketing,
     # verify-side candidate-id prune)

@@ -239,6 +239,87 @@ class TestContinuousDedup:
         }
         assert idx_ids == {1, 2, 11}
 
+    def test_band_store_maintained_and_results_unchanged(
+        self, spark, tmp_path_factory
+    ):
+        """r9: with band_store_path the stream routes the incremental
+        join through the band-bucketed store — same accept/reject
+        decisions as the store-less run, store backfilled when
+        enabled mid-stream, rebuilt on a bucket-count change, batch
+        band rows appended."""
+        import json as _json
+        import os
+
+        from mydatasyncer_spark.operators.dedup import (
+            _BAND_NB_KEY,
+        )
+        from mydatasyncer_spark.streaming.continuous import continuous_dedup
+
+        in_dir = tmp_path_factory.mktemp("bsd_in")
+        ckpt = str(tmp_path_factory.mktemp("bsd_ckpt"))
+        out = tmp_path_factory.mktemp("bsd_out")
+        index_path = str(out / "index")
+        survivors_path = str(out / "survivors")
+        bands = str(out / "bands")
+
+        def drain(rows, fname, with_store, nb=8):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).json(str(in_dir))
+            q = continuous_dedup(
+                stream, index_path, survivors_path,
+                checkpoint_dir=ckpt,
+                band_store_path=bands if with_store else None,
+                n_band_buckets=nb,
+            )
+            q.awaitTermination(120)
+
+        drain(
+            [
+                {"doc_id": 1, "text": self.DOC_A},
+                {"doc_id": 2, "text": self.DOC_B},
+            ],
+            "b1.json", with_store=False,
+        )
+        assert not os.path.exists(bands)
+        # enable mid-stream: backfill covers the indexed docs, and the
+        # cross-batch near-dup rejection still happens THROUGH the
+        # store path
+        drain(
+            [
+                {"doc_id": 10, "text": self.DOC_A_NEAR},
+                {"doc_id": 11, "text": self.DOC_C},
+            ],
+            "b2.json", with_store=True,
+        )
+        s = {
+            r["doc_id"]
+            for r in spark.read.parquet(survivors_path).collect()
+        }
+        assert s == {1, 2, 11}
+        sdf = spark.read.parquet(bands)
+        assert "_band_bucket" in sdf.columns
+        assert {r["doc_id"] for r in sdf.select("doc_id").collect()} == {
+            1, 2, 11,
+        }
+        # restart with a different bucket count: full rebuild
+        drain(
+            [{"doc_id": 20, "text": self.DOC_A}],  # dup of 1: reject
+            "b3.json", with_store=True, nb=4,
+        )
+        sdf = spark.read.parquet(bands)
+        assert int(sdf.schema["band_key"].metadata[_BAND_NB_KEY]) == 4
+        assert {r["doc_id"] for r in sdf.select("doc_id").collect()} == {
+            1, 2, 11,
+        }
+        assert {
+            r["doc_id"]
+            for r in spark.read.parquet(survivors_path).collect()
+        } == {1, 2, 11}
+
     def test_transitive_chain_collapses_like_batch_dedup(
         self, spark, tmp_path_factory
     ):
@@ -1434,6 +1515,108 @@ class TestContinuousJaccardIndex:
             .collect()
         )
         assert got == want and (1, 5) in got
+
+    def test_continuous_containment_probe_end_to_end(
+        self, spark, tmp_path_factory
+    ):
+        """r9: the standing probe stream — batches probed against a
+        FIXED stored corpus through the bucketed inverted store,
+        pairs brute-exact and batch-id-stamped, replay adds nothing,
+        and a missing corpus index refuses instead of bootstrapping."""
+        import json as _json
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            containment_inverted_store,
+            jaccard_prefix_index,
+        )
+        from mydatasyncer_spark.operators.text import tokens as _tokens
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_containment_probe,
+        )
+
+        in_dir = tmp_path_factory.mktemp("ccp_in")
+        out = tmp_path_factory.mktemp("ccp_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        cstore = str(out / "cinv")
+        corpus = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),
+                (11, "beta gamma"),
+                (12, "completely different words"),
+            ],
+            "doc_id long, text string",
+        )
+        cidx = jaccard_prefix_index(corpus)
+        cidx.write.parquet(index)
+        containment_inverted_store(
+            cidx, n_token_buckets=8
+        ).write.partitionBy("_tok_bucket").parquet(cstore)
+
+        def drain(rows, fname, ckpt):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_containment_probe(
+                stream, index, pairs, threshold=0.6,
+                containment_store_path=cstore,
+                checkpoint_dir=str(out / ckpt),
+            )
+            q.awaitTermination(120)
+
+        b0 = [
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "zeta eta"},
+        ]
+        b1 = [{"doc_id": 3, "text": "beta gamma delta unseen"}]
+        drain(b0, "b0.json", "ckpt")
+        drain(b1, "b1.json", "ckpt")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(pairs).collect()
+        }
+        probe = spark.createDataFrame(
+            b0 + b1
+        ).select(F.col("doc_id"), F.col("text"))
+        tk = {
+            r["doc_id"]: set(r["tk"])
+            for r in probe.select(
+                "doc_id",
+                F.array_distinct(_tokens(F.col("text"))).alias("tk"),
+            ).collect()
+        }
+        ck = {r["doc_id"]: set(r["toks"]) for r in cidx.collect()}
+        want = {
+            (a, b)
+            for a in tk
+            for b in ck
+            if tk[a] and len(tk[a] & ck[b]) / len(tk[a]) >= 0.6
+        }
+        assert got == want and got
+        # batch ids stamped; fresh-checkpoint replay appends nothing
+        stamped = spark.read.parquet(pairs)
+        assert "_batch_id" in stamped.columns
+        n = stamped.count()
+        drain([], "noop.json", "ckpt2")  # re-drain same dir, new ckpt
+        assert spark.read.parquet(pairs).count() == n
+        # no corpus index -> clear refusal, not a silent bootstrap
+        with pytest.raises(Exception, match="no corpus index"):
+            (in_dir / "b2.json").write_text(
+                _json.dumps({"doc_id": 4, "text": "beta gamma"})
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_containment_probe(
+                stream, str(out / "missing_idx"), str(out / "p2"),
+                threshold=0.6, checkpoint_dir=str(out / "ckpt3"),
+            )
+            q.awaitTermination(120)
 
     def test_containment_store_maintained_for_probe_jobs(
         self, spark, tmp_path_factory
