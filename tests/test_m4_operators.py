@@ -783,6 +783,40 @@ class TestKmeans:
             for xa, xb in zip(ca, cb):
                 assert xa == pytest.approx(xb, abs=1e-9)
 
+    def test_feeds_semantic_dedup(self, blobs, spark):
+        """r9: trained centroids slot straight into the SemDeDup
+        composition — near-identical vectors inside one blob surface
+        as semantic duplicates and the survivor set keeps one."""
+        from mydatasyncer_spark.operators.similarity import (
+            kmeans_centroids,
+            semantic_dedup_pairs,
+            semantic_dedup_survivors,
+        )
+
+        # plant an exact duplicate of vector 0 inside its blob
+        dup = spark.createDataFrame(
+            [(1000, blobs.filter("vec_id = 0").first()["embedding"])],
+            "vec_id long, embedding array<double>",
+        )
+        corpus = blobs.unionByName(dup)
+        cens = kmeans_centroids(corpus, dim=3, k=3, n_iter=5)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_dedup_pairs(
+                corpus, dim=3, threshold=0.9999, n_centroids=3,
+                centroids=cens,
+            ).collect()
+        }
+        assert (0, 1000) in pairs
+        survivors = {
+            r["vec_id"]
+            for r in semantic_dedup_survivors(
+                corpus, dim=3, threshold=0.9999, n_centroids=3,
+                centroids=cens,
+            ).collect()
+        }
+        assert 0 in survivors and 1000 not in survivors
+
     def test_feeds_ivf_topk(self, blobs):
         from mydatasyncer_spark.operators.similarity import (
             ivf_topk,
