@@ -344,6 +344,17 @@ def _store_candidates_scored(
     sa = sig_new.select(
         F.col(id_col).alias("id_a"), F.array(*sig_cols).alias("_sa")
     )
+    if ID_BUCKET_COL in corpus_signatures.columns:
+        # id-bucketed signature index: materialize the (batch-sized)
+        # candidate set once, then statically prune the estimate-side
+        # index scan to the candidate ids' bucket directories — the
+        # _verify_pairs contract applied to the signature rejoin
+        cand = cand.localCheckpoint(eager=True)
+        corpus_signatures = _prune_to_id_buckets(
+            corpus_signatures,
+            cand.select(F.col("id_b").alias(id_col)),
+            id_col,
+        )
     ids_b = cand.select(F.col("id_b").alias(id_col)).distinct()
     if broadcast_batch:
         ids_b = F.broadcast(ids_b)
@@ -959,6 +970,82 @@ def _prefix_rows(ordered: DataFrame, id_col: str, t: float, side: str) -> DataFr
     )
 
 
+#: partition column of an id-bucketed index layout (not a data column)
+ID_BUCKET_COL = "_id_bucket"
+#: metadata key (on the id column) carrying the id-bucket modulus
+_ID_NB_KEY = "id_bucket_count"
+
+
+def id_bucketed_index(
+    df: DataFrame, id_col: str = "doc_id", n_id_buckets: int = 64
+) -> DataFrame:
+    """Annotate any id-keyed index frame (ordered Jaccard index,
+    MinHash signature index) with an id-hash bucket column for a
+    ``partitionBy(ID_BUCKET_COL)`` layout — the LAST corpus-linear
+    read of the incremental paths made delta-proportional: candidate
+    generation already reads batch-proportionally through the
+    token/band stores, but verification (exact intersection /
+    signature estimate) then re-joins the INDEX by candidate id,
+    which is a full scan of the heaviest column however small the
+    candidate set. With this layout the verify step first collects
+    the candidate ids' distinct buckets (bounded ≤ ``n_id_buckets``)
+    and statically prunes the index scan to those directories — the
+    same explicit-IN-on-the-partition-column contract as
+    :func:`minhash_band_store` (planning-time-guaranteed, no DPP
+    heuristics).
+
+    The modulus rides the ID column's metadata; ALL writers must
+    derive it from the stored index (the append helpers and
+    compaction do) — rows bucketed under a different modulus land in
+    directories the prune never reads, which is why a bucketed index
+    without readable provenance is REFUSED at verify time rather
+    than scanned unpruned. Convert a standing unbucketed index with
+    ``jaccard_compact(..., n_id_buckets=...)``; appending an
+    UNbucketed row set to a bucketed layout fails loudly at read
+    time (conflicting directory structures), never silently."""
+    nb = int(n_id_buckets)
+    if nb <= 0:
+        raise ValueError("n_id_buckets must be positive")
+    return df.withColumn(
+        ID_BUCKET_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb))
+    ).withColumn(
+        id_col, F.col(id_col).alias(id_col, metadata={_ID_NB_KEY: nb})
+    )
+
+
+def _id_bucket_modulus(df: DataFrame, id_col: str) -> int:
+    """The id-bucket modulus a bucketed index was written with —
+    REQUIRED once the bucket column exists (pruning with a guessed
+    modulus silently misses pairs)."""
+    nb = df.schema[id_col].metadata.get(_ID_NB_KEY)
+    if nb is None:
+        raise ValueError(
+            "index carries an id-bucket column but no bucket-count "
+            "metadata — rebuild the layout with id_bucketed_index / "
+            "jaccard_compact(n_id_buckets=...)"
+        )
+    return int(nb)
+
+
+def _prune_to_id_buckets(
+    b_src: DataFrame, ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Statically prune an id-bucketed index scan to the bucket
+    directories of the given (already-materialized, batch-sized) id
+    frame: bounded ≤ modulus driver collect, explicit IN on the
+    partition column."""
+    nb = _id_bucket_modulus(b_src, id_col)
+    touched = [
+        r[0]
+        for r in ids.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb))
+        )
+        .distinct()
+        .collect()
+    ]
+    return b_src.filter(F.col(ID_BUCKET_COL).isin(touched))
+
+
 def _verify_pairs(
     pairs: DataFrame,
     a_src: DataFrame,
@@ -984,9 +1071,23 @@ def _verify_pairs(
     scan-only: no corpus-wide exchange ever forms below a join. The
     candidate subtree is referenced twice, but it ends in a
     ``distinct()`` whose exchange Spark reuses (ReusedExchange), so
-    the work below it still runs once."""
+    the work below it still runs once.
+
+    When ``b_src`` additionally carries the :data:`ID_BUCKET_COL`
+    layout (:func:`id_bucketed_index`), the semi's scan is also
+    STATICALLY pruned to the candidate ids' bucket directories: the
+    candidate pairs are materialized once (eager ``localCheckpoint``
+    — batch-sized; also what lets the bounded bucket collect and the
+    final query share one computation of the candidate subtree), the
+    distinct buckets are collected (≤ modulus values), and the index
+    scan gets an explicit IN on the partition column — verification
+    READ IO ∝ candidates, not corpus."""
     if prune_b:
+        if ID_BUCKET_COL in b_src.columns:
+            pairs = pairs.localCheckpoint(eager=True)
         ids_b = pairs.select(F.col("_id_b").alias(id_col)).distinct()
+        if ID_BUCKET_COL in b_src.columns:
+            b_src = _prune_to_id_buckets(b_src, ids_b, id_col)
         if prune_b_broadcast:
             ids_b = F.broadcast(ids_b)
         b_src = b_src.join(ids_b, id_col, "left_semi")
@@ -1332,10 +1433,13 @@ def jaccard_restore_staging(spark, index_path: str) -> bool:
         if not (_readable(staging) and not _readable(index_path)):
             return False
     # staging and index are distinct paths: a direct file-to-file
-    # copy, no executor-memory pinning of the corpus
-    spark.read.parquet(staging).write.mode("overwrite").parquet(
-        index_path
-    )
+    # copy, no executor-memory pinning of the corpus. An id-bucketed
+    # layout is preserved (the staged copy carries the bucket column).
+    staged = spark.read.parquet(staging)
+    w = staged.write.mode("overwrite")
+    if ID_BUCKET_COL in staged.columns:
+        w = w.partitionBy(ID_BUCKET_COL)
+    w.parquet(index_path)
     _delete_path(spark, staging)
     return True
 
@@ -1346,10 +1450,19 @@ def _staged_index_rewrite(spark, frame: DataFrame, index_path: str) -> None:
     the staged files, then drop the staging copy. A crash at any
     point either leaves the old index intact (staging incomplete) or
     leaves a complete staged copy that
-    :func:`jaccard_restore_staging` replays."""
+    :func:`jaccard_restore_staging` replays. A frame carrying
+    :data:`ID_BUCKET_COL` is written ``partitionBy`` at both steps,
+    so the bucketed layout survives rewrites and restores."""
     staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
-    frame.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(index_path)
+    w = frame.write.mode("overwrite")
+    if ID_BUCKET_COL in frame.columns:
+        w = w.partitionBy(ID_BUCKET_COL)
+    w.parquet(staging)
+    staged = spark.read.parquet(staging)
+    w2 = staged.write.mode("overwrite")
+    if ID_BUCKET_COL in staged.columns:
+        w2 = w2.partitionBy(ID_BUCKET_COL)
+    w2.parquet(index_path)
     _delete_path(spark, staging)
 
 
@@ -1360,6 +1473,7 @@ def jaccard_compact(
     prefix_store_path: str | None = None,
     files_per_billion_rows: int = 2000,
     containment_store_path: str | None = None,
+    n_id_buckets: int | None = None,
 ) -> dict:
     """Maintenance compaction for a standing ordered-index pipeline:
     every ingest/stream batch APPENDS to the index (and prefix
@@ -1382,6 +1496,13 @@ def jaccard_compact(
     Out-of-band appends that re-ingest an id with CHANGED text must
     reconcile themselves before compacting.
 
+    ``n_id_buckets`` CONVERTS the index to (or re-buckets) the
+    :func:`id_bucketed_index` layout during the rewrite — compaction
+    is the designated layout converter for a standing stream, whose
+    appends merely follow whatever layout is stored. An existing
+    bucketed layout is preserved under its recorded modulus when the
+    parameter is omitted.
+
     Run it between drains/ingests (like any layout maintenance — it
     overwrites the paths a concurrent ingest would be reading). The
     frozen order file is untouched: compaction reorders FILES, never
@@ -1401,22 +1522,52 @@ def jaccard_compact(
     index = spark.read.parquet(index_path)
     raw_rows = index.count()
     staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
+    # target id-bucket layout: an explicit n_id_buckets converts (or
+    # re-buckets) the index; otherwise an existing bucketed layout is
+    # preserved under its own recorded modulus. Compaction is the
+    # designated layout converter — a standing stream appends small
+    # files following the stored layout, this is where the layout
+    # itself changes.
+    target_nb = n_id_buckets
+    if target_nb is None and ID_BUCKET_COL in index.columns:
+        target_nb = _id_bucket_modulus(index, id_col)
     # ONE dedup pass, straight into the staged copy — no
     # executor-memory pinning of the corpus; sizing happens on the
     # staging→index copy, where the row count is already known
-    index.dropDuplicates([id_col]).write.mode("overwrite").parquet(
-        staging
-    )
+    deduped = index.dropDuplicates([id_col])
+    if ID_BUCKET_COL in deduped.columns:
+        deduped = deduped.drop(ID_BUCKET_COL)
+    if target_nb is not None:
+        deduped = id_bucketed_index(deduped, id_col, int(target_nb))
+    w = deduped.write.mode("overwrite")
+    if target_nb is not None:
+        w = w.partitionBy(ID_BUCKET_COL)
+    w.parquet(staging)
     staged = spark.read.parquet(staging)
     docs = staged.count()
     n_files = max(1, math.ceil(docs * files_per_billion_rows / 1e9))
-    # coalesce when shrinking (no extra shuffle); repartition to grow
-    sized = (
-        staged.coalesce(n_files)
-        if n_files <= staged.rdd.getNumPartitions()
-        else staged.repartition(n_files)
-    )
-    sized.write.mode("overwrite").parquet(index_path)
+    if target_nb is not None:
+        # cluster on the bucket key so each directory lands few large
+        # files, not one sliver per task; metadata re-stamped (a
+        # partition column rebuilds from directory names on read)
+        rebucketed = id_bucketed_index(
+            staged.drop(ID_BUCKET_COL), id_col, int(target_nb)
+        )
+        sized = rebucketed.repartition(
+            max(n_files, 1), F.col(ID_BUCKET_COL)
+        )
+        sized.write.partitionBy(ID_BUCKET_COL).mode(
+            "overwrite"
+        ).parquet(index_path)
+    else:
+        # coalesce when shrinking (no extra shuffle); repartition to
+        # grow
+        sized = (
+            staged.coalesce(n_files)
+            if n_files <= staged.rdd.getNumPartitions()
+            else staged.repartition(n_files)
+        )
+        sized.write.mode("overwrite").parquet(index_path)
     _delete_path(spark, staging)
     if prefix_store_path is not None:
         store = spark.read.parquet(prefix_store_path)
@@ -1557,16 +1708,28 @@ def jaccard_refreeze(
     reordered = jaccard_ordered_index(
         index, id_col=id_col, token_order=new_order
     )
+    if ID_BUCKET_COL in index.columns:
+        # an id-bucketed layout survives the re-freeze (re-ordering
+        # changes array contents, never id→bucket assignment)
+        reordered = id_bucketed_index(
+            reordered, id_col, _id_bucket_modulus(index, id_col)
+        )
     staging = index_path.rstrip("/") + INDEX_STAGING_SUFFIX
     # order first: from here on, any crash reads as "order missing"
     # (the migration trigger) — never as stale-order-over-new-arrays
     _delete_path(spark, order_loc)
     if prefix_store_path is not None:
         _delete_path(spark, prefix_store_path)
-    reordered.write.mode("overwrite").parquet(staging)
+    w = reordered.write.mode("overwrite")
+    if ID_BUCKET_COL in reordered.columns:
+        w = w.partitionBy(ID_BUCKET_COL)
+    w.parquet(staging)
     staged = spark.read.parquet(staging)
     docs = staged.count()
-    staged.write.mode("overwrite").parquet(index_path)
+    w2 = staged.write.mode("overwrite")
+    if ID_BUCKET_COL in staged.columns:
+        w2 = w2.partitionBy(ID_BUCKET_COL)
+    w2.parquet(index_path)
     _delete_path(spark, staging)
     new_order.write.mode("overwrite").parquet(order_loc)
     if prefix_store_path is not None:
@@ -1691,7 +1854,12 @@ def jaccard_join_incremental(
         token_order = token_order.join(batch_vocab, "_tok", "left_semi")
         if broadcast_batch:
             token_order = F.broadcast(token_order)
-        corpus_src = corpus_index.select(F.col(id_col), "n", "toks")
+        corpus_cols = [F.col(id_col), F.col("n"), F.col("toks")]
+        if ID_BUCKET_COL in corpus_index.columns:
+            # id-bucketed layout: ride the partition column into the
+            # verify step so its scan prunes to candidate-id buckets
+            corpus_cols.append(F.col(ID_BUCKET_COL))
+        corpus_src = corpus_index.select(*corpus_cols)
     else:
         corpus_src = _ordered_token_rows(corpus_index, id_col, token_order)
     new_ordered = _ordered_token_rows(new_toks, id_col, token_order)
@@ -1880,7 +2048,10 @@ def containment_join(
 
     def as_index(df: DataFrame) -> DataFrame:
         if "toks" in df.columns and "n" in df.columns:
-            return df.select(id_col, "toks", "n")
+            cols = [id_col, "toks", "n"]
+            if ID_BUCKET_COL in df.columns:
+                cols.append(ID_BUCKET_COL)  # verify-side prune rides it
+            return df.select(*cols)
         return jaccard_prefix_index(df, text_col, id_col)
 
     probe = as_index(probe_df)
@@ -1962,6 +2133,11 @@ def containment_join(
         t,
         "containment",
         containment=True,
-        prune_b=corpus_inv is not None,
+        # candidate-id pruning pays off whenever the corpus is a
+        # stored index: always with the inverted store, and also
+        # store-less when the index carries the id-bucket layout
+        # (verification then scan-prunes to candidate buckets)
+        prune_b=corpus_inv is not None
+        or (not self_mode and ID_BUCKET_COL in corpus.columns),
         prune_b_broadcast=broadcast_probe,
     )

@@ -33,6 +33,7 @@ import math
 from pyspark.sql import functions as F
 
 from mydatasyncer_spark.operators.dedup import (
+    ID_BUCKET_COL,
     INDEX_STAGING_SUFFIX,
     _delete_path,
     _job_succeeded,
@@ -43,11 +44,14 @@ def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> 
     """Generic twin of ``jaccard_restore_staging``: replay a complete
     staged copy left by a crashed :func:`compact_table` overwrite.
     ``partition_by`` must match the store's layout so the restore
-    preserves the directory partitioning (and with it the dynamic
-    partition pruning readers rely on). Same gate as the Jaccard one:
-    the staging dir's ``_SUCCESS`` marker, with the markers-disabled
-    fallback (restore when staging reads and the store does not —
-    the only state a crash mid-overwrite can leave)."""
+    preserves the directory partitioning (and with it the partition
+    pruning readers rely on); left ``None``, the reserved
+    :data:`~mydatasyncer_spark.operators.dedup.ID_BUCKET_COL` layout
+    is auto-preserved when the staged copy carries that column. Same
+    gate as the Jaccard one: the staging dir's ``_SUCCESS`` marker,
+    with the markers-disabled fallback (restore when staging reads
+    and the store does not — the only state a crash mid-overwrite can
+    leave)."""
     from pyspark.sql.utils import AnalysisException
 
     def _readable(p: str) -> bool:
@@ -61,7 +65,10 @@ def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> 
     if not _job_succeeded(spark, staging):
         if not (_readable(staging) and not _readable(path)):
             return False
-    w = spark.read.parquet(staging).write.mode("overwrite")
+    staged = spark.read.parquet(staging)
+    if partition_by is None and ID_BUCKET_COL in staged.columns:
+        partition_by = [ID_BUCKET_COL]
+    w = staged.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
@@ -112,6 +119,11 @@ def compact_table(
     """
     restored = restore_staging(spark, path, partition_by)
     df = spark.read.parquet(path)
+    if partition_by is None and ID_BUCKET_COL in df.columns:
+        # the reserved id-bucket layout is preserved by default —
+        # silently flattening it would break the verify-side
+        # partition pruning its readers rely on
+        partition_by = [ID_BUCKET_COL]
     raw = df.count()
     deduped = (
         df.dropDuplicates(dedupe_cols)
@@ -157,6 +169,7 @@ def compact_minhash_index(
     path: str,
     id_col: str = "doc_id",
     band_store_path: str | None = None,
+    n_id_buckets: int | None = None,
 ) -> dict:
     """Compact a ``continuous_dedup`` signature index: duplicates of
     an id are bit-identical replay copies (the stream anti-joins each
@@ -165,16 +178,40 @@ def compact_minhash_index(
     :func:`~mydatasyncer_spark.operators.dedup.minhash_band_store`
     from the compacted index under its own recorded k/band_size/
     bucket-count provenance — duplicate and orphaned band rows gone
-    in one pass (the ``jaccard_compact`` prefix-store contract)."""
+    in one pass (the ``jaccard_compact`` prefix-store contract).
+    ``n_id_buckets`` converts the index to (or re-buckets) the
+    :func:`~mydatasyncer_spark.operators.dedup.id_bucketed_index`
+    layout, which makes the incremental join's estimate-side index
+    read candidate-proportional; an existing bucketed layout is
+    preserved when omitted (the ``jaccard_compact`` contract)."""
     from mydatasyncer_spark.operators.dedup import (
         _BAND_BS_KEY,
         _BAND_K_KEY,
         _BAND_NB_KEY,
         BAND_BUCKET_COL,
+        _id_bucket_modulus,
+        _staged_index_rewrite,
+        id_bucketed_index,
         minhash_band_store,
     )
 
     stats = compact_table(spark, path, dedupe_cols=[id_col])
+    if n_id_buckets is not None:
+        idx = spark.read.parquet(path)
+        current = (
+            _id_bucket_modulus(idx, id_col)
+            if ID_BUCKET_COL in idx.columns
+            else None
+        )
+        if current != int(n_id_buckets):
+            rebucketed = id_bucketed_index(
+                idx.drop(ID_BUCKET_COL)
+                if ID_BUCKET_COL in idx.columns
+                else idx,
+                id_col,
+                int(n_id_buckets),
+            )
+            _staged_index_rewrite(spark, rebucketed, path)
     if band_store_path is not None:
         store = spark.read.parquet(band_store_path)
         meta = (

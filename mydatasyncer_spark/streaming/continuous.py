@@ -163,6 +163,7 @@ def continuous_dedup(
     query_name: str = "continuous_dedup",
     band_store_path: str | None = None,
     n_band_buckets: int = 64,
+    n_id_buckets: int | None = None,
 ):
     """Continuous corpus ingestion with near-dup rejection against a
     GROWING MinHash signature index.
@@ -211,10 +212,13 @@ def continuous_dedup(
         _BAND_K_KEY,
         _BAND_NB_KEY,
         BAND_BUCKET_COL,
+        ID_BUCKET_COL,
         LSH_BAND_SIZE,
         MINHASH_K,
+        _id_bucket_modulus,
         _job_succeeded,
         dedup_clusters,
+        id_bucketed_index,
         minhash_band_store,
         minhash_lsh_pairs,
         minhash_lsh_pairs_incremental,
@@ -291,6 +295,14 @@ def continuous_dedup(
         except AnalysisException:
             index = None
             index_ids = None
+        # append follows the STORED id-bucket layout (modulus read
+        # from the index every batch; n_id_buckets only seeds a
+        # fresh bootstrap)
+        idx_nb = (
+            _id_bucket_modulus(index, id_col)
+            if index is not None and ID_BUCKET_COL in index.columns
+            else (n_id_buckets if index is None else None)
+        )
         if index_ids is not None:
             batch = batch.join(index_ids, id_col, "left_anti")
         if batch.isEmpty():
@@ -349,7 +361,14 @@ def continuous_dedup(
                 # appends duplicate band rows on replay — harmless
                 # (candidates are deduped; compaction clears them)
                 write_bands(sig_sur, "append")
-            sig_sur.write.mode("append").parquet(index_path)
+            if idx_nb is not None:
+                id_bucketed_index(
+                    sig_sur, id_col, idx_nb
+                ).write.partitionBy(ID_BUCKET_COL).mode(
+                    "append"
+                ).parquet(index_path)
+            else:
+                sig_sur.write.mode("append").parquet(index_path)
         finally:
             sig_sur.unpersist()
 
@@ -1046,6 +1065,7 @@ def continuous_jaccard_index(
     prefix_store_path: str | None = None,
     n_token_buckets: int = 64,
     containment_store_path: str | None = None,
+    n_id_buckets: int | None = None,
 ):
     """Continuous document ingestion into a growing EXACT-Jaccard
     ORDERED index — the streaming twin of
@@ -1127,14 +1147,17 @@ def continuous_jaccard_index(
     from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.dedup import (
+        ID_BUCKET_COL,
         PREFIX_BUCKET_COL,
         _CONTAIN_NB_KEY,
         _PREFIX_NB_KEY,
         _PREFIX_T_KEY,
         _delete_path,
+        _id_bucket_modulus,
         _job_succeeded,
         _staged_index_rewrite,
         containment_inverted_store,
+        id_bucketed_index,
         jaccard_join_incremental,
         jaccard_ordered_index,
         jaccard_prefix_index,
@@ -1144,6 +1167,19 @@ def continuous_jaccard_index(
     )
 
     order_loc = order_path or index_path.rstrip("/") + "_order"
+
+    def write_index(rows, mode: str, idx_nb: int | None) -> None:
+        # append/bootstrap follows the STORED layout (idx_nb derived
+        # from the index itself on every batch; the n_id_buckets
+        # param only seeds a fresh bootstrap) — rows bucketed under a
+        # foreign modulus would land in directories the verify-side
+        # prune never reads
+        if idx_nb is not None:
+            id_bucketed_index(rows, id_col, idx_nb).write.partitionBy(
+                ID_BUCKET_COL
+            ).mode(mode).parquet(index_path)
+        else:
+            rows.write.mode(mode).parquet(index_path)
 
     def write_store(rows, mode: str) -> None:
         jaccard_prefix_store(
@@ -1246,6 +1282,11 @@ def continuous_jaccard_index(
                 # from the freshly migrated arrays (and a crash here
                 # replays the same way).
                 _delete_path(spark, prefix_store_path)
+        idx_nb = (
+            _id_bucket_modulus(index, id_col)
+            if index is not None and ID_BUCKET_COL in index.columns
+            else (n_id_buckets if index is None else None)
+        )
         if index is not None:
             batch = batch.join(
                 index.select(id_col), id_col, "left_anti"
@@ -1321,7 +1362,7 @@ def continuous_jaccard_index(
                     write_store(ordered_rows, "append")
                 if containment_store_path is not None:
                     write_cstore(ordered_rows, "append")
-                ordered_rows.write.mode("append").parquet(index_path)
+                write_index(ordered_rows, "append", idx_nb)
             finally:
                 ordered_rows.unpersist()
         finally:

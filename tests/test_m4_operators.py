@@ -2001,6 +2001,231 @@ class TestJaccardPrefixStore:
         assert got == TestJaccardJoinIncremental()._brute(spark, 0.8)
 
 
+class TestIdBucketedIndex:
+    """r9: id-bucketed index layout — verification reads prune to the
+    candidate ids' bucket directories (explicit IN on the partition
+    column), results identical to the flat layout everywhere."""
+
+    CORPUS = TestJaccardJoinIncremental.CORPUS
+    BATCH = TestJaccardJoinIncremental.BATCH
+
+    def _stored(self, spark, tmp_path, nb=8):
+        from mydatasyncer_spark.operators.dedup import (
+            id_bucketed_index,
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_token_order,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        order = jaccard_token_order(idx)
+        ordered = jaccard_ordered_index(idx, token_order=order)
+        id_bucketed_index(ordered, n_id_buckets=nb).write.partitionBy(
+            "_id_bucket"
+        ).parquet(str(tmp_path / "idx"))
+        order.write.parquet(str(tmp_path / "order"))
+        return (
+            spark.read.parquet(str(tmp_path / "idx")),
+            spark.read.parquet(str(tmp_path / "order")),
+        )
+
+    def test_jaccard_ingest_identical_and_verify_scan_prunes(
+        self, spark, tmp_path
+    ):
+        import contextlib
+        import io
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        sidx, sorder = self._stored(spark, tmp_path)
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        out = jaccard_join_incremental(
+            batch, sidx, threshold=0.8,
+            token_order=sorder, corpus_ordered=True,
+        )
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert got == TestJaccardJoinIncremental()._brute(spark, 0.8)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        pruned = [
+            line
+            for line in plan.splitlines()
+            if "PartitionFilters" in line
+            and "_id_bucket" in line
+            and ("IN" in line or "in(" in line.lower())
+        ]
+        assert pruned, plan
+
+    def test_containment_probe_prunes_bucketed_corpus(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.dedup import containment_join
+
+        sidx, sorder = self._stored(spark, tmp_path)
+        probe = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in containment_join(
+                probe, sidx, threshold=0.6, token_order=sorder
+            ).collect()
+        }
+        # flat-layout reference
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_prefix_index,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in containment_join(
+                probe, jaccard_prefix_index(corpus), threshold=0.6,
+                token_order=sorder,
+            ).collect()
+        }
+        assert got == want and got
+
+    def test_bucketed_without_modulus_metadata_refuses(
+        self, spark, tmp_path
+    ):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+        )
+
+        sidx, sorder = self._stored(spark, tmp_path)
+        bare = sidx.withColumn(
+            "doc_id", F.col("doc_id").alias("doc_id", metadata={})
+        )
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="bucket-count metadata"):
+            jaccard_join_incremental(
+                batch, bare, threshold=0.8,
+                token_order=sorder, corpus_ordered=True,
+            ).collect()
+
+    def test_compact_converts_and_preserves_layout(self, spark, tmp_path):
+        """Compaction is the layout converter: a flat index converts
+        with n_id_buckets, a later compact preserves the layout, and
+        refreeze keeps it too — results brute-identical throughout."""
+        import glob
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_compact,
+            jaccard_join_incremental,
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_refreeze,
+            jaccard_token_order,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        order = jaccard_token_order(idx)
+        jaccard_ordered_index(idx, token_order=order).write.parquet(
+            str(tmp_path / "idx")
+        )
+        order.write.parquet(str(tmp_path / "idx_order"))
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+
+        def pairs():
+            return {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_join_incremental(
+                    batch,
+                    spark.read.parquet(str(tmp_path / "idx")),
+                    threshold=0.8,
+                    token_order=spark.read.parquet(
+                        str(tmp_path / "idx_order")
+                    ),
+                    corpus_ordered=True,
+                ).collect()
+            }
+
+        want = TestJaccardJoinIncremental()._brute(spark, 0.8)
+        assert pairs() == want
+        jaccard_compact(spark, str(tmp_path / "idx"), n_id_buckets=8)
+        assert glob.glob(str(tmp_path / "idx" / "_id_bucket=*"))
+        assert pairs() == want
+        # preserved without the param
+        jaccard_compact(spark, str(tmp_path / "idx"))
+        assert glob.glob(str(tmp_path / "idx" / "_id_bucket=*"))
+        assert pairs() == want
+        # refreeze keeps the layout (re-ordering never moves buckets)
+        jaccard_refreeze(spark, str(tmp_path / "idx"))
+        assert glob.glob(str(tmp_path / "idx" / "_id_bucket=*"))
+        assert pairs() == want
+
+    def test_minhash_bucketed_signature_index(self, spark, tmp_path):
+        """compact_minhash_index(n_id_buckets) converts the signature
+        index; the store-path incremental join then prunes the
+        estimate-side scan and stays exactly identical."""
+        import contextlib
+        import io
+
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_band_store,
+            minhash_lsh_pairs_incremental,
+            minhash_signature,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_minhash_index,
+        )
+
+        corpus = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string"
+        )
+        minhash_signature(corpus).write.parquet(str(tmp_path / "sig"))
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        plain = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in minhash_lsh_pairs_incremental(
+                batch, spark.read.parquet(str(tmp_path / "sig"))
+            ).collect()
+        }
+        compact_minhash_index(
+            spark, str(tmp_path / "sig"), n_id_buckets=8
+        )
+        sigs = spark.read.parquet(str(tmp_path / "sig"))
+        minhash_band_store(
+            sigs, n_band_buckets=8
+        ).write.partitionBy("_band_bucket").parquet(str(tmp_path / "bands"))
+        out = minhash_lsh_pairs_incremental(
+            batch, sigs,
+            corpus_bands=spark.read.parquet(str(tmp_path / "bands")),
+            eager=False,
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in out.collect()
+        }
+        assert got == plain and plain
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        pruned = [
+            line
+            for line in plan.splitlines()
+            if "PartitionFilters" in line
+            and "_id_bucket" in line
+            and ("IN" in line or "in(" in line.lower())
+        ]
+        assert pruned, plan
+
+
 class TestMinhashBandStore:
     """r9: persisted band-bucketed MinHash store — the third ingest
     family gets the DPP store treatment; results identical to the

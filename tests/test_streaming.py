@@ -1516,6 +1516,91 @@ class TestContinuousJaccardIndex:
         )
         assert got == want and (1, 5) in got
 
+    def test_id_bucketed_bootstrap_appends_follow_layout(
+        self, spark, tmp_path_factory
+    ):
+        """r9: n_id_buckets seeds a bucketed index at bootstrap;
+        later batches derive the modulus from the STORED index and
+        append into the right directories; pairs stay brute-exact and
+        a crash-restore keeps the layout."""
+        import glob
+        import json as _json
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+            jaccard_restore_staging,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_jaccard_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("jxb_in")
+        out = tmp_path_factory.mktemp("jxb_out")
+        index, pairs = str(out / "idx"), str(out / "pairs")
+        ckpt = str(out / "ckpt")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_jaccard_index(
+                stream, index, pairs, threshold=0.8,
+                checkpoint_dir=ckpt, n_id_buckets=8,
+            )
+            q.awaitTermination(120)
+
+        drain(
+            [
+                {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+                {"doc_id": 2, "text": "totally unrelated content here"},
+            ],
+            "b0.json",
+        )
+        assert glob.glob(index + "/_id_bucket=*")
+        drain(
+            [
+                {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat"},
+                {"doc_id": 4, "text": "totally unrelated content here now"},
+            ],
+            "b1.json",
+        )
+        idx = spark.read.parquet(index)
+        assert idx.count() == 4 and "_id_bucket" in idx.columns
+        got = sorted(
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in spark.read.parquet(pairs).collect()
+        )
+        sim = F.size(F.array_intersect("ta", "tb")) / (
+            F.size("ta") + F.size("tb")
+            - F.size(F.array_intersect("ta", "tb"))
+        )
+        a = idx.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+        b = idx.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+        want = sorted(
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in a.crossJoin(b)
+            .filter("id_a < id_b")
+            .filter(sim >= 0.8)
+            .collect()
+        )
+        assert got == want and got
+        # crash-restore preserves the bucketed layout
+        spark.read.parquet(index).localCheckpoint(
+            eager=True
+        ).write.partitionBy("_id_bucket").parquet(
+            index + INDEX_STAGING_SUFFIX
+        )
+        shutil.rmtree(index)
+        assert jaccard_restore_staging(spark, index) is True
+        assert glob.glob(index + "/_id_bucket=*")
+        assert spark.read.parquet(index).count() == 4
+
     def test_continuous_containment_probe_end_to_end(
         self, spark, tmp_path_factory
     ):
