@@ -320,6 +320,62 @@ class TestContinuousDedup:
             for r in spark.read.parquet(survivors_path).collect()
         } == {1, 2, 11}
 
+    def test_id_bucketed_signature_index_bootstrap(
+        self, spark, tmp_path_factory
+    ):
+        """r9: n_id_buckets seeds an id-bucketed signature index;
+        appends follow the stored layout and cross-batch rejection
+        decisions are unchanged."""
+        import glob
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import continuous_dedup
+
+        in_dir = tmp_path_factory.mktemp("bdi_in")
+        ckpt = str(tmp_path_factory.mktemp("bdi_ckpt"))
+        out = tmp_path_factory.mktemp("bdi_out")
+        index_path = str(out / "index")
+        survivors_path = str(out / "survivors")
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).json(str(in_dir))
+            q = continuous_dedup(
+                stream, index_path, survivors_path,
+                checkpoint_dir=ckpt, n_id_buckets=8,
+            )
+            q.awaitTermination(120)
+
+        drain(
+            [
+                {"doc_id": 1, "text": self.DOC_A},
+                {"doc_id": 2, "text": self.DOC_B},
+            ],
+            "b1.json",
+        )
+        assert glob.glob(index_path + "/_id_bucket=*")
+        drain(
+            [
+                {"doc_id": 10, "text": self.DOC_A_NEAR},  # reject via index
+                {"doc_id": 11, "text": self.DOC_C},
+            ],
+            "b2.json",
+        )
+        s = {
+            r["doc_id"]
+            for r in spark.read.parquet(survivors_path).collect()
+        }
+        assert s == {1, 2, 11}
+        idx = spark.read.parquet(index_path)
+        assert "_id_bucket" in idx.columns
+        assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {
+            1, 2, 11,
+        }
+
     def test_transitive_chain_collapses_like_batch_dedup(
         self, spark, tmp_path_factory
     ):
