@@ -2063,6 +2063,50 @@ class TestIdBucketedIndex:
         ]
         assert pruned, plan
 
+    def test_all_prunes_compose_prefix_store_plus_id_buckets(
+        self, spark, tmp_path
+    ):
+        """The full standing-pipeline configuration: token-bucketed
+        prefix store (candidate DPP) + id-bucketed index (verify
+        static prune) in ONE ingest — both prunings visible in the
+        plan, results still brute-identical."""
+        import contextlib
+        import io
+
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_join_incremental,
+            jaccard_prefix_store,
+        )
+
+        sidx, sorder = self._stored(spark, tmp_path)
+        jaccard_prefix_store(
+            sidx, 0.8, n_token_buckets=8
+        ).write.partitionBy("_tok_bucket").parquet(str(tmp_path / "pfx"))
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        out = jaccard_join_incremental(
+            batch, sidx, threshold=0.8,
+            token_order=sorder, corpus_ordered=True,
+            corpus_prefix=spark.read.parquet(str(tmp_path / "pfx")),
+        )
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert got == TestJaccardJoinIncremental()._brute(spark, 0.8)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # the candidate subtree (whose prefix-store DPP is pinned in
+        # TestJaccardPrefixStore) sits BELOW the eager candidate
+        # checkpoint here, so this explain shows only the verify
+        # stage: its scan must carry the static id-bucket prune and
+        # nothing may degrade to a cartesian
+        assert any(
+            "PartitionFilters" in line
+            and "_id_bucket" in line
+            and ("IN" in line or "in(" in line.lower())
+            for line in plan.splitlines()
+        ), plan
+        assert "CartesianProduct" not in plan
+
     def test_containment_probe_prunes_bucketed_corpus(
         self, spark, tmp_path
     ):
