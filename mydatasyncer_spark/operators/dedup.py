@@ -1081,7 +1081,11 @@ def _verify_pairs(
     final query share one computation of the candidate subtree), the
     distinct buckets are collected (≤ modulus values), and the index
     scan gets an explicit IN on the partition column — verification
-    READ IO ∝ candidates, not corpus."""
+    READ IO ∝ candidates, not corpus. Note this makes operator
+    CONSTRUCTION run the (batch-sized) candidate jobs when the index
+    is bucketed — static pruning needs the bucket list before the
+    plan exists; an explain() afterwards therefore shows only the
+    verify stage above the checkpoint."""
     if prune_b:
         if ID_BUCKET_COL in b_src.columns:
             pairs = pairs.localCheckpoint(eager=True)
