@@ -152,6 +152,41 @@ def continuous_merge(
     return writer.start()
 
 
+def _cluster_rejections(near: DataFrame, vs_idx: DataFrame, id_col: str) -> DataFrame:
+    """Cluster-semantics rejection set for one streaming dedup batch
+    (shared by the MinHash and semantic streams): ``near`` is the
+    within-batch near-pair graph (``id_a < id_b``), ``vs_idx`` the
+    docs near-dupping an already-indexed doc (one column:
+    ``id_col``). A component containing any index-rejected doc falls
+    entirely (the indexed doc, accepted earlier, is that cluster's
+    survivor — streaming cannot retroactively reject it); other
+    components keep their minimum id, exactly like batch-mode
+    ``dedup_survivors``."""
+    from pyspark.sql import functions as F
+
+    from mydatasyncer_spark.operators.dedup import dedup_clusters
+
+    comp = dedup_clusters(near)  # (doc_id, cluster_id=min of comp)
+    poisoned = (
+        comp.join(vs_idx, comp["doc_id"] == vs_idx[id_col], "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    in_poisoned = comp.join(poisoned, "cluster_id", "left_semi").select(
+        F.col("doc_id").alias(id_col)
+    )
+    non_survivor = (
+        comp.join(poisoned, "cluster_id", "left_anti")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return (
+        vs_idx.unionByName(in_poisoned)
+        .unionByName(non_survivor)
+        .distinct()
+    )
+
+
 def continuous_dedup(
     stream_docs: DataFrame,
     index_path: str,
@@ -217,7 +252,6 @@ def continuous_dedup(
         MINHASH_K,
         _id_bucket_modulus,
         _job_succeeded,
-        dedup_clusters,
         id_bucketed_index,
         minhash_band_store,
         minhash_lsh_pairs,
@@ -257,32 +291,7 @@ def continuous_dedup(
         )
 
     def resolve_rejections(near: DataFrame, vs_idx: DataFrame) -> DataFrame:
-        """Cluster-semantics rejection set for one batch: ``near`` is
-        the within-batch near-pair graph (id_a < id_b), ``vs_idx`` the
-        docs near-dupping an already-indexed doc (1 column: id_col).
-        A component containing any index-rejected doc falls entirely;
-        other components keep their minimum id."""
-        comp = dedup_clusters(near)  # (doc_id, cluster_id=min of comp)
-        poisoned = (
-            comp.join(
-                vs_idx, comp["doc_id"] == vs_idx[id_col], "left_semi"
-            )
-            .select("cluster_id")
-            .distinct()
-        )
-        in_poisoned = comp.join(poisoned, "cluster_id", "left_semi").select(
-            F.col("doc_id").alias(id_col)
-        )
-        non_survivor = (
-            comp.join(poisoned, "cluster_id", "left_anti")
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        return (
-            vs_idx.unionByName(in_poisoned)
-            .unionByName(non_survivor)
-            .distinct()
-        )
+        return _cluster_rejections(near, vs_idx, id_col)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -433,6 +442,142 @@ def continuous_ann_index(
             return
         idx = ivf_index(batch, dim, n_centroids, id_col, vec_col, centroids)
         idx.write.mode("append").partitionBy("bucket").parquet(index_path)
+
+    writer = (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def continuous_semantic_dedup(
+    stream_vecs: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_semantic_dedup",
+):
+    """Continuous SemDeDup: embedding ingestion with semantic
+    near-dup rejection against a GROWING bucket-partitioned IVF
+    index — the embedding twin of :func:`continuous_dedup`, closing
+    the streaming matrix across every dedup modality (exact diff,
+    MinHash, exact Jaccard, containment, semantic).
+
+    Per micro-batch: (1) already-indexed ids are skipped
+    (id-projection anti-join — at-least-once replay idempotence);
+    (2) each remaining vector joins the stored index WITHIN its
+    coarse-quantizer cluster only (broadcast batch side against the
+    ``bucket``-partitioned :func:`~mydatasyncer_spark.operators.
+    similarity.ivf_index` layout — the bucket equi-join dynamic-
+    partition-prunes the index read to the batch's clusters, the
+    ``ivf_topk_indexed`` scan shape), and a rounded cosine ≥
+    ``threshold`` against any ACCEPTED vector rejects it; (3)
+    within-batch pairs come from :func:`~mydatasyncer_spark.
+    operators.similarity.semantic_dedup_pairs` and resolve with the
+    shared cluster semantics (a component touching an index near-dup
+    falls entirely, others keep their minimum id — identical policy
+    to the MinHash stream); (4) survivors append to
+    ``survivors_path`` and their norm+bucket-annotated rows extend
+    the index partitioned by ``bucket``, so later batches keep
+    pruning partitions as the index grows.
+
+    Centroids are FROZEN at index creation (the IVF contract —
+    retraining means rebuilding); pass k-means output via
+    ``centroids`` or rely on the deterministic defaults. Survivors
+    are at-least-once / the index effectively exactly-once (same
+    write order and crash story as ``continuous_dedup``); the
+    published SemDeDup recall caveat applies: a near-dup pair split
+    across two clusters is not seen, exactly as in batch mode.
+    Maintain file counts with ``operators/maintenance.
+    compact_ivf_index`` on the index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.similarity import (
+        dot,
+        ivf_centroid_values,
+        ivf_index,
+        norm,
+        semantic_dedup_pairs,
+    )
+
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:
+            index = None
+        if index is not None:
+            batch = batch.join(
+                index.select(F.col("neighbor_id").alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            if index is not None:
+                # batch annotated exactly like the index rows, then a
+                # broadcast bucket equi-join prunes index partitions
+                # at the scan; rounded cosine matches the batch
+                # operator's contract
+                q = ivf_index(
+                    batch, dim, n_centroids, id_col, vec_col, cens
+                ).select(
+                    F.col("neighbor_id").alias(id_col),
+                    F.col("cv").alias("qv"),
+                    F.col("cn").alias("qn"),
+                    "bucket",
+                )
+                cos = F.round(
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")),
+                    6,
+                )
+                vs_idx = (
+                    F.broadcast(q)
+                    .join(index, "bucket")
+                    .filter(cos >= F.lit(float(threshold)))
+                    .select(id_col)
+                    .distinct()
+                )
+            else:
+                vs_idx = batch.select(id_col).limit(0)
+            near = semantic_dedup_pairs(
+                batch, dim, threshold, n_centroids, id_col, vec_col,
+                cens,
+            ).select("id_a", "id_b")
+            rejected = _cluster_rejections(near, vs_idx, id_col)
+            survivors = batch.join(rejected, id_col, "left_anti")
+            # survivors before the index: replay re-appends survivor
+            # rows at worst (skip-check keys on the INDEX) — the
+            # reverse order would lose them. Dedup survivors by id
+            # downstream after an unclean shutdown.
+            survivors.write.mode("append").parquet(survivors_path)
+            ivf_index(
+                survivors, dim, n_centroids, id_col, vec_col, cens
+            ).write.mode("append").partitionBy("bucket").parquet(
+                index_path
+            )
+        finally:
+            batch.unpersist()
 
     writer = (
         stream_vecs.writeStream.foreachBatch(apply_batch)

@@ -1384,6 +1384,162 @@ class TestContinuousJoinView:
         ]
 
 
+class TestContinuousSemanticDedup:
+    """r9: the embedding twin of continuous_dedup — cross-batch
+    semantic rejection through the grown bucket-partitioned IVF
+    index, cluster-semantics survivor resolution, replay
+    idempotence."""
+
+    V_A = [1.0, 0.05, 0.0]
+    V_B = [0.0, 1.0, 0.05]
+    V_C = [0.05, 0.0, 1.0]
+
+    def _drain(self, spark, in_dir, index, survivors, ckpt, rows, fname):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_semantic_dedup,
+        )
+
+        (in_dir / fname).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_semantic_dedup(
+            stream, index, survivors, dim=3, threshold=0.999,
+            n_centroids=4, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    def test_index_grows_and_rejects_across_batches(
+        self, spark, tmp_path_factory
+    ):
+        import glob
+
+        in_dir = tmp_path_factory.mktemp("sem_in")
+        out = tmp_path_factory.mktemp("sem_out")
+        index, survivors = str(out / "ivf"), str(out / "surv")
+        ckpt = str(out / "ckpt")
+        # batch 1: A, B, and an exact duplicate of A (in-batch reject)
+        self._drain(
+            spark, in_dir, index, survivors, ckpt,
+            [
+                {"vec_id": 1, "embedding": self.V_A},
+                {"vec_id": 2, "embedding": self.V_B},
+                {"vec_id": 3, "embedding": self.V_A},
+            ],
+            "b1.json",
+        )
+        s1 = {
+            r["vec_id"]
+            for r in spark.read.parquet(survivors).collect()
+        }
+        assert s1 == {1, 2}
+        assert glob.glob(index + "/bucket=*")  # partition-pruned layout
+        # batch 2: same-direction copy of A (cross-batch, caught only
+        # via the INDEX) and a genuinely new direction
+        self._drain(
+            spark, in_dir, index, survivors, ckpt,
+            [
+                {"vec_id": 10, "embedding": [0.9 * x for x in self.V_A]},
+                {"vec_id": 11, "embedding": self.V_C},
+            ],
+            "b2.json",
+        )
+        s2 = {
+            r["vec_id"]
+            for r in spark.read.parquet(survivors).collect()
+        }
+        assert s2 == {1, 2, 11}
+        idx_ids = {
+            r["neighbor_id"]
+            for r in spark.read.parquet(index).collect()
+        }
+        assert idx_ids == {1, 2, 11}
+        # fresh-checkpoint replay over the same files: no growth
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_semantic_dedup,
+        )
+
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_semantic_dedup(
+            stream, index, survivors, dim=3, threshold=0.999,
+            n_centroids=4, checkpoint_dir=str(out / "ckpt2"),
+        )
+        q.awaitTermination(120)
+        assert {
+            r["neighbor_id"]
+            for r in spark.read.parquet(index).collect()
+        } == {1, 2, 11}
+        assert spark.read.parquet(index).count() == 3
+
+    def test_transitive_chain_and_trained_centroids(
+        self, spark, tmp_path_factory
+    ):
+        """Component {1,3} in-batch plus index-poisoning mirrors the
+        MinHash stream's cluster policy; trained k-means centroids
+        slot in via the centroids param."""
+        import json as _json
+
+        from mydatasyncer_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_semantic_dedup,
+        )
+
+        in_dir = tmp_path_factory.mktemp("semk_in")
+        out = tmp_path_factory.mktemp("semk_out")
+        index, survivors = str(out / "ivf"), str(out / "surv")
+        train = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([self.V_A, self.V_B, self.V_C])],
+            "vec_id long, embedding array<double>",
+        )
+        cens = kmeans_centroids(train, dim=3, k=3, n_iter=3)
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_semantic_dedup(
+                stream, index, survivors, dim=3, threshold=0.999,
+                n_centroids=3, centroids=cens,
+                checkpoint_dir=str(out / "ckpt"),
+            )
+            q.awaitTermination(120)
+
+        drain(
+            [
+                {"vec_id": 5, "embedding": self.V_B},
+            ],
+            "b1.json",
+        )
+        # batch 2: 20 dups the indexed doc 5; 21 dups 20 (same
+        # component) — the whole component falls with it
+        drain(
+            [
+                {"vec_id": 20, "embedding": [1.1 * x for x in self.V_B]},
+                {"vec_id": 21, "embedding": self.V_B},
+                {"vec_id": 22, "embedding": self.V_A},
+            ],
+            "b2.json",
+        )
+        s = {
+            r["vec_id"]
+            for r in spark.read.parquet(survivors).collect()
+        }
+        assert s == {5, 22}
+
+
 class TestContinuousJaccardIndex:
     """Streaming exact-Jaccard index: per-batch pairs equal the batch
     operator's, the index grows batch by batch, and replay with a
