@@ -3399,9 +3399,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "dedup_minhash_incr": dedup_minhash_incr,
         # ---- implementation touched this round (r9): ----
-        # ---- containment_join grew the corpus_inv path ----
+        # ---- containment_join grew the corpus_inv path; ----
+        # ---- _verify_pairs grew the id-bucket prune branch and ----
+        # ---- jaccard_join_incremental the bucket-carrying select ----
+        # ---- (inert on the unbucketed gate inputs, but touched ----
+        # ---- is touched — rotation rule 2) ----
         "dedup_containment_join": dedup_containment_join,
         "dedup_containment_probe": dedup_containment_probe,
+        "dedup_jaccard_incremental": dedup_jaccard_incremental,
+        "dedup_jaccard_incr_reorder": dedup_jaccard_incr_reorder,
+        "dedup_jaccard_join_exact": dedup_jaccard_join_exact,
         # ---- proof refresh: the full last-green-r6 cohort ----
         # ---- (VERDICT r8 item #2, 40 queries) ----
         "array_agg_customer_orders": array_agg_customer_orders,
@@ -3447,16 +3454,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- fill: alphabetical head of the last-green-r7 cohort ----
         "approx_sketches_segments": approx_sketches_segments,
         "canonical_stringify": canonical_stringify,
+        # ======== entries past the 50-query driver cap ===========
         "cap_docs_per_lang_scalable": cap_docs_per_lang_scalable,
         "column_projection_sync": column_projection_sync,
         "cube_orders_profile": cube_orders_profile,
-        # ======== entries past the 50-query driver cap ===========
         "curriculum_quality_tiers": curriculum_quality_tiers,
         # ---- last-green r8 (freshest proofs, rotating out) ----
         "scd2_asof_join_ts": scd2_asof_join_ts,
-        "dedup_jaccard_incr_reorder": dedup_jaccard_incr_reorder,
-        "dedup_jaccard_incremental": dedup_jaccard_incremental,
-        "dedup_jaccard_join_exact": dedup_jaccard_join_exact,
         "scd2_asof_join_lineitem": scd2_asof_join_lineitem,
         "scd2_keep_policy": scd2_keep_policy,
         "scd2_orders_history": scd2_orders_history,

@@ -17,8 +17,8 @@ GATE_CAP = 50
 # the r9 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "cube_orders_profile"
-FIRST_PAST_CAP = "curriculum_quality_tiers"
+LAST_IN_WINDOW = "canonical_stringify"
+FIRST_PAST_CAP = "cap_docs_per_lang_scalable"
 
 # everything added or implementation-touched in r9 MUST sit inside
 # the gate window (rotation policy rule 1-2)
@@ -29,9 +29,14 @@ R9_TOUCHED = [
     "dedup_minhash_incr",
     # implementation touched in r9 (containment_join grew the
     # corpus_inv store path: provenance guards, probe bucketing,
-    # verify-side candidate-id prune)
+    # verify-side candidate-id prune; _verify_pairs grew the
+    # id-bucket static prune; jaccard_join_incremental carries the
+    # bucket column through corpus_src)
     "dedup_containment_join",
     "dedup_containment_probe",
+    "dedup_jaccard_incremental",
+    "dedup_jaccard_incr_reorder",
+    "dedup_jaccard_join_exact",
 ]
 
 # the entire last-green-r6 cohort rotates in this round (VERDICT r8
