@@ -22,11 +22,32 @@ from mydatasyncer_spark.config import SyncConfig, TableSpec
 from mydatasyncer_spark.operators.asof import asof_join_backward
 from mydatasyncer_spark.operators.curation import CurationConfig, curate
 from mydatasyncer_spark.operators.dedup import (
+    containment_inverted_store,
+    containment_join,
     dedup_clusters,
     exact_dedup,
+    id_bucketed_index,
+    jaccard_compact,
+    jaccard_join_incremental,
+    jaccard_ordered_index,
+    jaccard_prefix_index,
+    jaccard_prefix_store,
+    jaccard_refreeze,
+    jaccard_self_join,
+    jaccard_token_order,
+    minhash_band_store,
     minhash_lsh_pairs,
     minhash_lsh_pairs_incremental,
+    minhash_signature,
     simhash,
+)
+from mydatasyncer_spark.operators.maintenance import (
+    compact_ivf_index,
+    compact_minhash_index,
+    compact_pairs,
+    compact_partials,
+    compact_survivors,
+    compact_table,
 )
 from mydatasyncer_spark.operators.sampling import (
     cap_per_group,
@@ -86,6 +107,8 @@ from mydatasyncer_spark.operators.similarity import (
     kmeans_centroids,
     kmeans_inertia,
     lsh_ann_topk,
+    semantic_dedup_pairs,
+    semantic_dedup_survivors,
 )
 from mydatasyncer_spark.operators.text import (
     remove_repeated_segments,
@@ -192,6 +215,27 @@ __all__ = [
     "ZDim",
     "zorder_key",
     "write_zordered",
+    "jaccard_self_join",
+    "jaccard_join_incremental",
+    "jaccard_prefix_index",
+    "jaccard_ordered_index",
+    "jaccard_token_order",
+    "jaccard_prefix_store",
+    "jaccard_compact",
+    "jaccard_refreeze",
+    "containment_join",
+    "containment_inverted_store",
+    "minhash_signature",
+    "minhash_band_store",
+    "id_bucketed_index",
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
+    "compact_table",
+    "compact_minhash_index",
+    "compact_survivors",
+    "compact_pairs",
+    "compact_partials",
+    "compact_ivf_index",
 ]
 
 __version__ = "0.1.0"
