@@ -2268,6 +2268,19 @@ class TestIdBucketedIndex:
             and ("IN" in line or "in(" in line.lower())
         ]
         assert pruned, plan
+        # a second compaction WITHOUT the param auto-preserves the
+        # layout (compact_table's reserved-column detection)
+        import glob
+
+        compact_minhash_index(spark, str(tmp_path / "sig"))
+        assert glob.glob(str(tmp_path / "sig" / "_id_bucket=*"))
+        still = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in minhash_lsh_pairs_incremental(
+                batch, spark.read.parquet(str(tmp_path / "sig"))
+            ).collect()
+        }
+        assert still == plain
 
 
 class TestMinhashBandStore:
