@@ -1335,12 +1335,14 @@ def containment_inverted_store(
     analogue of :func:`jaccard_prefix_store`: write this frame
     ``partitionBy(PREFIX_BUCKET_COL)`` (pass ``n_token_buckets``) and
     hand the read-back frame to the join as ``corpus_inv``. The
-    candidate equi-join then also keys on the token bucket, so
-    dynamic partition pruning reads ONLY the bucket directories the
-    probe's prefix tokens hash into — per-probe corpus IO scales with
-    the probe batch's vocabulary, not the corpus (today's store-less
-    probe scans the full corpus token explosion every time and only
-    then filters it).
+    candidate equi-join then also keys on the token bucket and the
+    store scan is statically pruned to the probe's touched-bucket
+    list (explicit IN on the partition column — planning-time
+    guaranteed at any probe size), so only the bucket directories
+    the probe's prefix tokens hash into are read — per-probe corpus
+    IO scales with the probe batch's vocabulary, not the corpus
+    (today's store-less probe scans the full corpus token explosion
+    every time and only then filters it).
 
     Two properties make this store SIMPLER than the Jaccard one:
 
@@ -2006,23 +2008,29 @@ def containment_join(
     persisted :func:`containment_inverted_store` read back from a
     ``partitionBy(PREFIX_BUCKET_COL)`` layout. The probe's prefix
     rows then bucket their tokens with the store's recorded modulus
-    and the candidate join keys on the bucket too, so dynamic
-    partition pruning reads ONLY the bucket directories the probe's
-    prefix tokens hash into — per-probe corpus READ IO ∝ probe
-    vocabulary instead of corpus size (the semi-prefilter above only
-    removed the shuffle; the scan stayed corpus-linear).
-    ``corpus_df`` stays required alongside it (the verification
-    arrays live in the INDEX, not the store; verification semi-prunes
-    it to candidate ids, so that side stays scan-only as well).
-    Fail-fast provenance guards mirror the Jaccard store: a
-    :func:`jaccard_prefix_store` (prefix rows only — would silently
-    miss pairs) is refused by its build-threshold metadata, a
-    bucketed store without a discoverable modulus is refused, and a
-    bucket-count mismatch is refused. ``broadcast_probe`` (default:
-    on exactly when ``corpus_inv`` is given) broadcast-hints the
-    probe-derived sides, which is what keeps the corpus exchange-free
-    and DPP-eligible; disable for probe batches too large to
-    broadcast.
+    and the store scan is STATICALLY pruned to the probe's
+    touched-bucket list (a bounded ≤ ``n_token_buckets`` driver
+    collect off the checkpointed batch-sized prefix rows — explicit
+    IN on the partition column, so the pruning is
+    planning-time-guaranteed at ANY probe size, including
+    ``broadcast_probe=False`` where DPP eligibility would silently
+    lapse) — per-probe corpus READ IO ∝ probe vocabulary instead of
+    corpus size (the semi-prefilter above only removed the shuffle;
+    the scan stayed corpus-linear). ``corpus_df`` stays required
+    alongside it (the verification arrays live in the INDEX, not the
+    store; verification semi-prunes it to candidate ids, so that
+    side stays scan-only as well). Fail-fast provenance guards
+    mirror the Jaccard store: a :func:`jaccard_prefix_store` (prefix
+    rows only — would silently miss pairs) is refused by its
+    build-threshold metadata, a store WITHOUT the positive
+    full-explosion marker (metadata-stripped or hand-built — same
+    silent-miss hazard) is refused, a bucketed store without a
+    discoverable modulus is refused, and a bucket-count mismatch is
+    refused. ``broadcast_probe`` (default: on exactly when
+    ``corpus_inv`` is given) broadcast-hints the probe-derived
+    sides, which keeps the corpus exchange-free; disable for probe
+    batches too large to broadcast — the static prune holds either
+    way.
 
     ``corpus_df=None`` means self-containment over ``probe_df``
     (pairs with distinct ids, both directions possible). Either side
@@ -2080,18 +2088,33 @@ def containment_join(
         broadcast_probe = corpus_inv is not None
     if corpus_inv is not None:
         inv = corpus_inv
-        if "_ptok" in inv.columns:
-            meta = inv.schema["_ptok"].metadata
-            if meta.get(_PREFIX_T_KEY) is not None:
-                raise ValueError(
-                    "corpus_inv is a jaccard_prefix_store (prefix rows "
-                    f"only, built at threshold {meta[_PREFIX_T_KEY]}) — "
-                    "containment needs the FULL corpus token explosion "
-                    "or it silently misses pairs; build the store with "
-                    "containment_inverted_store"
-                )
+        meta = (
+            inv.schema["_ptok"].metadata if "_ptok" in inv.columns else {}
+        )
+        if meta.get(_PREFIX_T_KEY) is not None:
+            raise ValueError(
+                "corpus_inv is a jaccard_prefix_store (prefix rows "
+                f"only, built at threshold {meta[_PREFIX_T_KEY]}) — "
+                "containment needs the FULL corpus token explosion "
+                "or it silently misses pairs; build the store with "
+                "containment_inverted_store"
+            )
+        if not meta.get(_CONTAIN_FULL_KEY):
+            # the POSITIVE guard: only a frame stamped by
+            # containment_inverted_store is known to hold the full
+            # explosion — a metadata-stripped store (an intermediate
+            # transform dropped the footer) or an accidentally
+            # filtered frame would be accepted structurally and
+            # silently miss pairs
+            raise ValueError(
+                "corpus_inv carries no full-explosion marker — only "
+                "containment_inverted_store output is known to hold "
+                "the FULL corpus token explosion (a metadata-stripped "
+                "or filtered frame would silently miss pairs); "
+                "rebuild the store with containment_inverted_store"
+            )
         if PREFIX_BUCKET_COL in inv.columns:
-            nb_meta = inv.schema["_ptok"].metadata.get(_CONTAIN_NB_KEY)
+            nb_meta = meta.get(_CONTAIN_NB_KEY)
             if n_token_buckets is None:
                 n_token_buckets = nb_meta
             elif nb_meta is not None and int(nb_meta) != int(
@@ -2110,7 +2133,22 @@ def containment_join(
             pfx = pfx.withColumn(
                 PREFIX_BUCKET_COL,
                 F.pmod(F.xxhash64("_ptok"), F.lit(int(n_token_buckets))),
-            )
+            ).localCheckpoint(eager=True)
+            # STATIC partition pruning (the band-store / id-bucket
+            # contract): the probe's touched buckets are a bounded
+            # driver list (≤ n_token_buckets values, off the
+            # checkpointed batch-sized prefix rows — one computation
+            # shared with the candidate join), and an explicit IN on
+            # the partition column prunes the store scan at PLANNING
+            # time — guaranteed at ANY probe size, where DPP
+            # eligibility silently lapses once broadcast_probe=False
+            touched = [
+                r[0]
+                for r in pfx.select(PREFIX_BUCKET_COL)
+                .distinct()
+                .collect()
+            ]
+            inv = inv.filter(F.col(PREFIX_BUCKET_COL).isin(touched))
     else:
         inv = corpus.select(
             F.col(id_col).alias("_id_b"), F.explode("toks").alias("_ptok")

@@ -2855,8 +2855,11 @@ class TestContainmentInvertedStore:
         self, spark, tmp_path
     ):
         """ONE store serves every join threshold (full explosion has
-        no build-threshold precondition), and the candidate join
-        dynamic-partition-prunes the store scan."""
+        no build-threshold precondition), and the store scan is
+        STATICALLY pruned to the probe's touched buckets — an
+        explicit IN in the scan's PartitionFilters, guaranteed at
+        planning time at BOTH broadcast settings (DPP, the r9
+        mechanism, silently lapsed once broadcast_probe=False)."""
         import contextlib
         import io
 
@@ -2870,12 +2873,27 @@ class TestContainmentInvertedStore:
             )
             got = {(r["id_a"], r["id_b"]) for r in out.collect()}
             assert got == self._brute(spark, t), t
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            out.explain("formatted")
-        plan = buf.getvalue()
-        assert "dynamicpruningexpression" in plan, plan
-        assert "_tok_bucket" in plan
+        for bcast in (True, False):
+            out = containment_join(
+                probe,
+                cidx,
+                threshold=0.8,
+                corpus_inv=cinv,
+                broadcast_probe=bcast,
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                out.explain("formatted")
+            plan = buf.getvalue()
+            scan_lines = [
+                line
+                for line in plan.splitlines()
+                if "PartitionFilters" in line and "_tok_bucket" in line
+            ]
+            assert any(
+                "IN" in line or "in(" in line.lower()
+                for line in scan_lines
+            ), (bcast, plan)
 
     def test_no_broadcast_probe_is_still_exact(self, spark, tmp_path):
         from mydatasyncer_spark.operators.dedup import containment_join
@@ -2919,13 +2937,27 @@ class TestContainmentInvertedStore:
             containment_join(
                 probe, cidx, threshold=0.8, corpus_inv=pstore
             )
-        # a bucketed frame without provenance cannot reveal its
-        # modulus — must be told explicitly
+        # a metadata-stripped store lost its POSITIVE full-explosion
+        # marker — structurally identical to a filtered frame that
+        # would silently miss pairs, so it is refused outright (r10:
+        # the marker was written since r9 but never read)
         bare = cinv.withColumn(
             "_ptok", F.col("_ptok").alias("_ptok", metadata={})
         )
-        with pytest.raises(ValueError, match="n_token_buckets"):
+        with pytest.raises(ValueError, match="full-explosion marker"):
             containment_join(probe, cidx, threshold=0.8, corpus_inv=bare)
+        # marker intact but the bucket modulus unknowable — must be
+        # told explicitly
+        from mydatasyncer_spark.operators.dedup import _CONTAIN_FULL_KEY
+
+        no_nb = cinv.withColumn(
+            "_ptok",
+            F.col("_ptok").alias(
+                "_ptok", metadata={_CONTAIN_FULL_KEY: True}
+            ),
+        )
+        with pytest.raises(ValueError, match="n_token_buckets"):
+            containment_join(probe, cidx, threshold=0.8, corpus_inv=no_nb)
         # a wrong modulus silently drops true matches — refuse
         with pytest.raises(ValueError, match="token buckets"):
             containment_join(
