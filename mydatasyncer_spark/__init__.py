@@ -28,6 +28,7 @@ from mydatasyncer_spark.operators.dedup import (
     exact_dedup,
     id_bucketed_index,
     jaccard_compact,
+    jaccard_drift_report,
     jaccard_join_incremental,
     jaccard_ordered_index,
     jaccard_prefix_index,
@@ -222,6 +223,7 @@ __all__ = [
     "jaccard_token_order",
     "jaccard_prefix_store",
     "jaccard_compact",
+    "jaccard_drift_report",
     "jaccard_refreeze",
     "containment_join",
     "containment_inverted_store",

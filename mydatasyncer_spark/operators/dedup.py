@@ -1661,6 +1661,13 @@ def jaccard_refreeze(
     :func:`containment_inverted_store` is order-free and untouched).
     Run it between drains, like :func:`jaccard_compact`.
 
+    WHEN to run it: :func:`jaccard_drift_report` measures the drift
+    — refreeze when its ``collision_ratio`` (candidate-collision
+    estimate under the stale order vs the order this op would
+    compute — the direct payoff) exceeds ~1.5, or earlier when
+    ``df0_prefix_fraction`` (the leading indicator: prefix slots
+    already occupied by freeze-unseen tokens) exceeds ~0.1.
+
     Crash contract (the migration's story, made re-runnable): the OLD
     order file is deleted BEFORE the staged copy is written, so every
     crash window leaves either (a) everything old and consistent, or
@@ -1755,6 +1762,144 @@ def jaccard_refreeze(
         "docs": docs,
         "vocab": new_order.count(),
         "restored_from_staging": restored,
+    }
+
+
+def jaccard_drift_report(
+    spark,
+    index_path: str,
+    order_path: str | None = None,
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    prefix_store_path: str | None = None,
+) -> dict:
+    """The :func:`jaccard_refreeze` DECISION signal: how much the
+    corpus has drifted from its frozen token order, as the three
+    numbers an operator needs to decide whether a re-freeze pays.
+
+    Drift mechanics (the refreeze docstring's story, measured):
+    tokens unseen at freeze time order as df 0 — FIRST in every
+    prefix — so as the corpus drifts, genuinely common new tokens
+    crowd prefixes and become hot candidate-join keys. Correctness
+    never degrades; candidate-collision COST does. Reported, all
+    computed from the stored index + order (prefix-row COUNT is
+    order-invariant — only prefix COMPOSITION drifts, which is why
+    the report measures composition and collision mass, not row
+    counts):
+
+    - ``df0_prefix_fraction`` — fraction of stored prefix rows whose
+      token is absent from the frozen order (df 0). 0.0 on a fresh
+      freeze; grows monotonically with drift.
+    - ``unseen_vocab_fraction`` — fraction of the index's current
+      vocabulary absent from the frozen order.
+    - ``collisions_frozen`` / ``collisions_refrozen`` and their
+      ``collision_ratio`` — the candidate-collision estimate
+      (Σ C(c_tok, 2) over prefix rows by token: exactly the pair
+      count of the prefix self-join, computed as an aggregate, no
+      join) under the CURRENT frozen order vs under the order a
+      refreeze would compute. ``collision_ratio`` is the direct
+      payoff estimate: 1.0 means refreeze buys nothing; 2.0 means
+      the candidate space halves.
+
+    Run-refreeze-when contract: ``collision_ratio`` IS the payoff —
+    refreeze when it exceeds ~1.5, or earlier when
+    ``df0_prefix_fraction`` exceeds ~0.1 (df-0 prefix tokens are the
+    leading indicator; they inflate every future ingest's candidate
+    join). Cost note: the ``collisions_refrozen`` leg recomputes the
+    membership order and re-sorts arrays LAZILY (nothing is written)
+    — corpus-linear like the refreeze itself, so run this between
+    drains at the cadence you'd consider refreezing, not per batch.
+
+    ``threshold`` defaults to the prefix store's recorded build
+    threshold when ``prefix_store_path`` is given (the stored slices
+    are what actually collide); pass it explicitly otherwise."""
+    from pyspark.sql.utils import AnalysisException
+
+    order_loc = order_path or index_path.rstrip("/") + "_order"
+    t = threshold
+    if t is None and prefix_store_path is not None:
+        try:
+            store = spark.read.parquet(prefix_store_path)
+        except AnalysisException as exc:
+            raise ValueError(
+                f"prefix store at {prefix_store_path!r} is unreadable "
+                "— pass threshold explicitly"
+            ) from exc
+        meta = (
+            store.schema["_ptok"].metadata
+            if "_ptok" in store.columns
+            else {}
+        )
+        t = meta.get(_PREFIX_T_KEY)
+    if t is None:
+        raise ValueError(
+            "threshold is required (or pass prefix_store_path so the "
+            "store's recorded build threshold can be used)"
+        )
+    t = float(t)
+    index = spark.read.parquet(index_path)
+    order = spark.read.parquet(order_loc)
+    frozen = order.select(
+        F.col(order.columns[0]).alias("_ptok"),
+        F.col(order.columns[1]).alias("_frozen_df"),
+    )
+
+    def _collisions(pfx: DataFrame) -> int:
+        per_tok = pfx.groupBy("_ptok").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        row = per_tok.agg(
+            F.coalesce(
+                F.sum(F.col("_c") * (F.col("_c") - 1) / 2), F.lit(0.0)
+            ).alias("_pairs")
+        ).collect()[0]
+        return int(row["_pairs"])
+
+    # stored arrays are sorted under the frozen order (the ordered-
+    # index contract), so the stale prefixes are plain slices
+    pfx_frozen = _prefix_rows(index, id_col, t, "a")
+    comp = pfx_frozen.join(frozen, "_ptok", "left").agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.sum(
+            F.when(F.col("_frozen_df").isNull(), 1).otherwise(0)
+        ).alias("_df0"),
+    ).collect()[0]
+    prefix_rows = int(comp["_rows"] or 0)
+    df0_rows = int(comp["_df0"] or 0)
+    vocab = index.select(F.explode("toks").alias("_ptok")).distinct()
+    v = vocab.join(frozen, "_ptok", "left").agg(
+        F.count(F.lit(1)).alias("_v"),
+        F.sum(
+            F.when(F.col("_frozen_df").isNull(), 1).otherwise(0)
+        ).alias("_unseen"),
+    ).collect()[0]
+    # the refrozen leg: membership order recomputed, arrays re-sorted
+    # lazily — nothing written, same cost class as the refreeze
+    refrozen_order = jaccard_token_order(index).select(
+        F.col("token").alias("_tok"), F.col("df").alias("_df")
+    )
+    pfx_refrozen = _prefix_rows(
+        _ordered_token_rows(index, id_col, refrozen_order), id_col, t, "a"
+    )
+    collisions_frozen = _collisions(pfx_frozen)
+    collisions_refrozen = _collisions(pfx_refrozen)
+    return {
+        "docs": index.count(),
+        "threshold": t,
+        "prefix_rows": prefix_rows,
+        "df0_prefix_fraction": (
+            df0_rows / prefix_rows if prefix_rows else 0.0
+        ),
+        "unseen_vocab_fraction": (
+            int(v["_unseen"] or 0) / int(v["_v"]) if int(v["_v"]) else 0.0
+        ),
+        "collisions_frozen": collisions_frozen,
+        "collisions_refrozen": collisions_refrozen,
+        "collision_ratio": (
+            collisions_frozen / collisions_refrozen
+            if collisions_refrozen
+            else (float("inf") if collisions_frozen else 1.0)
+        ),
     }
 
 

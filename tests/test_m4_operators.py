@@ -2643,6 +2643,60 @@ class TestJaccardRefreeze:
             for r in spark.read.parquet(str(tmp_path / "idx")).collect()
         } == rows1
 
+    def test_drift_report_crosses_threshold_then_recovers(
+        self, spark, tmp_path
+    ):
+        """r10: the refreeze DECISION signal. On the drifted corpus
+        the report crosses the documented run-refreeze-when
+        thresholds (df0_prefix_fraction > 0.1, collision_ratio >
+        1.5); after refreeze both collapse to their fixpoint values
+        (0.0 and 1.0). The frozen-order collision estimate must
+        equal the pair count the collision probe actually joins
+        (Σ C(c,2) is the self-join's cardinality, just computed as
+        an aggregate)."""
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_drift_report,
+            jaccard_refreeze,
+        )
+
+        self._build(spark, tmp_path)
+        before = jaccard_drift_report(
+            spark,
+            str(tmp_path / "idx"),
+            prefix_store_path=str(tmp_path / "pfx"),
+        )
+        assert before["threshold"] == 0.8  # read from store metadata
+        assert before["df0_prefix_fraction"] > 0.1
+        assert before["unseen_vocab_fraction"] > 0.0
+        assert before["collision_ratio"] > 1.5
+        # the aggregate-form estimate IS the self-join count
+        assert before["collisions_frozen"] == self._collisions(
+            spark, tmp_path
+        )
+        jaccard_refreeze(
+            spark,
+            str(tmp_path / "idx"),
+            prefix_store_path=str(tmp_path / "pfx"),
+        )
+        after = jaccard_drift_report(
+            spark,
+            str(tmp_path / "idx"),
+            prefix_store_path=str(tmp_path / "pfx"),
+        )
+        assert after["df0_prefix_fraction"] == 0.0
+        assert after["unseen_vocab_fraction"] == 0.0
+        assert after["collision_ratio"] == 1.0
+        assert after["collisions_frozen"] < before["collisions_frozen"]
+        # explicit threshold path needs no store
+        import pytest
+
+        solo = jaccard_drift_report(
+            spark, str(tmp_path / "idx"), threshold=0.8
+        )
+        assert solo["collisions_frozen"] == after["collisions_frozen"]
+        with pytest.raises(ValueError, match="threshold is required"):
+            jaccard_drift_report(spark, str(tmp_path / "idx"))
+
 
 class TestContainmentJoin:
     """Exact containment join: probe docs t-contained in corpus docs,
