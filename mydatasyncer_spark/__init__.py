@@ -49,6 +49,7 @@ from mydatasyncer_spark.operators.maintenance import (
     compact_partials,
     compact_survivors,
     compact_table,
+    ivf_rebuild,
 )
 from mydatasyncer_spark.operators.sampling import (
     cap_per_group,
@@ -101,6 +102,7 @@ from mydatasyncer_spark.operators.ivm import (
     rollup_state_minmax,
 )
 from mydatasyncer_spark.operators.similarity import (
+    centroid_fingerprint,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_index,
@@ -159,6 +161,7 @@ __all__ = [
     "ivf_index",
     "ivf_topk_indexed",
     "kmeans_centroids",
+    "centroid_fingerprint",
     "kmeans_inertia",
     "embedding_near_dup_pairs",
     "JdbcBackend",
@@ -233,6 +236,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_dedup_survivors",
     "compact_table",
+    "ivf_rebuild",
     "compact_minhash_index",
     "compact_survivors",
     "compact_pairs",

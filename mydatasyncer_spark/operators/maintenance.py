@@ -266,7 +266,86 @@ def compact_partials(spark, path: str) -> dict:
 
 def compact_ivf_index(spark, path: str, id_col: str = "neighbor_id") -> dict:
     """Compact a ``continuous_ann_index`` IVF layout, preserving the
-    ``bucket`` partitioning that probe queries prune on."""
+    ``bucket`` partitioning that probe queries prune on. Key-dedupe
+    by ``neighbor_id`` alone is correct ONLY under the frozen-
+    centroid contract (one bucket per vector — see
+    :func:`ivf_rebuild`): appending under retrained centroids
+    without rebuilding could place one id in two buckets, and this
+    dedupe would then drop an arbitrary one. The provenance guard on
+    the index writers refuses exactly that append."""
     return compact_table(
         spark, path, dedupe_cols=[id_col], partition_by=["bucket"]
     )
+
+
+def ivf_rebuild(
+    spark,
+    path: str,
+    dim: int,
+    n_centroids: int = 8,
+    n_iter: int = 5,
+    id_col: str = "neighbor_id",
+    centroids: list[list[float]] | None = None,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> dict:
+    """Staged retrain-and-rebuild for a bucket-partitioned IVF index
+    — the embedding analogue of ``jaccard_refreeze``: the ONE
+    sanctioned way to change an index's frozen centroid set.
+
+    Centroids are frozen at index creation (a vector's bucket
+    depends only on itself and the centroids — that invariant is
+    what keeps continuous ingestion row-identical to a batch build).
+    When drift makes them stale (monitor with ``kmeans_inertia``),
+    this op: (1) retrains via ``kmeans_centroids`` over the STORED
+    vectors (``train_fraction`` samples them first — at 100 TB train
+    on a sample, reassign everything), or takes an explicit
+    ``centroids`` list; (2) re-assigns every stored row's bucket
+    under the new quantizer and rewrites the index through the
+    crash-safe staged protocol, preserving the ``bucket``
+    partitioning; (3) stamps the new
+    :func:`~mydatasyncer_spark.operators.similarity.
+    centroid_fingerprint` into the index metadata, so every
+    dependent reader — ``ivf_topk_indexed``,
+    ``continuous_ann_index``, ``continuous_semantic_dedup`` — now
+    REFUSES the old centroid set instead of silently probing wrong
+    buckets. Restart those streams with ``centroids=`` from this
+    op's return value.
+
+    Crash story: staging completes (``_SUCCESS``) before a single
+    old file is touched, so a crash leaves either the old index
+    intact or a complete staged copy that :func:`restore_staging`
+    (called first here, and by compaction) replays. Returns
+    ``{"rows", "centroids", "restored_from_staging"}``."""
+    from mydatasyncer_spark.operators.similarity import (
+        ivf_index,
+        kmeans_centroids,
+    )
+
+    restored = restore_staging(spark, path, ["bucket"])
+    idx = spark.read.parquet(path)
+    vecs = idx.select(
+        F.col(id_col).alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    if centroids is None:
+        train = (
+            vecs.sample(fraction=float(train_fraction), seed=seed)
+            if float(train_fraction) < 1.0
+            else vecs
+        )
+        centroids = kmeans_centroids(train, dim, n_centroids, n_iter)
+    centroids = [list(map(float, cen)) for cen in centroids]
+    rebuilt = ivf_index(
+        vecs, dim, len(centroids), "vec_id", "embedding", centroids
+    )
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    staged = spark.read.parquet(staging)
+    rows = staged.count()
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _delete_path(spark, staging)
+    return {
+        "rows": rows,
+        "centroids": centroids,
+        "restored_from_staging": restored,
+    }

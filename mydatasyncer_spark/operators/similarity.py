@@ -395,6 +395,47 @@ def ivf_topk(
     )
 
 
+#: metadata key (on ``neighbor_id``) recording which centroid set an
+#: IVF index was bucketed under — the embedding twin of the dedup
+#: stores' bucket-modulus provenance
+_IVF_FP_KEY = "ivf_centroid_fingerprint"
+
+
+def centroid_fingerprint(centroids: list[list[float]]) -> str:
+    """Deterministic fingerprint of a centroid set (exact float
+    reprs, order-sensitive — bucket ids are positional). Rides IVF
+    index metadata so readers can refuse an index bucketed under
+    DIFFERENT centroids: probing such an index silently searches the
+    wrong partitions and returns plausible-but-wrong neighbors."""
+    import hashlib
+
+    payload = ";".join(
+        ",".join(repr(float(x)) for x in cen) for cen in centroids
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _check_ivf_provenance(
+    index: DataFrame, cens: list[list[float]], caller: str
+) -> None:
+    """Fail fast when the index's recorded centroid fingerprint does
+    not match the caller's centroids. An index with NO recorded
+    fingerprint (pre-provenance store) is accepted as-is — there is
+    nothing to validate against; rebuild via ``ivf_rebuild`` to gain
+    the guard."""
+    if "neighbor_id" not in index.columns:
+        return
+    rec = index.schema["neighbor_id"].metadata.get(_IVF_FP_KEY)
+    if rec is not None and rec != centroid_fingerprint(cens):
+        raise ValueError(
+            f"{caller}: the IVF index was bucketed under a DIFFERENT "
+            "centroid set than the one passed — probing it would "
+            "silently search the wrong buckets. Pass the centroids "
+            "the index was built with, or retrain-and-rebuild via "
+            "operators/maintenance.ivf_rebuild"
+        )
+
+
 def ivf_index(
     corpus: DataFrame,
     dim: int,
@@ -414,12 +455,22 @@ def ivf_index(
     partitions at the scan (Spark dynamic partition pruning), so a
     probe-1 query reads ~1/C of the corpus files — the on-disk analog
     of the "partitioned by centroid at ingest" note on
-    :func:`ivf_topk`."""
+    :func:`ivf_topk`.
+
+    The centroid set's :func:`centroid_fingerprint` rides
+    ``neighbor_id`` metadata (a DATA column — ``bucket`` is rebuilt
+    from directory names on read, so metadata there would not
+    survive): readers refuse an index whose recorded centroids don't
+    match theirs instead of silently probing wrong buckets."""
     cens = centroids or [
         ivf_centroid_values(dim, c) for c in range(n_centroids)
     ]
     return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col)
+        .alias(
+            "neighbor_id",
+            metadata={_IVF_FP_KEY: centroid_fingerprint(cens)},
+        ),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
         ivf_buckets(F.col(vec_col), cens, 1)[0].alias("bucket"),
@@ -439,10 +490,15 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """:func:`ivf_topk` against a prebuilt :func:`ivf_index` — the
     corpus is neither re-normed nor re-assigned; only the (tiny)
-    query side computes buckets. Same output, same ranking."""
+    query side computes buckets. Same output, same ranking. REFUSES
+    an index whose recorded centroid fingerprint doesn't match the
+    centroids passed here (query buckets would be computed under one
+    quantizer, index buckets under another — silently wrong
+    neighbors); an index with no recorded fingerprint is accepted."""
     cens = centroids or [
         ivf_centroid_values(dim, c) for c in range(n_centroids)
     ]
+    _check_ivf_provenance(index, cens, "ivf_topk_indexed")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -533,6 +589,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     salt_factor: int = 8,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (the published
     embedding-cluster dedup recipe, Abbas et al. 2023,
@@ -557,21 +614,44 @@ def semantic_dedup_pairs(
     Caveat inherent to the method (not this implementation): a
     near-dup pair split across two clusters is missed — recall is
     the quantizer's, exactly as published; raise ``n_centroids``
-    quality via real k-means training when it matters. Returns
-    ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine rounded
-    to 6 places (threshold applied to the rounded value, matching
-    :func:`embedding_near_dup_pairs`)."""
+    quality via real k-means training when it matters, or set
+    ``n_probe`` > 1: each vector is then assigned to its
+    ``n_probe`` nearest clusters and pairs come from any SHARED
+    cluster — still never corpus² (pair space ≤ n_probe × the
+    probe-1 space; each vector's rows ≤ n_probe), and recall is a
+    strict superset of probe-1 (the argmax cluster is in every
+    top-n set, so every probe-1 pair survives; boundary pairs whose
+    second-nearest clusters meet are the gain). Multi-cluster
+    co-membership is deduped, so a pair appears once either way.
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine
+    rounded to 6 places (threshold applied to the rounded value,
+    matching :func:`embedding_near_dup_pairs`)."""
     cens = centroids or [
         ivf_centroid_values(dim, c) for c in range(n_centroids)
     ]
+    if n_probe <= 1:
+        assigned = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            ivf_buckets(F.col(vec_col), cens, 1)[0].alias("_sem_cluster"),
+        )
+        return embedding_near_dup_pairs(
+            assigned, "_sem_cluster", threshold, id_col, vec_col,
+            salt_factor,
+        )
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        ivf_buckets(F.col(vec_col), cens, 1)[0].alias("_sem_cluster"),
+        F.explode(ivf_buckets(F.col(vec_col), cens, n_probe)).alias(
+            "_sem_cluster"
+        ),
     )
+    # a pair sharing BOTH probed clusters would surface once per
+    # shared cluster — identical rows (cosine is pair-determined),
+    # so a distinct collapses them
     return embedding_near_dup_pairs(
         assigned, "_sem_cluster", threshold, id_col, vec_col, salt_factor
-    )
+    ).distinct()
 
 
 def semantic_dedup_survivors(
@@ -582,6 +662,7 @@ def semantic_dedup_survivors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Keep one representative per semantic near-dup cluster: the
     transitive-closure survivor selection every other dedup modality
@@ -591,7 +672,8 @@ def semantic_dedup_survivors(
     from mydatasyncer_spark.operators.dedup import dedup_clusters
 
     pairs = semantic_dedup_pairs(
-        corpus, dim, threshold, n_centroids, id_col, vec_col, centroids
+        corpus, dim, threshold, n_centroids, id_col, vec_col, centroids,
+        n_probe=n_probe,
     )
     clusters = dedup_clusters(pairs)
     dropped = clusters.filter(

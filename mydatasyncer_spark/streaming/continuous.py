@@ -418,12 +418,24 @@ def continuous_ann_index(
     to a batch :func:`ivf_index` over the same corpus (pinned in
     tests). Centroids are frozen at index creation — the IVF
     contract; retraining means rebuilding (monitor drift with
-    ``kmeans_inertia`` over a sample).
+    ``kmeans_inertia`` over a sample, decide with the rebuild op:
+    ``operators/maintenance.ivf_rebuild``). A restart whose
+    centroids don't match the stored index's recorded fingerprint
+    FAILS the batch rather than appending rows bucketed under a
+    different quantizer (the store-config-validation contract).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    from mydatasyncer_spark.operators.similarity import ivf_index
+    from mydatasyncer_spark.operators.similarity import (
+        _check_ivf_provenance,
+        ivf_centroid_values,
+        ivf_index,
+    )
+
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -431,16 +443,18 @@ def continuous_ann_index(
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
         try:
-            existing = spark.read.parquet(index_path).select(
-                F.col("neighbor_id").alias(id_col)
-            )
+            stored = spark.read.parquet(index_path)
         except AnalysisException:
-            existing = None
+            stored = None
+        existing = None
+        if stored is not None:
+            _check_ivf_provenance(stored, cens, "continuous_ann_index")
+            existing = stored.select(F.col("neighbor_id").alias(id_col))
         if existing is not None:
             batch = batch.join(existing, id_col, "left_anti")
         if batch.isEmpty():
             return
-        idx = ivf_index(batch, dim, n_centroids, id_col, vec_col, centroids)
+        idx = ivf_index(batch, dim, n_centroids, id_col, vec_col, cens)
         idx.write.mode("append").partitionBy("bucket").parquet(index_path)
 
     writer = (
@@ -491,8 +505,11 @@ def continuous_semantic_dedup(
     pruning partitions as the index grows.
 
     Centroids are FROZEN at index creation (the IVF contract —
-    retraining means rebuilding); pass k-means output via
-    ``centroids`` or rely on the deterministic defaults. Survivors
+    retraining means rebuilding via ``operators/maintenance.
+    ivf_rebuild``); pass k-means output via ``centroids`` or rely on
+    the deterministic defaults. A restart whose centroids don't
+    match the index's recorded fingerprint FAILS the batch rather
+    than mixing quantizers in one store. Survivors
     are at-least-once / the index effectively exactly-once (same
     write order and crash story as ``continuous_dedup``); the
     published SemDeDup recall caveat applies: a near-dup pair split
@@ -503,6 +520,7 @@ def continuous_semantic_dedup(
     from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.similarity import (
+        _check_ivf_provenance,
         dot,
         ivf_centroid_values,
         ivf_index,
@@ -524,6 +542,9 @@ def continuous_semantic_dedup(
         except AnalysisException:
             index = None
         if index is not None:
+            _check_ivf_provenance(
+                index, cens, "continuous_semantic_dedup"
+            )
             batch = batch.join(
                 index.select(F.col("neighbor_id").alias(id_col)),
                 id_col,

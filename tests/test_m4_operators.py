@@ -380,6 +380,65 @@ class TestSemanticDedup:
         assert split  # fixture really spans >1 cluster
         assert not (got & split)
 
+    def test_probe2_matches_brute_and_strictly_beats_probe1(
+        self, spark, vectors
+    ):
+        """r10 recall knob: n_probe=2 assigns each vector to its two
+        nearest clusters — pairs from any SHARED cluster, deduped.
+        Must equal the shared-top2 brute force, contain every
+        probe-1 pair, and (the contrast pin to the cross-cluster
+        miss test above) catch at least one pair probe-1 misses."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_buckets,
+            ivf_centroid_values,
+            semantic_dedup_pairs,
+        )
+
+        cens = [ivf_centroid_values(3, c) for c in range(4)]
+        top2 = {
+            r["vec_id"]: set(r["cs"])
+            for r in vectors.select(
+                "vec_id",
+                ivf_buckets(F.col("embedding"), cens, 2).alias("cs"),
+            ).collect()
+        }
+        vecs = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            na = sum(x * x for x in vecs[a]) ** 0.5
+            nb = sum(x * x for x in vecs[b]) ** 0.5
+            return round(num / (na * nb), 6)
+
+        t = 0.0
+        want = {
+            (a, b, cos(a, b))
+            for a in vecs
+            for b in vecs
+            if a < b and (top2[a] & top2[b]) and cos(a, b) >= t
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in semantic_dedup_pairs(
+                vectors, dim=3, threshold=t, n_centroids=4, n_probe=2
+            ).collect()
+        }
+        assert got == want and got
+        p1 = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in semantic_dedup_pairs(
+                vectors, dim=3, threshold=t, n_centroids=4
+            ).collect()
+        }
+        assert p1 <= got
+        clusters = self._clusters(spark, vectors)
+        gained = {
+            (a, b) for a, b, _ in got if clusters[a] != clusters[b]
+        }
+        assert gained  # strictly better recall than probe-1
+
     def test_survivors_keep_min_id_per_component(self, spark, vectors):
         from mydatasyncer_spark.operators.similarity import (
             semantic_dedup_pairs,

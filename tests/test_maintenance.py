@@ -261,3 +261,130 @@ class TestCompactIvfIndex:
             .select("neighbor_id", "bucket")
             .collect()
         } == want
+
+
+class TestIvfRebuild:
+    """r10: the retrain-and-rebuild maintenance op for the IVF index
+    (the jaccard_refreeze of the embedding side), plus the centroid
+    provenance guard it completes: after a rebuild, every reader of
+    the index refuses the OLD centroid set instead of silently
+    probing wrong buckets."""
+
+    VECS = [
+        (i, [((i * 13 + j * 5) % 17) / 17.0 - 0.5 for j in range(4)])
+        for i in range(1, 33)
+    ]
+
+    def _grown(self, spark, path):
+        """An index grown by appends under the DEFAULT deterministic
+        centroids — the drifted-quantizer starting point."""
+        from mydatasyncer_spark.operators.similarity import ivf_index
+
+        vecs = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<double>"
+        )
+        idx = ivf_index(vecs, dim=4, n_centroids=4)
+        for lo in (1, 17):
+            idx.filter(
+                (F.col("neighbor_id") >= lo)
+                & (F.col("neighbor_id") < lo + 16)
+            ).write.mode("append").partitionBy("bucket").parquet(path)
+        return vecs
+
+    def test_rebuild_matches_fresh_build_and_old_centroids_refused(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import ivf_rebuild
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_centroid_values,
+            ivf_index,
+            ivf_topk_indexed,
+        )
+
+        path = str(tmp_path / "ivf")
+        vecs = self._grown(spark, path)
+        stats = ivf_rebuild(spark, path, dim=4, n_centroids=4)
+        assert stats["rows"] == len(self.VECS)
+        new_cens = stats["centroids"]
+        # the trained quantizer differs from the deterministic default
+        assert new_cens != [ivf_centroid_values(4, c) for c in range(4)]
+        stored = spark.read.parquet(path)
+        # bucket directory layout survived the staged rewrite
+        assert glob.glob(os.path.join(path, "bucket=*"))
+        q = vecs.filter("vec_id % 5 = 0")
+
+        def topk(index):
+            return {
+                (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+                for r in ivf_topk_indexed(
+                    q, index, dim=4, k=3, centroids=new_cens
+                ).collect()
+            }
+
+        # identical to a FRESH batch build under the same centroids
+        fresh = ivf_index(vecs, dim=4, centroids=new_cens)
+        assert topk(stored) == topk(fresh) and topk(stored)
+        # the old (default) centroid set is now REFUSED — pre-rebuild
+        # it was the accepted one
+        with pytest.raises(ValueError, match="DIFFERENT centroid"):
+            ivf_topk_indexed(q, stored, dim=4, k=3, n_centroids=4)
+        # a second rebuild under the SAME explicit centroids is a
+        # fixpoint: rows and assignments unchanged
+        again = ivf_rebuild(spark, path, dim=4, centroids=new_cens)
+        assert again["rows"] == len(self.VECS)
+        assert topk(spark.read.parquet(path)) == topk(fresh)
+
+    def test_crash_mid_overwrite_restores_then_rebuilds(
+        self, spark, tmp_path
+    ):
+        """A crash after staging completed but mid index-overwrite
+        leaves staging + a deleted index; the next ivf_rebuild first
+        restores the staged copy, then rebuilds on top of it."""
+        from mydatasyncer_spark.operators.dedup import INDEX_STAGING_SUFFIX
+        from mydatasyncer_spark.operators.maintenance import ivf_rebuild
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_index,
+            ivf_topk_indexed,
+        )
+
+        path = str(tmp_path / "ivf")
+        vecs = self._grown(spark, path)
+        # simulate the crash window: complete staged copy, index gone
+        spark.read.parquet(path).localCheckpoint(
+            eager=True
+        ).write.partitionBy("bucket").parquet(path + INDEX_STAGING_SUFFIX)
+        shutil.rmtree(path)
+        stats = ivf_rebuild(spark, path, dim=4, n_centroids=4)
+        assert stats["restored_from_staging"] is True
+        assert stats["rows"] == len(self.VECS)
+        q = vecs.filter("vec_id % 5 = 0")
+        got = ivf_topk_indexed(
+            q, spark.read.parquet(path), dim=4, k=3,
+            centroids=stats["centroids"],
+        )
+        assert got.count() > 0
+
+    def test_compact_preserves_provenance(self, spark, tmp_path):
+        """compact_ivf_index must not strip the centroid fingerprint
+        — a compacted index still refuses a mismatched quantizer."""
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_ivf_index,
+            ivf_rebuild,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_topk_indexed,
+        )
+
+        path = str(tmp_path / "ivf")
+        vecs = self._grown(spark, path)
+        stats = ivf_rebuild(spark, path, dim=4, n_centroids=4)
+        compact_ivf_index(spark, path)
+        q = vecs.filter("vec_id % 5 = 0")
+        with pytest.raises(ValueError, match="DIFFERENT centroid"):
+            ivf_topk_indexed(
+                q, spark.read.parquet(path), dim=4, k=3, n_centroids=4
+            )
+        assert ivf_topk_indexed(
+            q, spark.read.parquet(path), dim=4, k=3,
+            centroids=stats["centroids"],
+        ).count() > 0

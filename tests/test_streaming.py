@@ -795,6 +795,65 @@ class TestContinuousAnnIndex:
         q.awaitTermination(120)
         assert spark.read.parquet(index_path).count() == 35
 
+    def test_centroid_mismatch_fails_batch_rebuild_unblocks(
+        self, spark, tmp_path_factory
+    ):
+        """r10: a restart whose centroids don't match the stored
+        index's recorded fingerprint must FAIL the batch (appending
+        would mix quantizers in one store — silently wrong probes);
+        ivf_rebuild re-stamps the index and the stream restarts
+        cleanly under the rebuilt centroids. Applies to both
+        embedding streams."""
+        import json as _json
+
+        import pytest
+
+        from mydatasyncer_spark.operators.maintenance import ivf_rebuild
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_ann_index,
+            continuous_semantic_dedup,
+        )
+
+        in_dir = tmp_path_factory.mktemp("vecs_in2")
+        out = tmp_path_factory.mktemp("ann_out2")
+        index_path = str(out / "index")
+
+        def drain(fname, rows, ckpt, centroids=None, semantic=False):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            if semantic:
+                q = continuous_semantic_dedup(
+                    stream, index_path, str(out / "surv"), self.DIM,
+                    centroids=centroids, checkpoint_dir=str(out / ckpt),
+                )
+            else:
+                q = continuous_ann_index(
+                    stream, index_path, self.DIM, centroids=centroids,
+                    checkpoint_dir=str(out / ckpt),
+                )
+            q.awaitTermination(120)
+
+        b1 = [{"vec_id": i, "embedding": self._vec(i)} for i in range(12)]
+        drain("b1.json", b1, "c1")  # bootstrap under default centroids
+        wrong = [[0.5] * self.DIM, [-0.5] * self.DIM]
+        b2 = [
+            {"vec_id": 50 + i, "embedding": self._vec(50 + i)}
+            for i in range(4)
+        ]
+        with pytest.raises(Exception, match="DIFFERENT centroid"):
+            drain("b2.json", b2, "c2", centroids=wrong)
+        with pytest.raises(Exception, match="DIFFERENT centroid"):
+            drain("b2.json", b2, "c2s", centroids=wrong, semantic=True)
+        assert spark.read.parquet(index_path).count() == 12  # untouched
+        stats = ivf_rebuild(spark, index_path, dim=self.DIM, n_centroids=4)
+        # the rebuilt fingerprint admits exactly the new centroids
+        drain("b3.json", b2, "c3", centroids=stats["centroids"])
+        assert spark.read.parquet(index_path).count() == 16
+
 
 class TestContinuousSketchRollup:
     def test_partials_accumulate_and_merge_tracks_exact(
