@@ -713,3 +713,14 @@ def test_semantic_dedup_pair_space_is_cluster_bounded(spark, sf_dir):
     assert "salt" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_probe2_still_cluster_bounded(spark, sf_dir):
+    """r10 probe-2 recall knob: doubling assignments must not change
+    the join SHAPE — still an equi join on (cluster, salt), never a
+    product; pair space ≤ 2× probe-1, enforced by the same keys."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic_p2")
+    assert "_sem_cluster" in plan
+    assert "salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -14,74 +14,71 @@ import __spark_entry__ as entry_mod
 
 GATE_CAP = 50
 
-# the r9 window boundary, pinned by name: position 50 (last inside
+# the r10 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "canonical_stringify"
-FIRST_PAST_CAP = "cap_docs_per_lang_scalable"
+LAST_IN_WINDOW = "dedup_exact_best_quality"
+FIRST_PAST_CAP = "dedup_minhash_incr"
 
-# everything added or implementation-touched in r9 MUST sit inside
+# everything added or implementation-touched in r10 MUST sit inside
 # the gate window (rotation policy rule 1-2)
-R9_TOUCHED = [
-    # new in r9
-    "dedup_containment_inv",
+R10_TOUCHED = [
+    # new in r10: the SemDeDup probe-2 recall knob
+    "dedup_semantic_p2",
+    # implementation touched in r10: semantic_dedup_pairs grew the
+    # n_probe branch; containment_join's corpus_inv path gained the
+    # static touched-bucket prune and the positive full-explosion
+    # marker guard (all three containment queries share the function)
     "dedup_semantic",
-    "dedup_minhash_incr",
-    # implementation touched in r9 (containment_join grew the
-    # corpus_inv store path: provenance guards, probe bucketing,
-    # verify-side candidate-id prune; _verify_pairs grew the
-    # id-bucket static prune; jaccard_join_incremental carries the
-    # bucket column through corpus_src)
+    "dedup_containment_inv",
     "dedup_containment_join",
     "dedup_containment_probe",
-    "dedup_jaccard_incremental",
-    "dedup_jaccard_incr_reorder",
-    "dedup_jaccard_join_exact",
 ]
 
-# the entire last-green-r6 cohort rotates in this round (VERDICT r8
-# item #2: no proof may grow older than two rounds)
-R6_STALE_COHORT = [
-    "array_agg_customer_orders",
-    "array_functions_pack",
-    "asof_next_purchase",
-    "asof_purchase_view",
-    "boilerplate_line_removal",
-    "cap_docs_per_lang",
-    "column_entropy_profile",
-    "contamination_check",
-    "corpus_shuffle_epoch",
-    "curation_pipeline",
-    "dedup_cluster_assign",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_near",
-    "dedup_survivors",
-    "doc_chunks_tokens",
-    "domain_mix_weights",
-    "embedding_near_dup",
-    "event_gaps",
-    "funnel_steps",
-    "interval_overlap_half_open",
-    "interval_overlap_pairs",
-    "json_extract_events",
-    "lang_id_pred",
-    "pii_redaction",
-    "pivot_event_type_counts",
-    "range_join_view_purchase",
-    "semi_join_big_orders",
-    "sessionization",
-    "skew_salted_join",
-    "skew_salted_join_right",
-    "text_quality",
-    "text_stats",
-    "tfidf_top_terms",
-    "trailing_hour_value",
-    "train_test_split_assign",
-    "tumbling_windows",
-    "window_analytics_suite",
+# the entire last-green-r7 cohort rotates in this round (VERDICT r9
+# item #1: no proof may grow older than two rounds)
+R7_STALE_COHORT = [
+    "cap_docs_per_lang_scalable",
+    "column_projection_sync",
+    "cube_orders_profile",
+    "curriculum_quality_tiers",
+    "curriculum_tiers_scalable",
+    "diff_full_localized",
+    "diff_pruned_counts",
+    "diff_pruned_localized",
+    "histogram_doc_lengths",
+    "incremental_rollup",
+    "incremental_rollup_minmax",
+    "ivm_join_view_left",
+    "ivm_join_view_orders",
+    "mix_resample_docs",
+    "multimodal_features",
+    "multimodal_frames",
+    "mutual_info_orders",
+    "pack_sequences_docs",
+    "pk_validation_histogram",
+    "q10_returned_items",
+    "q11_part_value_concentration",
+    "q12_shipping_delay",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_heavy_promo_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "repetition_ngrams",
+    "scalar_datetime_pack",
+    "skew_report_lineitem",
+    "stratified_sample_docs",
+    "table_profile",
+    "unpivot_part_measures",
+    "weighted_sample_docs",
+    "zorder_orders_key",
 ]
 
 
@@ -104,13 +101,13 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 def test_round_touched_queries_sit_inside_the_gate_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R9_TOUCHED if n not in window]
+    missing = [n for n in R10_TOUCHED if n not in window]
     assert not missing, missing
 
 
 def test_stale_cohort_rotated_into_the_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R6_STALE_COHORT if n not in window]
+    missing = [n for n in R7_STALE_COHORT if n not in window]
     assert not missing, missing
 
 
