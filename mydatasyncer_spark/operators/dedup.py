@@ -2147,7 +2147,14 @@ def containment_join(
     ``token_order`` (an optional frozen ``(token, df)`` frame, e.g.
     :func:`jaccard_token_order` of the corpus) skips the per-call
     vocabulary count; exactness holds under any fixed order either
-    way.
+    way — the corpus side is a FULL inverted index, never
+    prefix-filtered, so only the probe's own prefix depends on the
+    order. In the ``corpus_inv`` store path the default order is
+    therefore computed from the PROBE alone (batch-sized — the
+    probe-∪-corpus default would re-explode the corpus index per
+    probe batch, the one corpus-linear step left in that path);
+    probe-internal dfs approximate global rarity, so pass a frozen
+    corpus order when candidate-collision volume matters.
 
     The 100 TB standing-pipeline path adds ``corpus_inv``: a
     persisted :func:`containment_inverted_store` read back from a
@@ -2213,7 +2220,22 @@ def containment_join(
 
     probe = as_index(probe_df)
     corpus = probe if self_mode else as_index(corpus_df)
-    if token_order is None:
+    if token_order is None and corpus_inv is not None:
+        # store path: order from the PROBE alone — batch-sized work.
+        # Exact under ANY probe order: the corpus side is the FULL
+        # inverted index (never prefix-filtered), so the containment
+        # bound only needs the probe's own prefix under some fixed
+        # order. The probe-∪-corpus df order below would re-explode
+        # the corpus INDEX per probe batch — the one corpus-linear
+        # step left in an otherwise delta-proportional path. Probe-
+        # internal dfs approximate global rarity; pass a frozen
+        # corpus ``token_order`` when collision volume matters.
+        token_order = (
+            probe.select(F.explode("toks").alias("_tok"))
+            .groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+    elif token_order is None:
         # one fixed global order over BOTH vocabularies: rarest-first
         # by combined document frequency (ties by token)
         token_order = (

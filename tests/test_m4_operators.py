@@ -3022,6 +3022,41 @@ class TestContainmentInvertedStore:
         }
         assert got == self._brute(spark, 0.6)
 
+    def test_store_path_exact_under_any_token_order(
+        self, spark, tmp_path
+    ):
+        """r10: the store path's default order comes from the PROBE
+        alone (batch-sized — the probe-∪-corpus default re-exploded
+        the corpus index per probe batch). Exactness must hold under
+        ANY fixed probe order, because the corpus side is a full
+        inverted index: pin identity across the probe-only default,
+        an explicit frozen corpus order, and a pathological
+        WORST-case order (every token df-tied, ordered by string —
+        prefixes maximally unselective)."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            containment_join,
+            jaccard_token_order,
+        )
+
+        cidx, cinv = self._stored(spark, tmp_path)
+        probe = spark.createDataFrame(self.PROBE, "doc_id long, text string")
+        want = self._brute(spark, 0.7)
+        frozen = jaccard_token_order(cidx)
+        degenerate = frozen.select(
+            "token", F.lit(1).alias("df")
+        )
+        for order in (None, frozen, degenerate):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in containment_join(
+                    probe, cidx, threshold=0.7, corpus_inv=cinv,
+                    token_order=order,
+                ).collect()
+            }
+            assert got == want, order
+
     def test_store_preconditions_fail_fast(self, spark, tmp_path):
         import pytest
         from pyspark.sql import functions as F
