@@ -1006,11 +1006,14 @@ def id_bucketed_index(
     nb = int(n_id_buckets)
     if nb <= 0:
         raise ValueError("n_id_buckets must be positive")
+    # MERGE with any metadata the id column already carries (the IVF
+    # index rides its centroid fingerprint there) — replacing would
+    # silently strip another guard's provenance
+    meta = dict(df.schema[id_col].metadata)
+    meta[_ID_NB_KEY] = nb
     return df.withColumn(
         ID_BUCKET_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb))
-    ).withColumn(
-        id_col, F.col(id_col).alias(id_col, metadata={_ID_NB_KEY: nb})
-    )
+    ).withColumn(id_col, F.col(id_col).alias(id_col, metadata=meta))
 
 
 def _id_bucket_modulus(df: DataFrame, id_col: str) -> int:

@@ -187,6 +187,29 @@ def _cluster_rejections(near: DataFrame, vs_idx: DataFrame, id_col: str) -> Data
     )
 
 
+def _guard_ids(index: DataFrame, probe_ids: DataFrame, id_col: str) -> DataFrame:
+    """The index's id column for a guard join (replay anti-join /
+    indexed-vs-batch classification), statically pruned to the
+    id-bucket directories of the (batch-sized) probe ids when the
+    index carries the :func:`~mydatasyncer_spark.operators.dedup.
+    id_bucketed_index` layout. Lossless by construction — an index
+    id outside the probe ids' buckets cannot EQUAL any probe id
+    (bucket is a pure function of the id under the store's recorded
+    modulus) — and turns the last per-batch corpus-linear reads of
+    the streams (narrow id-only scans, but still full scans) into
+    candidate-proportional ones. ``probe_ids`` must be a one-column
+    frame named ``id_col``; without the layout this is a plain
+    column-pruned projection, unchanged behavior."""
+    from mydatasyncer_spark.operators.dedup import (
+        ID_BUCKET_COL,
+        _prune_to_id_buckets,
+    )
+
+    if ID_BUCKET_COL in index.columns:
+        index = _prune_to_id_buckets(index, probe_ids, id_col)
+    return index.select(id_col)
+
+
 def continuous_dedup(
     stream_docs: DataFrame,
     index_path: str,
@@ -300,10 +323,8 @@ def continuous_dedup(
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         try:
             index = spark.read.parquet(index_path)
-            index_ids = index.select(id_col)
         except AnalysisException:
             index = None
-            index_ids = None
         # append follows the STORED id-bucket layout (modulus read
         # from the index every batch; n_id_buckets only seeds a
         # fresh bootstrap)
@@ -312,8 +333,15 @@ def continuous_dedup(
             if index is not None and ID_BUCKET_COL in index.columns
             else (n_id_buckets if index is None else None)
         )
-        if index_ids is not None:
-            batch = batch.join(index_ids, id_col, "left_anti")
+        if index is not None:
+            # replay guard pruned to the batch's id buckets (r10:
+            # this id-only scan was the last per-batch corpus-linear
+            # read on a bucketed layout)
+            batch = batch.join(
+                _guard_ids(index, batch.select(id_col), id_col),
+                id_col,
+                "left_anti",
+            )
         if batch.isEmpty():
             return
         if index is not None:
@@ -338,12 +366,18 @@ def continuous_dedup(
             )
             near = pairs.filter(F.col("est_jaccard") >= threshold)
             # id_b from the index -> the new doc (id_a) near-dups an
-            # accepted doc; the rest are within-batch pairs
+            # accepted doc; the rest are within-batch pairs. The
+            # classification scan prunes to the CANDIDATE ids'
+            # buckets (near is checkpointed by the pair op, so the
+            # bounded bucket collect is a cheap re-read)
+            split_ids = _guard_ids(
+                index, near.select(F.col("id_b").alias(id_col)), id_col
+            )
             vs_idx = near.join(
-                index_ids, near.id_b == index_ids[id_col], "left_semi"
+                split_ids, near.id_b == split_ids[id_col], "left_semi"
             ).select(F.col("id_a").alias(id_col))
             within = near.join(
-                index_ids, near.id_b == index_ids[id_col], "left_anti"
+                split_ids, near.id_b == split_ids[id_col], "left_anti"
             )
             rejected = resolve_rejections(within, vs_idx)
         else:
@@ -1454,8 +1488,11 @@ def continuous_jaccard_index(
             else (n_id_buckets if index is None else None)
         )
         if index is not None:
+            # replay guard pruned to the batch's id buckets (r10)
             batch = batch.join(
-                index.select(id_col), id_col, "left_anti"
+                _guard_ids(index, batch.select(id_col), id_col),
+                id_col,
+                "left_anti",
             )
         # pin the anti-joined batch: pairs, the store append, and the
         # index append each action this lineage — without the pin

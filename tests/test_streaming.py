@@ -2319,3 +2319,72 @@ class TestContinuousJaccardIndex:
             for r in spark.read.parquet(pairs).collect()
         }
         assert got == {(3, 1)}  # exact copy of doc 1
+
+
+class TestGuardIdsPruning:
+    """r10: the streams' id-keyed guard reads (replay anti-join,
+    indexed-vs-batch classification) must scan only the probe ids'
+    id-bucket directories on a bucketed layout — the last per-batch
+    corpus-linear reads made candidate-proportional — and must be
+    LOSSLESS vs the unpruned projection."""
+
+    def test_pruned_lossless_and_partition_filtered(
+        self, spark, tmp_path
+    ):
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.dedup import (
+            id_bucketed_index,
+            minhash_signature,
+        )
+        from mydatasyncer_spark.streaming.continuous import _guard_ids
+
+        docs = spark.createDataFrame(
+            [(i, f"text number {i} alpha beta") for i in range(40)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "sig")
+        id_bucketed_index(
+            minhash_signature(docs), "doc_id", 8
+        ).write.partitionBy("_id_bucket").parquet(path)
+        index = spark.read.parquet(path)
+        probe = spark.createDataFrame(
+            [(3,), (11,), (99,)], "doc_id long"
+        )
+        pruned = _guard_ids(index, probe, "doc_id")
+        got = {r["doc_id"] for r in pruned.collect()}
+        # lossless for a guard JOIN: every probe id present in the
+        # index survives the prune (99 is absent from the index;
+        # other ids sharing the probed buckets may ride along —
+        # harmless, the join keys on the id)
+        assert {3, 11} <= got
+        assert got <= {r["doc_id"] for r in index.select("doc_id").collect()}
+        # the guard contract: anti-joining the PROBE frame itself
+        # against the pruned ids equals the unpruned anti-join
+        anti = probe.join(pruned, "doc_id", "left_anti")
+        full_anti = probe.join(
+            index.select("doc_id"), "doc_id", "left_anti"
+        )
+        assert {r["doc_id"] for r in anti.collect()} == {
+            r["doc_id"] for r in full_anti.collect()
+        } == {99}
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pruned.explain("formatted")
+        plan = buf.getvalue()
+        scan_lines = [
+            line
+            for line in plan.splitlines()
+            if "PartitionFilters" in line and "_id_bucket" in line
+        ]
+        assert any(
+            "IN" in line or "in(" in line.lower() for line in scan_lines
+        ), plan
+        # no layout -> plain projection, no prune, same behavior
+        flat = _guard_ids(index.drop("_id_bucket"), probe, "doc_id")
+        assert {r["doc_id"] for r in flat.collect()} == {
+            r["doc_id"] for r in index.select("doc_id").collect()
+        }
