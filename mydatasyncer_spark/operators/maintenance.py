@@ -68,6 +68,17 @@ def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> 
     staged = spark.read.parquet(staging)
     if partition_by is None and ID_BUCKET_COL in staged.columns:
         partition_by = [ID_BUCKET_COL]
+    elif (
+        partition_by
+        and ID_BUCKET_COL in staged.columns
+        and ID_BUCKET_COL not in partition_by
+    ):
+        # the reserved id-bucket SUB-layout (e.g. the IVF index's
+        # bucket/_id_bucket nesting) is auto-preserved even when the
+        # caller names only the primary partition key — flattening it
+        # would silently degrade the guard-join pruning to a data
+        # filter
+        partition_by = [*partition_by, ID_BUCKET_COL]
     w = staged.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -124,6 +135,14 @@ def compact_table(
         # silently flattening it would break the verify-side
         # partition pruning its readers rely on
         partition_by = [ID_BUCKET_COL]
+    elif (
+        partition_by
+        and ID_BUCKET_COL in df.columns
+        and ID_BUCKET_COL not in partition_by
+    ):
+        # same preservation when the caller names only the primary
+        # key of a nested layout (the IVF index's bucket/_id_bucket)
+        partition_by = [*partition_by, ID_BUCKET_COL]
     raw = df.count()
     deduped = (
         df.dropDuplicates(dedupe_cols)
@@ -303,7 +322,8 @@ def ivf_rebuild(
     ``centroids`` list; (2) re-assigns every stored row's bucket
     under the new quantizer and rewrites the index through the
     crash-safe staged protocol, preserving the ``bucket``
-    partitioning; (3) stamps the new
+    partitioning (and an id-bucket sub-layout, whose assignments
+    retraining never moves); (3) stamps the new
     :func:`~mydatasyncer_spark.operators.similarity.
     centroid_fingerprint` into the index metadata, so every
     dependent reader — ``ivf_topk_indexed``,
@@ -317,6 +337,10 @@ def ivf_rebuild(
     intact or a complete staged copy that :func:`restore_staging`
     (called first here, and by compaction) replays. Returns
     ``{"rows", "centroids", "restored_from_staging"}``."""
+    from mydatasyncer_spark.operators.dedup import (
+        _id_bucket_modulus,
+        id_bucketed_index,
+    )
     from mydatasyncer_spark.operators.similarity import (
         ivf_index,
         kmeans_centroids,
@@ -324,6 +348,13 @@ def ivf_rebuild(
 
     restored = restore_staging(spark, path, ["bucket"])
     idx = spark.read.parquet(path)
+    # an id-bucket sub-layout survives the rebuild (retraining moves
+    # centroid buckets, never id->bucket assignments)
+    idx_nb = (
+        _id_bucket_modulus(idx, id_col)
+        if ID_BUCKET_COL in idx.columns
+        else None
+    )
     vecs = idx.select(
         F.col(id_col).alias("vec_id"), F.col("cv").alias("embedding")
     )
@@ -338,11 +369,15 @@ def ivf_rebuild(
     rebuilt = ivf_index(
         vecs, dim, len(centroids), "vec_id", "embedding", centroids
     )
+    parts = ["bucket"]
+    if idx_nb is not None:
+        rebuilt = id_bucketed_index(rebuilt, "neighbor_id", idx_nb)
+        parts.append(ID_BUCKET_COL)
     staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    rebuilt.write.mode("overwrite").partitionBy(*parts).parquet(staging)
     staged = spark.read.parquet(staging)
     rows = staged.count()
-    staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    staged.write.mode("overwrite").partitionBy(*parts).parquet(path)
     _delete_path(spark, staging)
     return {
         "rows": rows,

@@ -435,6 +435,7 @@ def continuous_ann_index(
     centroids: list[list[float]] | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_ann_index",
+    n_id_buckets: int | None = None,
 ):
     """Continuous embedding ingestion into a growing IVF-Flat index —
     the daily-embedding-ingest shape for similarity search at scale.
@@ -457,10 +458,29 @@ def continuous_ann_index(
     centroids don't match the stored index's recorded fingerprint
     FAILS the batch rather than appending rows bucketed under a
     different quantizer (the store-config-validation contract).
+
+    ``n_id_buckets`` (r10) seeds an id-bucket SUB-layout at
+    bootstrap — ``partitionBy(bucket, _id_bucket)`` — the embedding
+    twin of the text indexes' layout: probe queries keep pruning on
+    the first-level centroid directories, while the replay
+    anti-join (the one id-keyed read, otherwise a full scan of the
+    id column every batch) statically prunes to the batch ids'
+    second-level directories. Later batches derive the modulus from
+    the STORED index (``n_id_buckets`` is ignored once the index
+    exists); a bucketed index whose modulus metadata is unreadable
+    REFUSES the append (rows bucketed under a guessed modulus land
+    where the prune never looks — the anti-join would then miss
+    them and re-append). ``ivf_rebuild`` / ``compact_ivf_index``
+    preserve the layout.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
+    from mydatasyncer_spark.operators.dedup import (
+        ID_BUCKET_COL,
+        _id_bucket_modulus,
+        id_bucketed_index,
+    )
     from mydatasyncer_spark.operators.similarity import (
         _check_ivf_provenance,
         ivf_centroid_values,
@@ -480,16 +500,28 @@ def continuous_ann_index(
             stored = spark.read.parquet(index_path)
         except AnalysisException:
             stored = None
-        existing = None
+        idx_nb = (
+            _id_bucket_modulus(stored, "neighbor_id")
+            if stored is not None and ID_BUCKET_COL in stored.columns
+            else (n_id_buckets if stored is None else None)
+        )
         if stored is not None:
             _check_ivf_provenance(stored, cens, "continuous_ann_index")
-            existing = stored.select(F.col("neighbor_id").alias(id_col))
-        if existing is not None:
+            # replay guard pruned to the batch ids' buckets (r10)
+            existing = _guard_ids(
+                stored,
+                batch.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+            ).select(F.col("neighbor_id").alias(id_col))
             batch = batch.join(existing, id_col, "left_anti")
         if batch.isEmpty():
             return
         idx = ivf_index(batch, dim, n_centroids, id_col, vec_col, cens)
-        idx.write.mode("append").partitionBy("bucket").parquet(index_path)
+        parts = ["bucket"]
+        if idx_nb is not None:
+            idx = id_bucketed_index(idx, "neighbor_id", idx_nb)
+            parts.append(ID_BUCKET_COL)
+        idx.write.mode("append").partitionBy(*parts).parquet(index_path)
 
     writer = (
         stream_vecs.writeStream.foreachBatch(apply_batch)
@@ -513,6 +545,7 @@ def continuous_semantic_dedup(
     centroids: list[list[float]] | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_semantic_dedup",
+    n_id_buckets: int | None = None,
 ):
     """Continuous SemDeDup: embedding ingestion with semantic
     near-dup rejection against a GROWING bucket-partitioned IVF
@@ -543,7 +576,12 @@ def continuous_semantic_dedup(
     ivf_rebuild``); pass k-means output via ``centroids`` or rely on
     the deterministic defaults. A restart whose centroids don't
     match the index's recorded fingerprint FAILS the batch rather
-    than mixing quantizers in one store. Survivors
+    than mixing quantizers in one store. ``n_id_buckets`` (r10)
+    seeds the same id-bucket sub-layout as ``continuous_ann_index``
+    (``partitionBy(bucket, _id_bucket)``): the near-dup probe keeps
+    pruning on the centroid directories, the replay anti-join prunes
+    to the batch ids' second-level directories; the modulus follows
+    the stored index on every later batch. Survivors
     are at-least-once / the index effectively exactly-once (same
     write order and crash story as ``continuous_dedup``); the
     published SemDeDup recall caveat applies: a near-dup pair split
@@ -553,6 +591,11 @@ def continuous_semantic_dedup(
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
+    from mydatasyncer_spark.operators.dedup import (
+        ID_BUCKET_COL,
+        _id_bucket_modulus,
+        id_bucketed_index,
+    )
     from mydatasyncer_spark.operators.similarity import (
         _check_ivf_provenance,
         dot,
@@ -575,15 +618,22 @@ def continuous_semantic_dedup(
             index = spark.read.parquet(index_path)
         except AnalysisException:
             index = None
+        idx_nb = (
+            _id_bucket_modulus(index, "neighbor_id")
+            if index is not None and ID_BUCKET_COL in index.columns
+            else (n_id_buckets if index is None else None)
+        )
         if index is not None:
             _check_ivf_provenance(
                 index, cens, "continuous_semantic_dedup"
             )
-            batch = batch.join(
-                index.select(F.col("neighbor_id").alias(id_col)),
-                id_col,
-                "left_anti",
-            )
+            # replay guard pruned to the batch ids' buckets (r10)
+            existing = _guard_ids(
+                index,
+                batch.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+            ).select(F.col("neighbor_id").alias(id_col))
+            batch = batch.join(existing, id_col, "left_anti")
         batch = batch.persist()
         try:
             if batch.isEmpty():
@@ -626,9 +676,16 @@ def continuous_semantic_dedup(
             # reverse order would lose them. Dedup survivors by id
             # downstream after an unclean shutdown.
             survivors.write.mode("append").parquet(survivors_path)
-            ivf_index(
+            idx_rows = ivf_index(
                 survivors, dim, n_centroids, id_col, vec_col, cens
-            ).write.mode("append").partitionBy("bucket").parquet(
+            )
+            parts = ["bucket"]
+            if idx_nb is not None:
+                idx_rows = id_bucketed_index(
+                    idx_rows, "neighbor_id", idx_nb
+                )
+                parts.append(ID_BUCKET_COL)
+            idx_rows.write.mode("append").partitionBy(*parts).parquet(
                 index_path
             )
         finally:

@@ -795,6 +795,108 @@ class TestContinuousAnnIndex:
         q.awaitTermination(120)
         assert spark.read.parquet(index_path).count() == 35
 
+    def test_id_bucketed_sublayout_prunes_guard_survives_maintenance(
+        self, spark, tmp_path_factory
+    ):
+        """r10: n_id_buckets seeds the bucket/_id_bucket NESTED
+        layout; appends follow it (modulus from the stored index),
+        probes still work, replay is a no-op through the pruned
+        guard, and compaction + rebuild both preserve the nesting."""
+        import glob
+        import json as _json
+        import os
+
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_ivf_index,
+            ivf_rebuild,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_index,
+            ivf_topk_indexed,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_ann_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("vecs_in3")
+        out = tmp_path_factory.mktemp("ann_out3")
+        index_path = str(out / "index")
+
+        def drain(fname, rows, ckpt):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_ann_index(
+                stream, index_path, self.DIM,
+                checkpoint_dir=str(out / ckpt), n_id_buckets=4,
+            )
+            q.awaitTermination(120)
+
+        b1 = [{"vec_id": i, "embedding": self._vec(i)} for i in range(16)]
+        b2 = [
+            {"vec_id": 50 + i, "embedding": self._vec(50 + i)}
+            for i in range(10)
+        ]
+        drain("b1.json", b1, "c1")
+        assert glob.glob(os.path.join(index_path, "bucket=*", "_id_bucket=*"))
+        drain("b2.json", b2, "c1")
+        idx = spark.read.parquet(index_path)
+        assert idx.count() == 26
+        # replay with a fresh checkpoint: the pruned guard skips all
+        drain("b1.json", b1, "c_replay")
+        assert spark.read.parquet(index_path).count() == 26
+        # content identical to the batch build (modulo the layout col)
+        all_rows = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+            "vec_id long, embedding array<double>",
+        )
+        batch_idx = ivf_index(all_rows, self.DIM)
+
+        def canon(df):
+            return {
+                (r["neighbor_id"], r["bucket"], round(r["cn"], 6))
+                for r in df.select("neighbor_id", "bucket", "cn").collect()
+            }
+
+        assert canon(idx) == canon(batch_idx)
+        q = spark.createDataFrame(
+            [(0, self._vec(3))], "vec_id long, embedding array<double>"
+        )
+        assert ivf_topk_indexed(
+            q, idx, self.DIM, k=3
+        ).count() == 3
+        # maintenance preserves the nesting
+        compact_ivf_index(spark, index_path)
+        assert glob.glob(os.path.join(index_path, "bucket=*", "_id_bucket=*"))
+        stats = ivf_rebuild(spark, index_path, dim=self.DIM, n_centroids=4)
+        assert stats["rows"] == 26
+        assert glob.glob(os.path.join(index_path, "bucket=*", "_id_bucket=*"))
+        rebuilt = spark.read.parquet(index_path)
+        assert canon(rebuilt) == canon(
+            ivf_index(all_rows, self.DIM, centroids=stats["centroids"])
+        )
+        # and the stream keeps appending into the preserved layout
+        b3 = [
+            {"vec_id": 90 + i, "embedding": self._vec(90 + i)}
+            for i in range(4)
+        ]
+        (in_dir / "b3.json").write_text(
+            "\n".join(_json.dumps(r) for r in b3)
+        )
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).json(str(in_dir))
+        q2 = continuous_ann_index(
+            stream, index_path, self.DIM,
+            centroids=stats["centroids"],
+            checkpoint_dir=str(out / "c2"),
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(index_path).count() == 30
+
     def test_centroid_mismatch_fails_batch_rebuild_unblocks(
         self, spark, tmp_path_factory
     ):
@@ -1453,7 +1555,10 @@ class TestContinuousSemanticDedup:
     V_B = [0.0, 1.0, 0.05]
     V_C = [0.05, 0.0, 1.0]
 
-    def _drain(self, spark, in_dir, index, survivors, ckpt, rows, fname):
+    def _drain(
+        self, spark, in_dir, index, survivors, ckpt, rows, fname,
+        n_id_buckets=None,
+    ):
         import json as _json
 
         from mydatasyncer_spark.streaming.continuous import (
@@ -1469,6 +1574,7 @@ class TestContinuousSemanticDedup:
         q = continuous_semantic_dedup(
             stream, index, survivors, dim=3, threshold=0.999,
             n_centroids=4, checkpoint_dir=ckpt,
+            n_id_buckets=n_id_buckets,
         )
         q.awaitTermination(120)
 
@@ -1536,6 +1642,49 @@ class TestContinuousSemanticDedup:
             r["neighbor_id"]
             for r in spark.read.parquet(index).collect()
         } == {1, 2, 11}
+        assert spark.read.parquet(index).count() == 3
+
+    def test_id_bucketed_sublayout_decisions_unchanged(
+        self, spark, tmp_path_factory
+    ):
+        """r10: the id-bucket sub-layout is a pure layout change —
+        identical accept/reject decisions, nested directories, and a
+        replay no-op through the pruned guard."""
+        import glob
+
+        in_dir = tmp_path_factory.mktemp("semb_in")
+        out = tmp_path_factory.mktemp("semb_out")
+        index, survivors = str(out / "ivf"), str(out / "surv")
+        b1 = [
+            {"vec_id": 1, "embedding": self.V_A},
+            {"vec_id": 2, "embedding": self.V_B},
+            {"vec_id": 3, "embedding": self.V_A},
+        ]
+        b2 = [
+            {"vec_id": 10, "embedding": [0.9 * x for x in self.V_A]},
+            {"vec_id": 11, "embedding": self.V_C},
+        ]
+        self._drain(
+            spark, in_dir, index, survivors, str(out / "c1"), b1,
+            "b1.json", n_id_buckets=4,
+        )
+        assert glob.glob(index + "/bucket=*/_id_bucket=*")
+        self._drain(
+            spark, in_dir, index, survivors, str(out / "c1"), b2,
+            "b2.json", n_id_buckets=4,
+        )
+        # identical decisions to the layout-less twin test
+        assert {
+            r["vec_id"] for r in spark.read.parquet(survivors).collect()
+        } == {1, 2, 11}
+        assert {
+            r["neighbor_id"] for r in spark.read.parquet(index).collect()
+        } == {1, 2, 11}
+        # fresh-checkpoint replay: the pruned guard skips everything
+        self._drain(
+            spark, in_dir, index, survivors, str(out / "c_replay"),
+            [], "empty.json", n_id_buckets=4,
+        )
         assert spark.read.parquet(index).count() == 3
 
     def test_transitive_chain_and_trained_centroids(
