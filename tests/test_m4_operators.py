@@ -3277,6 +3277,31 @@ class TestSimilarityJoinRandomized:
             }
             assert got_o == want_i, (seed, t, "ordered")
 
+            # r10: the bucketed containment-store path (static IN
+            # prune + probe-only default order) must also be lossless
+            # on the same adversarial corpora — empties, near-copies,
+            # heavy vocab overlap
+            from mydatasyncer_spark.operators.dedup import (
+                containment_inverted_store,
+            )
+
+            cinv = containment_inverted_store(cidx, n_token_buckets=8)
+            got_s = {
+                (r["id_a"], r["id_b"])
+                for r in containment_join(
+                    batch, cidx, threshold=t, corpus_inv=cinv
+                ).collect()
+            }
+            want_s = {
+                (a, b)
+                for a in bids
+                for b in tk
+                if b not in bids
+                and tk[a]
+                and len(tk[a] & tk[b]) / len(tk[a]) >= t
+            }
+            assert got_s == want_s, (seed, t, "containment-store")
+
 
 class TestExactJaccardClusterComposition:
     def test_exact_pairs_feed_cluster_assignment(self, spark):
