@@ -45,6 +45,7 @@ from mydatasyncer_spark.operators.dedup import (
 from mydatasyncer_spark.operators.maintenance import (
     compact_ivf_index,
     compact_minhash_index,
+    compaction_report,
     compact_pairs,
     compact_partials,
     compact_survivors,
@@ -238,6 +239,7 @@ __all__ = [
     "compact_table",
     "ivf_rebuild",
     "compact_minhash_index",
+    "compaction_report",
     "compact_survivors",
     "compact_pairs",
     "compact_partials",

@@ -117,7 +117,10 @@ def compact_table(
     File sizing matches ``jaccard_compact``: ``files_per_billion_rows``
     per 1e9 rows, floor 1 — coalesce (no shuffle) when shrinking an
     unpartitioned store. Returns ``{"rows", "removed_rows", "files",
-    "restored_from_staging"}``.
+    "restored_from_staging"}``. WHEN to run it:
+    :func:`compaction_report` measures the store's current
+    duplicate-row and file-count tax (and surfaces a crashed
+    rewrite's pending staging dir).
 
     Per-store recipes (each also available as a named wrapper):
 
@@ -180,6 +183,75 @@ def compact_table(
         "removed_rows": raw - rows,
         "files": n_files,
         "restored_from_staging": restored,
+    }
+
+
+def compaction_report(
+    spark,
+    path: str,
+    dedupe_cols: list[str] | None = None,
+) -> dict:
+    """The :func:`compact_table` DECISION signal — the compaction
+    twin of ``jaccard_drift_report``: what a standing store's append
+    history costs right now, as the numbers an operator needs to
+    decide whether a compaction pays.
+
+    Reported (one listing + one aggregate pass over the store):
+
+    - ``rows`` / ``duplicate_rows`` — duplicates under the SAME
+      notion compaction would use (full-row when ``dedupe_cols`` is
+      None, by key otherwise); replay/committer artifacts compaction
+      would remove.
+    - ``files`` / ``rows_per_file`` — the file-count tax every scan
+      pays; a standing stream appends ≥ 1 file per batch, so
+      ``rows_per_file`` decays toward batch size over time.
+    - ``pending_staging`` — True when a crashed rewrite left a
+      staging dir; the next maintenance call (or
+      :func:`restore_staging`) resolves it. A True here with no
+      maintenance scheduled is a crash nobody noticed.
+
+    Run-compact-when contract: compact when ``duplicate_rows`` > 0
+    (duplicate partials demonstrably skew merged sketch estimates —
+    pinned in the compaction tests) or when ``rows_per_file`` falls
+    well below the target (``files_per_billion_rows`` ⇒ ~500k
+    rows/file); between drains, like every maintenance op."""
+    from pyspark.sql.utils import AnalysisException
+
+    df = spark.read.parquet(path)
+    data_cols = df.columns
+    if dedupe_cols:
+        distinct_rows = F.count_distinct(
+            *[F.col(c) for c in dedupe_cols]
+        )
+    else:
+        distinct_rows = F.count_distinct(*[F.col(c) for c in data_cols])
+    # input_file_name is non-deterministic and must be PROJECTED
+    # before it can feed an aggregate
+    agg = df.withColumn("_file", F.input_file_name()).agg(
+        F.count(F.lit(1)).alias("_rows"),
+        distinct_rows.alias("_distinct"),
+        F.count_distinct(F.col("_file")).alias("_files"),
+    ).collect()[0]
+    rows, distinct, files = (
+        int(agg["_rows"]),
+        int(agg["_distinct"]),
+        int(agg["_files"]),
+    )
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+
+    def _readable(p: str) -> bool:
+        try:
+            spark.read.parquet(p)
+            return True
+        except AnalysisException:
+            return False
+
+    return {
+        "rows": rows,
+        "duplicate_rows": rows - distinct,
+        "files": files,
+        "rows_per_file": rows / files if files else 0.0,
+        "pending_staging": _readable(staging),
     }
 
 
