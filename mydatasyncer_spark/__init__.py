@@ -111,6 +111,7 @@ from mydatasyncer_spark.operators.similarity import (
     kmeans_centroids,
     kmeans_inertia,
     lsh_ann_topk,
+    recorded_centroids,
     semantic_dedup_pairs,
     semantic_dedup_survivors,
 )
@@ -163,6 +164,7 @@ __all__ = [
     "ivf_topk_indexed",
     "kmeans_centroids",
     "centroid_fingerprint",
+    "recorded_centroids",
     "kmeans_inertia",
     "embedding_near_dup_pairs",
     "JdbcBackend",

@@ -401,8 +401,13 @@ def ivf_rebuild(
     dependent reader — ``ivf_topk_indexed``,
     ``continuous_ann_index``, ``continuous_semantic_dedup`` — now
     REFUSES the old centroid set instead of silently probing wrong
-    buckets. Restart those streams with ``centroids=`` from this
-    op's return value.
+    buckets. The rebuilt index also records the centroid VALUES
+    (:func:`~mydatasyncer_spark.operators.similarity.
+    recorded_centroids`, when k×dim fits the footer budget), so
+    those streams and readers restarted with NO centroid config
+    pick up the new quantizer from the index itself — the rebuild
+    changes it in one place; explicit ``centroids=`` from this op's
+    return value remains the over-budget fallback.
 
     Crash story: staging completes (``_SUCCESS``) before a single
     old file is touched, so a crash leaves either the old index

@@ -399,6 +399,13 @@ def ivf_topk(
 #: IVF index was bucketed under — the embedding twin of the dedup
 #: stores' bucket-modulus provenance
 _IVF_FP_KEY = "ivf_centroid_fingerprint"
+#: metadata key holding the centroid VALUES themselves (JSON), making
+#: the index self-describing — bounded by _IVF_CENS_MAX_NUMBERS
+_IVF_CENS_KEY = "ivf_centroids_json"
+#: k×dim ceiling for embedding centroid values in metadata (~16k
+#: doubles ≈ 300 KB of JSON in the parquet footer); above it only the
+#: fingerprint is recorded and callers must pass centroids explicitly
+_IVF_CENS_MAX_NUMBERS = 16384
 
 
 def centroid_fingerprint(centroids: list[list[float]]) -> str:
@@ -413,6 +420,55 @@ def centroid_fingerprint(centroids: list[list[float]]) -> str:
         ",".join(repr(float(x)) for x in cen) for cen in centroids
     )
     return hashlib.md5(payload.encode()).hexdigest()
+
+
+def recorded_centroids(index: DataFrame) -> list[list[float]] | None:
+    """The centroid VALUES an IVF index records in its own metadata
+    (:func:`ivf_index` stores them alongside the fingerprint when
+    k×dim fits the footer budget) — what makes the index
+    SELF-DESCRIBING: readers and restarting streams need no
+    centroid config at all, and a config-vs-store mismatch becomes
+    impossible rather than merely detected. Returns ``None`` for a
+    pre-provenance or over-budget index. A recorded value whose
+    fingerprint doesn't match its own recorded fingerprint (mixed
+    footer metadata from appends under different quantizers — the
+    hazard the append-time guard exists to prevent) raises instead
+    of returning either set."""
+    import json
+
+    if "neighbor_id" not in index.columns:
+        return None
+    meta = index.schema["neighbor_id"].metadata
+    raw = meta.get(_IVF_CENS_KEY)
+    if raw is None:
+        return None
+    cens = [[float(x) for x in cen] for cen in json.loads(raw)]
+    rec_fp = meta.get(_IVF_FP_KEY)
+    if rec_fp is not None and rec_fp != centroid_fingerprint(cens):
+        raise ValueError(
+            "IVF index metadata is inconsistent: the recorded "
+            "centroid values do not match the recorded fingerprint — "
+            "the store mixes appends from different quantizers; "
+            "rebuild it with operators/maintenance.ivf_rebuild"
+        )
+    return cens
+
+
+def _resolve_centroids(
+    index: DataFrame,
+    dim: int,
+    n_centroids: int,
+    centroids: list[list[float]] | None,
+) -> list[list[float]]:
+    """Reader-side centroid resolution: explicit ``centroids`` win
+    (still provenance-checked), else the index's own recorded
+    values, else the deterministic defaults."""
+    if centroids is not None:
+        return centroids
+    rec = recorded_centroids(index)
+    if rec is not None:
+        return rec
+    return [ivf_centroid_values(dim, c) for c in range(n_centroids)]
 
 
 def _check_ivf_provenance(
@@ -461,16 +517,23 @@ def ivf_index(
     ``neighbor_id`` metadata (a DATA column — ``bucket`` is rebuilt
     from directory names on read, so metadata there would not
     survive): readers refuse an index whose recorded centroids don't
-    match theirs instead of silently probing wrong buckets."""
+    match theirs instead of silently probing wrong buckets. When
+    k×dim fits the footer budget the centroid VALUES ride along too
+    (:func:`recorded_centroids`), making the index self-describing:
+    :func:`ivf_topk_indexed` and the continuous streams then need no
+    centroid config at all."""
+    import json
+
     cens = centroids or [
         ivf_centroid_values(dim, c) for c in range(n_centroids)
     ]
+    meta: dict = {_IVF_FP_KEY: centroid_fingerprint(cens)}
+    if sum(len(cen) for cen in cens) <= _IVF_CENS_MAX_NUMBERS:
+        meta[_IVF_CENS_KEY] = json.dumps(
+            [[float(x) for x in cen] for cen in cens]
+        )
     return corpus.select(
-        F.col(id_col)
-        .alias(
-            "neighbor_id",
-            metadata={_IVF_FP_KEY: centroid_fingerprint(cens)},
-        ),
+        F.col(id_col).alias("neighbor_id", metadata=meta),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
         ivf_buckets(F.col(vec_col), cens, 1)[0].alias("bucket"),
@@ -490,14 +553,16 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """:func:`ivf_topk` against a prebuilt :func:`ivf_index` — the
     corpus is neither re-normed nor re-assigned; only the (tiny)
-    query side computes buckets. Same output, same ranking. REFUSES
-    an index whose recorded centroid fingerprint doesn't match the
-    centroids passed here (query buckets would be computed under one
-    quantizer, index buckets under another — silently wrong
-    neighbors); an index with no recorded fingerprint is accepted."""
-    cens = centroids or [
-        ivf_centroid_values(dim, c) for c in range(n_centroids)
-    ]
+    query side computes buckets. Same output, same ranking.
+
+    Centroids resolve from the index itself when it records them
+    (:func:`recorded_centroids` — pass nothing and the right
+    quantizer is used by construction); explicit ``centroids`` are
+    still accepted and REFUSED on a fingerprint mismatch (query
+    buckets under one quantizer against index buckets from another
+    silently returns wrong neighbors); a pre-provenance index falls
+    back to the deterministic defaults."""
+    cens = _resolve_centroids(index, dim, n_centroids, centroids)
     _check_ivf_provenance(index, cens, "ivf_topk_indexed")
     q = queries.select(
         F.col(id_col).alias("query_id"),

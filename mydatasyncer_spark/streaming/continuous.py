@@ -485,6 +485,7 @@ def continuous_ann_index(
         _check_ivf_provenance,
         ivf_centroid_values,
         ivf_index,
+        recorded_centroids,
     )
 
     cens = centroids or [
@@ -505,8 +506,16 @@ def continuous_ann_index(
             if stored is not None and ID_BUCKET_COL in stored.columns
             else (n_id_buckets if stored is None else None)
         )
+        use_cens = cens
         if stored is not None:
-            _check_ivf_provenance(stored, cens, "continuous_ann_index")
+            if centroids is None:
+                # self-describing restart: no centroid config needed
+                # — the stream continues under whatever quantizer the
+                # index records (a rebuild changes it in ONE place)
+                use_cens = recorded_centroids(stored) or cens
+            _check_ivf_provenance(
+                stored, use_cens, "continuous_ann_index"
+            )
             # replay guard pruned to the batch ids' buckets (r10)
             existing = _guard_ids(
                 stored,
@@ -516,7 +525,7 @@ def continuous_ann_index(
             batch = batch.join(existing, id_col, "left_anti")
         if batch.isEmpty():
             return
-        idx = ivf_index(batch, dim, n_centroids, id_col, vec_col, cens)
+        idx = ivf_index(batch, dim, n_centroids, id_col, vec_col, use_cens)
         parts = ["bucket"]
         if idx_nb is not None:
             idx = id_bucketed_index(idx, "neighbor_id", idx_nb)
@@ -602,6 +611,7 @@ def continuous_semantic_dedup(
         ivf_centroid_values,
         ivf_index,
         norm,
+        recorded_centroids,
         semantic_dedup_pairs,
     )
 
@@ -623,9 +633,15 @@ def continuous_semantic_dedup(
             if index is not None and ID_BUCKET_COL in index.columns
             else (n_id_buckets if index is None else None)
         )
+        use_cens = cens
         if index is not None:
+            if centroids is None:
+                # self-describing restart: no centroid config needed
+                # — the stream continues under whatever quantizer the
+                # index records (a rebuild changes it in ONE place)
+                use_cens = recorded_centroids(index) or cens
             _check_ivf_provenance(
-                index, cens, "continuous_semantic_dedup"
+                index, use_cens, "continuous_semantic_dedup"
             )
             # replay guard pruned to the batch ids' buckets (r10)
             existing = _guard_ids(
@@ -644,7 +660,7 @@ def continuous_semantic_dedup(
                 # at the scan; rounded cosine matches the batch
                 # operator's contract
                 q = ivf_index(
-                    batch, dim, n_centroids, id_col, vec_col, cens
+                    batch, dim, n_centroids, id_col, vec_col, use_cens
                 ).select(
                     F.col("neighbor_id").alias(id_col),
                     F.col("cv").alias("qv"),
@@ -667,7 +683,7 @@ def continuous_semantic_dedup(
                 vs_idx = batch.select(id_col).limit(0)
             near = semantic_dedup_pairs(
                 batch, dim, threshold, n_centroids, id_col, vec_col,
-                cens,
+                use_cens,
             ).select("id_a", "id_b")
             rejected = _cluster_rejections(near, vs_idx, id_col)
             survivors = batch.join(rejected, id_col, "left_anti")
@@ -677,7 +693,7 @@ def continuous_semantic_dedup(
             # downstream after an unclean shutdown.
             survivors.write.mode("append").parquet(survivors_path)
             idx_rows = ivf_index(
-                survivors, dim, n_centroids, id_col, vec_col, cens
+                survivors, dim, n_centroids, id_col, vec_col, use_cens
             )
             parts = ["bucket"]
             if idx_nb is not None:

@@ -324,10 +324,15 @@ class TestIvfRebuild:
         # identical to a FRESH batch build under the same centroids
         fresh = ivf_index(vecs, dim=4, centroids=new_cens)
         assert topk(stored) == topk(fresh) and topk(stored)
-        # the old (default) centroid set is now REFUSED — pre-rebuild
-        # it was the accepted one
+        # the old (default) centroid set, passed EXPLICITLY, is now
+        # REFUSED — pre-rebuild it was the accepted one. (A call
+        # passing nothing self-resolves the recorded set instead —
+        # TestSelfDescribingIvf.)
         with pytest.raises(ValueError, match="DIFFERENT centroid"):
-            ivf_topk_indexed(q, stored, dim=4, k=3, n_centroids=4)
+            ivf_topk_indexed(
+                q, stored, dim=4, k=3,
+                centroids=[ivf_centroid_values(4, c) for c in range(4)],
+            )
         # a second rebuild under the SAME explicit centroids is a
         # fixpoint: rows and assignments unchanged
         again = ivf_rebuild(spark, path, dim=4, centroids=new_cens)
@@ -375,6 +380,10 @@ class TestIvfRebuild:
             ivf_topk_indexed,
         )
 
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_centroid_values,
+        )
+
         path = str(tmp_path / "ivf")
         vecs = self._grown(spark, path)
         stats = ivf_rebuild(spark, path, dim=4, n_centroids=4)
@@ -382,12 +391,154 @@ class TestIvfRebuild:
         q = vecs.filter("vec_id % 5 = 0")
         with pytest.raises(ValueError, match="DIFFERENT centroid"):
             ivf_topk_indexed(
-                q, spark.read.parquet(path), dim=4, k=3, n_centroids=4
+                q, spark.read.parquet(path), dim=4, k=3,
+                centroids=[ivf_centroid_values(4, c) for c in range(4)],
             )
         assert ivf_topk_indexed(
             q, spark.read.parquet(path), dim=4, k=3,
             centroids=stats["centroids"],
         ).count() > 0
+
+
+class TestSelfDescribingIvf:
+    """r10: the IVF index records its centroid VALUES (not just the
+    fingerprint) in column metadata, so readers and restarting
+    streams resolve the quantizer from the index itself — no
+    centroid config to get wrong."""
+
+    VECS = TestIvfRebuild.VECS
+
+    def _trained_index(self, spark, path):
+        """An index built + persisted under TRAINED (non-default)
+        centroids — the case where a config-less reader would
+        previously have probed wrong buckets."""
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_index,
+            kmeans_centroids,
+        )
+
+        vecs = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<double>"
+        )
+        cens = kmeans_centroids(vecs, dim=4, k=4, n_iter=3)
+        ivf_index(vecs, dim=4, centroids=cens).write.partitionBy(
+            "bucket"
+        ).parquet(path)
+        return vecs, cens
+
+    def test_recorded_values_round_trip_and_configless_reader(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_topk_indexed,
+            recorded_centroids,
+        )
+
+        path = str(tmp_path / "ivf")
+        vecs, cens = self._trained_index(spark, path)
+        stored = spark.read.parquet(path)
+        # exact value round-trip through the parquet footer
+        assert recorded_centroids(stored) == [
+            [float(x) for x in cen] for cen in cens
+        ]
+        q = vecs.filter("vec_id % 5 = 0")
+
+        def topk(**kw):
+            return {
+                (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+                for r in ivf_topk_indexed(
+                    q, stored, dim=4, k=3, **kw
+                ).collect()
+            }
+
+        # a reader passing NOTHING resolves the trained quantizer
+        # from the index — identical to the explicit call
+        configless = topk()
+        assert configless == topk(centroids=cens) and configless
+
+    def test_compaction_and_rebuild_keep_the_index_self_describing(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_ivf_index,
+            ivf_rebuild,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_topk_indexed,
+            recorded_centroids,
+        )
+
+        path = str(tmp_path / "ivf")
+        vecs, cens = self._trained_index(spark, path)
+        compact_ivf_index(spark, path)
+        want = [[float(x) for x in cen] for cen in cens]
+        assert recorded_centroids(spark.read.parquet(path)) == want
+        stats = ivf_rebuild(spark, path, dim=4, n_centroids=4)
+        # the rebuild re-records the NEW quantizer; a config-less
+        # reader follows it with no restart parameters
+        rebuilt = spark.read.parquet(path)
+        assert recorded_centroids(rebuilt) == stats["centroids"]
+        q = vecs.filter("vec_id % 5 = 0")
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_topk_indexed(q, rebuilt, dim=4, k=3).collect()
+        }
+        explicit = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_topk_indexed(
+                q, rebuilt, dim=4, k=3, centroids=stats["centroids"]
+            ).collect()
+        }
+        assert got == explicit and got
+
+    def test_over_budget_index_fails_fast_not_wrong(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Above the footer budget only the fingerprint is recorded —
+        a config-less reader then REFUSES (defaults mismatch the
+        trained fingerprint) instead of probing wrong buckets."""
+        from mydatasyncer_spark.operators import similarity as sim
+
+        monkeypatch.setattr(sim, "_IVF_CENS_MAX_NUMBERS", 0)
+        path = str(tmp_path / "ivf")
+        vecs, cens = self._trained_index(spark, path)
+        stored = spark.read.parquet(path)
+        assert sim.recorded_centroids(stored) is None
+        q = vecs.filter("vec_id % 5 = 0")
+        with pytest.raises(ValueError, match="DIFFERENT centroid"):
+            sim.ivf_topk_indexed(q, stored, dim=4, k=3)
+        # the explicit fallback documented on ivf_rebuild still works
+        assert sim.ivf_topk_indexed(
+            q, stored, dim=4, k=3, centroids=cens
+        ).count() > 0
+
+    def test_inconsistent_metadata_raises(self, spark, tmp_path):
+        """Recorded values that don't hash to the recorded
+        fingerprint are a mixed-quantizer store — refuse, returning
+        neither set."""
+        import json
+
+        from mydatasyncer_spark.operators.similarity import (
+            _IVF_CENS_KEY,
+            _IVF_FP_KEY,
+            centroid_fingerprint,
+            recorded_centroids,
+        )
+
+        vecs = spark.createDataFrame(
+            self.VECS[:4], "vec_id long, embedding array<double>"
+        )
+        poisoned = vecs.select(
+            F.col("vec_id").alias(
+                "neighbor_id",
+                metadata={
+                    _IVF_FP_KEY: centroid_fingerprint([[1.0, 0.0]]),
+                    _IVF_CENS_KEY: json.dumps([[0.0, 1.0]]),
+                },
+            )
+        )
+        with pytest.raises(ValueError, match="inconsistent"):
+            recorded_centroids(poisoned)
 
 
 class TestCompactionReport:

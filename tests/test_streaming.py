@@ -955,6 +955,50 @@ class TestContinuousAnnIndex:
         # the rebuilt fingerprint admits exactly the new centroids
         drain("b3.json", b2, "c3", centroids=stats["centroids"])
         assert spark.read.parquet(index_path).count() == 16
+        # r10 self-describing restart: NO centroid config at all —
+        # the stream resolves the rebuilt quantizer from the index's
+        # recorded values (without them, the default-centroid
+        # fingerprint would be refused, as the `wrong` drains above
+        # prove the guard does)
+        b4 = [
+            {"vec_id": 90 + i, "embedding": self._vec(90 + i)}
+            for i in range(4)
+        ]
+        drain("b4.json", b4, "c4")
+        idx = spark.read.parquet(index_path)
+        assert idx.count() == 20
+        # ...and the appended rows were bucketed under the REBUILT
+        # quantizer, not the defaults
+        from mydatasyncer_spark.operators.similarity import ivf_index
+
+        want = {
+            (r["neighbor_id"], r["bucket"])
+            for r in ivf_index(
+                spark.createDataFrame(
+                    [(r["vec_id"], r["embedding"]) for r in b4],
+                    "vec_id long, embedding array<double>",
+                ),
+                self.DIM,
+                centroids=stats["centroids"],
+            ).collect()
+        }
+        got = {
+            (r["neighbor_id"], r["bucket"])
+            for r in idx.filter("neighbor_id >= 90")
+            .select("neighbor_id", "bucket")
+            .collect()
+        }
+        assert got == want
+        # the semantic stream restarts config-less the same way (the
+        # property under test is that NO "DIFFERENT centroid" refusal
+        # fires; random 4-dim vectors may legitimately be rejected as
+        # semantic near-dups, so the count is bounded, not pinned)
+        drain("b5.json", [
+            {"vec_id": 200 + i, "embedding": self._vec(200 + i)}
+            for i in range(3)
+        ], "c5", semantic=True)
+        n = spark.read.parquet(index_path).count()
+        assert 20 <= n <= 23
 
 
 class TestContinuousSketchRollup:
