@@ -46,6 +46,7 @@ from mydatasyncer_spark.operators.maintenance import (
     compact_ivf_index,
     compact_minhash_index,
     compaction_report,
+    ivf_drift_report,
     compact_pairs,
     compact_partials,
     compact_survivors,
@@ -242,6 +243,7 @@ __all__ = [
     "ivf_rebuild",
     "compact_minhash_index",
     "compaction_report",
+    "ivf_drift_report",
     "compact_survivors",
     "compact_pairs",
     "compact_partials",

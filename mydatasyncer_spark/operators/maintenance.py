@@ -369,6 +369,145 @@ def compact_ivf_index(spark, path: str, id_col: str = "neighbor_id") -> dict:
     )
 
 
+def ivf_drift_report(
+    spark,
+    path: str,
+    dim: int,
+    n_centroids: int | None = None,
+    n_iter: int = 5,
+    centroids: list[list[float]] | None = None,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> dict:
+    """The :func:`ivf_rebuild` DECISION signal — completing the
+    maintenance decision-signal family (``jaccard_drift_report`` →
+    refreeze, :func:`compaction_report` → compact, this → rebuild):
+    how stale the index's frozen quantizer is, as the payoff numbers
+    an operator needs to decide whether a retrain-rebuild pays.
+
+    Drift mechanics: centroids are frozen at index creation, so a
+    drifting corpus piles new vectors into whichever frozen buckets
+    sit nearest — probe IO concentrates (a probe-1 query reads its
+    bucket's files) and quantization error grows (vectors far from
+    every centroid sit near bucket boundaries, where probe-1 recall
+    degrades). Correctness of what IS returned never changes; cost
+    and recall do. Reported:
+
+    - ``rows`` / ``buckets_used`` / ``largest_bucket_fraction`` —
+      occupancy shape under the frozen quantizer (balanced ≈ 1/k).
+    - ``expected_scan_frozen`` / ``expected_scan_retrained`` and
+      their ``scan_ratio`` — Σ bᵢ²/N², the expected fraction of the
+      index a corpus-distributed probe-1 query reads (probability
+      bᵢ/N of landing in bucket i × fraction bᵢ/N read), under the
+      CURRENT buckets vs under a LAZILY retrained quantizer (nothing
+      is written). ``scan_ratio`` is the probe-IO payoff: 1.0 means
+      a rebuild buys nothing; 2.0 means expected probe reads halve.
+    - ``inertia_frozen`` / ``inertia_retrained`` / ``inertia_ratio``
+      — the spherical-k-means objective under both quantizers
+      (:func:`~mydatasyncer_spark.operators.similarity.
+      kmeans_inertia`), the recall-proxy payoff.
+    - ``centroids_retrained`` — the retrained quantizer itself; pass
+      it to :func:`ivf_rebuild` ``centroids=`` to reuse the training
+      this report already paid for.
+    - ``pending_staging`` — a crashed rewrite's staging dir nobody
+      restored (same surface as :func:`compaction_report`).
+
+    Run-rebuild-when contract: rebuild when ``scan_ratio`` exceeds
+    ~1.5 or ``inertia_ratio`` exceeds ~1.2, or earlier when
+    ``largest_bucket_fraction`` approaches a small multiple of 1/k
+    (one hot bucket makes every probe that lands there corpus-scale).
+    Post-rebuild both ratios return to 1.0 — the fixpoint the tests
+    pin. Cost note: the retrained leg runs the same k-means the
+    rebuild would (``train_fraction`` samples it at scale), so run
+    this between drains at the cadence you'd consider rebuilding,
+    not per batch.
+
+    Centroids resolve from the index's recorded values
+    (:func:`~mydatasyncer_spark.operators.similarity.
+    recorded_centroids` — the self-describing layout); an index
+    recording none REFUSES without explicit ``centroids`` (measuring
+    drift against guessed defaults would report nonsense)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.similarity import (
+        ivf_buckets,
+        kmeans_centroids,
+        kmeans_inertia,
+        recorded_centroids,
+    )
+
+    idx = spark.read.parquet(path)
+    cens = centroids or recorded_centroids(idx)
+    if cens is None:
+        raise ValueError(
+            "ivf_drift_report: the index records no centroid values "
+            "and none were passed — drift against a guessed "
+            "quantizer is meaningless; pass centroids= (or "
+            "ivf_rebuild first: a rebuilt index is self-describing)"
+        )
+    k = int(n_centroids) if n_centroids is not None else len(cens)
+    vecs = idx.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cv").alias("embedding"),
+    )
+
+    def _occupancy(bucketed) -> tuple[int, int, int, float]:
+        row = (
+            bucketed.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+                F.coalesce(
+                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
+                ).alias("_sq"),
+                F.count(F.lit(1)).alias("_used"),
+                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
+            )
+            .collect()[0]
+        )
+        n = int(row["_n"])
+        scan = float(row["_sq"]) / (n * n) if n else 0.0
+        return n, int(row["_used"]), int(row["_max"]), scan
+
+    rows, used, largest, scan_frozen = _occupancy(
+        idx.select(F.col("bucket").cast("int").alias("_b"))
+    )
+    train = (
+        vecs.sample(fraction=float(train_fraction), seed=seed)
+        if float(train_fraction) < 1.0
+        else vecs
+    )
+    new_cens = kmeans_centroids(train, dim, k, n_iter)
+    _, _, _, scan_new = _occupancy(
+        vecs.select(
+            ivf_buckets(F.col("embedding"), new_cens, 1)[0].alias("_b")
+        )
+    )
+    inertia_frozen = kmeans_inertia(vecs, cens)
+    inertia_new = kmeans_inertia(vecs, new_cens)
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    try:
+        spark.read.parquet(staging)
+        pending = True
+    except AnalysisException:
+        pending = False
+    return {
+        "rows": rows,
+        "buckets_used": used,
+        "largest_bucket_fraction": largest / rows if rows else 0.0,
+        "expected_scan_frozen": scan_frozen,
+        "expected_scan_retrained": scan_new,
+        "scan_ratio": scan_frozen / scan_new if scan_new else None,
+        "inertia_frozen": inertia_frozen,
+        "inertia_retrained": inertia_new,
+        "inertia_ratio": (
+            inertia_frozen / inertia_new if inertia_new else None
+        ),
+        "centroids_retrained": new_cens,
+        "pending_staging": pending,
+    }
+
+
 def ivf_rebuild(
     spark,
     path: str,
@@ -387,7 +526,8 @@ def ivf_rebuild(
     Centroids are frozen at index creation (a vector's bucket
     depends only on itself and the centroids — that invariant is
     what keeps continuous ingestion row-identical to a batch build).
-    When drift makes them stale (monitor with ``kmeans_inertia``),
+    When drift makes them stale (WHEN: :func:`ivf_drift_report`
+    measures the probe-IO and quantization payoff of rebuilding),
     this op: (1) retrains via ``kmeans_centroids`` over the STORED
     vectors (``train_fraction`` samples them first — at 100 TB train
     on a sample, reassign everything), or takes an explicit

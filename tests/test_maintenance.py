@@ -541,6 +541,121 @@ class TestSelfDescribingIvf:
             recorded_centroids(poisoned)
 
 
+class TestIvfDriftReport:
+    """r10: the ivf_rebuild DECISION signal — a drifted corpus's
+    report crosses the documented thresholds, and a post-rebuild
+    report is the 1.0-ratio fixpoint."""
+
+    DIM = 8
+
+    def _axis_vec(self, axis, i):
+        """A vector near basis axis ``axis`` with deterministic
+        jitter — tight orthogonal clusters the quantizer resolves."""
+        return [
+            1.0 if j == axis else 0.01 * ((i * 7 + j) % 5 - 2)
+            for j in range(self.DIM)
+        ]
+
+    def _drift_vec(self, group, i):
+        """The drifted mass: two NEW orthogonal directions (axes
+        4/5), each nudged toward axis 0 — under the frozen quantizer
+        all of it piles into e0's bucket; a retrain gives each its
+        own centroid and rebalances."""
+        v = [0.0] * self.DIM
+        v[4 + group] = 1.0
+        v[0] = 0.1
+        return [
+            x + 0.005 * ((i * 11 + j) % 5 - 2)
+            for j, x in enumerate(v)
+        ]
+
+    def _frozen_then_drifted(self, spark, path):
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_index,
+            kmeans_centroids,
+        )
+
+        freeze = spark.createDataFrame(
+            [
+                (axis * 8 + i, self._axis_vec(axis, i))
+                for axis in range(4)
+                for i in range(8)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cens = kmeans_centroids(freeze, self.DIM, k=4, n_iter=5)
+        ivf_index(
+            freeze, self.DIM, centroids=cens
+        ).write.partitionBy("bucket").parquet(path)
+        drifted = spark.createDataFrame(
+            [
+                (100 + group * 32 + i, self._drift_vec(group, i))
+                for group in range(2)
+                for i in range(32)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        # a standing stream appends under the FROZEN quantizer
+        ivf_index(
+            drifted, self.DIM, centroids=cens
+        ).write.mode("append").partitionBy("bucket").parquet(path)
+        return cens
+
+    def test_drifted_report_crosses_thresholds_rebuild_resets(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            ivf_drift_report,
+            ivf_rebuild,
+        )
+
+        path = str(tmp_path / "ivf")
+        self._frozen_then_drifted(spark, path)
+        rep = ivf_drift_report(spark, path, dim=self.DIM)
+        assert rep["rows"] == 96
+        # the drifted mass piled into one frozen bucket
+        assert rep["largest_bucket_fraction"] >= 72 / 96 - 1e-9
+        # both payoff ratios cross the documented run-rebuild-when
+        # thresholds on this corpus
+        assert rep["scan_ratio"] > 1.2
+        assert rep["inertia_ratio"] > 1.2
+        assert rep["pending_staging"] is False
+        # the report's training is reusable by the rebuild itself
+        stats = ivf_rebuild(
+            spark, path, dim=self.DIM,
+            centroids=rep["centroids_retrained"],
+        )
+        assert stats["rows"] == 96
+        # fixpoint: retraining the rebuilt index buys nothing —
+        # kmeans is deterministic on unchanged data, so both legs
+        # coincide exactly
+        after = ivf_drift_report(spark, path, dim=self.DIM)
+        assert abs(after["scan_ratio"] - 1.0) < 1e-9
+        assert abs(after["inertia_ratio"] - 1.0) < 1e-9
+        assert after["largest_bucket_fraction"] <= 72 / 96
+
+    def test_unrecorded_index_refuses_without_explicit_centroids(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Drift against a GUESSED quantizer would report nonsense —
+        an index recording no centroid values refuses; the explicit
+        escape hatch still works."""
+        from mydatasyncer_spark.operators import similarity as sim
+        from mydatasyncer_spark.operators.maintenance import (
+            ivf_drift_report,
+        )
+
+        monkeypatch.setattr(sim, "_IVF_CENS_MAX_NUMBERS", 0)
+        path = str(tmp_path / "ivf")
+        cens = self._frozen_then_drifted(spark, path)
+        with pytest.raises(ValueError, match="records no centroid"):
+            ivf_drift_report(spark, path, dim=self.DIM)
+        rep = ivf_drift_report(
+            spark, path, dim=self.DIM, centroids=cens
+        )
+        assert rep["scan_ratio"] > 1.0
+
+
 class TestCompactionReport:
     """r10: the compaction DECISION signal — duplicate-row and
     file-count tax before compaction, clean after, and a crashed
