@@ -3333,3 +3333,108 @@ class TestExactJaccardClusterComposition:
         }
         # transitive: 1-2-3 one cluster rooted at 1; 4-5 at 4
         assert clusters == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+class TestEmbeddingFamilyRandomized:
+    """Seeded randomized vector corpora: the embedding family's
+    store/storeless, probe-depth, and degradation invariants — every
+    comparison is engine-vs-engine (no Python float re-derivation),
+    so the pins are exact set equalities."""
+
+    def _vectors(self, rng, n, dim):
+        rows = []
+        for i in range(n):
+            v = [round(rng.uniform(-1.0, 1.0), 3) for _ in range(dim)]
+            if all(abs(x) < 0.05 for x in v):
+                v[rng.randrange(dim)] = 0.5  # keep norms off zero
+            if rng.random() < 0.25 and rows:
+                # near-copy: tiny perturbation of an earlier vector —
+                # guarantees some high-cosine pairs exist
+                base = rows[rng.randrange(len(rows))][1]
+                v = [round(x + 0.001 * rng.uniform(-1, 1), 6) for x in base]
+            rows.append((i, v))
+        return rows
+
+    def test_invariants_on_random_corpora(self, spark, tmp_path):
+        import random
+
+        from mydatasyncer_spark.operators.similarity import (
+            cosine_topk,
+            embedding_near_dup_pairs,
+            ivf_index,
+            ivf_topk,
+            ivf_topk_indexed,
+            kmeans_centroids,
+            recorded_centroids,
+            semantic_dedup_pairs,
+        )
+
+        for seed in (11, 42, 77):
+            rng = random.Random(seed)
+            dim = rng.choice([3, 5, 8])
+            kc = rng.choice([2, 4])
+            rows = self._vectors(rng, 28, dim)
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            )
+            cens = kmeans_centroids(df, dim, k=kc, n_iter=3)
+            path = str(tmp_path / f"ivf_{seed}")
+            ivf_index(df, dim, centroids=cens).write.partitionBy(
+                "bucket"
+            ).parquet(path)
+            stored = spark.read.parquet(path)
+            # self-describing round-trip
+            assert recorded_centroids(stored) == [
+                [float(x) for x in cen] for cen in cens
+            ]
+            q = df.filter("vec_id % 4 = 0")
+
+            def rset(res):
+                return {
+                    (r["query_id"], r["neighbor_id"], r["rank"])
+                    for r in res.collect()
+                }
+
+            # config-less indexed == storeless under the trained set
+            got = rset(ivf_topk_indexed(q, stored, dim, k=3))
+            assert got == rset(
+                ivf_topk(q, df, dim, k=3, centroids=cens)
+            ) and got, seed
+            # n_probe = n_centroids degrades to the exact answer
+            assert rset(
+                ivf_topk(
+                    q, df, dim, k=3, n_probe=kc, centroids=cens
+                )
+            ) == rset(cosine_topk(q, df, k=3)), seed
+
+            t = rng.choice([0.9, 0.95, 0.99])
+
+            def pset(res):
+                return {
+                    (r["id_a"], r["id_b"]) for r in res.collect()
+                }
+
+            p1 = pset(
+                semantic_dedup_pairs(df, dim, t, centroids=cens)
+            )
+            p2 = pset(
+                semantic_dedup_pairs(
+                    df, dim, t, centroids=cens, n_probe=2
+                )
+            )
+            brute = pset(
+                embedding_near_dup_pairs(
+                    df.withColumn("blk", F.lit(1)), "blk", t
+                )
+            )
+            # probe-2 recall is a superset of probe-1; both under brute
+            assert p1 <= p2 <= brute, seed
+            # probe-1 is EXACTLY brute restricted to shared clusters
+            # (clusters read from the engine's own index buckets)
+            bucket = {
+                r["neighbor_id"]: r["bucket"]
+                for r in stored.select("neighbor_id", "bucket").collect()
+            }
+            assert p1 == {
+                (a, b) for a, b in brute if bucket[a] == bucket[b]
+            }, seed
