@@ -555,6 +555,7 @@ def continuous_semantic_dedup(
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_semantic_dedup",
     n_id_buckets: int | None = None,
+    n_probe: int = 1,
 ):
     """Continuous SemDeDup: embedding ingestion with semantic
     near-dup rejection against a GROWING bucket-partitioned IVF
@@ -595,8 +596,20 @@ def continuous_semantic_dedup(
     write order and crash story as ``continuous_dedup``); the
     published SemDeDup recall caveat applies: a near-dup pair split
     across two clusters is not seen, exactly as in batch mode.
-    Maintain file counts with ``operators/maintenance.
-    compact_ivf_index`` on the index."""
+
+    ``n_probe`` (r10) is the same recall knob as the batch op's: the
+    within-batch pairs use shared-top-``n_probe`` clusters, and the
+    cross-batch probe explodes each new vector into its ``n_probe``
+    nearest centroid directories (index rows stay in their home
+    bucket — the storage assignment is always probe-1, which is what
+    keeps ``compact_ivf_index``'s one-bucket-per-id dedupe lossless).
+    Asymmetry note: the cross-batch leg catches a pair when the NEW
+    vector's probed clusters include the indexed vector's home
+    cluster; a pair meeting only at the INDEXED vector's second-
+    nearest cluster is still missed — standard IVF search semantics
+    (queries probe wider, the corpus does not move). Maintain file
+    counts with ``operators/maintenance.compact_ivf_index`` on the
+    index."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -608,6 +621,7 @@ def continuous_semantic_dedup(
     from mydatasyncer_spark.operators.similarity import (
         _check_ivf_provenance,
         dot,
+        ivf_buckets,
         ivf_centroid_values,
         ivf_index,
         norm,
@@ -655,17 +669,18 @@ def continuous_semantic_dedup(
             if batch.isEmpty():
                 return
             if index is not None:
-                # batch annotated exactly like the index rows, then a
-                # broadcast bucket equi-join prunes index partitions
-                # at the scan; rounded cosine matches the batch
-                # operator's contract
-                q = ivf_index(
-                    batch, dim, n_centroids, id_col, vec_col, use_cens
-                ).select(
-                    F.col("neighbor_id").alias(id_col),
-                    F.col("cv").alias("qv"),
-                    F.col("cn").alias("qn"),
-                    "bucket",
+                # each batch vector explodes into its n_probe nearest
+                # centroid directories (probe-1 == the index rows'
+                # own annotation), then a broadcast bucket equi-join
+                # prunes index partitions at the scan; rounded cosine
+                # matches the batch operator's contract
+                q = batch.select(
+                    F.col(id_col),
+                    F.col(vec_col).alias("qv"),
+                    norm(F.col(vec_col)).alias("qn"),
+                    F.explode(
+                        ivf_buckets(F.col(vec_col), use_cens, n_probe)
+                    ).alias("bucket"),
                 )
                 cos = F.round(
                     dot(F.col("qv"), F.col("cv"))
@@ -683,7 +698,7 @@ def continuous_semantic_dedup(
                 vs_idx = batch.select(id_col).limit(0)
             near = semantic_dedup_pairs(
                 batch, dim, threshold, n_centroids, id_col, vec_col,
-                use_cens,
+                use_cens, n_probe=n_probe,
             ).select("id_a", "id_b")
             rejected = _cluster_rejections(near, vs_idx, id_col)
             survivors = batch.join(rejected, id_col, "left_anti")

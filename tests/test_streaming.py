@@ -1791,6 +1791,54 @@ class TestContinuousSemanticDedup:
         }
         assert s == {5, 22}
 
+    def test_probe2_catches_cross_cluster_pair_probe1_misses(
+        self, spark, tmp_path_factory
+    ):
+        """r10 recall knob on the STREAM: a boundary pair whose
+        vectors live in different home clusters (cos 0.8 ≥ the 0.75
+        threshold) is accepted twice under probe-1 — the published
+        recall caveat — and caught under n_probe=2, where the new
+        vector also probes its second-nearest centroid directory.
+        Same fixture geometry as the batch contrast pin."""
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_semantic_dedup,
+        )
+
+        cens = [[1.0, 0.0], [0.0, 1.0]]
+        b_vec = [0.9, 0.45]   # home cluster 1
+        a_vec = [0.45, 0.9]   # home cluster 2, second-nearest 1
+
+        def run(tag, n_probe):
+            in_dir = tmp_path_factory.mktemp(f"semp_{tag}_in")
+            out = tmp_path_factory.mktemp(f"semp_{tag}_out")
+            index, survivors = str(out / "ivf"), str(out / "surv")
+
+            def drain(rows, fname, ckpt):
+                (in_dir / fname).write_text(
+                    "\n".join(_json.dumps(r) for r in rows)
+                )
+                stream = spark.readStream.schema(
+                    "vec_id long, embedding array<double>"
+                ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+                q = continuous_semantic_dedup(
+                    stream, index, survivors, dim=2, threshold=0.75,
+                    n_centroids=2, centroids=cens,
+                    checkpoint_dir=str(out / ckpt), n_probe=n_probe,
+                )
+                q.awaitTermination(120)
+
+            drain([{"vec_id": 1, "embedding": b_vec}], "b1.json", "c1")
+            drain([{"vec_id": 2, "embedding": a_vec}], "b2.json", "c1")
+            return {
+                r["vec_id"]
+                for r in spark.read.parquet(survivors).collect()
+            }
+
+        assert run("p1", 1) == {1, 2}  # the documented probe-1 miss
+        assert run("p2", 2) == {1}     # probe-2 catches it
+
 
 class TestContinuousJaccardIndex:
     """Streaming exact-Jaccard index: per-batch pairs equal the batch
