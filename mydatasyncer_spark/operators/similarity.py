@@ -550,10 +550,11 @@ def ivf_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """:func:`ivf_topk` against a prebuilt :func:`ivf_index` — the
-    corpus is neither re-normed nor re-assigned; only the (tiny)
-    query side computes buckets. Same output, same ranking.
+    corpus is neither re-normed nor re-assigned; only the query side
+    computes buckets. Same output, same ranking.
 
     Centroids resolve from the index itself when it records them
     (:func:`recorded_centroids` — pass nothing and the right
@@ -561,7 +562,21 @@ def ivf_topk_indexed(
     still accepted and REFUSED on a fingerprint mismatch (query
     buckets under one quantizer against index buckets from another
     silently returns wrong neighbors); a pre-provenance index falls
-    back to the deterministic defaults."""
+    back to the deterministic defaults.
+
+    ``broadcast_queries=False`` is the corpus-vs-corpus path: a
+    query side too large to broadcast joins by shuffle instead, and
+    since dynamic partition pruning cannot be relied on there
+    (Spark's DPP is a broadcast-shape heuristic), the
+    bucket-partitioned index scan is pruned STATICALLY — the probed
+    bucket ids are collected first (bounded: at most the number of
+    centroids, regardless of query count) and applied as an explicit
+    IN on the partition column, the same planning-time-guaranteed
+    contract as the dedup stores' touched-bucket pruning. The extra
+    pass over the queries computes only their bucket projection.
+    Low-cardinality join keys make the shuffle skew-prone by
+    construction (IVF blocking IS per-bucket work) — AQE skew-join
+    handles the split; results are identical at both settings."""
     cens = _resolve_centroids(index, dim, n_centroids, centroids)
     _check_ivf_provenance(index, cens, "ivf_topk_indexed")
     q = queries.select(
@@ -572,9 +587,17 @@ def ivf_topk_indexed(
             "bucket"
         ),
     )
+    if broadcast_queries:
+        probe = F.broadcast(q)
+    else:
+        probed = [
+            r["bucket"]
+            for r in q.select("bucket").distinct().collect()
+        ]
+        index = index.filter(F.col("bucket").isin(probed))
+        probe = q
     scored = (
-        F.broadcast(q)
-        .join(index, "bucket")
+        probe.join(index, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
