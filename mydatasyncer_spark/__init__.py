@@ -112,6 +112,8 @@ from mydatasyncer_spark.operators.similarity import (
     kmeans_centroids,
     kmeans_inertia,
     lsh_ann_topk,
+    lsh_ann_topk_indexed,
+    lsh_index,
     recorded_centroids,
     semantic_dedup_pairs,
     semantic_dedup_survivors,
@@ -161,6 +163,8 @@ __all__ = [
     "dedup_clusters",
     "cosine_topk",
     "lsh_ann_topk",
+    "lsh_ann_topk_indexed",
+    "lsh_index",
     "ivf_index",
     "ivf_topk_indexed",
     "kmeans_centroids",

@@ -133,9 +133,10 @@ def lsh_ann_topk(
     then exact cosine re-rank within the bucket.
 
     At 100 TB the bucket column is precomputed/partitioned-by at
-    ingest, making each query a partition-pruned scan instead of a
-    full pass. Recall tunes with ``n_planes`` (fewer planes → bigger
-    buckets → higher recall, more compute).
+    ingest — :func:`lsh_index` + :func:`lsh_ann_topk_indexed` are
+    that path — making each query a partition-pruned scan instead of
+    a full pass. Recall tunes with ``n_planes`` (fewer planes →
+    bigger buckets → higher recall, more compute).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -171,6 +172,106 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+#: metadata keys (on ``neighbor_id``) recording the hash family an
+#: LSH index was bucketed under — (dim, n_planes) fully determine
+#: the deterministic hyperplanes, so two ints ARE the provenance
+_LSH_PLANES_KEY = "lsh_n_planes"
+_LSH_DIM_KEY = "lsh_dim"
+
+
+def lsh_index(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The storable LSH twin of :func:`ivf_index`: corpus rows
+    annotated with their norm and sign-bit bucket, computed once —
+    what :func:`lsh_ann_topk`'s docstring promises ("the bucket
+    column is precomputed/partitioned-by at ingest"), implemented.
+
+    Write it ``partitionBy("bucket")`` and query with
+    :func:`lsh_ann_topk_indexed`. The hash family's ``(dim,
+    n_planes)`` ride ``neighbor_id`` metadata (``bucket`` is a
+    partition column — rebuilt from directory names on read, so
+    metadata there would not survive): the hyperplanes are
+    deterministic functions of those two ints
+    (:func:`hyperplane_values`), so recording them makes the index
+    fully self-describing — readers passed nothing use the right
+    family by construction, and a mismatching explicit ``n_planes``
+    is REFUSED instead of silently probing buckets from a different
+    hash family."""
+    meta = {_LSH_PLANES_KEY: int(n_planes), _LSH_DIM_KEY: int(dim)}
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id", metadata=meta),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+
+
+def lsh_ann_topk_indexed(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """:func:`lsh_ann_topk` against a prebuilt :func:`lsh_index` —
+    the corpus is neither re-normed nor re-hashed; only the query
+    side computes buckets. Same output, same ranking.
+
+    The hash family resolves from the index itself (pass nothing and
+    the recorded ``(dim, n_planes)`` apply by construction); an
+    explicit ``n_planes`` differing from the recorded one, or a
+    ``dim`` differing from the recorded one, is REFUSED — query
+    buckets under one hyperplane family against index buckets from
+    another silently returns wrong neighbors, the LSH twin of the
+    IVF centroid-fingerprint guard. A pre-provenance index is
+    accepted with the caller's (or default) planes.
+
+    ``broadcast_queries=False`` is the corpus-vs-corpus path with
+    static probed-bucket pruning, exactly as on
+    :func:`ivf_topk_indexed` (bounded collect ≤ 2**n_planes)."""
+    meta = (
+        index.schema["neighbor_id"].metadata
+        if "neighbor_id" in index.columns
+        else {}
+    )
+    rec_planes = meta.get(_LSH_PLANES_KEY)
+    rec_dim = meta.get(_LSH_DIM_KEY)
+    if rec_planes is not None:
+        if n_planes is not None and int(n_planes) != int(rec_planes):
+            raise ValueError(
+                "lsh_ann_topk_indexed: the index was bucketed with "
+                f"{int(rec_planes)} hyperplanes but {int(n_planes)} "
+                "were requested — probing it would hash queries into "
+                "a different bucket family and silently return wrong "
+                "neighbors. Pass the recorded plane count (or "
+                "nothing), or rebuild the index"
+            )
+        n_planes = int(rec_planes)
+    elif n_planes is None:
+        n_planes = 8
+    if rec_dim is not None and int(rec_dim) != int(dim):
+        raise ValueError(
+            "lsh_ann_topk_indexed: the index records dim="
+            f"{int(rec_dim)} but dim={int(dim)} was passed — the "
+            "hyperplane family depends on dim; rebuild the index"
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    return _indexed_topk(q, index, k, broadcast_queries)
 
 
 def ivf_centroid_values(dim: int, c: int) -> list[float]:
@@ -587,6 +688,19 @@ def ivf_topk_indexed(
             "bucket"
         ),
     )
+    return _indexed_topk(q, index, k, broadcast_queries)
+
+
+def _indexed_topk(
+    q: DataFrame, index: DataFrame, k: int, broadcast_queries: bool
+) -> DataFrame:
+    """The shared tail of every bucket-indexed top-k (IVF and LSH):
+    bucket equi-join, exact cosine re-rank, per-query window. The
+    broadcast path keeps the DPP-eligible shape; the non-broadcast
+    (corpus-vs-corpus) path statically prunes the index to the probed
+    buckets first — a bounded collect (≤ the bucket-family size: IVF
+    centroid count / 2^n_planes for LSH), explicit IN on the
+    partition column, planning-time-guaranteed."""
     if broadcast_queries:
         probe = F.broadcast(q)
     else:

@@ -3520,3 +3520,105 @@ class TestIvfTopkCorpusVsCorpus:
             re.search(r"bucket#\d+L? (=|IN)", line)
             for line in scan_lines
         ), plan
+
+
+class TestLshIndexStore:
+    """r10: the LSH twin of ivf_index/ivf_topk_indexed — the
+    'precomputed/partitioned-by at ingest' path lsh_ann_topk's
+    docstring promises, with (dim, n_planes) provenance (the
+    hyperplanes are deterministic functions of those two ints, so
+    recording them makes the index fully self-describing)."""
+
+    def _stored(self, spark, tmp_path, n_planes=4):
+        from mydatasyncer_spark.operators.similarity import lsh_index
+
+        rows = [
+            (i, [((i * 13 + j * 5) % 17) / 17.0 - 0.5 for j in range(4)])
+            for i in range(1, 41)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        lsh_index(df, dim=4, n_planes=n_planes).write.partitionBy(
+            "bucket"
+        ).parquet(str(tmp_path / "lsh"))
+        return df, spark.read.parquet(str(tmp_path / "lsh"))
+
+    def test_indexed_matches_storeless_and_self_describes(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.similarity import (
+            lsh_ann_topk,
+            lsh_ann_topk_indexed,
+        )
+
+        df, stored = self._stored(spark, tmp_path, n_planes=4)
+        q = df.filter("vec_id % 3 = 0")
+        want = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in lsh_ann_topk(q, df, dim=4, k=3, n_planes=4).collect()
+        }
+        # config-less: the NON-default plane count resolves from the
+        # index itself; both broadcast settings identical
+        for bq in (True, False):
+            got = {
+                (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+                for r in lsh_ann_topk_indexed(
+                    q, stored, dim=4, k=3, broadcast_queries=bq
+                ).collect()
+            }
+            assert got == want and got, bq
+
+    def test_provenance_refusals(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.similarity import (
+            lsh_ann_topk_indexed,
+        )
+
+        df, stored = self._stored(spark, tmp_path, n_planes=4)
+        q = df.filter("vec_id % 3 = 0")
+        with pytest.raises(ValueError, match="hyperplanes"):
+            lsh_ann_topk_indexed(q, stored, dim=4, k=3, n_planes=8)
+        with pytest.raises(ValueError, match="records dim"):
+            lsh_ann_topk_indexed(q.limit(1), stored, dim=3, k=3)
+        # matching explicit planes are accepted
+        assert lsh_ann_topk_indexed(
+            q, stored, dim=4, k=3, n_planes=4
+        ).count() > 0
+        # pre-provenance frame: accepted with the caller's planes
+        bare = stored.withColumn(
+            "neighbor_id",
+            F.col("neighbor_id").alias("neighbor_id", metadata={}),
+        )
+        assert lsh_ann_topk_indexed(
+            q, bare, dim=4, k=3, n_planes=4
+        ).count() > 0
+
+    def test_nonbroadcast_scan_statically_pruned(self, spark, tmp_path):
+        import contextlib
+        import io
+        import re
+
+        from mydatasyncer_spark.operators.similarity import (
+            lsh_ann_topk_indexed,
+        )
+
+        df, stored = self._stored(spark, tmp_path, n_planes=4)
+        out = lsh_ann_topk_indexed(
+            df.filter("vec_id = 1"), stored, dim=4, k=3,
+            broadcast_queries=False,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        scan_lines = [
+            line
+            for line in plan.splitlines()
+            if "PartitionFilters" in line and "bucket" in line
+        ]
+        assert any(
+            re.search(r"bucket#\d+L? (=|IN)", line)
+            for line in scan_lines
+        ), plan
