@@ -44,6 +44,7 @@ from mydatasyncer_spark.operators.dedup import (
 )
 from mydatasyncer_spark.operators.maintenance import (
     compact_ivf_index,
+    compact_lsh_index,
     compact_minhash_index,
     compaction_report,
     ivf_drift_report,
@@ -252,6 +253,7 @@ __all__ = [
     "compact_pairs",
     "compact_partials",
     "compact_ivf_index",
+    "compact_lsh_index",
 ]
 
 __version__ = "0.1.0"

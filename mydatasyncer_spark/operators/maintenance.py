@@ -369,6 +369,21 @@ def compact_ivf_index(spark, path: str, id_col: str = "neighbor_id") -> dict:
     )
 
 
+def compact_lsh_index(spark, path: str, id_col: str = "neighbor_id") -> dict:
+    """Compact an :func:`~mydatasyncer_spark.operators.similarity.
+    lsh_index` layout (appended corpus increments), preserving the
+    ``bucket`` partitioning probe queries prune on. Key-dedupe by
+    ``neighbor_id`` is lossless here unconditionally: the sign-bit
+    bucket is a deterministic function of the vector and the
+    recorded ``(dim, n_planes)`` — there is no retrain that could
+    ever place one id in two buckets (the hazard
+    :func:`compact_ivf_index` documents), and the reader guard
+    refuses a mixed-family store outright."""
+    return compact_table(
+        spark, path, dedupe_cols=[id_col], partition_by=["bucket"]
+    )
+
+
 def ivf_drift_report(
     spark,
     path: str,

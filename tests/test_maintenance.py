@@ -721,3 +721,55 @@ class TestCompactionReport:
         rep = compaction_report(spark, path, dedupe_cols=["doc_id"])
         stats = compact_table(spark, path, dedupe_cols=["doc_id"])
         assert rep["duplicate_rows"] == stats["removed_rows"] == 4
+
+
+class TestCompactLshIndex:
+    def test_append_replay_compact_identity(self, spark, tmp_path):
+        """Appended increments (one replayed) compact losslessly —
+        metadata survives, bucket layout survives, config-less probe
+        results identical pre/post."""
+        import glob
+        import os
+
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_lsh_index,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            lsh_ann_topk_indexed,
+            lsh_index,
+        )
+
+        rows = [
+            (i, [((i * 13 + j * 5) % 17) / 17.0 - 0.5 for j in range(4)])
+            for i in range(1, 41)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        path = str(tmp_path / "lsh")
+        for lo in (1, 21, 1):  # third append replays the first
+            lsh_index(
+                df.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 20)
+                ),
+                dim=4,
+                n_planes=4,
+            ).write.mode("append").partitionBy("bucket").parquet(path)
+        q = df.filter("vec_id % 3 = 0")
+
+        def topk(index):
+            return {
+                (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+                for r in lsh_ann_topk_indexed(
+                    q, index, dim=4, k=3, n_planes=4
+                ).collect()
+            }
+
+        # the replayed duplicates pollute rank slots pre-compaction —
+        # the identity target is the CLEAN single build
+        clean = topk(lsh_index(df, dim=4, n_planes=4))
+        assert topk(spark.read.parquet(path)) != clean
+        stats = compact_lsh_index(spark, path)
+        assert stats["removed_rows"] == 20 and stats["rows"] == 40
+        assert glob.glob(os.path.join(path, "bucket=*"))
+        assert topk(spark.read.parquet(path)) == clean and clean
