@@ -3439,6 +3439,28 @@ class TestEmbeddingFamilyRandomized:
                 (a, b) for a, b in brute if bucket[a] == bucket[b]
             }, seed
 
+            # LSH store leg: config-less indexed == storeless under a
+            # random plane count, at both broadcast settings
+            from mydatasyncer_spark.operators.similarity import (
+                lsh_ann_topk,
+                lsh_ann_topk_indexed,
+                lsh_index,
+            )
+
+            planes = rng.choice([3, 4, 6])
+            lpath = str(tmp_path / f"lsh_{seed}")
+            lsh_index(df, dim, n_planes=planes).write.partitionBy(
+                "bucket"
+            ).parquet(lpath)
+            lstored = spark.read.parquet(lpath)
+            lwant = rset(lsh_ann_topk(q, df, dim, k=3, n_planes=planes))
+            for bq in (True, False):
+                assert rset(
+                    lsh_ann_topk_indexed(
+                        q, lstored, dim, k=3, broadcast_queries=bq
+                    )
+                ) == lwant, (seed, bq)
+
 
 class TestIvfTopkCorpusVsCorpus:
     """r10: broadcast_queries=False — the corpus-vs-corpus ANN path.
