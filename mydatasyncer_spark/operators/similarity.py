@@ -213,6 +213,48 @@ def lsh_index(
     )
 
 
+def _resolve_lsh_family(
+    index: DataFrame,
+    dim: int,
+    n_planes: int | None,
+    caller: str,
+) -> int:
+    """Resolve (and guard) the hyperplane family of an
+    :func:`lsh_index`: the recorded plane count wins when the caller
+    passes nothing; an explicit ``n_planes`` differing from the
+    recorded one, or a ``dim`` differing from the recorded one, is
+    REFUSED — buckets under one hyperplane family joined against
+    another silently drop every true neighbor. A pre-provenance
+    frame resolves to the caller's (or default 8) planes."""
+    meta = (
+        index.schema["neighbor_id"].metadata
+        if "neighbor_id" in index.columns
+        else {}
+    )
+    rec_planes = meta.get(_LSH_PLANES_KEY)
+    rec_dim = meta.get(_LSH_DIM_KEY)
+    if rec_planes is not None:
+        if n_planes is not None and int(n_planes) != int(rec_planes):
+            raise ValueError(
+                f"{caller}: the index was bucketed with "
+                f"{int(rec_planes)} hyperplanes but {int(n_planes)} "
+                "were requested — probing it would hash queries into "
+                "a different bucket family and silently return wrong "
+                "neighbors. Pass the recorded plane count (or "
+                "nothing), or rebuild the index"
+            )
+        n_planes = int(rec_planes)
+    elif n_planes is None:
+        n_planes = 8
+    if rec_dim is not None and int(rec_dim) != int(dim):
+        raise ValueError(
+            f"{caller}: the index records dim={int(rec_dim)} but "
+            f"dim={int(dim)} was passed — the hyperplane family "
+            "depends on dim; rebuild the index"
+        )
+    return int(n_planes)
+
+
 def lsh_ann_topk_indexed(
     queries: DataFrame,
     index: DataFrame,
@@ -239,32 +281,9 @@ def lsh_ann_topk_indexed(
     ``broadcast_queries=False`` is the corpus-vs-corpus path with
     static probed-bucket pruning, exactly as on
     :func:`ivf_topk_indexed` (bounded collect ≤ 2**n_planes)."""
-    meta = (
-        index.schema["neighbor_id"].metadata
-        if "neighbor_id" in index.columns
-        else {}
+    n_planes = _resolve_lsh_family(
+        index, dim, n_planes, "lsh_ann_topk_indexed"
     )
-    rec_planes = meta.get(_LSH_PLANES_KEY)
-    rec_dim = meta.get(_LSH_DIM_KEY)
-    if rec_planes is not None:
-        if n_planes is not None and int(n_planes) != int(rec_planes):
-            raise ValueError(
-                "lsh_ann_topk_indexed: the index was bucketed with "
-                f"{int(rec_planes)} hyperplanes but {int(n_planes)} "
-                "were requested — probing it would hash queries into "
-                "a different bucket family and silently return wrong "
-                "neighbors. Pass the recorded plane count (or "
-                "nothing), or rebuild the index"
-            )
-        n_planes = int(rec_planes)
-    elif n_planes is None:
-        n_planes = 8
-    if rec_dim is not None and int(rec_dim) != int(dim):
-        raise ValueError(
-            "lsh_ann_topk_indexed: the index records dim="
-            f"{int(rec_dim)} but dim={int(dim)} was passed — the "
-            "hyperplane family depends on dim; rebuild the index"
-        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

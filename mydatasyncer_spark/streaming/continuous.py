@@ -542,6 +542,99 @@ def continuous_ann_index(
     return writer.start()
 
 
+def continuous_lsh_index(
+    stream_vecs: DataFrame,
+    index_path: str,
+    dim: int,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_lsh_index",
+    n_id_buckets: int | None = None,
+):
+    """Continuous embedding ingestion into a growing bucket-
+    partitioned :func:`~mydatasyncer_spark.operators.similarity.
+    lsh_index` — the LSH twin of :func:`continuous_ann_index`, same
+    contract throughout: per batch, already-indexed ids anti-join
+    away (replay idempotence, statically pruned on an id-bucketed
+    layout), the remaining vectors are norm+bucket annotated
+    (batch-sized work — the sign-bit bucket depends only on the
+    vector and the recorded ``(dim, n_planes)``, so the stored
+    corpus is never re-read and the continuously-built index is
+    row-identical to a batch build), and the annotated rows append
+    ``partitionBy("bucket")`` so
+    :func:`~mydatasyncer_spark.operators.similarity.
+    lsh_ann_topk_indexed` probes keep pruning as the index grows.
+
+    The hash family is SELF-DESCRIBING from the first batch: leave
+    ``n_planes`` unset on restart and the stream continues under the
+    family the index records; an explicit ``n_planes`` (or ``dim``)
+    differing from the recorded one FAILS the batch rather than
+    appending rows hashed under a different family. Unlike the IVF
+    stream there is no retrain/rebuild lifecycle — the hyperplanes
+    are deterministic in ``(dim, n_planes)``, so the only sanctioned
+    change of family is a fresh build. Maintain file counts with
+    ``operators/maintenance.compact_lsh_index``; ``n_id_buckets``
+    seeds the same ``bucket/_id_bucket`` sub-layout as the IVF
+    stream (modulus follows the stored index on later batches)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.dedup import (
+        ID_BUCKET_COL,
+        _id_bucket_modulus,
+        id_bucketed_index,
+    )
+    from mydatasyncer_spark.operators.similarity import (
+        _resolve_lsh_family,
+        lsh_index,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        try:
+            stored = spark.read.parquet(index_path)
+        except AnalysisException:
+            stored = None
+        idx_nb = (
+            _id_bucket_modulus(stored, "neighbor_id")
+            if stored is not None and ID_BUCKET_COL in stored.columns
+            else (n_id_buckets if stored is None else None)
+        )
+        use_planes = n_planes if n_planes is not None else 8
+        if stored is not None:
+            use_planes = _resolve_lsh_family(
+                stored, dim, n_planes, "continuous_lsh_index"
+            )
+            existing = _guard_ids(
+                stored,
+                batch.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+            ).select(F.col("neighbor_id").alias(id_col))
+            batch = batch.join(existing, id_col, "left_anti")
+        if batch.isEmpty():
+            return
+        idx = lsh_index(batch, dim, use_planes, id_col, vec_col)
+        parts = ["bucket"]
+        if idx_nb is not None:
+            idx = id_bucketed_index(idx, "neighbor_id", idx_nb)
+            parts.append(ID_BUCKET_COL)
+        idx.write.mode("append").partitionBy(*parts).parquet(index_path)
+
+    writer = (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def continuous_semantic_dedup(
     stream_vecs: DataFrame,
     index_path: str,

@@ -2562,6 +2562,122 @@ class TestContinuousJaccardIndex:
         assert got == {(3, 1)}  # exact copy of doc 1
 
 
+class TestContinuousLshIndex:
+    """r10: the LSH twin of continuous_ann_index — growing
+    bucket-partitioned lsh_index, row-identical to a batch build,
+    self-describing hash family, replay idempotence."""
+
+    DIM = 4
+
+    def _vec(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        return [round(rng.uniform(-1, 1), 3) for _ in range(self.DIM)]
+
+    def _drain(self, spark, in_dir, out, rows, fname, ckpt, **kw):
+        import json as _json
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_lsh_index,
+        )
+
+        (in_dir / fname).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_lsh_index(
+            stream, str(out / "lsh"), self.DIM,
+            checkpoint_dir=str(out / ckpt), **kw,
+        )
+        q.awaitTermination(120)
+
+    def test_grows_replay_noop_identical_to_batch_family_guarded(
+        self, spark, tmp_path_factory
+    ):
+        import glob
+        import os
+
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_lsh_index,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            lsh_ann_topk_indexed,
+            lsh_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("lsh_in")
+        out = tmp_path_factory.mktemp("lsh_out")
+        index_path = str(out / "lsh")
+        b1 = [{"vec_id": i, "embedding": self._vec(i)} for i in range(14)]
+        b2 = [
+            {"vec_id": 50 + i, "embedding": self._vec(50 + i)}
+            for i in range(8)
+        ]
+        # bootstrap under a NON-default family, with the sub-layout
+        self._drain(
+            spark, in_dir, out, b1, "b1.json", "c1",
+            n_planes=4, n_id_buckets=4,
+        )
+        assert glob.glob(
+            os.path.join(index_path, "bucket=*", "_id_bucket=*")
+        )
+        # restart CONFIG-LESS: family resolves from the index
+        self._drain(spark, in_dir, out, b2, "b2.json", "c1")
+        idx = spark.read.parquet(index_path)
+        assert idx.count() == 22
+        # replay with a fresh checkpoint: the guard skips everything
+        self._drain(spark, in_dir, out, b1, "b1.json", "c_replay")
+        assert spark.read.parquet(index_path).count() == 22
+        # a mismatching explicit family FAILS the batch
+        b3 = [{"vec_id": 90, "embedding": self._vec(90)}]
+        with pytest.raises(Exception, match="hyperplanes"):
+            self._drain(
+                spark, in_dir, out, b3, "b3.json", "c3", n_planes=8
+            )
+        assert spark.read.parquet(index_path).count() == 22  # untouched
+        # content identical to the batch build (modulo layout col)
+        all_rows = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+            "vec_id long, embedding array<double>",
+        )
+        batch_idx = lsh_index(all_rows, self.DIM, n_planes=4)
+
+        def canon(df):
+            return {
+                (r["neighbor_id"], r["bucket"], round(r["cn"], 6))
+                for r in df.select(
+                    "neighbor_id", "bucket", "cn"
+                ).collect()
+            }
+
+        assert canon(idx) == canon(batch_idx)
+        # probes resolve the family config-less; compaction preserves
+        # both the layout and the provenance
+        q = spark.createDataFrame(
+            [(0, self._vec(3))], "vec_id long, embedding array<double>"
+        )
+        before = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in lsh_ann_topk_indexed(
+                q, idx, self.DIM, k=3
+            ).collect()
+        }
+        compact_lsh_index(spark, index_path)
+        assert glob.glob(
+            os.path.join(index_path, "bucket=*", "_id_bucket=*")
+        )
+        after = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in lsh_ann_topk_indexed(
+                q, spark.read.parquet(index_path), self.DIM, k=3
+            ).collect()
+        }
+        assert after == before and before
+
+
 class TestGuardIdsPruning:
     """r10: the streams' id-keyed guard reads (replay anti-join,
     indexed-vs-batch classification) must scan only the probe ids'
