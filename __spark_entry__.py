@@ -2235,6 +2235,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def ann_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh_topk THROUGH the self-describing lsh_index store
+    (r10, operators/similarity.py: lsh_index): corpus rows annotated
+    ONCE with norm + sign-bit bucket, the (dim, n_planes) hash
+    family recorded in neighbor_id metadata; the probe passes NO
+    family config and resolves it from the index itself. Results
+    identical to the storeless path (pinned in TestLshIndexStore),
+    so the oracle is the same SQL — what differs is the plan: the
+    corpus is never re-hashed, and on a partitioned store the probe
+    is a partition-pruned scan."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    idx = S.lsh_index(e, dim=64, n_planes=4)
+    out = S.lsh_ann_topk_indexed(q, idx, dim=64, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _lsh_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 4) -> str:
     """DuckDB bucket id identical to similarity.lsh_bucket: the
     hyperplane doubles are the same driver-computed literals."""
@@ -3430,7 +3449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py locally every round.
     return {
         # ---- NEW this round (r10): SemDeDup probe-2 recall knob ----
+        # ---- and the self-describing LSH store path ----
         "dedup_semantic_p2": dedup_semantic_p2,
+        "ann_lsh_topk_indexed": ann_lsh_topk_indexed,
         # ---- implementation touched this round (r10): ----
         # ---- semantic_dedup_pairs grew the n_probe branch (inert ----
         # ---- at the gate's probe-1 default, but touched is ----
@@ -3604,7 +3625,7 @@ def _zorder_orders_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -5685,3 +5706,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 200
         """,
     }
+    # the indexed LSH store path is results-identical to the
+    # storeless one by construction (pinned in TestLshIndexStore and
+    # the randomized embedding leg) — same oracle, different plan
+    out["ann_lsh_topk_indexed"] = out["ann_lsh_topk"]
+    return out

@@ -16,15 +16,21 @@ GATE_CAP = 50
 
 # the r10 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
-# consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "dedup_exact_best_quality"
-FIRST_PAST_CAP = "dedup_minhash_incr"
+# consciously — whenever the rotation changes. (ann_lsh_topk_indexed
+# entered the window as NEW late in r10, displacing the alphabetical
+# filler dedup_exact_best_quality — last green r8, absorbed with its
+# cohort in the r11 rotation.)
+LAST_IN_WINDOW = "ann_lsh_topk"
+FIRST_PAST_CAP = "dedup_exact_best_quality"
 
 # everything added or implementation-touched in r10 MUST sit inside
 # the gate window (rotation policy rule 1-2)
 R10_TOUCHED = [
-    # new in r10: the SemDeDup probe-2 recall knob
+    # new in r10: the SemDeDup probe-2 recall knob and the
+    # self-describing LSH store path (same oracle as ann_lsh_topk —
+    # results identical by construction, the PLAN is what differs)
     "dedup_semantic_p2",
+    "ann_lsh_topk_indexed",
     # implementation touched in r10: semantic_dedup_pairs grew the
     # n_probe branch; containment_join's corpus_inv path gained the
     # static touched-bucket prune and the positive full-explosion
