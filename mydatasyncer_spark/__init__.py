@@ -48,6 +48,7 @@ from mydatasyncer_spark.operators.maintenance import (
     compact_minhash_index,
     compaction_report,
     ivf_drift_report,
+    lsh_occupancy_report,
     compact_pairs,
     compact_partials,
     compact_survivors,
@@ -249,6 +250,7 @@ __all__ = [
     "compact_minhash_index",
     "compaction_report",
     "ivf_drift_report",
+    "lsh_occupancy_report",
     "compact_survivors",
     "compact_pairs",
     "compact_partials",

@@ -384,6 +384,110 @@ def compact_lsh_index(spark, path: str, id_col: str = "neighbor_id") -> dict:
     )
 
 
+def lsh_occupancy_report(
+    spark,
+    path: str,
+    dim: int,
+    candidate_planes: list[int] | None = None,
+) -> dict:
+    """The ``n_planes`` DECISION signal for an :func:`~mydatasyncer_
+    spark.operators.similarity.lsh_index` — the LSH member of the
+    decision-signal family. There is no drift here (the hyperplane
+    family is deterministic, nothing trains), but the family CHOICE
+    has a cost shape the operator should see: sign-bit buckets skew
+    badly on correlated embeddings (real corpora), and every probe
+    that lands in a hot bucket pays that bucket's size.
+
+    Reported, from one pass per candidate over the STORED vectors
+    (``cv`` — nothing is written, no store is rebuilt):
+
+    - ``rows`` and, per candidate plane count ``p`` (default: the
+      recorded count and its ±1 neighbors): ``buckets_used`` (of
+      ``2**p``), ``largest_bucket_fraction``, and
+      ``expected_scan`` — Σ bᵢ²/N², the expected fraction of the
+      index a corpus-distributed probe reads (the same estimator as
+      :func:`ivf_drift_report`). More planes always splits cost but
+      trades recall (a near-pair must agree on EVERY sign bit), so
+      the report shows the cost side and the caller picks the
+      cheapest family whose recall their threshold tolerates.
+    - ``recorded_planes`` — the store's own family, resolved from
+      provenance; REFUSED when the store records none and no
+      candidates are given (occupancy under a guessed family is
+      meaningless).
+    - ``pending_staging`` — same crashed-rewrite surface as the
+      other reports.
+
+    Changing the family means a fresh :func:`~mydatasyncer_spark.
+    operators.similarity.lsh_index` build — there is no in-place
+    rebuild op because, unlike IVF centroids, the family is an input
+    everywhere (readers refuse a mismatch), so the switch is
+    build-new-then-repoint."""
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.similarity import (
+        _LSH_PLANES_KEY,
+        lsh_bucket,
+    )
+
+    idx = spark.read.parquet(path)
+    meta = (
+        idx.schema["neighbor_id"].metadata
+        if "neighbor_id" in idx.columns
+        else {}
+    )
+    rec = meta.get(_LSH_PLANES_KEY)
+    if candidate_planes is None:
+        if rec is None:
+            raise ValueError(
+                "lsh_occupancy_report: the store records no plane "
+                "count and no candidate_planes were given — "
+                "occupancy under a guessed family is meaningless; "
+                "pass candidate_planes explicitly"
+            )
+        candidate_planes = sorted(
+            {p for p in (int(rec) - 1, int(rec), int(rec) + 1) if p >= 1}
+        )
+    vecs = idx.select(F.col("cv"))
+
+    def _occ(p: int) -> dict:
+        row = (
+            vecs.select(lsh_bucket(F.col("cv"), dim, p).alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+                F.coalesce(
+                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
+                ).alias("_sq"),
+                F.count(F.lit(1)).alias("_used"),
+                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
+            )
+            .collect()[0]
+        )
+        n = int(row["_n"])
+        return {
+            "n_planes": p,
+            "buckets_used": int(row["_used"]),
+            "largest_bucket_fraction": (
+                int(row["_max"]) / n if n else 0.0
+            ),
+            "expected_scan": float(row["_sq"]) / (n * n) if n else 0.0,
+        }
+
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    try:
+        spark.read.parquet(staging)
+        pending = True
+    except AnalysisException:
+        pending = False
+    return {
+        "rows": idx.count(),
+        "recorded_planes": int(rec) if rec is not None else None,
+        "candidates": [_occ(int(p)) for p in candidate_planes],
+        "pending_staging": pending,
+    }
+
+
 def ivf_drift_report(
     spark,
     path: str,

@@ -773,3 +773,67 @@ class TestCompactLshIndex:
         assert stats["removed_rows"] == 20 and stats["rows"] == 40
         assert glob.glob(os.path.join(path, "bucket=*"))
         assert topk(spark.read.parquet(path)) == clean and clean
+
+
+class TestLshOccupancyReport:
+    def test_skewed_corpus_cost_shape_and_refusal(self, spark, tmp_path):
+        """Correlated vectors skew sign-bit buckets — the report
+        shows the cost concentrating under few planes and splitting
+        under more; an unrecorded store refuses without explicit
+        candidates."""
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from mydatasyncer_spark.operators.maintenance import (
+            lsh_occupancy_report,
+        )
+        from mydatasyncer_spark.operators.similarity import lsh_index
+
+        # strongly correlated corpus: every vector in the same
+        # half-space for most hyperplanes
+        rows = [
+            (
+                i,
+                [
+                    0.8 + 0.01 * ((i * 7 + j) % 5)
+                    for j in range(4)
+                ],
+            )
+            for i in range(1, 65)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        path = str(tmp_path / "lsh")
+        lsh_index(df, dim=4, n_planes=2).write.partitionBy(
+            "bucket"
+        ).parquet(path)
+        rep = lsh_occupancy_report(spark, path, dim=4)
+        assert rep["rows"] == 64 and rep["recorded_planes"] == 2
+        assert rep["pending_staging"] is False
+        by_p = {c["n_planes"]: c for c in rep["candidates"]}
+        assert set(by_p) == {1, 2, 3}
+        # expected scan is monotone non-increasing in plane count,
+        # and on this correlated corpus the 1-plane family is
+        # maximally concentrated
+        assert (
+            by_p[1]["expected_scan"]
+            >= by_p[2]["expected_scan"]
+            >= by_p[3]["expected_scan"]
+        )
+        assert by_p[1]["largest_bucket_fraction"] == 1.0
+        assert 1 <= by_p[3]["buckets_used"] <= 8
+        # provenance-stripped store: refused without candidates
+        stripped = str(tmp_path / "bare")
+        spark.read.parquet(path).withColumn(
+            "neighbor_id",
+            F.col("neighbor_id").alias("neighbor_id", metadata={}),
+        ).write.partitionBy("bucket").parquet(stripped)
+        with pytest.raises(ValueError, match="records no plane"):
+            lsh_occupancy_report(spark, stripped, dim=4)
+        explicit = lsh_occupancy_report(
+            spark, stripped, dim=4, candidate_planes=[2]
+        )
+        assert explicit["recorded_planes"] is None
+        assert explicit["candidates"][0]["expected_scan"] == by_p[2][
+            "expected_scan"
+        ]
