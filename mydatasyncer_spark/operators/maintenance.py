@@ -40,6 +40,11 @@ from mydatasyncer_spark.operators.dedup import (
 )
 
 
+#: sibling dir a post-crash-append merge is staged to during a
+#: restore (see restore_staging's union branch)
+RESTORE_MERGE_SUFFIX = "_restore_merge"
+
+
 def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> bool:
     """Generic twin of ``jaccard_restore_staging``: replay a complete
     staged copy left by a crashed :func:`compact_table` overwrite.
@@ -51,8 +56,28 @@ def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> 
     gate as the Jaccard one: the staging dir's ``_SUCCESS`` marker,
     with the markers-disabled fallback (restore when staging reads
     and the store does not — the only state a crash mid-overwrite can
-    leave)."""
+    leave).
+
+    Post-crash appends are PRESERVED, not clobbered: a store that
+    reads back complete (its own root ``_SUCCESS``) alongside a
+    complete staged copy means rows were appended AFTER the crash —
+    a stream bootstrapping into the deleted store path, or an
+    out-of-band append that skipped the restore-first discipline.
+    Those rows exist only in the store; the staged copy holds
+    everything from before. The restore then takes the UNION of both
+    with full-row duplicates dropped (lossless for every store in
+    the family — bit-identical rows are replay/committer artifacts,
+    the same argument as :func:`compact_table`'s default mode; rows
+    from a half-written overwrite are a subset of the staged content
+    and collapse into it). The merge is staged to a sibling
+    ``_restore_merge`` dir first so a crash mid-restore never loses
+    the merged appends: a complete merge dir supersedes the staging
+    dir on the next call. Like compaction, restores are not run
+    concurrently with ingestion — the streams call this at batch
+    start, before they append."""
     from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.sources.writers import _hadoop_fs
 
     def _readable(p: str) -> bool:
         try:
@@ -62,15 +87,50 @@ def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> 
             return False
 
     staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    if not _job_succeeded(spark, staging):
-        if not (_readable(staging) and not _readable(path)):
-            return False
-    staged = spark.read.parquet(staging)
-    if partition_by is None and ID_BUCKET_COL in staged.columns:
+    merge_tmp = path.rstrip("/") + RESTORE_MERGE_SUFFIX
+    # fast path — the streams call this at every batch start, so the
+    # no-pending-restore case must cost two existence probes, not a
+    # schema-inferring read attempt
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(staging)
+    ) and not fs.exists(jvm.org.apache.hadoop.fs.Path(merge_tmp)):
+        return False
+    if _job_succeeded(spark, merge_tmp) and _readable(merge_tmp):
+        # a previous restore crashed after merging post-crash appends
+        # — the merge dir is staging ∪ store-at-merge-time and
+        # supersedes both
+        source = spark.read.parquet(merge_tmp)
+    else:
+        if not _job_succeeded(spark, staging):
+            if not (_readable(staging) and not _readable(path)):
+                return False
+        staged = spark.read.parquet(staging)
+        if _readable(path) and _job_succeeded(spark, path):
+            merged = staged.unionByName(
+                spark.read.parquet(path)
+            ).distinct()
+            w0 = merged.write.mode("overwrite")
+            mp = partition_by
+            if mp is None and ID_BUCKET_COL in staged.columns:
+                mp = [ID_BUCKET_COL]
+            elif (
+                mp
+                and ID_BUCKET_COL in staged.columns
+                and ID_BUCKET_COL not in mp
+            ):
+                mp = [*mp, ID_BUCKET_COL]
+            if mp:
+                w0 = w0.partitionBy(*mp)
+            w0.parquet(merge_tmp)
+            source = spark.read.parquet(merge_tmp)
+        else:
+            source = staged
+    if partition_by is None and ID_BUCKET_COL in source.columns:
         partition_by = [ID_BUCKET_COL]
     elif (
         partition_by
-        and ID_BUCKET_COL in staged.columns
+        and ID_BUCKET_COL in source.columns
         and ID_BUCKET_COL not in partition_by
     ):
         # the reserved id-bucket SUB-layout (e.g. the IVF index's
@@ -79,11 +139,12 @@ def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> 
         # would silently degrade the guard-join pruning to a data
         # filter
         partition_by = [*partition_by, ID_BUCKET_COL]
-    w = staged.write.mode("overwrite")
+    w = source.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     _delete_path(spark, staging)
+    _delete_path(spark, merge_tmp)
     return True
 
 

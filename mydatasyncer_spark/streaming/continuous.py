@@ -320,6 +320,16 @@ def continuous_dedup(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # the restore-first discipline (jaccard_restore_staging's
+        # contract, applied to every store this stream appends to): a
+        # compaction crash window is replayed BEFORE the batch can
+        # bootstrap into the deleted store path
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_staging,
+        )
+
+        restore_staging(spark, index_path)
+        restore_staging(spark, survivors_path)
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         try:
             index = spark.read.parquet(index_path)
@@ -496,6 +506,13 @@ def continuous_ann_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # restore-first: replay a crashed compaction/rebuild window
+        # before this batch can bootstrap into the deleted store path
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_staging,
+        )
+
+        restore_staging(spark, index_path, ["bucket"])
         batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
         try:
             stored = spark.read.parquet(index_path)
@@ -595,6 +612,13 @@ def continuous_lsh_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # restore-first: replay a crashed compaction window before
+        # this batch can bootstrap into the deleted store path
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_staging,
+        )
+
+        restore_staging(spark, index_path, ["bucket"])
         batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
         try:
             stored = spark.read.parquet(index_path)
@@ -730,6 +754,14 @@ def continuous_semantic_dedup(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # restore-first: replay a crashed compaction/rebuild window
+        # before this batch can bootstrap into the deleted store path
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_staging,
+        )
+
+        restore_staging(spark, index_path, ["bucket"])
+        restore_staging(spark, survivors_path)
         batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
         try:
             index = spark.read.parquet(index_path)

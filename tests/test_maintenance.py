@@ -837,3 +837,81 @@ class TestLshOccupancyReport:
         assert explicit["candidates"][0]["expected_scan"] == by_p[2][
             "expected_scan"
         ]
+
+
+class TestStagedProtocolRandomized:
+    """Seeded randomized op sequences against one store: appends,
+    replayed appends, compactions, and simulated crash windows
+    (complete staged copy + deleted store) in random order — after
+    every compaction the store content must equal exactly the set of
+    unique rows ever appended. Fuzzes the _SUCCESS-gated protocol
+    every store family rides."""
+
+    def test_random_append_replay_crash_compact_sequences(
+        self, spark, tmp_path
+    ):
+        import random
+        import shutil as sh
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_table,
+        )
+
+        for seed in (13, 58):
+            rng = random.Random(seed)
+            path = str(tmp_path / f"store_{seed}")
+            expected: set = set()
+            batches: list = []
+            next_id = 0
+
+            def content():
+                return {
+                    (r["k"], r["v"])
+                    for r in spark.read.parquet(path).collect()
+                }
+
+            def append(rows):
+                spark.createDataFrame(
+                    list(rows), "k long, v double"
+                ).write.mode("append").parquet(path)
+
+            # always start with one real batch so the store exists
+            first = [(i, float(i)) for i in range(4)]
+            next_id = 4
+            append(first)
+            batches.append(first)
+            expected |= set(first)
+            for _ in range(12):
+                op = rng.random()
+                if op < 0.4:
+                    rows = [
+                        (next_id + i, float(rng.randrange(100)))
+                        for i in range(rng.randrange(1, 5))
+                    ]
+                    next_id += len(rows)
+                    append(rows)
+                    batches.append(rows)
+                    expected |= set(rows)
+                elif op < 0.65:
+                    # at-least-once replay of a previous batch
+                    append(rng.choice(batches))
+                elif op < 0.8:
+                    # crash mid-overwrite: complete staged copy (with
+                    # _SUCCESS), store gone — exactly what a crashed
+                    # compact_table leaves behind
+                    spark.read.parquet(path).localCheckpoint(
+                        eager=True
+                    ).write.mode("overwrite").parquet(
+                        path + INDEX_STAGING_SUFFIX
+                    )
+                    sh.rmtree(path)
+                else:
+                    stats = compact_table(spark, path)
+                    assert content() == expected, seed
+                    assert stats["rows"] == len(expected), seed
+            # final compaction resolves any pending crash window too
+            compact_table(spark, path)
+            assert content() == expected, seed

@@ -2562,6 +2562,87 @@ class TestContinuousJaccardIndex:
         assert got == {(3, 1)}  # exact copy of doc 1
 
 
+class TestRestoreFirstDiscipline:
+    """r10: every stream replays a crashed compaction window BEFORE
+    its batch runs — a batch arriving inside the window must neither
+    bootstrap over the staged copy (clobbering it at the next
+    restore) nor dedup against an apparently-empty index (silently
+    accepting a near-dup of a pre-crash doc)."""
+
+    def test_batch_inside_crash_window_restores_then_rejects(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+        import shutil as sh
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_dedup,
+        )
+
+        T = TestContinuousDedup
+        in_dir = tmp_path_factory.mktemp("rf_in")
+        out = tmp_path_factory.mktemp("rf_out")
+        index_path = str(out / "index")
+        survivors_path = str(out / "survivors")
+
+        def drain(rows, fname, ckpt):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_dedup(
+                stream, index_path, survivors_path,
+                checkpoint_dir=str(out / ckpt),
+            )
+            q.awaitTermination(120)
+
+        drain(
+            [
+                {"doc_id": 1, "text": T.DOC_A},
+                {"doc_id": 2, "text": T.DOC_B},
+            ],
+            "b1.json",
+            "c1",
+        )
+        # crashed compaction: complete staged copy, index deleted
+        spark.read.parquet(index_path).localCheckpoint(
+            eager=True
+        ).write.parquet(index_path + INDEX_STAGING_SUFFIX)
+        sh.rmtree(index_path)
+        # the next batch lands INSIDE the window: a near-dup of the
+        # pre-crash doc A and a fresh doc
+        drain(
+            [
+                {"doc_id": 10, "text": T.DOC_A_NEAR},
+                {"doc_id": 11, "text": T.DOC_C},
+            ],
+            "b2.json",
+            "c1",
+        )
+        # the near-dup was REJECTED — the restore ran before the
+        # batch, so the index was not apparently-empty
+        s = {
+            r["doc_id"]
+            for r in spark.read.parquet(survivors_path).collect()
+        }
+        assert s == {1, 2, 11}
+        idx_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(index_path).collect()
+        }
+        # pre-crash ids restored AND the new survivor appended —
+        # nothing clobbered in either direction
+        assert idx_ids == {1, 2, 11}
+        import os
+
+        assert not os.path.exists(index_path + INDEX_STAGING_SUFFIX)
+
+
 class TestContinuousLshIndex:
     """r10: the LSH twin of continuous_ann_index — growing
     bucket-partitioned lsh_index, row-identical to a batch build,
