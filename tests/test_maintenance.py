@@ -915,3 +915,78 @@ class TestStagedProtocolRandomized:
             # final compaction resolves any pending crash window too
             compact_table(spark, path)
             assert content() == expected, seed
+
+    def test_random_sequences_on_partitioned_store(self, spark, tmp_path):
+        """Same fuzz over a bucket-partitioned layout: restores (and
+        the union branch's merge staging) must keep the directory
+        partitioning alive through every crash window."""
+        import glob
+        import os
+        import random
+        import shutil as sh
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_table,
+        )
+
+        for seed in (7, 91):
+            rng = random.Random(seed)
+            path = str(tmp_path / f"pstore_{seed}")
+            expected: set = set()
+            batches: list = []
+            next_id = 0
+
+            def content():
+                return {
+                    (r["k"], r["v"], r["bucket"])
+                    for r in spark.read.parquet(path).collect()
+                }
+
+            def append(rows):
+                spark.createDataFrame(
+                    list(rows), "k long, v double, bucket int"
+                ).write.mode("append").partitionBy("bucket").parquet(path)
+
+            first = [(i, float(i), i % 3) for i in range(5)]
+            next_id = 5
+            append(first)
+            batches.append(first)
+            expected |= set(first)
+            for _ in range(10):
+                op = rng.random()
+                if op < 0.4:
+                    rows = [
+                        (
+                            next_id + i,
+                            float(rng.randrange(100)),
+                            rng.randrange(3),
+                        )
+                        for i in range(rng.randrange(1, 4))
+                    ]
+                    next_id += len(rows)
+                    append(rows)
+                    batches.append(rows)
+                    expected |= set(rows)
+                elif op < 0.65:
+                    append(rng.choice(batches))
+                elif op < 0.8:
+                    spark.read.parquet(path).localCheckpoint(
+                        eager=True
+                    ).write.mode("overwrite").partitionBy(
+                        "bucket"
+                    ).parquet(path + INDEX_STAGING_SUFFIX)
+                    sh.rmtree(path)
+                else:
+                    compact_table(
+                        spark, path, partition_by=["bucket"]
+                    )
+                    assert content() == expected, seed
+                    assert glob.glob(
+                        os.path.join(path, "bucket=*")
+                    ), seed
+            compact_table(spark, path, partition_by=["bucket"])
+            assert content() == expected, seed
+            assert glob.glob(os.path.join(path, "bucket=*")), seed
