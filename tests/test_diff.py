@@ -348,3 +348,88 @@ class TestScd2:
         assert sorted(map(key, full.collect())) == sorted(
             map(key, pruned.collect())
         )
+
+
+class TestScd2Randomized:
+    """Seeded random epoch sequences folded through scd2_apply,
+    checked against a pure-Python reference model of type-2 history
+    — updates, deletes, rebirths, no-ops, and multi-epoch chains in
+    random combination."""
+
+    def test_random_epoch_sequences_match_reference_model(self, spark):
+        import random
+
+        from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+
+        for seed in (3, 41):
+            rng = random.Random(seed)
+            dates = [f"2024-{m:02d}-01" for m in range(1, 7)]
+            snap = {k: f"v{k}.0" for k in range(1, 1 + rng.randrange(5, 9))}
+            next_key = 100
+            # reference model: key -> list of [value, from, to|None]
+            model = {
+                k: [[v, dates[0], None]] for k, v in snap.items()
+            }
+            h = scd2_init(
+                spark.createDataFrame(
+                    sorted(snap.items()), "id long, v string"
+                ),
+                dates[0],
+            )
+            for d in dates[1:]:
+                prev = dict(snap)
+                for k in list(snap):
+                    r = rng.random()
+                    if r < 0.2:
+                        del snap[k]          # delete
+                    elif r < 0.5:
+                        snap[k] = snap[k] + "x"  # update
+                if rng.random() < 0.7:
+                    snap[next_key] = f"v{next_key}.0"  # insert
+                    next_key += 1
+                if rng.random() < 0.3 and len(prev) > len(snap):
+                    # rebirth: a just-deleted key reappears changed
+                    dead = sorted(set(prev) - set(snap))[0]
+                    snap[dead] = prev[dead] + "_reborn"
+                # fold the reference model
+                for k in prev:
+                    if k not in snap:
+                        model[k][-1][2] = d  # close
+                for k, v in snap.items():
+                    if k not in prev:
+                        model.setdefault(k, [])
+                        model[k].append([v, d, None])  # open (or rebirth)
+                    elif v != prev[k]:
+                        model[k][-1][2] = d
+                        model[k].append([v, d, None])
+                h = scd2_apply(
+                    h,
+                    spark.createDataFrame(
+                        sorted(snap.items()), "id long, v string"
+                    ),
+                    "id",
+                    d,
+                    # truncate lineage between epochs, as the real
+                    # deployment does by persisting history to parquet
+                    # (continuous_scd2_table) — a lazily-chained
+                    # 5-epoch plan re-derives every prior diff
+                ).localCheckpoint(eager=True)
+            want = {
+                (k, v, frm, to, to is None)
+                for k, versions in model.items()
+                for v, frm, to in versions
+            }
+            got = {
+                (
+                    r["id"],
+                    r["v"],
+                    str(r["valid_from"]),
+                    None if r["valid_to"] is None else str(r["valid_to"]),
+                    r["is_current"],
+                )
+                for r in h.collect()
+            }
+            assert got == want, seed
+            # live keys carry exactly one current version each
+            cur = [k for k, _, _, to, _ in got if to is None]
+            assert sorted(cur) == sorted(snap), seed
