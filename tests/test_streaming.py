@@ -2826,3 +2826,100 @@ class TestGuardIdsPruning:
         assert {r["doc_id"] for r in flat.collect()} == {
             r["doc_id"] for r in index.select("doc_id").collect()
         }
+
+
+class TestContinuousScd2Randomized:
+    """Seeded random epoch sequence through the streaming SCD2 table
+    twin, checked against the same pure-Python type-2 reference
+    model as the batch fuzz (tests/test_diff.py) — the stream and
+    batch must tell one history."""
+
+    def test_random_epochs_match_reference_model(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+        import random
+        import uuid as _uuid
+
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_scd2_table,
+        )
+
+        rng = random.Random(29)
+        in_dir = tmp_path_factory.mktemp("scdr_in")
+        ckpt = str(tmp_path_factory.mktemp("scdr_out") / "ckpt")
+        table = f"scd2_rand_{_uuid.uuid4().hex[:8]}"
+        dates = [f"2024-{m:02d}-01" for m in range(1, 5)]
+        snap = {k: f"v{k}.0" for k in range(1, 7)}
+        next_key = 100
+        model = {k: [[v, dates[0], None]] for k, v in snap.items()}
+
+        def drain(rows, fname):
+            (in_dir / fname).write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+            stream = spark.readStream.schema(
+                "id long, v string, _effective string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_scd2_table(
+                stream, table, "id", checkpoint_dir=ckpt
+            )
+            q.awaitTermination(120)
+
+        try:
+            drain(
+                [
+                    {"id": k, "v": v, "_effective": dates[0]}
+                    for k, v in sorted(snap.items())
+                ],
+                "s0.json",
+            )
+            for i, d in enumerate(dates[1:], start=1):
+                prev = dict(snap)
+                for k in list(snap):
+                    r = rng.random()
+                    if r < 0.2:
+                        del snap[k]
+                    elif r < 0.5:
+                        snap[k] = snap[k] + "x"
+                if rng.random() < 0.7:
+                    snap[next_key] = f"v{next_key}.0"
+                    next_key += 1
+                if rng.random() < 0.3 and len(prev) > len(snap):
+                    dead = sorted(set(prev) - set(snap))[0]
+                    snap[dead] = prev[dead] + "_reborn"
+                for k in prev:
+                    if k not in snap:
+                        model[k][-1][2] = d
+                for k, v in snap.items():
+                    if k not in prev:
+                        model.setdefault(k, [])
+                        model[k].append([v, d, None])
+                    elif v != prev[k]:
+                        model[k][-1][2] = d
+                        model[k].append([v, d, None])
+                drain(
+                    [
+                        {"id": k, "v": v, "_effective": d}
+                        for k, v in sorted(snap.items())
+                    ],
+                    f"s{i}.json",
+                )
+            want = {
+                (k, v, frm, to, to is None)
+                for k, versions in model.items()
+                for v, frm, to in versions
+            }
+            got = {
+                (
+                    r["id"],
+                    r["v"],
+                    str(r["valid_from"]),
+                    None if r["valid_to"] is None else str(r["valid_to"]),
+                    bool(r["is_current"]),
+                )
+                for r in spark.table(table).collect()
+            }
+            assert got == want
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
