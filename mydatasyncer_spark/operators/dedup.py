@@ -1418,6 +1418,10 @@ def jaccard_restore_staging(spark, index_path: str) -> bool:
     index writer (the streaming twin, compaction) calls this first,
     so the staged copy can never go stale against later appends —
     call it yourself before appending to the index out-of-band.
+    (The generic ``operators/maintenance.restore_staging`` adds a
+    union-merge safety net for writers that skip that discipline;
+    here the discipline is complete across every writer, so this
+    restore stays a plain staged-copy replay.)
 
     Markers-disabled deployments: with ``_SUCCESS`` files suppressed
     the marker gate never opens, so the fallback restores whenever
