@@ -3302,6 +3302,35 @@ class TestSimilarityJoinRandomized:
             }
             assert got_s == want_s, (seed, t, "containment-store")
 
+            # r10: the band-store MinHash path must be EXACTLY the
+            # storeless incremental path on the same corpora — same
+            # signatures, same bands, different IO
+            from mydatasyncer_spark.operators.dedup import (
+                minhash_band_store,
+                minhash_lsh_pairs_incremental,
+                minhash_signature,
+            )
+
+            sigs = minhash_signature(corpus)
+            plain_mh = {
+                (r["id_a"], r["id_b"], r["est_jaccard"])
+                for r in minhash_lsh_pairs_incremental(
+                    batch, sigs
+                ).collect()
+            }
+            stored_mh = {
+                (r["id_a"], r["id_b"], r["est_jaccard"])
+                for r in minhash_lsh_pairs_incremental(
+                    batch,
+                    sigs,
+                    corpus_bands=minhash_band_store(
+                        sigs, n_band_buckets=8
+                    ),
+                    n_band_buckets=8,
+                ).collect()
+            }
+            assert stored_mh == plain_mh, (seed, "band-store")
+
 
 class TestExactJaccardClusterComposition:
     def test_exact_pairs_feed_cluster_assignment(self, spark):
