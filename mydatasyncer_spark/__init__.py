@@ -46,9 +46,12 @@ from mydatasyncer_spark.operators.maintenance import (
     compact_ivf_index,
     compact_lsh_index,
     compact_minhash_index,
+    compact_pq_index,
     compaction_report,
     ivf_drift_report,
     lsh_occupancy_report,
+    pq_drift_report,
+    pq_rebuild,
     compact_pairs,
     compact_partials,
     compact_survivors,
@@ -116,7 +119,14 @@ from mydatasyncer_spark.operators.similarity import (
     lsh_ann_topk,
     lsh_ann_topk_indexed,
     lsh_index,
+    pq_adc_topk,
+    pq_codebook_fingerprint,
+    pq_encode,
+    pq_index,
+    pq_topk_indexed,
+    pq_train,
     recorded_centroids,
+    recorded_codebooks,
     semantic_dedup_pairs,
     semantic_dedup_survivors,
 )
@@ -256,6 +266,16 @@ __all__ = [
     "compact_partials",
     "compact_ivf_index",
     "compact_lsh_index",
+    "compact_pq_index",
+    "pq_drift_report",
+    "pq_rebuild",
+    "pq_adc_topk",
+    "pq_codebook_fingerprint",
+    "pq_encode",
+    "pq_index",
+    "pq_topk_indexed",
+    "pq_train",
+    "recorded_codebooks",
 ]
 
 __version__ = "0.1.0"

@@ -781,3 +781,197 @@ def ivf_rebuild(
         "centroids": centroids,
         "restored_from_staging": restored,
     }
+
+
+def compact_pq_index(spark, path: str, id_col: str = "neighbor_id") -> dict:
+    """Compact a ``continuous_pq_index`` IVF-PQ layout, preserving
+    the ``bucket`` partitioning probe queries prune on. Key-dedupe by
+    ``neighbor_id`` is lossless under the frozen-quantizer contract
+    (bucket AND codes are deterministic functions of the vector, the
+    frozen centroids, and the frozen codebooks — the append-time
+    provenance guards refuse any other append), the same argument as
+    :func:`compact_ivf_index` extended to the codebook axis."""
+    return compact_table(
+        spark, path, dedupe_cols=[id_col], partition_by=["bucket"]
+    )
+
+
+def pq_drift_report(
+    spark,
+    path: str,
+    corpus,
+    dim: int,
+    m: int | None = None,
+    ksub: int | None = None,
+    n_iter: int = 5,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The :func:`pq_rebuild` DECISION signal — the PQ member of the
+    decision-signal family (``jaccard_drift_report`` -> refreeze,
+    :func:`ivf_drift_report` -> IVF rebuild, this -> codebook
+    rebuild): how stale the store's frozen codebooks are on the
+    corpus it now encodes.
+
+    Unlike the IVF report this one needs the TRUE vectors
+    (``corpus``): a PQ store holds only lossy codes, so
+    reconstruction error is measurable only against the originals —
+    the same reason :func:`pq_rebuild` takes the corpus. Reported:
+
+    - ``mse_frozen`` / ``mse_retrained`` / ``mse_ratio`` — mean
+      squared reconstruction error under the store's recorded books
+      vs under books lazily retrained on today's corpus (nothing is
+      written). ADC ranking quality degrades monotonically with
+      reconstruction error (Jégou et al. 2011, §4), so the ratio is
+      the recall-proxy payoff of a rebuild: 1.0 means retraining
+      buys nothing.
+    - ``books_retrained`` — pass to :func:`pq_rebuild` ``books=`` to
+      reuse the training this report already paid for.
+    - ``rows`` / ``pending_staging`` — the usual store surface.
+
+    Run-rebuild-when contract: rebuild when ``mse_ratio`` exceeds
+    ~1.3 sustained (one noisy batch is not drift); post-rebuild the
+    ratio returns to ~1.0 — the fixpoint the tests pin. The store's
+    books resolve from its own metadata; a store recording none
+    REFUSES (error against guessed books is meaningless)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.similarity import (
+        pq_quantization_error,
+        pq_train,
+        recorded_codebooks,
+    )
+
+    store = spark.read.parquet(path)
+    books = recorded_codebooks(store)
+    if books is None:
+        raise ValueError(
+            "pq_drift_report: the store records no codebook values — "
+            "reconstruction error against guessed books is "
+            "meaningless; rebuild via pq_rebuild first (a rebuilt "
+            "store is self-describing)"
+        )
+    m = m or len(books)
+    ksub = ksub or len(books[0])
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    train = (
+        vecs.sample(fraction=float(train_fraction), seed=seed)
+        if float(train_fraction) < 1.0
+        else vecs
+    )
+    new_books = pq_train(train, dim, m, ksub, n_iter)
+    mse_frozen = pq_quantization_error(vecs, books, "embedding")
+    mse_new = pq_quantization_error(vecs, new_books, "embedding")
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    try:
+        spark.read.parquet(staging)
+        pending = True
+    except AnalysisException:
+        pending = False
+    return {
+        "rows": store.count(),
+        "mse_frozen": mse_frozen,
+        "mse_retrained": mse_new,
+        "mse_ratio": mse_frozen / mse_new if mse_new else None,
+        "books_retrained": new_books,
+        "pending_staging": pending,
+    }
+
+
+def pq_rebuild(
+    spark,
+    path: str,
+    corpus,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> dict:
+    """Staged retrain-and-re-encode for a bucket-partitioned IVF-PQ
+    store — the codebook twin of :func:`ivf_rebuild`, and the ONE
+    sanctioned way to change a PQ store's frozen codebooks.
+
+    The one structural difference from :func:`ivf_rebuild`: a PQ
+    store CANNOT rebuild from itself — it holds lossy codes, not
+    vectors — so the TRUE corpus is a required input and the rebuild
+    re-encodes it from scratch (at 100 TB that is one corpus pass:
+    exactly what any re-encode costs, and why
+    :func:`pq_drift_report` exists to decide whether it pays).
+    Books retrain via :func:`~mydatasyncer_spark.operators.
+    similarity.pq_train` over ``train_fraction`` of the corpus (or
+    take the report's ``books_retrained``); the coarse centroids are
+    kept from the store's own metadata unless explicitly replaced
+    (retraining THEM is :func:`ivf_rebuild`'s job — the two
+    quantizers drift and rebuild independently).
+
+    Crash story: identical to every staged rewrite — ``_SUCCESS``-
+    gated staging completes before one old file is touched;
+    :func:`restore_staging` (run first here) replays a crashed
+    window. The rebuilt store stamps BOTH new fingerprints, so every
+    dependent reader/stream refuses stale-books probes from that
+    moment. Returns ``{"rows", "books", "centroids",
+    "restored_from_staging"}``."""
+    from mydatasyncer_spark.operators.similarity import (
+        pq_index,
+        pq_train,
+        recorded_centroids,
+    )
+
+    restored = restore_staging(spark, path, ["bucket"])
+    store = spark.read.parquet(path)
+    if centroids is None:
+        centroids = recorded_centroids(store)
+        if centroids is None:
+            raise ValueError(
+                "pq_rebuild: the store records no centroid values and "
+                "none were passed — re-bucketing under guessed "
+                "centroids would scatter rows where probes never "
+                "look; pass centroids="
+            )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    if books is None:
+        train = (
+            vecs.sample(fraction=float(train_fraction), seed=seed)
+            if float(train_fraction) < 1.0
+            else vecs
+        )
+        books = pq_train(train, dim, m, ksub, n_iter)
+    books = [
+        [list(map(float, cen)) for cen in book] for book in books
+    ]
+    centroids = [list(map(float, cen)) for cen in centroids]
+    rebuilt = pq_index(
+        vecs,
+        dim,
+        m=len(books),
+        ksub=len(books[0]),
+        n_centroids=len(centroids),
+        id_col="vec_id",
+        vec_col="embedding",
+        books=books,
+        centroids=centroids,
+    )
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    staged = spark.read.parquet(staging)
+    rows = staged.count()
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _delete_path(spark, staging)
+    return {
+        "rows": rows,
+        "books": books,
+        "centroids": centroids,
+        "restored_from_staging": restored,
+    }

@@ -901,3 +901,600 @@ def semantic_dedup_survivors(
         F.col("doc_id") != F.col("cluster_id")
     ).select(F.col("doc_id").alias(id_col))
     return corpus.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the compressed scale path
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the IVF index's dominant cost is no longer WHICH files a
+# probe reads (bucket pruning solved that) but HOW MANY BYTES each
+# candidate row carries: a 64-float64 vector is 512 bytes, so scoring a
+# pruned bucket still streams the full vector payload. Product
+# quantization (Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public) splits each vector into ``m``
+# subvectors, k-means-quantizes each subspace independently, and stores
+# only the ``m`` code ids: 64 doubles collapse to 8 one-byte codes
+# (+ one stored norm), a ~60x reduction in scored bytes. Queries score
+# candidates with an Asymmetric Distance Computation (ADC) lookup
+# table — ``m`` table lookups per candidate instead of ``dim``
+# multiplies — and an optional exact re-rank touches true vectors only
+# for the top-R survivors (a candidate-proportional point-lookup join).
+#
+# House rules carried over from the IVF/LSH family: all math is
+# JVM-side higher-order functions (zip_with/aggregate/transform) over
+# broadcast codebook literals — no UDFs; deterministic md5-derived
+# default codebooks make the DuckDB oracle bit-exact; the encoded
+# corpus is SELF-DESCRIBING (codebooks + coarse centroids ride the
+# footer metadata) with fail-fast fingerprint guards, so probing under
+# the wrong quantizer is impossible rather than merely detected.
+
+#: metadata key (on ``neighbor_id``) fingerprinting the PQ codebooks a
+#: store was encoded under — codes are meaningless under other books
+_PQ_FP_KEY = "pq_codebook_fingerprint"
+#: metadata key holding the codebook VALUES (JSON) — m*ksub*dsub = dim*ksub
+#: doubles (dim 64 x ksub 16 = 1024), far under _IVF_CENS_MAX_NUMBERS
+_PQ_BOOKS_KEY = "pq_codebooks_json"
+
+
+def pq_codebook_values(
+    dim: int, m: int = 8, ksub: int = 16
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random PQ codebooks:
+    ``books[j][c][i]`` maps a 48-bit md5 of ``"pq:j:c:i"`` into
+    [-1, 1) — driver-side constants, so Spark and the SQL oracle
+    inline IDENTICAL literals (the :func:`ivf_centroid_values`
+    trick). Real deployments train :func:`pq_train` codebooks;
+    determinism here is what makes the cross-engine oracle exact."""
+    import hashlib
+
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        book = []
+        for c in range(ksub):
+            cen = []
+            for i in range(dsub):
+                h = int(
+                    hashlib.md5(f"pq:{j}:{c}:{i}".encode()).hexdigest()[:12],
+                    16,
+                )
+                cen.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+            book.append(cen)
+        books.append(book)
+    return books
+
+
+def pq_codebook_fingerprint(books: list[list[list[float]]]) -> str:
+    """Order-sensitive exact-repr fingerprint of a codebook set (the
+    PQ twin of :func:`centroid_fingerprint`): code ids are positional
+    per subspace, so any reorder or retrain changes every stored
+    code's meaning."""
+    import hashlib
+
+    payload = "|".join(
+        ";".join(",".join(repr(float(x)) for x in cen) for cen in book)
+        for book in books
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _pq_sub(vec: Column, j: int, dsub: int) -> Column:
+    """Subvector j (0-based): elements j*dsub+1 .. (j+1)*dsub."""
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _pq_sub_scores(sub: Column, book: list[list[float]]) -> Column:
+    """array<double> of round-6 scores against one subspace codebook;
+    the argMAX is the L2-argMIN code: with the subvector's own |x|^2
+    constant across codes, minimizing |x - c|^2 equals maximizing
+    dot(x, c) - |c|^2/2. Same first-max tie-break as
+    :func:`ivf_buckets` / the oracle's ``list_position(list_max)``."""
+    cens = F.array(*[F.array(*[F.lit(x) for x in cen]) for cen in book])
+    offs = F.array(
+        *[F.lit(sum(x * x for x in cen) / 2.0) for cen in book]
+    )
+    return F.zip_with(cens, offs, lambda c, h: F.round(dot(sub, c) - h, 6))
+
+
+def pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
+    """array<int> of 1-based code ids, one per subspace — the entire
+    stored representation of a vector (plus its norm)."""
+    dim = sum(len(book[0]) for book in books)
+    dsub = len(books[0][0])
+    assert dim == len(books) * dsub
+    cols = []
+    for j, book in enumerate(books):
+        scores = _pq_sub_scores(_pq_sub(vec, j, dsub), book)
+        cols.append(
+            F.array_position(scores, F.array_max(scores)).cast("int")
+        )
+    return F.array(*cols)
+
+
+def _pq_lut(vec: Column, books: list[list[list[float]]]) -> Column:
+    """The query-side ADC lookup table: ``lut[j][c] = round(dot(q_j,
+    books[j][c]), 6)`` as array<array<double>> — computed ONCE per
+    query row; every candidate is then scored with ``m`` lookups."""
+    dsub = len(books[0][0])
+    luts = []
+    for j, book in enumerate(books):
+        sub = _pq_sub(vec, j, dsub)
+        cens = F.array(
+            *[F.array(*[F.lit(x) for x in cen]) for cen in book]
+        )
+        luts.append(F.transform(cens, lambda c: F.round(dot(sub, c), 6)))
+    return F.array(*luts)
+
+
+def _adc_score(codes: Column, lut: Column) -> Column:
+    """Sum of the per-subspace LUT entries in subspace order —
+    exactly ``dot(q, reconstruction)`` up to round-6 per term, summed
+    left-to-right so the SQL oracle's ``+`` chain agrees term-for-
+    term."""
+    return F.aggregate(
+        F.zip_with(codes, lut, lambda c, t: F.element_at(t, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[list[list[float]]] | None = None,
+) -> list[list[list[float]]]:
+    """Distributed per-subspace L2 Lloyd — the codebook trainer for
+    :func:`pq_encode` / :func:`pq_index`.
+
+    Scale shape: ONE corpus pass per iteration covers ALL ``m``
+    subspaces — each row explodes into its m (subspace, code,
+    subvector) assignments against broadcast codebook literals (pure
+    higher-order-function projection, no UDF), and the re-estimation
+    is one groupBy producing m*ksub rows of dsub sums + a count:
+    ``m*ksub*(dsub+2)`` numbers to the driver per iteration (dim 64 /
+    m 8 / ksub 16 = ~1.3k), never the vectors. Init is deterministic:
+    the ``ksub`` corpus vectors with the smallest ``hash48(id)``,
+    sliced per subspace (the :func:`kmeans_centroids` seeding rule).
+    Empty codes keep their previous centroid."""
+    from mydatasyncer_spark.functions.hashing import hash48
+
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    if init is not None:
+        books = [
+            [list(map(float, cen)) for cen in book] for book in init
+        ]
+    else:
+        seed_rows = (
+            corpus.select(
+                F.col(vec_col).alias("v"),
+                hash48(F.col(id_col).cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(ksub)
+            .collect()
+        )
+        seeds = [[float(x) for x in r["v"]] for r in seed_rows]
+        if len(seeds) < ksub:
+            raise ValueError(
+                f"pq_train: corpus has only {len(seeds)} vectors; "
+                f"ksub={ksub} needs at least that many seeds"
+            )
+        books = [
+            [s[j * dsub : (j + 1) * dsub] for s in seeds]
+            for j in range(m)
+        ]
+    v = F.col(vec_col)
+    for _ in range(n_iter):
+        exploded = corpus.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("_j"),
+                            F.array_position(
+                                _pq_sub_scores(
+                                    _pq_sub(v, j, dsub), books[j]
+                                ),
+                                F.array_max(
+                                    _pq_sub_scores(
+                                        _pq_sub(v, j, dsub), books[j]
+                                    )
+                                ),
+                            )
+                            .cast("int")
+                            .alias("_c"),
+                            _pq_sub(v, j, dsub).alias("_s"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select("e._j", "e._c", "e._s")
+        stats = (
+            exploded.groupBy("_j", "_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at(F.col("_s"), i + 1)).alias(f"_s{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        new_books = [[list(cen) for cen in book] for book in books]
+        for r in stats:
+            j, c, n = r["_j"], r["_c"] - 1, r["_n"]
+            if n > 0:
+                new_books[j][c] = [
+                    r[f"_s{i}"] / n for i in range(dsub)
+                ]
+        books = new_books
+    return books
+
+
+def pq_quantization_error(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error — the objective
+    :func:`pq_train` minimizes; one aggregate pass (tests pin that
+    training strictly improves it over the deterministic init)."""
+    dsub = len(books[0][0])
+    v = F.col(vec_col)
+    errs = []
+    for j, book in enumerate(books):
+        sub = _pq_sub(v, j, dsub)
+        scores = _pq_sub_scores(sub, book)
+        code = F.array_position(scores, F.array_max(scores)).cast("int")
+        cens = F.array(
+            *[F.array(*[F.lit(x) for x in cen]) for cen in book]
+        )
+        chosen = F.element_at(cens, code)
+        errs.append(
+            F.aggregate(
+                F.zip_with(sub, chosen, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    total = errs[0]
+    for e in errs[1:]:
+        total = total + e
+    row = corpus.select(F.avg(total).alias("mse")).first()
+    return float(row["mse"])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    books: list[list[list[float]]] | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The flat compressed corpus: ``(neighbor_id, codes, cn)`` —
+    ``m`` small ints + one stored norm instead of ``dim`` doubles.
+    The codebook VALUES and fingerprint ride ``neighbor_id`` metadata
+    (:func:`recorded_codebooks`), so the encoding is SELF-DESCRIBING:
+    :func:`pq_adc_topk` needs no codebook config, and scoring codes
+    under the wrong books is refused rather than silently wrong."""
+    import json
+
+    books = books or pq_codebook_values(dim, m, ksub)
+    meta = {
+        _PQ_FP_KEY: pq_codebook_fingerprint(books),
+        _PQ_BOOKS_KEY: json.dumps(
+            [[[float(x) for x in cen] for cen in book] for book in books]
+        ),
+    }
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id", metadata=meta),
+        pq_codes(F.col(vec_col), books).alias("codes"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+
+
+def recorded_codebooks(
+    encoded: DataFrame,
+) -> list[list[list[float]]] | None:
+    """The codebooks a PQ store records in its own metadata — the
+    :func:`recorded_centroids` twin. ``None`` for a pre-provenance
+    frame; raises on values that contradict their own recorded
+    fingerprint (mixed appends from different quantizers)."""
+    import json
+
+    if "neighbor_id" not in encoded.columns:
+        return None
+    meta = encoded.schema["neighbor_id"].metadata
+    raw = meta.get(_PQ_BOOKS_KEY)
+    if raw is None:
+        return None
+    books = [
+        [[float(x) for x in cen] for cen in book]
+        for book in json.loads(raw)
+    ]
+    rec_fp = meta.get(_PQ_FP_KEY)
+    if rec_fp is not None and rec_fp != pq_codebook_fingerprint(books):
+        raise ValueError(
+            "PQ store metadata is inconsistent: recorded codebook "
+            "values do not match the recorded fingerprint — the store "
+            "mixes appends encoded under different codebooks; rebuild "
+            "it with operators/maintenance.pq_rebuild"
+        )
+    return books
+
+
+def _resolve_codebooks(
+    encoded: DataFrame,
+    dim: int,
+    m: int,
+    ksub: int,
+    books: list[list[list[float]]] | None,
+    caller: str,
+) -> list[list[list[float]]]:
+    """Reader-side codebook resolution + fail-fast provenance: codes
+    are POSITIONS into the books they were encoded under, so scoring
+    them under any other books returns plausible-but-wrong neighbors
+    — the exact failure mode the dedup stores' modulus guards exist
+    for, on the embedding side."""
+    rec = recorded_codebooks(encoded)
+    if books is not None:
+        if (
+            rec is None
+            and "neighbor_id" in encoded.columns
+            and encoded.schema["neighbor_id"].metadata.get(_PQ_FP_KEY)
+            not in (None, pq_codebook_fingerprint(books))
+        ):
+            raise ValueError(
+                f"{caller}: the PQ store was encoded under DIFFERENT "
+                "codebooks than the ones passed — ADC lookups would "
+                "silently score wrong reconstructions. Pass the books "
+                "the store was encoded with, or re-encode via "
+                "operators/maintenance.pq_rebuild"
+            )
+        if rec is not None and pq_codebook_fingerprint(
+            rec
+        ) != pq_codebook_fingerprint(books):
+            raise ValueError(
+                f"{caller}: the PQ store records codebooks that do "
+                "not match the ones passed — pass nothing (the store "
+                "is self-describing) or rebuild via "
+                "operators/maintenance.pq_rebuild"
+            )
+        return books
+    if rec is not None:
+        return rec
+    # NO deterministic-default fallback here (unlike the writer
+    # side): every pq_encode/pq_index store RECORDS its books, so a
+    # codes frame recording none is a stripped-metadata store — the
+    # positive-marker lesson from the containment family: scoring
+    # codes under guessed books silently returns wrong neighbors.
+    raise ValueError(
+        f"{caller}: the codes frame records no codebooks and none "
+        "were passed — codes are positions into the books they were "
+        "encoded under, and scoring them under guessed books is "
+        "silently wrong. Pass books= (pq_codebook_values for the "
+        "deterministic family) or re-encode via pq_encode/pq_index"
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Brute-force ADC top-k over a :func:`pq_encode` corpus — the
+    compressed counterpart of :func:`cosine_topk`. Each query
+    computes its LUT once (m*ksub round-6 subspace dots); each candidate
+    costs ``m`` array lookups + one divide, and the corpus side
+    streams only ``(id, m codes, norm)`` — the ~60x byte reduction is
+    the whole point at 100 TB. Output ranks by ``adc_cosine`` =
+    ADC-dot / (qn * stored cn): the cosine against the candidate's
+    RECONSTRUCTION, normalized by its TRUE norm — the standard
+    IVFADC estimator; recall bounds live in the tests, exactness
+    comes from :func:`pq_topk_indexed`'s refine path."""
+    books = _resolve_codebooks(encoded, dim, m, ksub, books, "pq_adc_topk")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_lut(F.col(vec_col), books).alias("lut"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = fanout_spread(encoded.select("neighbor_id", "codes", "cn"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _adc_score(F.col("codes"), F.col("lut"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("adc_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_cosine")
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The storable IVF-PQ index: coarse-quantizer ``bucket`` for
+    partition pruning (the :func:`ivf_index` layout) + PQ ``codes``
+    instead of the raw vector — the scan that survives bucket pruning
+    is ALSO ~60x narrower. Both quantizers' provenance rides
+    ``neighbor_id`` metadata (IVF fingerprint/centroid values AND PQ
+    fingerprint/codebook values), so the index is fully
+    self-describing and every mismatch fails fast. Write it
+    ``partitionBy("bucket")`` like the IVF index; query with
+    :func:`pq_topk_indexed`."""
+    import json
+
+    books = books or pq_codebook_values(dim, m, ksub)
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
+    meta: dict = {
+        _IVF_FP_KEY: centroid_fingerprint(cens),
+        _PQ_FP_KEY: pq_codebook_fingerprint(books),
+        _PQ_BOOKS_KEY: json.dumps(
+            [[[float(x) for x in cen] for cen in book] for book in books]
+        ),
+    }
+    if sum(len(cen) for cen in cens) <= _IVF_CENS_MAX_NUMBERS:
+        meta[_IVF_CENS_KEY] = json.dumps(
+            [[float(x) for x in cen] for cen in cens]
+        )
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id", metadata=meta),
+        pq_codes(F.col(vec_col), books).alias("codes"),
+        norm(F.col(vec_col)).alias("cn"),
+        ivf_buckets(F.col(vec_col), cens, 1)[0].alias("bucket"),
+    )
+
+
+def pq_topk_indexed(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    broadcast_queries: bool = True,
+    refine: int | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ probe: coarse buckets prune WHICH partitions are read
+    (broadcast shape keeps DPP eligible; ``broadcast_queries=False``
+    statically prunes with the bounded probed-bucket IN, the
+    :func:`ivf_topk_indexed` contract), PQ codes shrink WHAT the
+    surviving scan streams, and ADC ranks candidates with ``m``
+    lookups each.
+
+    ``refine=R`` adds the exact re-rank stage: the top-R candidates
+    per query by ADC join back to ``corpus`` (required) by id — a
+    candidate-proportional point-lookup join, R*|queries| rows
+    against the corpus, never a second corpus scan of the probe side
+    — and the final top-k is exact cosine over true vectors. With
+    ``R`` at least the probed-bucket population this is EXACTLY
+    :func:`ivf_topk` (pytest-pinned identity); small R trades recall
+    for touching ~R true vectors per query."""
+    books = _resolve_codebooks(
+        index, dim, m, ksub, books, "pq_topk_indexed"
+    )
+    cens = _resolve_centroids(index, dim, n_centroids, centroids)
+    _check_ivf_provenance(index, cens, "pq_topk_indexed")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_lut(F.col(vec_col), books).alias("lut"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(ivf_buckets(F.col(vec_col), cens, n_probe)).alias(
+            "bucket"
+        ),
+    )
+    if broadcast_queries:
+        probe = F.broadcast(q)
+    else:
+        probed = [
+            r["bucket"] for r in q.select("bucket").distinct().collect()
+        ]
+        index = index.filter(F.col("bucket").isin(probed))
+        probe = q
+    scored = (
+        probe.join(index, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _adc_score(F.col("codes"), F.col("lut"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("adc_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank", "adc_cosine"
+        )
+    if corpus is None:
+        raise ValueError(
+            "pq_topk_indexed: refine needs the true-vector corpus — "
+            "pass corpus= (the exact re-rank reads only the top-R "
+            "candidates' rows from it)"
+        )
+    cands = ranked.filter(F.col("rank") <= refine).select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    exact = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

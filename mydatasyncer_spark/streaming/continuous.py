@@ -559,6 +559,132 @@ def continuous_ann_index(
     return writer.start()
 
 
+def continuous_pq_index(
+    stream_vecs: DataFrame,
+    index_path: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_pq_index",
+):
+    """Continuous embedding ingestion into a growing IVF-PQ store —
+    the compressed twin of :func:`continuous_ann_index`, same
+    contract throughout: per batch, already-indexed ids anti-join
+    away (replay idempotence), the remaining vectors are
+    code+norm+bucket annotated against BOTH frozen quantizers
+    (broadcast literal array math, batch-sized work — the stored
+    corpus is never re-read, and codes/buckets depend only on the
+    vector and the frozen books/centroids, so the continuously-built
+    store is row-identical to a batch :func:`~mydatasyncer_spark.
+    operators.similarity.pq_index` — pinned in tests), and the rows
+    append ``partitionBy("bucket")`` so
+    :func:`~mydatasyncer_spark.operators.similarity.pq_topk_indexed`
+    probes keep pruning as the store grows — while streaming ~60x
+    fewer bytes per candidate than the flat IVF store.
+
+    Both quantizers are SELF-DESCRIBING from the first batch: leave
+    ``books``/``centroids`` unset on restart and the stream
+    continues under whatever the store records; an explicit set
+    differing from the recorded fingerprints FAILS the batch rather
+    than appending codes that later reads would score under the
+    wrong books (the store-config-validation contract, on both
+    axes). Retraining either quantizer means rebuilding — decide
+    with ``operators/maintenance.pq_drift_report`` /
+    ``ivf_drift_report``, rebuild with ``pq_rebuild`` (books; needs
+    the true corpus — codes are lossy) or ``ivf_rebuild`` (coarse
+    centroids). Maintain file counts with ``compact_pq_index``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.similarity import (
+        _check_ivf_provenance,
+        ivf_centroid_values,
+        pq_codebook_fingerprint,
+        pq_index,
+        recorded_centroids,
+        recorded_codebooks,
+    )
+
+    cens = centroids or [
+        ivf_centroid_values(dim, c) for c in range(n_centroids)
+    ]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # restore-first: replay a crashed compaction/rebuild window
+        # before this batch can bootstrap into the deleted store path
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_staging,
+        )
+
+        restore_staging(spark, index_path, ["bucket"])
+        batch = batch_df.select(id_col, vec_col).dropDuplicates([id_col])
+        try:
+            stored = spark.read.parquet(index_path)
+        except AnalysisException:
+            stored = None
+        use_cens, use_books = cens, books
+        if stored is not None:
+            if centroids is None:
+                use_cens = recorded_centroids(stored) or cens
+            _check_ivf_provenance(
+                stored, use_cens, "continuous_pq_index"
+            )
+            if books is None:
+                use_books = recorded_codebooks(stored)
+            else:
+                rec = recorded_codebooks(stored)
+                if rec is not None and pq_codebook_fingerprint(
+                    rec
+                ) != pq_codebook_fingerprint(books):
+                    raise ValueError(
+                        "continuous_pq_index: the stored index was "
+                        "encoded under DIFFERENT codebooks than the "
+                        "restart config — appending would mix codes "
+                        "no single ADC table can score. Drop the "
+                        "explicit books= (the store is "
+                        "self-describing) or rebuild via "
+                        "operators/maintenance.pq_rebuild"
+                    )
+            existing = _guard_ids(
+                stored,
+                batch.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+            ).select(F.col("neighbor_id").alias(id_col))
+            batch = batch.join(existing, id_col, "left_anti")
+        if batch.isEmpty():
+            return
+        idx = pq_index(
+            batch,
+            dim,
+            m=m,
+            ksub=ksub,
+            n_centroids=len(use_cens),
+            id_col=id_col,
+            vec_col=vec_col,
+            books=use_books,
+            centroids=use_cens,
+        )
+        idx.write.mode("append").partitionBy("bucket").parquet(index_path)
+
+    writer = (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def continuous_lsh_index(
     stream_vecs: DataFrame,
     index_path: str,

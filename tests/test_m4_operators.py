@@ -3673,3 +3673,340 @@ class TestLshIndexStore:
             re.search(r"bucket#\d+L? (=|IN)", line)
             for line in scan_lines
         ), plan
+
+
+class TestProductQuantization:
+    """r10: IVF-PQ — the compressed embedding scale path (Jégou et
+    al. 2011). What 100 TB cares about: the scored bytes per
+    candidate drop from dim doubles to m one-byte codes + a norm,
+    bucket pruning still governs WHICH partitions are read, and
+    exactness is recoverable through the candidate-proportional
+    refine stage. These tests pin the algebra (ADC == reconstruction
+    scoring — the identity the SQL oracle relies on), the training
+    objective, recall on a corpus with real structure, the
+    refine-path identity with IVF-Flat, and the fail-fast codebook
+    provenance that makes stale/stripped stores refuse instead of
+    silently mis-scoring."""
+
+    DIM, M, KSUB = 8, 4, 4
+
+    @staticmethod
+    def _vecs(spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    @classmethod
+    def _corpus(cls, spark, n=48):
+        rows = [
+            (
+                i,
+                [
+                    ((i * 7 + j * 3) % 23) / 23.0 - 0.5
+                    for j in range(cls.DIM)
+                ],
+            )
+            for i in range(1, n + 1)
+        ]
+        return cls._vecs(spark, rows)
+
+    def test_codes_shape_and_bounds(self, spark):
+        from mydatasyncer_spark.operators.similarity import (
+            pq_codebook_values,
+            pq_encode,
+        )
+
+        corpus = self._corpus(spark)
+        books = pq_codebook_values(self.DIM, self.M, self.KSUB)
+        enc = pq_encode(
+            corpus, self.DIM, books=books, m=self.M, ksub=self.KSUB
+        )
+        rows = enc.collect()
+        assert len(rows) == corpus.count()
+        for r in rows:
+            assert len(r["codes"]) == self.M
+            assert all(1 <= c <= self.KSUB for c in r["codes"])
+
+    def test_adc_equals_reconstruction_scoring(self, spark):
+        """The cross-engine identity the gate oracle is built on:
+        the LUT-summed ADC score equals cosine against the candidate
+        RECONSTRUCTION (per-subspace round-6 dots summed in subspace
+        order), normalized by the true stored norm."""
+        from mydatasyncer_spark.operators.similarity import (
+            dot,
+            norm,
+            pq_adc_topk,
+            pq_codebook_values,
+            pq_codes,
+            pq_encode,
+        )
+
+        corpus = self._corpus(spark)
+        queries = corpus.filter("vec_id % 7 = 0")
+        books = pq_codebook_values(self.DIM, self.M, self.KSUB)
+        enc = pq_encode(
+            corpus, self.DIM, books=books, m=self.M, ksub=self.KSUB
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"]): r["adc_cosine"]
+            for r in pq_adc_topk(
+                queries, enc, self.DIM, k=1000, books=books
+            ).collect()
+        }
+        # reconstruction scoring, straight from the codebook python
+        # lists — per-subspace round-6 dot, summed j-ascending
+        dsub = self.DIM // self.M
+        recon_scored = {}
+        cvecs = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+        codes = {
+            r["neighbor_id"]: r["codes"]
+            for r in enc.collect()
+        }
+        import math
+
+        for qr in queries.collect():
+            qid, qv = qr["vec_id"], qr["embedding"]
+            qn = math.sqrt(sum(x * x for x in qv))
+            for nid, cv in cvecs.items():
+                if nid == qid:
+                    continue
+                cn = math.sqrt(sum(x * x for x in cv))
+                s = 0.0
+                for j in range(self.M):
+                    cen = books[j][codes[nid][j] - 1]
+                    sub = qv[j * dsub : (j + 1) * dsub]
+                    s += round(
+                        sum(a * b for a, b in zip(sub, cen)), 6
+                    )
+                recon_scored[(qid, nid)] = round(s / (qn * cn), 6)
+        assert set(got) == set(recon_scored)
+        for key, v in got.items():
+            assert abs(v - recon_scored[key]) < 1e-9, key
+
+    def test_train_reduces_quantization_error(self, spark):
+        from mydatasyncer_spark.operators.similarity import (
+            pq_codebook_values,
+            pq_quantization_error,
+            pq_train,
+        )
+
+        corpus = self._corpus(spark)
+        det = pq_codebook_values(self.DIM, self.M, self.KSUB)
+        trained = pq_train(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_iter=4
+        )
+        e_det = pq_quantization_error(corpus, det)
+        e_tr = pq_quantization_error(corpus, trained)
+        assert e_tr < e_det
+        # another Lloyd round never worsens the objective
+        more = pq_train(
+            corpus,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            n_iter=1,
+            init=trained,
+        )
+        assert pq_quantization_error(corpus, more) <= e_tr + 1e-9
+
+    def test_planted_structure_recall(self, spark):
+        """On a corpus with actual cluster structure (the regime PQ
+        is built for — raw synthetic noise is adversarial to ANY
+        8-byte code), trained books put each probe's true nearest
+        neighbor at ADC rank 1."""
+        from mydatasyncer_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        import random
+
+        rng = random.Random(42)
+        bases = [
+            [rng.uniform(-1, 1) for _ in range(self.DIM)]
+            for _ in range(6)
+        ]
+        rows = []
+        for i in range(60):
+            b = bases[i % 6]
+            rows.append(
+                (
+                    i + 1,
+                    [x + rng.uniform(-0.05, 0.05) for x in b],
+                )
+            )
+        corpus = self._vecs(spark, rows)
+        probes = corpus.filter("vec_id <= 6")
+        books = pq_train(
+            corpus, self.DIM, m=self.M, ksub=8, n_iter=6
+        )
+        enc = pq_encode(corpus, self.DIM, books=books)
+        from mydatasyncer_spark.operators.similarity import cosine_topk
+
+        true1 = {
+            r["query_id"]: r["neighbor_id"]
+            for r in cosine_topk(probes, corpus, k=1).collect()
+        }
+        adc = pq_adc_topk(probes, enc, self.DIM, k=5).collect()
+        top5 = {}
+        for r in adc:
+            top5.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        # (a) ADC finds the right NEIGHBORHOOD: every probe's top-5
+        # live in the probe's planted cluster (what an 8-byte code
+        # can promise — fine ordering WITHIN a tight cluster, where
+        # members share codes, is the refine stage's job);
+        cluster = {i + 1: i % 6 for i in range(60)}
+        for q, lst in top5.items():
+            same = sum(1 for n in lst if cluster[n] == cluster[q])
+            assert same == 5, (q, lst)
+        # (b) and the true NN is almost always in that candidate set
+        hits = sum(
+            1 for q, n in true1.items() if n in top5.get(q, [])
+        )
+        assert hits >= 4
+
+    def test_refine_path_is_exactly_ivf_flat(self, spark):
+        """refine=R >= bucket population makes IVF-PQ EXACTLY
+        IVF-Flat: PQ then only prunes the re-rank set, and the final
+        scores are true cosines."""
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_topk,
+            pq_index,
+            pq_topk_indexed,
+        )
+
+        corpus = self._corpus(spark)
+        queries = corpus.filter("vec_id % 7 = 0")
+        idx = pq_index(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_centroids=4
+        )
+        got = pq_topk_indexed(
+            queries,
+            idx,
+            self.DIM,
+            k=3,
+            n_centroids=4,
+            refine=10**6,
+            corpus=corpus,
+        )
+        want = ivf_topk(queries, corpus, self.DIM, k=3, n_centroids=4)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        assert got.count() > 0
+
+    def test_refine_requires_corpus(self, spark):
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_topk_indexed,
+        )
+
+        corpus = self._corpus(spark)
+        idx = pq_index(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_centroids=4
+        )
+        with pytest.raises(ValueError, match="refine needs"):
+            pq_topk_indexed(
+                corpus, idx, self.DIM, k=3, n_centroids=4, refine=10
+            )
+
+    def test_self_describing_store_and_provenance_refusals(
+        self, spark, tmp_path
+    ):
+        """The store carries its books: a configless reader resolves
+        them; explicit WRONG books are refused; a metadata-stripped
+        codes frame is refused rather than scored under guessed
+        books (the positive-marker discipline)."""
+        from mydatasyncer_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebook_values,
+            pq_encode,
+            pq_train,
+            recorded_codebooks,
+        )
+
+        corpus = self._corpus(spark)
+        queries = corpus.filter("vec_id % 7 = 0")
+        trained = pq_train(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_iter=3
+        )
+        path = str(tmp_path / "pqstore")
+        pq_encode(corpus, self.DIM, books=trained).write.parquet(path)
+        stored = spark.read.parquet(path)
+        # parquet round-trips the books; configless read works
+        assert recorded_codebooks(stored) == [
+            [[float(x) for x in cen] for cen in book]
+            for book in trained
+        ]
+        configless = pq_adc_topk(queries, stored, self.DIM, k=3)
+        explicit = pq_adc_topk(
+            queries, stored, self.DIM, k=3, books=trained
+        )
+        assert configless.exceptAll(explicit).count() == 0
+        assert explicit.exceptAll(configless).count() == 0
+        # wrong explicit books: refused, not silently mis-scored
+        det = pq_codebook_values(self.DIM, self.M, self.KSUB)
+        with pytest.raises(ValueError, match="do not match"):
+            pq_adc_topk(queries, stored, self.DIM, k=3, books=det)
+        # stripped metadata: refused, not scored under guessed books
+        stripped = stored.select(
+            F.col("neighbor_id").alias("neighbor_id", metadata={}),
+            "codes",
+            "cn",
+        )
+        with pytest.raises(ValueError, match="records no codebooks"):
+            pq_adc_topk(queries, stripped, self.DIM, k=3)
+
+    def test_static_bucket_prune_on_nonbroadcast_probe(
+        self, spark, tmp_path
+    ):
+        """broadcast_queries=False statically prunes the partitioned
+        store scan to the probed buckets — the explicit
+        PartitionFilters IN, planning-time-guaranteed (the band-store
+        contract), with results identical to the broadcast path."""
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_topk_indexed,
+        )
+
+        corpus = self._corpus(spark)
+        queries = corpus.filter("vec_id in (7, 14)")
+        idx = pq_index(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_centroids=4
+        )
+        path = str(tmp_path / "pqidx")
+        idx.write.partitionBy("bucket").parquet(path)
+        stored = spark.read.parquet(path)
+        bc = pq_topk_indexed(
+            stored_q := queries, stored, self.DIM, k=3, n_centroids=4
+        )
+        nb = pq_topk_indexed(
+            stored_q,
+            stored,
+            self.DIM,
+            k=3,
+            n_centroids=4,
+            broadcast_queries=False,
+        )
+        assert bc.exceptAll(nb).count() == 0
+        assert nb.exceptAll(bc).count() == 0
+        import contextlib
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            nb.explain("formatted")
+        plan = buf.getvalue()
+        scan_lines = [
+            line
+            for line in plan.splitlines()
+            if "PartitionFilters" in line and "bucket" in line
+        ]
+        # Catalyst renders a one-element IN as an equality — accept
+        # either; what matters is a value predicate on the partition
+        # column, guaranteed at planning time
+        assert any(
+            re.search(r"bucket#\d+L? (=|IN)", line)
+            for line in scan_lines
+        ), plan

@@ -990,3 +990,226 @@ class TestStagedProtocolRandomized:
             compact_table(spark, path, partition_by=["bucket"])
             assert content() == expected, seed
             assert glob.glob(os.path.join(path, "bucket=*")), seed
+
+
+class TestPqMaintenance:
+    """r10: the PQ store's maintenance lifecycle — compaction under
+    the frozen-quantizer contract, the codebook drift report
+    (decision signal), and the staged retrain-and-re-encode rebuild
+    with its both-axes provenance restamp."""
+
+    DIM, M, KSUB = 8, 4, 4
+
+    @classmethod
+    def _corpus(cls, spark, n=48, shift=0.0):
+        rows = [
+            (
+                i,
+                [
+                    ((i * 7 + j * 3) % 23) / 23.0 - 0.5 + shift
+                    for j in range(cls.DIM)
+                ],
+            )
+            for i in range(1, n + 1)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def _grown(self, spark, path, corpus):
+        """A store grown by two appends under the deterministic
+        default books/centroids."""
+        from mydatasyncer_spark.operators.similarity import pq_index
+
+        idx = pq_index(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_centroids=4
+        )
+        for lo in (1, 25):
+            idx.filter(
+                (F.col("neighbor_id") >= lo)
+                & (F.col("neighbor_id") < lo + 24)
+            ).write.mode("append").partitionBy("bucket").parquet(path)
+
+    def test_compact_pq_index_identity_and_shrink(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_pq_index,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            pq_topk_indexed,
+        )
+
+        from mydatasyncer_spark.operators.similarity import pq_index
+
+        path = str(tmp_path / "pq")
+        corpus = self._corpus(spark)
+        self._grown(spark, path, corpus)
+        # replay-duplicate one append
+        stored = spark.read.parquet(path)
+        stored.filter("neighbor_id < 10").localCheckpoint(
+            eager=True
+        ).write.mode("append").partitionBy("bucket").parquet(path)
+        q = corpus.filter("vec_id % 11 = 0")
+
+        def topk():
+            return {
+                (r["query_id"], r["neighbor_id"], r["rank"])
+                for r in pq_topk_indexed(
+                    q, spark.read.parquet(path), self.DIM, k=3,
+                    n_centroids=4,
+                ).collect()
+            }
+
+        import glob as _glob
+        import os
+
+        before_files = len(
+            _glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+        )
+        # the clean baseline: a fresh batch build — replay-duplicate
+        # rows DEMONSTRABLY skew top-k (a duplicated neighbor holds
+        # two rank slots and squeezes a real one out), and compaction
+        # restores the clean answer
+        clean = pq_index(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_centroids=4
+        )
+        want = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in pq_topk_indexed(
+                q, clean, self.DIM, k=3, n_centroids=4
+            ).collect()
+        }
+        assert topk() != want
+        stats = compact_pq_index(spark, path)
+        assert stats["rows"] == corpus.count()
+        after_files = len(
+            _glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+        )
+        assert after_files < before_files
+        assert _glob.glob(os.path.join(path, "bucket=*"))
+        assert topk() == want and want
+
+    def test_drift_report_crosses_then_rebuild_resets(
+        self, spark, tmp_path
+    ):
+        """Deterministic (untrained) books on a shifted corpus show
+        mse_ratio >> 1; pq_rebuild retrains + re-encodes; the
+        re-report under the rebuilt store returns to ~1.0 — the
+        fixpoint. Old explicit books are REFUSED afterwards, and the
+        rebuilt store matches a fresh batch build under the same
+        books."""
+        from mydatasyncer_spark.operators.maintenance import (
+            pq_drift_report,
+            pq_rebuild,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            pq_codebook_values,
+            pq_index,
+            pq_topk_indexed,
+        )
+
+        path = str(tmp_path / "pq")
+        corpus = self._corpus(spark, shift=0.7)
+        self._grown(spark, path, corpus)
+        rep = pq_drift_report(
+            spark, path, corpus, self.DIM, n_iter=4
+        )
+        assert rep["rows"] == corpus.count()
+        assert rep["mse_ratio"] > 1.3
+        assert rep["pending_staging"] is False
+        stats = pq_rebuild(
+            spark,
+            path,
+            corpus,
+            self.DIM,
+            books=rep["books_retrained"],
+        )
+        assert stats["rows"] == corpus.count()
+        rep2 = pq_drift_report(
+            spark, path, corpus, self.DIM, n_iter=4
+        )
+        assert rep2["mse_ratio"] < 1.15
+        stored = spark.read.parquet(path)
+        q = corpus.filter("vec_id % 11 = 0")
+        # old (deterministic) books now refused explicitly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="do not match"):
+            pq_topk_indexed(
+                q, stored, self.DIM, k=3, n_centroids=4,
+                books=pq_codebook_values(self.DIM, self.M, self.KSUB),
+            )
+        # rebuilt store == fresh batch build under the same books
+        fresh = pq_index(
+            corpus,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            n_centroids=4,
+            books=stats["books"],
+            centroids=stats["centroids"],
+        )
+
+        def rows(df):
+            return {
+                (r["neighbor_id"], tuple(r["codes"]), r["bucket"])
+                for r in df.select(
+                    "neighbor_id", "codes", "bucket"
+                ).collect()
+            }
+
+        assert rows(stored) == rows(fresh)
+
+    def test_rebuild_crash_restores_then_rebuilds(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+        )
+        from mydatasyncer_spark.operators.maintenance import pq_rebuild
+        from mydatasyncer_spark.operators.similarity import (
+            pq_topk_indexed,
+        )
+
+        import shutil
+
+        path = str(tmp_path / "pq")
+        corpus = self._corpus(spark)
+        self._grown(spark, path, corpus)
+        spark.read.parquet(path).localCheckpoint(
+            eager=True
+        ).write.partitionBy("bucket").parquet(path + INDEX_STAGING_SUFFIX)
+        shutil.rmtree(path)
+        stats = pq_rebuild(spark, path, corpus, self.DIM, n_iter=3)
+        assert stats["restored_from_staging"] is True
+        assert stats["rows"] == corpus.count()
+        q = corpus.filter("vec_id % 11 = 0")
+        got = pq_topk_indexed(
+            q, spark.read.parquet(path), self.DIM, k=3, n_centroids=4
+        )
+        assert got.count() > 0
+
+    def test_unrecorded_store_refuses_report(self, spark, tmp_path):
+        """A store with stripped metadata refuses the drift report —
+        error against guessed books is meaningless."""
+        from mydatasyncer_spark.operators.maintenance import (
+            pq_drift_report,
+        )
+        from mydatasyncer_spark.operators.similarity import pq_index
+
+        import pytest as _pytest
+
+        path = str(tmp_path / "pq")
+        corpus = self._corpus(spark)
+        idx = pq_index(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_centroids=4
+        )
+        idx.select(
+            F.col("neighbor_id").alias("neighbor_id", metadata={}),
+            "codes",
+            "cn",
+            "bucket",
+        ).write.partitionBy("bucket").parquet(path)
+        with _pytest.raises(ValueError, match="records no codebook"):
+            pq_drift_report(spark, path, corpus, self.DIM)

@@ -2923,3 +2923,232 @@ class TestContinuousScd2Randomized:
             assert got == want
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestContinuousPqIndex:
+    """r10: the compressed twin of continuous_ann_index — streaming
+    IVF-PQ ingestion. The continuously-grown store must be
+    row-identical to a batch pq_index over the same corpus (codes
+    and buckets depend only on the vector and the two frozen
+    quantizers), replays must append nothing, and a restart whose
+    books don't match the store's recorded fingerprint must FAIL
+    rather than mix codes no single ADC table can score."""
+
+    DIM, M, KSUB = 8, 4, 4
+
+    def _vec(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        return [round(rng.uniform(-1, 1), 3) for _ in range(self.DIM)]
+
+    def _drain(self, spark, in_dir, index_path, ckpt, **kw):
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_pq_index,
+        )
+
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_pq_index(
+            stream,
+            index_path,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            n_centroids=4,
+            checkpoint_dir=ckpt,
+            **kw,
+        )
+        q.awaitTermination(120)
+        return q
+
+    def test_grows_batch_identical_replay_noop_probe_works(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_topk_indexed,
+        )
+
+        in_dir = tmp_path_factory.mktemp("pqvecs_in")
+        out = tmp_path_factory.mktemp("pq_out")
+        index_path = str(out / "index")
+        b1 = [
+            {"vec_id": i, "embedding": self._vec(i)} for i in range(20)
+        ]
+        b2 = [
+            {"vec_id": 100 + i, "embedding": self._vec(100 + i)}
+            for i in range(15)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in b1)
+        )
+        self._drain(spark, in_dir, index_path, str(out / "ckpt"))
+        assert spark.read.parquet(index_path).count() == 20
+        (in_dir / "b2.json").write_text(
+            "\n".join(_json.dumps(r) for r in b2)
+        )
+        self._drain(spark, in_dir, index_path, str(out / "ckpt"))
+        stored = spark.read.parquet(index_path)
+        assert stored.count() == 35
+
+        all_rows = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+            "vec_id long, embedding array<double>",
+        )
+        batch_idx = pq_index(
+            all_rows, self.DIM, m=self.M, ksub=self.KSUB, n_centroids=4
+        )
+
+        def canon(df):
+            return {
+                (
+                    r["neighbor_id"],
+                    tuple(r["codes"]),
+                    r["bucket"],
+                    round(r["cn"], 6),
+                )
+                for r in df.collect()
+            }
+
+        assert canon(stored) == canon(batch_idx)
+
+        # probe through the streamed store, configless (books resolve
+        # from the store's own metadata), hits from BOTH batches
+        queries = spark.createDataFrame(
+            [(0, self._vec(5)), (1, self._vec(105))],
+            "vec_id long, embedding array<double>",
+        )
+        hits = pq_topk_indexed(
+            queries, stored, self.DIM, k=35, n_centroids=4, n_probe=4
+        ).collect()
+        ids = {r["neighbor_id"] for r in hits}
+        assert any(i < 20 for i in ids) and any(i >= 100 for i in ids)
+
+        # replay with a fresh checkpoint appends nothing
+        self._drain(spark, in_dir, index_path, str(out / "ckpt_replay"))
+        assert spark.read.parquet(index_path).count() == 35
+
+    def test_restart_with_mismatched_books_fails_batch(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.similarity import pq_train
+
+        in_dir = tmp_path_factory.mktemp("pqmis_in")
+        out = tmp_path_factory.mktemp("pqmis_out")
+        index_path = str(out / "index")
+        b1 = [
+            {"vec_id": i, "embedding": self._vec(i)} for i in range(16)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in b1)
+        )
+        self._drain(spark, in_dir, index_path, str(out / "ckpt"))
+        # restart under TRAINED books (different fingerprint): the
+        # batch fails loudly instead of appending mixed codes
+        corpus = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1],
+            "vec_id long, embedding array<double>",
+        )
+        trained = pq_train(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_iter=2
+        )
+        (in_dir / "b2.json").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"vec_id": 200 + i, "embedding": self._vec(200 + i)}
+                )
+                for i in range(5)
+            )
+        )
+        from pyspark.sql.streaming import StreamingQueryException
+
+        with _pytest.raises(
+            (StreamingQueryException, Exception),
+            match="DIFFERENT codebooks",
+        ):
+            q = self._drain(
+                spark,
+                in_dir,
+                index_path,
+                str(out / "ckpt2"),
+                books=trained,
+            )
+        # nothing mixed in
+        assert spark.read.parquet(index_path).count() == 16
+
+    def test_configless_restart_continues_under_recorded_books(
+        self, spark, tmp_path_factory
+    ):
+        """Bootstrap under TRAINED books passed explicitly; restart
+        with NO books — the stream resolves them from the store and
+        batch-2 codes match a batch build under the trained books."""
+        import json as _json
+
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_train,
+        )
+
+        in_dir = tmp_path_factory.mktemp("pqcfg_in")
+        out = tmp_path_factory.mktemp("pqcfg_out")
+        index_path = str(out / "index")
+        seed_corpus = spark.createDataFrame(
+            [(i, self._vec(i)) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        trained = pq_train(
+            seed_corpus, self.DIM, m=self.M, ksub=self.KSUB, n_iter=2
+        )
+        b1 = [
+            {"vec_id": i, "embedding": self._vec(i)} for i in range(12)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in b1)
+        )
+        self._drain(
+            spark, in_dir, index_path, str(out / "ckpt"), books=trained
+        )
+        b2 = [
+            {"vec_id": 50 + i, "embedding": self._vec(50 + i)}
+            for i in range(8)
+        ]
+        (in_dir / "b2.json").write_text(
+            "\n".join(_json.dumps(r) for r in b2)
+        )
+        # configless restart
+        self._drain(spark, in_dir, index_path, str(out / "ckpt"))
+        stored = spark.read.parquet(index_path)
+        assert stored.count() == 20
+        all_rows = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+            "vec_id long, embedding array<double>",
+        )
+        want = pq_index(
+            all_rows,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            n_centroids=4,
+            books=trained,
+        )
+        got = {
+            (r["neighbor_id"], tuple(r["codes"]), r["bucket"])
+            for r in stored.select(
+                "neighbor_id", "codes", "bucket"
+            ).collect()
+        }
+        exp = {
+            (r["neighbor_id"], tuple(r["codes"]), r["bucket"])
+            for r in want.select(
+                "neighbor_id", "codes", "bucket"
+            ).collect()
+        }
+        assert got == exp
