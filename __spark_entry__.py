@@ -2321,6 +2321,106 @@ def _ivf_scores_sql(vec_expr: str, dim: int = 64, n_centroids: int = 8) -> str:
     return f"[{scores}]"
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN, brute ADC (r10,
+    operators/similarity.py: pq_encode / pq_adc_topk; Jégou et al.
+    2011): the corpus is stored as m=8 one-byte codes + a norm per
+    vector (~60x fewer scored bytes than the flat corpus — the
+    100 TB win), queries build an m×ksub lookup table once and every
+    candidate costs 8 array lookups. Deterministic md5 codebooks
+    (pq_codebook_values) are inlined as IDENTICAL literals in the
+    SQL oracle, which therefore scores the exact same quantization —
+    the oracle checks the ADC algebra (codes, LUT, subspace-ordered
+    summation); recall bounds and the exactness-recovering refine
+    path live in TestProductQuantization / ann_pq_refined."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    enc = S.pq_encode(e, 64, m=8, ksub=16)
+    out = S.pq_adc_topk(q, enc, 64, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def ann_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ probe shape (r10, operators/similarity.py:
+    pq_index / pq_topk_indexed): coarse centroid buckets prune WHICH
+    partitions are read (the ann_ivf_topk contract), ADC ranks the
+    surviving candidates from codes alone, and the top-50 per query
+    re-rank EXACTLY against true vectors — a candidate-proportional
+    point-lookup join, never a second corpus scan. The oracle
+    replicates all three stages (same centroid + codebook literals,
+    same round-6 ADC sums, same top-50 cut), so the match is exact
+    by construction rather than recall-dependent."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    idx = S.pq_index(e, 64, m=8, ksub=16, n_centroids=8)
+    out = S.pq_topk_indexed(
+        q, idx, 64, k=5, n_centroids=8, refine=50, corpus=e
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _pq_books(dim: int = 64, m: int = 8, ksub: int = 16):
+    from mydatasyncer_spark.operators.similarity import (
+        pq_codebook_values,
+    )
+
+    return pq_codebook_values(dim, m, ksub)
+
+
+def _pq_codes_sql(
+    vec_expr: str, dim: int = 64, m: int = 8, ksub: int = 16
+) -> str:
+    """DuckDB 1-based PQ code list identical to similarity.pq_codes:
+    per subspace, the SAME codebook double literals, the same
+    round-6 ``dot - |c|²/2`` score (argmax == L2-argmin), the same
+    first-max tie-break."""
+    books = _pq_books(dim, m, ksub)
+    dsub = dim // m
+    parts = []
+    for j, book in enumerate(books):
+        sub = f"({vec_expr})[{j * dsub + 1}:{(j + 1) * dsub}]"
+        scores = ", ".join(
+            f"round(list_dot_product({sub}, "
+            f"[{', '.join(repr(float(x)) for x in cen)}]) - "
+            f"{sum(x * x for x in cen) / 2.0!r}, 6)"
+            for cen in book
+        )
+        parts.append(f"list_position([{scores}], list_max([{scores}]))")
+    return "[" + ", ".join(parts) + "]"
+
+
+def _pq_lut_cols_sql(
+    vec_expr: str, dim: int = 64, m: int = 8, ksub: int = 16
+) -> str:
+    """The query-side ADC lookup tables as m SQL columns
+    ``lut1..lutm`` (each a ksub-list of round-6 subspace dots) —
+    identical literals and rounding to similarity._pq_lut."""
+    books = _pq_books(dim, m, ksub)
+    dsub = dim // m
+    cols = []
+    for j, book in enumerate(books):
+        sub = f"({vec_expr})[{j * dsub + 1}:{(j + 1) * dsub}]"
+        entries = ", ".join(
+            f"round(list_dot_product({sub}, "
+            f"[{', '.join(repr(float(x)) for x in cen)}]), 6)"
+            for cen in book
+        )
+        cols.append(f"[{entries}] AS lut{j + 1}")
+    return ", ".join(cols)
+
+
+def _pq_adc_sum_sql(m: int = 8) -> str:
+    """``lut_j[codes[j]]`` summed j-ascending — the same left-to-
+    right association as similarity._adc_score's aggregate."""
+    return " + ".join(
+        f"list_extract(lut{j + 1}, codes[{j + 1}])" for j in range(m)
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata, extracted JVM-side."""
     media = M.attach_binary_payload(table(spark, sf_dir, "documents"))
@@ -3448,8 +3548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_registry.py. ALL entries run under
     # tests/test_oracle_parity.py locally every round.
     return {
-        # ---- NEW this round (r10): SemDeDup probe-2 recall knob ----
-        # ---- and the self-describing LSH store path ----
+        # ---- NEW this round (r10): the IVF-PQ compressed ANN ----
+        # ---- path (ADC algebra + the refined three-stage probe), ----
+        # ---- the SemDeDup probe-2 recall knob, and the ----
+        # ---- self-describing LSH store path ----
+        "ann_pq_topk": ann_pq_topk,
+        "ann_pq_refined": ann_pq_refined,
         "dedup_semantic_p2": dedup_semantic_p2,
         "ann_lsh_topk_indexed": ann_lsh_topk_indexed,
         # ---- implementation touched this round (r10): ----
@@ -3507,11 +3611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "zorder_orders_key": zorder_orders_key,
         # ---- fill: alphabetical head of the last-green-r8 cohort ----
+        # ---- (the two new PQ queries displaced ann_ivf_topk and ----
+        # ---- ann_lsh_topk — last green r8, re-proved with their ----
+        # ---- cohort in the r11 rotation) ----
         "ann_cosine_topk": ann_cosine_topk,
+        # ======== entries past the 50-query driver cap ===========
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "dedup_exact_best_quality": dedup_exact_best_quality,
-        # ======== entries past the 50-query driver cap ===========
         # ---- last-green r9 (freshest proofs, rotating out) ----
         "dedup_minhash_incr": dedup_minhash_incr,
         "dedup_jaccard_incremental": dedup_jaccard_incremental,
@@ -4724,6 +4831,82 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        # PQ/ADC: the SAME deterministic codebook literals as
+        # similarity.pq_codebook_values, codes via round-6
+        # (dot - |c|²/2) first-max argmin, LUT entries round-6,
+        # summed j-ascending — term-for-term the Spark aggregate
+        "ann_pq_topk": f"""
+            WITH v AS (SELECT vec_id, {_DVEC_SQL} AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id,
+                         sqrt(list_dot_product(emb, emb)) AS qn,
+                         {_pq_lut_cols_sql('emb')}
+                  FROM v WHERE vec_id % 97 = 0),
+            c AS (SELECT vec_id AS neighbor_id,
+                         sqrt(list_dot_product(emb, emb)) AS cn,
+                         {_pq_codes_sql('emb')} AS codes
+                  FROM v),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(({_pq_adc_sum_sql()}) / (qn * cn), 6)
+                           AS adc_cosine
+                FROM q CROSS JOIN c
+                WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, adc_cosine,
+                       CAST(row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY adc_cosine DESC, neighbor_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, adc_cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        # the three-stage IVF-PQ probe: coarse-bucket equi-join
+        # (same centroid literals as ann_ivf_topk), ADC top-50 cut,
+        # exact cosine re-rank over true vectors
+        "ann_pq_refined": f"""
+            WITH v AS (SELECT vec_id, {_DVEC_SQL} AS emb FROM embeddings),
+            q AS (SELECT vec_id AS query_id, emb AS qv,
+                         sqrt(list_dot_product(emb, emb)) AS qn,
+                         {_ivf_bucket_sql('emb')} AS bucket,
+                         {_pq_lut_cols_sql('emb')}
+                  FROM v WHERE vec_id % 97 = 0),
+            c AS (SELECT vec_id AS neighbor_id, emb AS cv,
+                         sqrt(list_dot_product(emb, emb)) AS cn,
+                         {_ivf_bucket_sql('emb')} AS bucket,
+                         {_pq_codes_sql('emb')} AS codes
+                  FROM v),
+            adc AS (
+                SELECT query_id, neighbor_id, qv, cv, qn, cn,
+                       round(({_pq_adc_sum_sql()}) / (qn * cn), 6)
+                           AS adc_cosine
+                FROM q JOIN c USING (bucket)
+                WHERE query_id <> neighbor_id
+            ),
+            cand AS (
+                SELECT query_id, neighbor_id, qv, cv, qn, cn,
+                       row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY adc_cosine DESC, neighbor_id) AS adc_rank
+                FROM adc
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv) / (qn * cn), 6)
+                           AS cosine
+                FROM cand WHERE adc_rank <= 50
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       CAST(row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+                FROM exact
+            )
+            SELECT query_id, neighbor_id, rank, cosine
+            FROM ranked WHERE rank <= 5
         """,
         "funnel_steps": """
             WITH firsts AS (

@@ -724,3 +724,39 @@ def test_semantic_dedup_probe2_still_cluster_bounded(spark, sf_dir):
     assert "salt" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_corpus_side_streams_codes_not_vectors(spark, sf_dir):
+    """r10 IVF-PQ: the ADC gate query's corpus side must stream only
+    (id, codes, norm) into the pair space — the embedding column may
+    be read once to ENCODE, but the scored join must not carry it
+    (the ~60x byte win is the point); the probe side is the
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "ann_pq_topk")
+    # the probe side is the broadcast build (brute ADC is the
+    # compressed twin of cosine_topk's broadcast cross join)
+    assert "BroadcastNestedLoopJoin Cross BuildLeft" in plan
+    # the corpus side enters the join as (neighbor_id, codes, cn) —
+    # some Project block must emit codes+cn WITHOUT the raw vector
+    blocks = plan.split("\n\n")
+    assert any(
+        "Project" in b
+        and "codes#" in b
+        and "cn#" in b
+        and "embedding" not in b
+        for b in blocks
+    ), plan
+    assert "adc_cosine" in plan
+
+
+def test_pq_refined_is_bucket_equi_then_candidate_joins(spark, sf_dir):
+    """r10 IVF-PQ refined: stage 1 joins on the coarse bucket (equi,
+    never an all-pairs product), stage 3's exact re-rank joins by
+    candidate id — the true-vector corpus is touched per candidate,
+    not per pair."""
+    plan = plan_of(spark, sf_dir, "ann_pq_refined")
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+    # ADC stage + exact stage both present
+    assert "adc_cosine" in plan
+    assert "cosine" in plan

@@ -18,17 +18,22 @@ GATE_CAP = 50
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes. (ann_lsh_topk_indexed
 # entered the window as NEW late in r10, displacing the alphabetical
-# filler dedup_exact_best_quality — last green r8, absorbed with its
-# cohort in the r11 rotation.)
-LAST_IN_WINDOW = "ann_lsh_topk"
-FIRST_PAST_CAP = "dedup_exact_best_quality"
+# filler dedup_exact_best_quality; the two IVF-PQ queries then
+# displaced ann_ivf_topk and ann_lsh_topk — all last green r8,
+# absorbed with their cohort in the r11 rotation.)
+LAST_IN_WINDOW = "ann_cosine_topk"
+FIRST_PAST_CAP = "ann_ivf_topk"
 
 # everything added or implementation-touched in r10 MUST sit inside
 # the gate window (rotation policy rule 1-2)
 R10_TOUCHED = [
-    # new in r10: the SemDeDup probe-2 recall knob and the
-    # self-describing LSH store path (same oracle as ann_lsh_topk —
-    # results identical by construction, the PLAN is what differs)
+    # new in r10: the IVF-PQ compressed ANN pair (brute-ADC algebra
+    # gate + the three-stage refined probe), the SemDeDup probe-2
+    # recall knob, and the self-describing LSH store path (same
+    # oracle as ann_lsh_topk — results identical by construction,
+    # the PLAN is what differs)
+    "ann_pq_topk",
+    "ann_pq_refined",
     "dedup_semantic_p2",
     "ann_lsh_topk_indexed",
     # implementation touched in r10: semantic_dedup_pairs grew the
