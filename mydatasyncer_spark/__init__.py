@@ -43,11 +43,13 @@ from mydatasyncer_spark.operators.dedup import (
     simhash,
 )
 from mydatasyncer_spark.operators.maintenance import (
+    band_occupancy_report,
     compact_ivf_index,
     compact_lsh_index,
     compact_minhash_index,
     compact_pq_index,
     compaction_report,
+    containment_occupancy_report,
     ivf_drift_report,
     lsh_occupancy_report,
     pq_drift_report,
@@ -267,6 +269,8 @@ __all__ = [
     "compact_ivf_index",
     "compact_lsh_index",
     "compact_pq_index",
+    "band_occupancy_report",
+    "containment_occupancy_report",
     "pq_drift_report",
     "pq_rebuild",
     "pq_adc_topk",

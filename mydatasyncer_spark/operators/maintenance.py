@@ -975,3 +975,265 @@ def pq_rebuild(
         "centroids": centroids,
         "restored_from_staging": restored,
     }
+
+
+def band_occupancy_report(
+    spark,
+    path: str,
+    candidate_buckets: list[int] | None = None,
+) -> dict:
+    """The MinHash band store's member of the decision-signal family
+    (``lsh_occupancy_report``'s shape, for
+    :func:`~mydatasyncer_spark.operators.dedup.minhash_band_store`):
+    two independent cost axes an operator tunes, measured from one
+    pass each over the STORED rows — nothing is written.
+
+    **Axis 1 — the bucket modulus** (``n_band_buckets``): per
+    candidate modulus ``p`` (default: the recorded one and its
+    2x/half neighbors), ``buckets_used`` (of ``p``),
+    ``largest_bucket_fraction``, and ``expected_scan`` — Σ bᵢ²/N²,
+    the expected fraction of the store a store-distributed probe
+    band reads (the family estimator). More buckets always splits
+    IO but widens the per-ingest IN list and shrinks files; the
+    report shows the curve, the caller picks the knee, and changing
+    the modulus is a ``compact_minhash_index(band_store_path=...,
+    n_band_buckets=...)`` rebuild away.
+
+    **Axis 2 — the banding scheme** (``k``/``band_size``), which no
+    modulus can fix: ``collision_pairs`` — Σ C(c,2) over distinct
+    ``(band, band_key)`` groups, the EXACT number of candidate pairs
+    a full self-probe would generate (the verification-stage cost) —
+    and ``largest_band_key_fraction`` (one hot band key makes every
+    probe that collides there pay that group's size). A
+    collision-heavy store wants a larger ``band_size`` (fewer, more
+    selective collisions — recall trades down); that change is a
+    fresh :func:`~mydatasyncer_spark.operators.dedup.
+    minhash_band_store` build under the new scheme, which readers
+    then enforce via the recorded provenance.
+
+    ``recorded`` carries the store's own ``(k, band_size,
+    n_band_buckets)`` from ``band_key`` metadata; a store recording
+    no modulus REFUSES modulus candidates it wasn't given (occupancy
+    under a guessed modulus is meaningless — the lsh-report
+    contract). ``pending_staging`` surfaces a crashed rewrite."""
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.dedup import (
+        _BAND_BS_KEY,
+        _BAND_K_KEY,
+        _BAND_NB_KEY,
+    )
+
+    store = spark.read.parquet(path)
+    meta = (
+        store.schema["band_key"].metadata
+        if "band_key" in store.columns
+        else {}
+    )
+    rec_nb = meta.get(_BAND_NB_KEY)
+    if candidate_buckets is None:
+        if rec_nb is None:
+            raise ValueError(
+                "band_occupancy_report: the store records no bucket "
+                "count and no candidate_buckets were given — "
+                "occupancy under a guessed modulus is meaningless; "
+                "pass candidate_buckets explicitly"
+            )
+        nb = int(rec_nb)
+        candidate_buckets = sorted(
+            {p for p in (max(1, nb // 2), nb, nb * 2)}
+        )
+
+    def _occ(p: int) -> dict:
+        row = (
+            store.select(
+                F.pmod(
+                    F.xxhash64("band", "band_key"), F.lit(int(p))
+                ).alias("_b")
+            )
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+                F.coalesce(
+                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
+                ).alias("_sq"),
+                F.count(F.lit(1)).alias("_used"),
+                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
+            )
+            .collect()[0]
+        )
+        n = int(row["_n"])
+        return {
+            "n_band_buckets": int(p),
+            "buckets_used": int(row["_used"]),
+            "largest_bucket_fraction": (
+                int(row["_max"]) / n if n else 0.0
+            ),
+            "expected_scan": float(row["_sq"]) / (n * n) if n else 0.0,
+        }
+
+    coll = (
+        store.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+            F.coalesce(
+                F.sum(F.col("_c") * (F.col("_c") - 1) / 2), F.lit(0)
+            ).alias("_pairs"),
+            F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
+        )
+        .collect()[0]
+    )
+    n_rows = int(coll["_n"])
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    try:
+        spark.read.parquet(staging)
+        pending = True
+    except AnalysisException:
+        pending = False
+    return {
+        "rows": n_rows,
+        "recorded": {
+            "k": int(meta[_BAND_K_KEY]) if _BAND_K_KEY in meta else None,
+            "band_size": (
+                int(meta[_BAND_BS_KEY]) if _BAND_BS_KEY in meta else None
+            ),
+            "n_band_buckets": int(rec_nb) if rec_nb is not None else None,
+        },
+        "collision_pairs": int(coll["_pairs"]),
+        "largest_band_key_fraction": (
+            int(coll["_max"]) / n_rows if n_rows else 0.0
+        ),
+        "candidates": [_occ(int(p)) for p in candidate_buckets],
+        "pending_staging": pending,
+    }
+
+
+def containment_occupancy_report(
+    spark,
+    path: str,
+    candidate_buckets: list[int] | None = None,
+) -> dict:
+    """The containment inverted store's member of the
+    decision-signal family — the same two axes as
+    :func:`band_occupancy_report`, on posting rows:
+
+    **Axis 1 — the token-bucket modulus** (``n_token_buckets``):
+    per candidate ``p``, bucket occupancy and the Σ bᵢ²/N² expected
+    scan fraction under ``xxhash64(_ptok) % p`` — the probe-side
+    cost of the explicit-IN pruned scan. Change it by rebuilding the
+    store (``jaccard_compact`` rebuilds it alongside the index).
+
+    **Axis 2 — token-df skew**, which no modulus can fix: the
+    candidate join keys on the token, so every probe prefix row
+    carrying token t joins df(t) posting rows.
+    ``largest_token_fraction`` (max df / N) exposes the stop-word
+    shape; ``candidate_rows_per_probe_token`` — Σ df²/N, the
+    expected posting rows ONE probe token drawn
+    postings-proportionally joins — is the candidate-stage cost a
+    drifting (stopword-accreting) corpus inflates. There is no df
+    cutoff to tune here (containment exactness needs every token);
+    the lever this signal points at is the PROBE side's token order
+    and threshold (rarest-first prefixes shrink with higher
+    thresholds), or upstream tokenization.
+
+    The store must be a genuine full-explosion containment store
+    (``_CONTAIN_FULL_KEY``): a prefix store reports fictitious dfs
+    and is REFUSED — the same structural-shape hazard
+    :func:`~mydatasyncer_spark.operators.dedup.containment_join`
+    guards."""
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.dedup import (
+        _CONTAIN_FULL_KEY,
+        _CONTAIN_NB_KEY,
+    )
+
+    store = spark.read.parquet(path)
+    meta = (
+        store.schema["_ptok"].metadata
+        if "_ptok" in store.columns
+        else {}
+    )
+    if not meta.get(_CONTAIN_FULL_KEY):
+        raise ValueError(
+            "containment_occupancy_report: the frame does not record "
+            "the full-explosion marker — a prefix store (or a "
+            "metadata-stripped frame) reports fictitious token "
+            "frequencies; rebuild via containment_inverted_store"
+        )
+    rec_nb = meta.get(_CONTAIN_NB_KEY)
+    if candidate_buckets is None:
+        if rec_nb is None:
+            raise ValueError(
+                "containment_occupancy_report: the store records no "
+                "bucket count and no candidate_buckets were given — "
+                "occupancy under a guessed modulus is meaningless; "
+                "pass candidate_buckets explicitly"
+            )
+        nb = int(rec_nb)
+        candidate_buckets = sorted(
+            {p for p in (max(1, nb // 2), nb, nb * 2)}
+        )
+
+    def _occ(p: int) -> dict:
+        row = (
+            store.select(
+                F.pmod(F.xxhash64("_ptok"), F.lit(int(p))).alias("_b")
+            )
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+                F.coalesce(
+                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
+                ).alias("_sq"),
+                F.count(F.lit(1)).alias("_used"),
+                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
+            )
+            .collect()[0]
+        )
+        n = int(row["_n"])
+        return {
+            "n_token_buckets": int(p),
+            "buckets_used": int(row["_used"]),
+            "largest_bucket_fraction": (
+                int(row["_max"]) / n if n else 0.0
+            ),
+            "expected_scan": float(row["_sq"]) / (n * n) if n else 0.0,
+        }
+
+    df_stats = (
+        store.groupBy("_ptok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(
+            F.coalesce(F.sum("_df"), F.lit(0)).alias("_n"),
+            F.coalesce(
+                F.sum(F.col("_df") * F.col("_df")), F.lit(0)
+            ).alias("_sq"),
+            F.count(F.lit(1)).alias("_toks"),
+            F.coalesce(F.max("_df"), F.lit(0)).alias("_max"),
+        )
+        .collect()[0]
+    )
+    n_rows = int(df_stats["_n"])
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    try:
+        spark.read.parquet(staging)
+        pending = True
+    except AnalysisException:
+        pending = False
+    return {
+        "rows": n_rows,
+        "distinct_tokens": int(df_stats["_toks"]),
+        "recorded_buckets": int(rec_nb) if rec_nb is not None else None,
+        "largest_token_fraction": (
+            int(df_stats["_max"]) / n_rows if n_rows else 0.0
+        ),
+        "candidate_rows_per_probe_token": (
+            float(df_stats["_sq"]) / n_rows if n_rows else 0.0
+        ),
+        "candidates": [_occ(int(p)) for p in candidate_buckets],
+        "pending_staging": pending,
+    }

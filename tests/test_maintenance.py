@@ -1213,3 +1213,183 @@ class TestPqMaintenance:
         ).write.partitionBy("bucket").parquet(path)
         with _pytest.raises(ValueError, match="records no codebook"):
             pq_drift_report(spark, path, corpus, self.DIM)
+
+
+class TestBandOccupancyReport:
+    """r10: the MinHash band store's decision signal — modulus cost
+    curve + banding-scheme collision volume."""
+
+    def _store(self, spark, tmp_path, texts, nb=8, band_size=4):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_band_store,
+            minhash_signature,
+        )
+
+        corpus = spark.createDataFrame(
+            texts, "doc_id long, text string"
+        )
+        sigs = minhash_signature(corpus)
+        path = str(tmp_path / "bands")
+        minhash_band_store(
+            sigs, n_band_buckets=nb, band_size=band_size
+        ).write.partitionBy("_band_bucket").parquet(path)
+        return path
+
+    def test_collision_heavy_store_vs_diverse_and_modulus_curve(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            band_occupancy_report,
+        )
+
+        # 12 near-identical docs: bands collide massively
+        dup_texts = [
+            (i, "the quick brown fox jumps over the lazy dog again")
+            for i in range(12)
+        ]
+        # 12 docs with fully disjoint vocabularies — no shared
+        # shingles, so band collisions are hash accidents only
+        div_texts = [
+            (
+                100 + i,
+                " ".join(f"tok{i}x{j}" for j in range(12)),
+            )
+            for i in range(12)
+        ]
+        p_dup = self._store(spark, tmp_path / "dup", dup_texts)
+        p_div = self._store(spark, tmp_path / "div", div_texts)
+        rep_dup = band_occupancy_report(spark, p_dup)
+        rep_div = band_occupancy_report(spark, p_div)
+        # the collision-volume axis separates them decisively
+        assert rep_dup["collision_pairs"] > 5 * max(
+            rep_div["collision_pairs"], 1
+        )
+        assert rep_dup["recorded"]["n_band_buckets"] == 8
+        assert rep_dup["recorded"]["k"] is not None
+        assert rep_dup["recorded"]["band_size"] == 4
+        # the modulus curve: expected_scan never increases with more
+        # buckets (splitting can only cut the Σb²/N² estimator)
+        cands = {
+            c["n_band_buckets"]: c["expected_scan"]
+            for c in rep_div["candidates"]
+        }
+        assert set(cands) == {4, 8, 16}
+        assert cands[16] <= cands[8] + 1e-12
+        assert cands[8] <= cands[4] + 1e-12
+        assert rep_div["pending_staging"] is False
+
+    def test_unrecorded_modulus_refuses_without_candidates(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_band_store,
+            minhash_signature,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            band_occupancy_report,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "flat")
+        # no n_band_buckets: flat store, no recorded modulus
+        minhash_band_store(
+            minhash_signature(corpus)
+        ).write.parquet(path)
+        with pytest.raises(ValueError, match="guessed modulus"):
+            band_occupancy_report(spark, path)
+        rep = band_occupancy_report(
+            spark, path, candidate_buckets=[4]
+        )
+        assert rep["recorded"]["n_band_buckets"] is None
+        assert len(rep["candidates"]) == 1
+
+
+class TestContainmentOccupancyReport:
+    """r10: the containment store's decision signal — modulus curve
+    + token-df skew (the stopword shape no modulus can fix)."""
+
+    def _store(self, spark, tmp_path, texts, nb=8):
+        from mydatasyncer_spark.operators.dedup import (
+            containment_inverted_store,
+            jaccard_prefix_index,
+        )
+
+        corpus = spark.createDataFrame(
+            texts, "doc_id long, text string"
+        )
+        idx = jaccard_prefix_index(corpus)
+        path = str(tmp_path / "inv")
+        containment_inverted_store(
+            idx, n_token_buckets=nb
+        ).write.partitionBy("_tok_bucket").parquet(path)
+        return path
+
+    def test_stopword_skew_vs_diverse_and_modulus_curve(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            containment_occupancy_report,
+        )
+
+        # every doc shares the stopword — df(the) == n_docs
+        stop_texts = [
+            (i, f"the topic{i} the филлер{i} the unique{i}")
+            for i in range(16)
+        ]
+        div_texts = [
+            (100 + i, f"w{i * 3} w{i * 3 + 1} w{i * 3 + 2}")
+            for i in range(16)
+        ]
+        p_stop = self._store(spark, tmp_path / "stop", stop_texts)
+        p_div = self._store(spark, tmp_path / "div", div_texts)
+        rep_stop = containment_occupancy_report(spark, p_stop)
+        rep_div = containment_occupancy_report(spark, p_div)
+        assert (
+            rep_stop["largest_token_fraction"]
+            > 3 * rep_div["largest_token_fraction"]
+        )
+        assert (
+            rep_stop["candidate_rows_per_probe_token"]
+            > rep_div["candidate_rows_per_probe_token"]
+        )
+        assert rep_div["distinct_tokens"] == 48
+        cands = {
+            c["n_token_buckets"]: c["expected_scan"]
+            for c in rep_div["candidates"]
+        }
+        assert set(cands) == {4, 8, 16}
+        assert cands[16] <= cands[8] + 1e-12
+        assert rep_div["pending_staging"] is False
+
+    def test_prefix_store_and_stripped_frame_refused(
+        self, spark, tmp_path
+    ):
+        """The structural-shape hazard: a prefix store (or stripped
+        frame) has the same columns but reports fictitious dfs —
+        refused, same as containment_join."""
+        from mydatasyncer_spark.operators.dedup import (
+            jaccard_ordered_index,
+            jaccard_prefix_index,
+            jaccard_prefix_store,
+            jaccard_token_order,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            containment_occupancy_report,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "beta gamma delta epsilon"),
+            ],
+            "doc_id long, text string",
+        )
+        order = jaccard_token_order(jaccard_prefix_index(corpus))
+        ordered = jaccard_ordered_index(corpus, token_order=order)
+        path = str(tmp_path / "prefix")
+        jaccard_prefix_store(ordered, threshold=0.6).write.parquet(path)
+        with pytest.raises(ValueError, match="full-explosion"):
+            containment_occupancy_report(spark, path)
