@@ -210,6 +210,187 @@ def _guard_ids(index: DataFrame, probe_ids: DataFrame, id_col: str) -> DataFrame
     return index.select(id_col)
 
 
+def dedup_apply_batch(
+    batch_df: DataFrame,
+    *,
+    index_path: str,
+    survivors_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_store_path: str | None = None,
+    n_band_buckets: int = 64,
+    n_id_buckets: int | None = None,
+    finalize_survivors=None,
+) -> None:
+    """One :func:`continuous_dedup` micro-batch as a callable (the
+    ``rollup_apply_batch`` pattern): the replay guard, the
+    incremental near-pair build (band-store-pruned when configured),
+    the cluster-semantics rejection, and the survivors-then-index
+    write order — extracted so composed pipelines
+    (:func:`continuous_curation`) run the SAME dedup stage instead
+    of a re-implementation. ``batch_df`` may carry extra columns
+    (they ride through to the survivors store untouched);
+    ``finalize_survivors`` lets a caller annotate survivors (e.g. a
+    split assignment) inside the same write."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.dedup import (
+        _BAND_BS_KEY,
+        _BAND_K_KEY,
+        _BAND_NB_KEY,
+        BAND_BUCKET_COL,
+        ID_BUCKET_COL,
+        LSH_BAND_SIZE,
+        MINHASH_K,
+        _id_bucket_modulus,
+        _job_succeeded,
+        id_bucketed_index,
+        minhash_band_store,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_signature,
+    )
+
+    def write_bands(sigs, mode: str) -> None:
+        minhash_band_store(
+            sigs, id_col, n_band_buckets=n_band_buckets
+        ).write.partitionBy(BAND_BUCKET_COL).mode(mode).parquet(
+            band_store_path
+        )
+
+    def bands_match_config(store: DataFrame) -> bool:
+        if "band_key" not in store.columns:
+            return False
+        meta = store.schema["band_key"].metadata
+        return (
+            meta.get(_BAND_K_KEY) is not None
+            and int(meta[_BAND_K_KEY]) == MINHASH_K
+            and meta.get(_BAND_BS_KEY) is not None
+            and int(meta[_BAND_BS_KEY]) == LSH_BAND_SIZE
+            and meta.get(_BAND_NB_KEY) is not None
+            and int(meta[_BAND_NB_KEY]) == int(n_band_buckets)
+        )
+
+    def bands_complete(spark) -> bool:
+        # readable AND job-committed; markers-disabled fallback keyed
+        # on the index (the continuous_jaccard_index contract)
+        try:
+            spark.read.parquet(band_store_path)
+        except AnalysisException:
+            return False
+        return _job_succeeded(spark, band_store_path) or not _job_succeeded(
+            spark, index_path
+        )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    # the restore-first discipline (jaccard_restore_staging's
+    # contract, applied to every store this stage appends to): a
+    # compaction crash window is replayed BEFORE the batch can
+    # bootstrap into the deleted store path
+    from mydatasyncer_spark.operators.maintenance import restore_staging
+
+    restore_staging(spark, index_path)
+    restore_staging(spark, survivors_path)
+    batch = batch_df.dropDuplicates([id_col])
+    try:
+        index = spark.read.parquet(index_path)
+    except AnalysisException:
+        index = None
+    # append follows the STORED id-bucket layout (modulus read
+    # from the index every batch; n_id_buckets only seeds a
+    # fresh bootstrap)
+    idx_nb = (
+        _id_bucket_modulus(index, id_col)
+        if index is not None and ID_BUCKET_COL in index.columns
+        else (n_id_buckets if index is None else None)
+    )
+    if index is not None:
+        # replay guard pruned to the batch's id buckets (r10:
+        # this id-only scan was the last per-batch corpus-linear
+        # read on a bucketed layout)
+        batch = batch.join(
+            _guard_ids(index, batch.select(id_col), id_col),
+            id_col,
+            "left_anti",
+        )
+    if batch.isEmpty():
+        return
+    if index is not None:
+        corpus_bands = None
+        if band_store_path is not None:
+            if not bands_complete(spark) or not (
+                bands_match_config(spark.read.parquet(band_store_path))
+            ):
+                # absent / half-written / built under different
+                # params: rebuild from the index (corpus-linear
+                # once, like the Jaccard backfill)
+                write_bands(index, "overwrite")
+            corpus_bands = spark.read.parquet(band_store_path)
+        pairs = minhash_lsh_pairs_incremental(
+            batch, index, text_col=text_col, id_col=id_col,
+            corpus_bands=corpus_bands,
+            n_band_buckets=(
+                n_band_buckets if corpus_bands is not None else None
+            ),
+        )
+        near = pairs.filter(F.col("est_jaccard") >= threshold)
+        # id_b from the index -> the new doc (id_a) near-dups an
+        # accepted doc; the rest are within-batch pairs. The
+        # classification scan prunes to the CANDIDATE ids'
+        # buckets (near is checkpointed by the pair op, so the
+        # bounded bucket collect is a cheap re-read)
+        split_ids = _guard_ids(
+            index, near.select(F.col("id_b").alias(id_col)), id_col
+        )
+        vs_idx = near.join(
+            split_ids, near.id_b == split_ids[id_col], "left_semi"
+        ).select(F.col("id_a").alias(id_col))
+        within = near.join(
+            split_ids, near.id_b == split_ids[id_col], "left_anti"
+        )
+        rejected = _cluster_rejections(within, vs_idx, id_col)
+    else:
+        near = minhash_lsh_pairs(
+            batch, text_col=text_col, id_col=id_col
+        ).filter(F.col("est_jaccard") >= threshold)
+        empty_idx = near.select(F.col("id_a").alias(id_col)).limit(0)
+        rejected = _cluster_rejections(near, empty_idx, id_col)
+    survivors = batch.join(rejected, id_col, "left_anti")
+    if finalize_survivors is not None:
+        survivors = finalize_survivors(survivors)
+    # survivors before signatures: a crash between the writes means
+    # the replayed batch is re-processed (skip-check is against the
+    # INDEX) and may re-append the same survivor rows — so the
+    # index is effectively exactly-once, survivors at-least-once.
+    # The reverse order would LOSE survivor rows instead. Dedup
+    # survivors by id downstream after an unclean shutdown.
+    survivors.write.mode("append").parquet(survivors_path)
+    sig_sur = minhash_signature(
+        survivors, text_col=text_col, id_col=id_col
+    ).persist()
+    try:
+        if band_store_path is not None:
+            # bands before the index: the replay guard keys on
+            # the INDEX, so a crash between the two at worst
+            # appends duplicate band rows on replay — harmless
+            # (candidates are deduped; compaction clears them)
+            write_bands(sig_sur, "append")
+        if idx_nb is not None:
+            id_bucketed_index(
+                sig_sur, id_col, idx_nb
+            ).write.partitionBy(ID_BUCKET_COL).mode(
+                "append"
+            ).parquet(index_path)
+        else:
+            sig_sur.write.mode("append").parquet(index_path)
+    finally:
+        sig_sur.unpersist()
+
+
 def continuous_dedup(
     stream_docs: DataFrame,
     index_path: str,
@@ -262,91 +443,130 @@ def continuous_dedup(
     rows; compaction via ``operators/maintenance.
     compact_minhash_index(band_store_path=...)``.
     """
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dedup_apply_batch(
+            batch_df.select(id_col, text_col),
+            index_path=index_path,
+            survivors_path=survivors_path,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            band_store_path=band_store_path,
+            n_band_buckets=n_band_buckets,
+            n_id_buckets=n_id_buckets,
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+#: metadata key (on ``_ckey``) recording a curation content-key
+#: store's bucket modulus — the same provenance contract as every
+#: other bucketed store: a bucketed store with unreadable modulus is
+#: REFUSED (rows appended under a guessed modulus land where the
+#: prune never looks)
+_CKEY_NB_KEY = "curation_key_buckets"
+_CKEY_BUCKET_COL = "_ckey_bucket"
+
+
+def continuous_curation(
+    stream_docs: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    content_keys_path: str,
+    config=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    query_name: str = "continuous_curation",
+    band_store_path: str | None = None,
+    n_band_buckets: int = 64,
+    n_id_buckets: int | None = None,
+    n_key_buckets: int = 64,
+):
+    """The full curation pipeline (``operators/curation.curate``) as
+    a standing stream — the daily-raw-crawl-drop shape: per
+    micro-batch, quality/repetition GATE → cross-batch EXACT dedup →
+    cross-batch NEAR-dup dedup against the growing MinHash index →
+    split-annotated survivors append. Composes the existing stages
+    rather than re-implementing them: the near-dup leg IS
+    :func:`dedup_apply_batch` (band-store pruning, cluster
+    rejection semantics, survivors-then-index crash ordering — all
+    inherited), with survivors finalized with the deterministic
+    ``split`` column inside the same write.
+
+    Stage order mirrors the batch pipeline for the same reason:
+    the gate is narrow batch-sized work and drops 30-50% of raw
+    documents before anything shuffles; the exact stage is one
+    window + one bucket-pruned anti-join; only the remainder pays
+    the near-dup machinery.
+
+    **The content-key store** (``content_keys_path``): exact dedup
+    across batches anti-joins the batch's content keys (md5 of
+    normalized text) against keys of every document previously
+    PROCESSED past the gate — bucket-partitioned on
+    ``xxhash64(_ckey) % n_key_buckets`` with the modulus recorded as
+    provenance, probe reads statically pruned to the batch keys'
+    buckets (bounded ≤ modulus collect, explicit IN — the band-store
+    contract). Keys append LAST (after survivors+index): the store
+    is an EARLY-REJECTION optimization, not a correctness gate — an
+    exact duplicate whose key is missing (crash window) still
+    carries an identical signature, collides in every band, and is
+    rejected by the near-dup stage; replay re-appends keys
+    at-least-once (anti-join semantics tolerate duplicates;
+    ``compact_table(dedupe_cols=["_ckey"])`` clears them).
+
+    Replay contract: the id guard against the signature index runs
+    FIRST, so a replayed already-accepted survivor is skipped before
+    the exact stage can reject it as a duplicate of itself. Within a
+    batch the exact stage keeps the minimum id per key (the batch
+    ``exact_survivors`` rule); across batches earlier-processed wins
+    (the streaming-vs-batch caveat ``continuous_dedup`` documents).
+
+    Gate-rejected documents touch NO store: deterministic scoring
+    re-rejects them on replay for free, and at 100 TB writing
+    reject-keys would roughly double the store for documents that
+    can never collide with anything downstream anyway.
+    """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    from mydatasyncer_spark.operators.dedup import (
-        _BAND_BS_KEY,
-        _BAND_K_KEY,
-        _BAND_NB_KEY,
-        BAND_BUCKET_COL,
-        ID_BUCKET_COL,
-        LSH_BAND_SIZE,
-        MINHASH_K,
-        _id_bucket_modulus,
-        _job_succeeded,
-        id_bucketed_index,
-        minhash_band_store,
-        minhash_lsh_pairs,
-        minhash_lsh_pairs_incremental,
-        minhash_signature,
+    from mydatasyncer_spark.operators.curation import (
+        CurationConfig,
+        annotate_quality,
     )
+    from mydatasyncer_spark.operators.sampling import split_column
+    from mydatasyncer_spark.operators.text import normalize_text
 
-    def write_bands(sigs, mode: str) -> None:
-        minhash_band_store(
-            sigs, id_col, n_band_buckets=n_band_buckets
-        ).write.partitionBy(BAND_BUCKET_COL).mode(mode).parquet(
-            band_store_path
-        )
-
-    def bands_match_config(store: DataFrame) -> bool:
-        if "band_key" not in store.columns:
-            return False
-        meta = store.schema["band_key"].metadata
-        return (
-            meta.get(_BAND_K_KEY) is not None
-            and int(meta[_BAND_K_KEY]) == MINHASH_K
-            and meta.get(_BAND_BS_KEY) is not None
-            and int(meta[_BAND_BS_KEY]) == LSH_BAND_SIZE
-            and meta.get(_BAND_NB_KEY) is not None
-            and int(meta[_BAND_NB_KEY]) == int(n_band_buckets)
-        )
-
-    def bands_complete(spark) -> bool:
-        # readable AND job-committed; markers-disabled fallback keyed
-        # on the index (the continuous_jaccard_index contract)
-        try:
-            spark.read.parquet(band_store_path)
-        except AnalysisException:
-            return False
-        return _job_succeeded(spark, band_store_path) or not _job_succeeded(
-            spark, index_path
-        )
-
-    def resolve_rejections(near: DataFrame, vs_idx: DataFrame) -> DataFrame:
-        return _cluster_rejections(near, vs_idx, id_col)
+    config = config or CurationConfig()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # the restore-first discipline (jaccard_restore_staging's
-        # contract, applied to every store this stream appends to): a
-        # compaction crash window is replayed BEFORE the batch can
-        # bootstrap into the deleted store path
         from mydatasyncer_spark.operators.maintenance import (
             restore_staging,
         )
 
-        restore_staging(spark, index_path)
-        restore_staging(spark, survivors_path)
+        restore_staging(spark, content_keys_path)
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        # replay guard FIRST (vs the signature index): a replayed
+        # accepted survivor must not reach the exact stage, where its
+        # own stored key would reject it
         try:
             index = spark.read.parquet(index_path)
         except AnalysisException:
             index = None
-        # append follows the STORED id-bucket layout (modulus read
-        # from the index every batch; n_id_buckets only seeds a
-        # fresh bootstrap)
-        idx_nb = (
-            _id_bucket_modulus(index, id_col)
-            if index is not None and ID_BUCKET_COL in index.columns
-            else (n_id_buckets if index is None else None)
-        )
         if index is not None:
-            # replay guard pruned to the batch's id buckets (r10:
-            # this id-only scan was the last per-batch corpus-linear
-            # read on a bucketed layout)
             batch = batch.join(
                 _guard_ids(index, batch.select(id_col), id_col),
                 id_col,
@@ -354,76 +574,93 @@ def continuous_dedup(
             )
         if batch.isEmpty():
             return
-        if index is not None:
-            corpus_bands = None
-            if band_store_path is not None:
-                if not bands_complete(spark) or not (
-                    bands_match_config(
-                        spark.read.parquet(band_store_path)
-                    )
-                ):
-                    # absent / half-written / built under different
-                    # params: rebuild from the index (corpus-linear
-                    # once, like the Jaccard backfill)
-                    write_bands(index, "overwrite")
-                corpus_bands = spark.read.parquet(band_store_path)
-            pairs = minhash_lsh_pairs_incremental(
-                batch, index, text_col=text_col, id_col=id_col,
-                corpus_bands=corpus_bands,
-                n_band_buckets=(
-                    n_band_buckets if corpus_bands is not None else None
-                ),
-            )
-            near = pairs.filter(F.col("est_jaccard") >= threshold)
-            # id_b from the index -> the new doc (id_a) near-dups an
-            # accepted doc; the rest are within-batch pairs. The
-            # classification scan prunes to the CANDIDATE ids'
-            # buckets (near is checkpointed by the pair op, so the
-            # bounded bucket collect is a cheap re-read)
-            split_ids = _guard_ids(
-                index, near.select(F.col("id_b").alias(id_col)), id_col
-            )
-            vs_idx = near.join(
-                split_ids, near.id_b == split_ids[id_col], "left_semi"
-            ).select(F.col("id_a").alias(id_col))
-            within = near.join(
-                split_ids, near.id_b == split_ids[id_col], "left_anti"
-            )
-            rejected = resolve_rejections(within, vs_idx)
-        else:
-            near = minhash_lsh_pairs(
-                batch, text_col=text_col, id_col=id_col
-            ).filter(F.col("est_jaccard") >= threshold)
-            empty_idx = near.select(F.col("id_a").alias(id_col)).limit(0)
-            rejected = resolve_rejections(near, empty_idx)
-        survivors = batch.join(rejected, id_col, "left_anti")
-        # survivors before signatures: a crash between the writes means
-        # the replayed batch is re-processed (skip-check is against the
-        # INDEX) and may re-append the same survivor rows — so the
-        # index is effectively exactly-once, survivors at-least-once.
-        # The reverse order would LOSE survivor rows instead. Dedup
-        # survivors by id downstream after an unclean shutdown.
-        survivors.write.mode("append").parquet(survivors_path)
-        sig_sur = minhash_signature(
-            survivors, text_col=text_col, id_col=id_col
-        ).persist()
+        # ---- GATE: narrow, batch-sized ----
+        annotated = annotate_quality(batch, text_col, id_col)
+        gated = annotated.filter(
+            (F.col("quality") >= config.min_quality)
+            & (F.col("repetition") <= config.max_repetition)
+        )
+        # ---- EXACT: in-batch min-id per key, then cross-batch ----
+        keyed = gated.withColumn(
+            "_ckey", F.md5(normalize_text(F.col(text_col)))
+        )
+        w = Window.partitionBy("_ckey").orderBy(F.col(id_col))
+        keyed = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         try:
-            if band_store_path is not None:
-                # bands before the index: the replay guard keys on
-                # the INDEX, so a crash between the two at worst
-                # appends duplicate band rows on replay — harmless
-                # (candidates are deduped; compaction clears them)
-                write_bands(sig_sur, "append")
-            if idx_nb is not None:
-                id_bucketed_index(
-                    sig_sur, id_col, idx_nb
-                ).write.partitionBy(ID_BUCKET_COL).mode(
-                    "append"
-                ).parquet(index_path)
-            else:
-                sig_sur.write.mode("append").parquet(index_path)
-        finally:
-            sig_sur.unpersist()
+            keys_store = spark.read.parquet(content_keys_path)
+        except AnalysisException:
+            keys_store = None
+        if keys_store is not None:
+            if _CKEY_BUCKET_COL in keys_store.columns:
+                meta = keys_store.schema["_ckey"].metadata
+                nb = meta.get(_CKEY_NB_KEY)
+                if nb is None:
+                    raise ValueError(
+                        "continuous_curation: the content-key store "
+                        "is bucket-partitioned but records no "
+                        "modulus — pruning under a guessed modulus "
+                        "silently misses keys; rebuild the store "
+                        "(compact_table preserves provenance) or "
+                        "start a fresh path"
+                    )
+                # bounded (≤ modulus) touched-bucket collect →
+                # explicit IN on the partition column
+                keyed = keyed.localCheckpoint(eager=True)
+                touched = [
+                    r["_b"]
+                    for r in keyed.select(
+                        F.pmod(
+                            F.xxhash64("_ckey"), F.lit(int(nb))
+                        ).alias("_b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                keys_store = keys_store.filter(
+                    F.col(_CKEY_BUCKET_COL).isin(touched)
+                )
+            keyed = keyed.join(
+                keys_store.select("_ckey"), "_ckey", "left_anti"
+            )
+        if keyed.isEmpty():
+            # gate + exact rejected everything (e.g. a full replay):
+            # nothing to dedup, no keys to record
+            return
+        # keys of every doc processed past the gate this batch —
+        # captured BEFORE the near-dup stage decides survivors
+        new_keys = keyed.select(
+            F.col("_ckey").alias("_ckey", metadata={
+                _CKEY_NB_KEY: int(n_key_buckets)
+            }),
+            F.col(id_col),
+        ).localCheckpoint(eager=True)
+        # ---- NEAR-DUP + survivor/index writes: the shared stage ----
+        dedup_apply_batch(
+            keyed.drop("_ckey"),
+            index_path=index_path,
+            survivors_path=survivors_path,
+            threshold=config.near_dup_threshold,
+            text_col=text_col,
+            id_col=id_col,
+            band_store_path=band_store_path,
+            n_band_buckets=n_band_buckets,
+            n_id_buckets=n_id_buckets,
+            finalize_survivors=lambda s: s.withColumn(
+                "split",
+                split_column(F.col(id_col), config.split_fractions),
+            ),
+        )
+        # keys LAST (see the crash contract in the docstring)
+        new_keys.withColumn(
+            _CKEY_BUCKET_COL,
+            F.pmod(F.xxhash64("_ckey"), F.lit(int(n_key_buckets))),
+        ).write.mode("append").partitionBy(_CKEY_BUCKET_COL).parquet(
+            content_keys_path
+        )
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)

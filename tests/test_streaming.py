@@ -3152,3 +3152,186 @@ class TestContinuousPqIndex:
             ).collect()
         }
         assert got == exp
+
+
+class TestContinuousCuration:
+    """r10: the full curation pipeline as a standing stream — gate →
+    cross-batch exact dedup (bucket-pruned content-key store) →
+    cross-batch near-dup dedup (the shared dedup_apply_batch stage)
+    → split-annotated survivors. The streamed result must equal the
+    batch curate() over the union when arrival order matches id
+    order, replays must be no-ops, and the content-key store must be
+    an OPTIMIZATION only — losing it cannot admit a duplicate."""
+
+    GOOD_1 = (
+        "the quick brown fox jumps over the lazy sleeping dog near town"
+    )
+    GOOD_2 = (
+        "a completely different sentence mentioning rivers mountains and "
+        "valleys where travelers wander through forests carrying maps and "
+        "supplies toward distant villages before nightfall settles"
+    )
+    NEAR_2 = (
+        "a completely different sentence mentioning rivers mountains and "
+        "valleys where travelers wander through forests carrying maps and "
+        "supplies toward distant villages before daybreak settles"
+    )
+    GOOD_3 = (
+        "entirely fresh material about harbors lighthouses and tides "
+        "guiding sailors past reefs toward anchorage under clearing skies"
+    )
+    SPAM = "spam spam spam spam spam spam spam spam spam spam spam spam"
+
+    def _cfg(self):
+        from mydatasyncer_spark.operators.curation import CurationConfig
+
+        return CurationConfig(
+            min_quality=0.2, max_repetition=0.5, near_dup_threshold=0.5
+        )
+
+    def _drain(self, spark, in_dir, paths, ckpt):
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_curation,
+        )
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_curation(
+            stream,
+            paths["index"],
+            paths["survivors"],
+            paths["keys"],
+            config=self._cfg(),
+            checkpoint_dir=ckpt,
+            n_key_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    def _write(self, in_dir, fname, rows):
+        import json as _json
+
+        (in_dir / fname).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in rows
+            )
+        )
+
+    def test_end_to_end_matches_batch_and_replay_noop(
+        self, spark, tmp_path_factory
+    ):
+        from mydatasyncer_spark.operators.curation import curate
+
+        in_dir = tmp_path_factory.mktemp("cur_in")
+        out = tmp_path_factory.mktemp("cur_out")
+        paths = {
+            "index": str(out / "index"),
+            "survivors": str(out / "survivors"),
+            "keys": str(out / "keys"),
+        }
+        b1 = [
+            (1, self.GOOD_1),
+            (2, self.GOOD_2),
+            (3, "The  quick brown fox jumps over the lazy sleeping dog near town"),  # exact dup of 1 (normalized), in-batch
+            (4, self.SPAM),  # gate
+        ]
+        b2 = [
+            (5, self.NEAR_2),  # near-dup of 2, cross-batch
+            (6, self.GOOD_1),  # exact dup of 1, cross-batch (key store)
+            (7, self.GOOD_3),
+            (8, self.SPAM),  # gate
+        ]
+        self._write(in_dir, "b1.json", b1)
+        self._drain(spark, in_dir, paths, str(out / "ckpt"))
+        self._write(in_dir, "b2.json", b2)
+        self._drain(spark, in_dir, paths, str(out / "ckpt"))
+        got = {
+            r["doc_id"]: (r["quality"], r["split"])
+            for r in spark.read.parquet(paths["survivors"]).collect()
+        }
+        assert set(got) == {1, 2, 7}
+        # identical to the batch pipeline over the union (ids arrive
+        # in id order, so earlier-accepted == min-id)
+        union = spark.createDataFrame(
+            b1 + b2, "doc_id long, text string"
+        )
+        want = {
+            r["doc_id"]: (r["quality"], r["split"])
+            for r in curate(union, self._cfg()).collect()
+        }
+        assert got == want
+        # the content-key store is bucket-partitioned with provenance
+        import glob as _glob
+        import os
+
+        assert _glob.glob(os.path.join(paths["keys"], "_ckey_bucket=*"))
+        keys = spark.read.parquet(paths["keys"])
+        assert {r["doc_id"] for r in keys.collect()} == {1, 2, 5, 7}
+        # replay with a fresh checkpoint: nothing appends anywhere
+        counts = (
+            spark.read.parquet(paths["survivors"]).count(),
+            spark.read.parquet(paths["index"]).count(),
+            keys.count(),
+        )
+        self._drain(spark, in_dir, paths, str(out / "ckpt_replay"))
+        assert (
+            spark.read.parquet(paths["survivors"]).count(),
+            spark.read.parquet(paths["index"]).count(),
+            spark.read.parquet(paths["keys"]).count(),
+        ) == counts
+
+    def test_key_store_loss_degrades_not_corrupts(
+        self, spark, tmp_path_factory
+    ):
+        """Deleting the content-key store (the crash window before
+        the keys append) must NOT admit an exact duplicate: identical
+        text means identical signatures, so the near-dup stage
+        rejects it anyway — the store is an early-rejection
+        optimization, never load-bearing."""
+        import shutil
+
+        in_dir = tmp_path_factory.mktemp("curl_in")
+        out = tmp_path_factory.mktemp("curl_out")
+        paths = {
+            "index": str(out / "index"),
+            "survivors": str(out / "survivors"),
+            "keys": str(out / "keys"),
+        }
+        self._write(in_dir, "b1.json", [(1, self.GOOD_1), (2, self.GOOD_2)])
+        self._drain(spark, in_dir, paths, str(out / "ckpt"))
+        shutil.rmtree(paths["keys"])
+        self._write(in_dir, "b2.json", [(10, self.GOOD_1)])  # exact dup of 1
+        self._drain(spark, in_dir, paths, str(out / "ckpt"))
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(paths["survivors"]).collect()
+        }
+        assert ids == {1, 2}
+
+    def test_bucketed_key_store_without_modulus_refused(
+        self, spark, tmp_path_factory
+    ):
+        from pyspark.sql import functions as F
+
+        in_dir = tmp_path_factory.mktemp("curm_in")
+        out = tmp_path_factory.mktemp("curm_out")
+        paths = {
+            "index": str(out / "index"),
+            "survivors": str(out / "survivors"),
+            "keys": str(out / "keys"),
+        }
+        self._write(in_dir, "b1.json", [(1, self.GOOD_1), (2, self.GOOD_2)])
+        self._drain(spark, in_dir, paths, str(out / "ckpt"))
+        # strip the recorded modulus but keep the bucket layout
+        stripped = spark.read.parquet(paths["keys"]).select(
+            F.col("_ckey").alias("_ckey", metadata={}),
+            "doc_id",
+            "_ckey_bucket",
+        ).localCheckpoint(eager=True)
+        import shutil
+
+        shutil.rmtree(paths["keys"])
+        stripped.write.partitionBy("_ckey_bucket").parquet(paths["keys"])
+        self._write(in_dir, "b2.json", [(20, self.GOOD_3)])
+        with pytest.raises(Exception, match="records no.*modulus|modulus"):
+            self._drain(spark, in_dir, paths, str(out / "ckpt"))
