@@ -77,6 +77,13 @@ from mydatasyncer_spark.operators.diff import (
     diff_snapshots,
     diff_snapshots_pruned,
 )
+from mydatasyncer_spark.operators.classify import (
+    hashed_token_features,
+    logreg_train,
+    model_score_column,
+    quality_weight_values,
+    score_documents,
+)
 from mydatasyncer_spark.operators.curriculum import (
     assign_quality_tiers,
     quality_tier_cutpoints,
@@ -280,6 +287,11 @@ __all__ = [
     "pq_topk_indexed",
     "pq_train",
     "recorded_codebooks",
+    "hashed_token_features",
+    "logreg_train",
+    "model_score_column",
+    "quality_weight_values",
+    "score_documents",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,243 @@
+"""Model-based document quality scoring — the hashed-feature linear
+classifier every production curation stack runs next to the
+heuristic gate (the fastText / CCNet quality-filter shape: Joulin et
+al. 2016, Wenzek et al. 2019 — public recipes), trained and applied
+entirely in DataFrame algebra.
+
+Why it exists alongside ``text.quality_score``: the heuristic gate
+scores SURFACE shape (length, punctuation, stopword ratios); a
+trained linear model scores CONTENT resemblance to a reference
+corpus ("does this look like Wikipedia or like boilerplate"), which
+is the published recipe's second, orthogonal filter stage.
+
+Scale shape, the part that matters at 100 TB:
+
+- **Features are hash-bucketed token frequencies** — no vocabulary
+  to build, broadcast, or keep consistent across batches: feature id
+  is ``hash48(token) % n_features`` (the engine's cross-engine hash
+  family, so the DuckDB oracle reproduces features bit-for-bit and a
+  streaming batch hashes identically to the training run).
+- **Scoring is a NARROW projection** — zero shuffles, zero joins:
+  per document, the token array maps through a broadcast
+  weight-literal table and folds in ARRAY ORDER
+  (``transform`` + ``aggregate``, the ``_pq_lut`` pattern), so a
+  100 TB scoring pass is scan-speed and the plan pin can assert "no
+  Exchange" outright. Deterministic fold order is also what makes
+  the SQL oracle exact (DuckDB ``list_reduce``).
+- **Training is the k-means layout** (``kmeans_centroids``'s
+  contract): full-batch gradient descent where each iteration is two
+  bounded aggregates — a per-document margin fold (narrow, same
+  expression as scoring) and one groupBy-feature gradient sum —
+  with ``n_features + 1`` numbers to the driver per iteration,
+  never the documents. ``n_features`` is a few thousand for the
+  published recipe; the weight table stays broadcast-literal-sized
+  by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.functions.hashing import hash48
+from mydatasyncer_spark.operators.text import tokens
+
+
+def quality_weight_values(n_features: int, seed: str = "qw") -> list[float]:
+    """Deterministic pseudo-random weight vector: component f maps a
+    48-bit md5 of ``"qw:f"`` into [-1, 1) — driver-side constants so
+    the gate query's SQL oracle inlines IDENTICAL literals (the
+    :func:`~mydatasyncer_spark.operators.similarity.
+    ivf_centroid_values` trick). Real deployments train
+    :func:`logreg_train` weights; determinism here is what makes the
+    cross-engine oracle check the SCORING algebra exactly."""
+    import hashlib
+
+    out = []
+    for f in range(n_features):
+        h = int(hashlib.md5(f"{seed}:{f}".encode()).hexdigest()[:12], 16)
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def feature_id(token: Column, n_features: int) -> Column:
+    """Hash-bucketed feature id in ``[0, n_features)``."""
+    return F.pmod(hash48(token), F.lit(int(n_features)))
+
+
+def hashed_token_features(
+    df: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-form features ``(id, feature, x)`` with
+    ``x = count(token in bucket) / len(tokens)`` — the mean-of-
+    one-hots a linear bag-of-words model consumes. Used by training
+    (the gradient groupBy needs the long form); scoring never
+    materializes it (see :func:`model_score_column`)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+        F.size(tokens(F.col(text_col))).alias("_len"),
+    )
+    return (
+        toks.groupBy(
+            id_col,
+            feature_id(F.col("_tok"), n_features).alias("feature"),
+        )
+        .agg(
+            (F.count(F.lit(1)) / F.first("_len")).alias("x"),
+        )
+    )
+
+
+def _margin_column(
+    text: Column, weights: list[float], bias: float
+) -> Column:
+    """``w · x + b`` for one document as a pure Column expression:
+    the token array maps through the weight-literal table and folds
+    LEFT-TO-RIGHT (deterministic — the oracle's ``list_reduce``
+    matches term-for-term), then divides by the token count (the
+    mean-of-one-hots normalization). Empty documents score the bias
+    alone."""
+    wlits = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(text)
+    per_tok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            wlits, (feature_id(t, len(weights)) + 1).cast("int")
+        ),
+    )
+    total = F.aggregate(
+        per_tok, F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total / n + F.lit(float(bias))).otherwise(
+        F.lit(float(bias))
+    )
+
+
+def model_score_column(
+    text: Column, weights: list[float], bias: float = 0.0
+) -> Column:
+    """Round-6 ``sigmoid(w · x + b)`` — the model's quality
+    probability as a narrow Column expression. Attach it with one
+    ``withColumn``; the scoring pass is shuffle-free by construction
+    (plan-pinned)."""
+    m = _margin_column(text, weights, bias)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)
+
+
+def score_documents(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    score_col: str = "model_quality",
+) -> DataFrame:
+    """``df`` + the model-quality column. Compose with the heuristic
+    gate exactly as the published recipe does: heuristics drop the
+    degenerate tail, the model ranks what remains."""
+    return df.withColumn(
+        score_col, model_score_column(F.col(text_col), weights, bias)
+    )
+
+
+def logreg_train(
+    df: DataFrame,
+    labels: DataFrame,
+    n_features: int = 1024,
+    n_iter: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> tuple[list[float], float, list[float]]:
+    """Full-batch logistic-regression training over hashed token
+    features. Returns ``(weights, bias, losses)`` — ``losses`` is
+    the per-iteration mean log-loss (tests pin monotone descent).
+
+    Per iteration: (1) margins per document — the SAME narrow fold
+    expression scoring uses, against the current weight literals;
+    (2) residuals ``sigmoid(margin) - y``; (3) ONE groupBy-feature
+    aggregate of ``residual * x`` (the gradient) plus one global
+    aggregate for the bias and loss — ``n_features + 2`` numbers to
+    the driver, never the corpus (the ``kmeans_centroids``
+    contract). Deterministic init (zeros); full-batch, so every run
+    over the same frame converges to the same optimum up to
+    float-sum association."""
+    import math
+
+    feats = hashed_token_features(
+        df, n_features, text_col, id_col
+    ).join(
+        labels.select(
+            F.col(id_col), F.col(label_col).cast("double").alias("_y")
+        ),
+        id_col,
+    )
+    feats = feats.localCheckpoint(eager=True)  # features are loop-invariant
+    n_docs = labels.count()
+    w = [0.0] * n_features
+    b = 0.0
+    losses: list[float] = []
+    for _ in range(n_iter):
+        wlits = F.array(*[F.lit(float(x)) for x in w])
+        doc = (
+            feats.groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.col("x")
+                    * F.element_at(
+                        wlits, (F.col("feature") + 1).cast("int")
+                    )
+                ).alias("_m"),
+                F.first("_y").alias("_y"),
+            )
+            .select(
+                F.col(id_col),
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.col("_m") + F.lit(b))))
+                ).alias("_p"),
+                "_y",
+            )
+        )
+        stats = doc.agg(
+            F.sum(F.col("_p") - F.col("_y")).alias("_gb"),
+            F.sum(
+                -F.col("_y") * F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
+                - (F.lit(1.0) - F.col("_y"))
+                * F.log(
+                    F.greatest(F.lit(1.0) - F.col("_p"), F.lit(1e-12))
+                )
+            ).alias("_loss"),
+        ).collect()[0]
+        grad_rows = (
+            feats.join(
+                doc.select(id_col, "_p"), id_col
+            )
+            .groupBy("feature")
+            .agg(
+                F.sum(
+                    (F.col("_p") - F.col("_y")) * F.col("x")
+                ).alias("_g")
+            )
+            .collect()
+        )
+        grad = [0.0] * n_features
+        for r in grad_rows:
+            grad[int(r["feature"])] = float(r["_g"])
+        w = [
+            wi - lr * (gi / n_docs + l2 * wi)
+            for wi, gi in zip(w, grad)
+        ]
+        b -= lr * float(stats["_gb"]) / n_docs
+        losses.append(float(stats["_loss"]) / n_docs)
+        if math.isnan(losses[-1]):
+            raise ValueError(
+                "logreg_train: diverged (nan loss) — lower lr"
+            )
+    return w, b, losses

@@ -1,0 +1,183 @@
+"""Model-based quality scoring (operators/classify.py): the
+fastText/CCNet-shape hashed-feature logistic regression. Pins: the
+training objective descends and separates a separable corpus, the
+hash-bucketed features are exactly the cross-engine hash family,
+scoring is hand-verifiable and SHUFFLE-FREE (the 100 TB claim), and
+regularization actually shrinks weights."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.classify import (
+    hashed_token_features,
+    logreg_train,
+    model_score_column,
+    quality_weight_values,
+    score_documents,
+)
+
+
+def _hash48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    import random
+
+    rng = random.Random(7)
+    good = [f"good{i}" for i in range(30)]
+    junk = [f"junk{i}" for i in range(30)]
+    rows, labels = [], []
+    for i in range(80):
+        y = i % 2
+        vocab = good if y else junk
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(20))))
+        labels.append((i, y))
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        spark.createDataFrame(labels, "doc_id long, label int"),
+    )
+
+
+class TestFeatures:
+    def test_feature_ids_are_the_cross_engine_hash(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta alpha")], "doc_id long, text string"
+        )
+        rows = hashed_token_features(df, n_features=16).collect()
+        got = {r["feature"]: r["x"] for r in rows}
+        want = {
+            _hash48("alpha") % 16: 2 / 3,
+            _hash48("beta") % 16: 1 / 3,
+        }
+        assert got == pytest.approx(want)
+
+    def test_weight_values_deterministic_and_bounded(self):
+        w = quality_weight_values(64)
+        assert w == quality_weight_values(64)
+        assert all(-1.0 <= x < 1.0 for x in w)
+        assert len(set(w)) > 50  # not degenerate
+
+
+class TestScoring:
+    def test_score_matches_hand_computation(self, spark):
+        n = 16
+        w = quality_weight_values(n)
+        df = spark.createDataFrame(
+            [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["model_quality"]
+            for r in score_documents(df, w, bias=-0.1).collect()
+        }
+
+        def score(toks):
+            if not toks:
+                m = -0.1
+            else:
+                m = sum(w[_hash48(t) % n] for t in toks) / len(toks) - 0.1
+            return round(1.0 / (1.0 + math.exp(-m)), 6)
+
+        assert got[1] == pytest.approx(score(["alpha", "beta", "alpha"]))
+        assert got[2] == pytest.approx(score([]))
+        assert got[3] == pytest.approx(score(["gamma"]))
+
+    def test_scoring_is_shuffle_free(self, spark, sf_dir):
+        """The 100 TB contract: attaching the model score to a corpus
+        is a narrow projection — NO Exchange anywhere in the plan."""
+        import contextlib
+        import io
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = score_documents(
+            docs, quality_weight_values(64), bias=0.0
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            scored.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+
+
+class TestTraining:
+    def test_loss_descends_and_separates(self, spark, separable):
+        df, lab = separable
+        w, b, losses = logreg_train(
+            df, lab, n_features=64, n_iter=15, lr=2.0
+        )
+        # log-loss starts at ln 2 (zero weights) and strictly drops
+        assert losses[0] == pytest.approx(math.log(2.0), abs=1e-6)
+        assert losses[-1] < losses[0]
+        assert all(
+            b2 <= a2 + 1e-9 for a2, b2 in zip(losses, losses[1:])
+        )
+        scored = score_documents(df, w, b).join(lab, "doc_id")
+        acc = scored.select(
+            (
+                (F.col("model_quality") > 0.5).cast("int")
+                == F.col("label")
+            )
+            .cast("int")
+            .alias("ok")
+        ).agg(F.avg("ok")).first()[0]
+        assert acc == 1.0
+
+    def test_l2_shrinks_weights(self, spark, separable):
+        df, lab = separable
+        w0, _, _ = logreg_train(
+            df, lab, n_features=64, n_iter=8, lr=2.0, l2=0.0
+        )
+        w1, _, _ = logreg_train(
+            df, lab, n_features=64, n_iter=8, lr=2.0, l2=0.5
+        )
+        n0 = sum(x * x for x in w0)
+        n1 = sum(x * x for x in w1)
+        assert n1 < n0
+
+    def test_generalizes_to_unseen_docs(self, spark, separable):
+        """Held-out docs drawn from the same vocabularies classify
+        correctly — the hash-bucketed features need no vocabulary
+        shared between training and scoring runs (the streaming-
+        batch consistency the hashing trick buys)."""
+        import random
+
+        df, lab = separable
+        w, b, _ = logreg_train(
+            df, lab, n_features=64, n_iter=15, lr=2.0
+        )
+        rng = random.Random(99)
+        rows, labels = [], []
+        for i in range(40):
+            y = i % 2
+            vocab = (
+                [f"good{j}" for j in range(30)]
+                if y
+                else [f"junk{j}" for j in range(30)]
+            )
+            rows.append(
+                (1000 + i, " ".join(rng.choice(vocab) for _ in range(15)))
+            )
+            labels.append((1000 + i, y))
+        fresh = spark.createDataFrame(rows, "doc_id long, text string")
+        flab = spark.createDataFrame(labels, "doc_id long, label int")
+        acc = (
+            score_documents(fresh, w, b)
+            .join(flab, "doc_id")
+            .select(
+                (
+                    (F.col("model_quality") > 0.5).cast("int")
+                    == F.col("label")
+                )
+                .cast("int")
+                .alias("ok")
+            )
+            .agg(F.avg("ok"))
+            .first()[0]
+        )
+        assert acc == 1.0

@@ -760,3 +760,13 @@ def test_pq_refined_is_bucket_equi_then_candidate_joins(spark, sf_dir):
     # ADC stage + exact stage both present
     assert "adc_cosine" in plan
     assert "cosine" in plan
+
+
+def test_quality_model_score_is_shuffle_free(spark, sf_dir):
+    """r10 model-based quality scoring: the gate query's whole plan
+    must contain NO Exchange — scoring a corpus is a narrow
+    projection through broadcast weight literals, which is the
+    entire 100 TB claim (a scoring sweep runs at scan speed)."""
+    plan = plan_of(spark, sf_dir, "quality_model_score")
+    assert "Exchange" not in plan
+    assert "model_quality" in plan

@@ -21,8 +21,8 @@ GATE_CAP = 50
 # filler dedup_exact_best_quality; the two IVF-PQ queries then
 # displaced ann_ivf_topk and ann_lsh_topk — all last green r8,
 # absorbed with their cohort in the r11 rotation.)
-LAST_IN_WINDOW = "ann_cosine_topk"
-FIRST_PAST_CAP = "ann_ivf_topk"
+LAST_IN_WINDOW = "zorder_orders_key"
+FIRST_PAST_CAP = "ann_cosine_topk"
 
 # everything added or implementation-touched in r10 MUST sit inside
 # the gate window (rotation policy rule 1-2)
@@ -34,6 +34,7 @@ R10_TOUCHED = [
     # the PLAN is what differs)
     "ann_pq_topk",
     "ann_pq_refined",
+    "quality_model_score",
     "dedup_semantic_p2",
     "ann_lsh_topk_indexed",
     # implementation touched in r10: semantic_dedup_pairs grew the
