@@ -44,7 +44,18 @@ from mydatasyncer_spark.operators.text import (
 @dataclass(frozen=True)
 class CurationConfig:
     """Thresholds and split for :func:`curate`. Defaults keep the
-    fixture corpus non-degenerate (~60% survive the quality gate)."""
+    fixture corpus non-degenerate (~60% survive the quality gate).
+
+    ``model_weights``/``model_bias``/``min_model_quality`` switch on
+    the published recipes' SECOND filter stage (fastText/CCNet: the
+    heuristics drop the degenerate tail, a trained linear model
+    ranks content): when weights are set, documents also need
+    ``model_quality >= min_model_quality`` to survive the gate. The
+    model pass is a narrow projection (``operators/classify.py``),
+    so turning it on adds zero shuffles to the pipeline — train
+    weights once with ``logreg_train`` and pin them in the config;
+    the hash-bucketed features need no vocabulary shared between
+    the training run and any batch or stream that scores."""
 
     min_quality: float = 0.70
     max_repetition: float = 0.01
@@ -52,6 +63,9 @@ class CurationConfig:
     split_fractions: dict[str, float] = field(
         default_factory=lambda: {"train": 0.8, "valid": 0.1, "test": 0.1}
     )
+    model_weights: tuple[float, ...] | None = None
+    model_bias: float = 0.0
+    min_model_quality: float = 0.5
 
 
 def annotate_quality(
@@ -107,6 +121,23 @@ def curate(
         (F.col("quality") >= config.min_quality)
         & (F.col("repetition") <= config.max_repetition)
     )
+    if config.model_weights is not None:
+        # stage 2 of the published recipe: the trained linear model
+        # gates on content, not surface shape — still narrow
+        from mydatasyncer_spark.operators.classify import (
+            model_score_column,
+        )
+
+        kept = kept.withColumn(
+            "model_quality",
+            model_score_column(
+                F.col(text_col),
+                list(config.model_weights),
+                config.model_bias,
+            ),
+        ).filter(
+            F.col("model_quality") >= config.min_model_quality
+        )
     # `exact` feeds BOTH the near-dup pair build and the final
     # survivor anti-join; checkpoint it so the annotate+window chain
     # runs once, not once per consumer. Corpus-sized but post-filter —

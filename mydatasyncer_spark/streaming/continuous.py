@@ -580,6 +580,25 @@ def continuous_curation(
             (F.col("quality") >= config.min_quality)
             & (F.col("repetition") <= config.max_repetition)
         )
+        if config.model_weights is not None:
+            # the config's stage-2 model gate (same narrow
+            # expression as the batch pipeline — the hash-bucketed
+            # features guarantee a stream scores exactly what the
+            # training run would)
+            from mydatasyncer_spark.operators.classify import (
+                model_score_column,
+            )
+
+            gated = gated.withColumn(
+                "model_quality",
+                model_score_column(
+                    F.col(text_col),
+                    list(config.model_weights),
+                    config.model_bias,
+                ),
+            ).filter(
+                F.col("model_quality") >= config.min_model_quality
+            )
         # ---- EXACT: in-batch min-id per key, then cross-batch ----
         keyed = gated.withColumn(
             "_ckey", F.md5(normalize_text(F.col(text_col)))

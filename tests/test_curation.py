@@ -89,3 +89,60 @@ class TestCurate:
         a = curate(corpus, cfg).select("doc_id", "split")
         b = curate(corpus.repartition(5), cfg).select("doc_id", "split")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestModelGate:
+    """r10: the config's optional stage-2 model gate — the published
+    two-stage recipe (heuristics drop the degenerate tail, a trained
+    linear model gates on content)."""
+
+    def test_model_gate_drops_offvocab_docs(self, spark):
+        from mydatasyncer_spark.operators.classify import logreg_train
+
+        import random
+
+        rng = random.Random(3)
+        good = [f"keep{i}" for i in range(20)]
+        bad = [f"drop{i}" for i in range(20)]
+        train_rows, train_labels = [], []
+        for i in range(60):
+            y = i % 2
+            vocab = good if y else bad
+            train_rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(15)))
+            )
+            train_labels.append((i, y))
+        tdf = spark.createDataFrame(train_rows, "doc_id long, text string")
+        tlab = spark.createDataFrame(train_labels, "doc_id long, label int")
+        w, b, _ = logreg_train(tdf, tlab, n_features=64, n_iter=12, lr=2.0)
+
+        corpus = spark.createDataFrame(
+            [
+                (100, " ".join(f"keep{i}" for i in range(12))),
+                (101, " ".join(f"drop{i}" for i in range(12))),
+            ],
+            "doc_id long, text string",
+        )
+        cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            model_weights=tuple(w),
+            model_bias=b,
+            min_model_quality=0.5,
+        )
+        out = curate(corpus, cfg)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert ids == {100}
+        # survivors carry the model score next to the heuristic one
+        row = out.collect()[0]
+        assert row["model_quality"] > 0.5
+        assert "quality" in out.columns
+
+    def test_model_off_by_default_is_unchanged(self, spark, corpus):
+        cfg = CurationConfig(
+            min_quality=0.2, max_repetition=0.5, near_dup_threshold=0.5
+        )
+        out = curate(corpus, cfg)
+        assert "model_quality" not in out.columns
+        assert {r["doc_id"] for r in out.collect()} == {1, 2}

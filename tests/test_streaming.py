@@ -3335,3 +3335,86 @@ class TestContinuousCuration:
         self._write(in_dir, "b2.json", [(20, self.GOOD_3)])
         with pytest.raises(Exception, match="records no.*modulus|modulus"):
             self._drain(spark, in_dir, paths, str(out / "ckpt"))
+
+
+class TestContinuousCurationModelGate:
+    """r10: the stage-2 model gate rides the stream too — and the
+    streamed result equals the batch pipeline with the same trained
+    weights pinned in the config (the no-shared-vocabulary property:
+    the stream scores exactly what the training run would)."""
+
+    def test_streamed_equals_batch_with_model_gate(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+        import random
+
+        from mydatasyncer_spark.operators.classify import logreg_train
+        from mydatasyncer_spark.operators.curation import (
+            CurationConfig,
+            curate,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_curation,
+        )
+
+        rng = random.Random(5)
+        good = [f"keep{i}" for i in range(20)]
+        bad = [f"drop{i}" for i in range(20)]
+        train_rows, train_labels = [], []
+        for i in range(60):
+            y = i % 2
+            vocab = good if y else bad
+            train_rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(15)))
+            )
+            train_labels.append((i, y))
+        tdf = spark.createDataFrame(train_rows, "doc_id long, text string")
+        tlab = spark.createDataFrame(train_labels, "doc_id long, label int")
+        w, b, _ = logreg_train(tdf, tlab, n_features=64, n_iter=12, lr=2.0)
+        cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            model_weights=tuple(w),
+            model_bias=b,
+            min_model_quality=0.5,
+        )
+        docs = [
+            (100, " ".join(rng.choice(good) for _ in range(12))),
+            (101, " ".join(rng.choice(bad) for _ in range(12))),
+            (102, " ".join(rng.choice(good) for _ in range(12))),
+            (103, " ".join(rng.choice(bad) for _ in range(12))),
+        ]
+        in_dir = tmp_path_factory.mktemp("curmg_in")
+        out = tmp_path_factory.mktemp("curmg_out")
+        for name, chunk in (("b1", docs[:2]), ("b2", docs[2:])):
+            (in_dir / f"{name}.json").write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t})
+                    for i, t in chunk
+                )
+            )
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_curation(
+            stream,
+            str(out / "index"),
+            str(out / "survivors"),
+            str(out / "keys"),
+            config=cfg,
+            checkpoint_dir=str(out / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: (r["model_quality"], r["split"])
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        union = spark.createDataFrame(docs, "doc_id long, text string")
+        want = {
+            r["doc_id"]: (r["model_quality"], r["split"])
+            for r in curate(union, cfg).collect()
+        }
+        assert got == want
+        assert set(got) == {100, 102}
