@@ -139,6 +139,11 @@ from mydatasyncer_spark.operators.similarity import (
     semantic_dedup_pairs,
     semantic_dedup_survivors,
 )
+from mydatasyncer_spark.operators.tokenizer import (
+    bpe_encode,
+    bpe_token_count,
+    bpe_train,
+)
 from mydatasyncer_spark.operators.text import (
     remove_repeated_segments,
     unigram_logprob_table,
@@ -292,6 +297,9 @@ __all__ = [
     "model_score_column",
     "quality_weight_values",
     "score_documents",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_token_count",
 ]
 
 __version__ = "0.1.0"

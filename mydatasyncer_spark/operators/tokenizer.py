@@ -1,0 +1,189 @@
+"""Trained subword tokenization — byte-pair encoding (Sennrich,
+Haddow, Birch 2016, the published word-level BPE recipe) for the
+pipeline stages that need REAL token counts: sequence packing,
+domain-mix weighting, and per-document cost accounting
+(``text.token_count`` is the cheap regex proxy; this is the trained
+article).
+
+Scale split, which is the whole design:
+
+- **Training is ONE distributed pass + driver work bounded by the
+  word vocabulary, never the corpus.** The corpus contributes only
+  its word-frequency table (a groupBy over exploded tokens — at
+  100 TB that is one shuffle of narrow (word, count) rows);
+  ``max_words`` caps what the driver holds (frequency-ranked, so the
+  tail it drops cannot affect early merges materially). Merge
+  learning then runs on that dict exactly as published: repeatedly
+  merge the most frequent adjacent symbol pair, deterministic
+  (count desc, pair lexicographic asc) so two training runs over the
+  same corpus produce byte-identical merge tables.
+- **Encoding is an Arrow-batched pandas UDF** — iterative string
+  rewriting is genuinely outside relational algebra (the one
+  sanctioned use of the Python path, same rationale as the
+  multimodal codecs), memoized per word within each batch: corpora
+  repeat words heavily, so the per-row cost collapses to a dict hit.
+  The merge table rides the closure (broadcast-sized: ``n_merges``
+  string pairs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.text import TOKEN_SPLIT_RE, tokens
+
+#: end-of-word marker, as published — distinguishes "est</w>" (word
+#: suffix) from "est" (word-internal), which is what lets merges
+#: learn suffixes without gluing words together
+WORD_END = "</w>"
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    min_word_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge table (rank = position), the only artifact the
+    encoder needs — persist it however configs are persisted.
+
+    The distributed part is exactly one aggregation: exploded tokens
+    → (word, count). ``max_words`` bounds the driver-side dict by
+    taking the most frequent words (ties id-free: count desc, word
+    asc — deterministic under any partitioning)."""
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= int(min_word_freq))
+        .orderBy(F.desc("_c"), F.asc("_w"))
+        .limit(int(max_words))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        (*r["_w"], WORD_END): int(r["_c"]) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, cnt in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        # deterministic argmax: highest count, then lexicographically
+        # smallest pair (two equal-count pairs merge in a fixed order
+        # regardless of dict iteration order)
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        if pair_counts[best] < 2:
+            break  # nothing left that ever co-occurs
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if (
+                    i + 1 < len(word)
+                    and word[i] == best[0]
+                    and word[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = (
+                new_vocab.get(tuple(out), 0) + cnt
+            )
+        vocab = new_vocab
+        merges.append(best)
+    return merges
+
+
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """The published greedy merge application: repeatedly apply the
+    LOWEST-RANK applicable merge until none applies."""
+    pieces = [*word, WORD_END]
+    while len(pieces) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(pieces, pieces[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        pieces[best_i : best_i + 2] = [
+            pieces[best_i] + pieces[best_i + 1]
+        ]
+    return pieces
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "subwords",
+) -> DataFrame:
+    """``df`` + an ``array<string>`` column of subword tokens.
+
+    Arrow-batched ``pandas_udf`` with a per-batch word memo: the
+    iterative merge rewrite runs once per DISTINCT word per batch
+    (Zipf does the rest). The merge table is a closure constant —
+    ``n_merges`` pairs, broadcast-sized."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # the SAME tokenization as tokens()/bpe_train — the three must
+    # never drift apart or counts stop matching training
+    token_re = TOKEN_SPLIT_RE
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        memo: dict[str, list[str]] = {}
+        splitter = re.compile(token_re)
+
+        def enc(text):
+            if text is None:
+                return []
+            out = []
+            for w in splitter.split(text.lower()):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    got = _encode_word(w, ranks)
+                    memo[w] = got
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    count_col: str = "n_subwords",
+) -> DataFrame:
+    """``df`` + the trained-tokenizer token count — the number
+    sequence packing and mixture weighting should bill with (the
+    regex ``token_count`` systematically undercounts rare/long
+    words, which is exactly where subword explosion happens)."""
+    out = bpe_encode(df, merges, text_col, "_subwords")
+    return out.withColumn(
+        count_col, F.size(F.col("_subwords"))
+    ).drop("_subwords")

@@ -1,0 +1,126 @@
+"""Trained BPE tokenization (operators/tokenizer.py): merge
+learning matches the published algorithm hand-stepped on a tiny
+corpus, training is deterministic, encoding round-trips, and the
+trained counts dominate the regex proxy exactly where they should
+(rare words explode into subwords; frequent words collapse)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.tokenizer import (
+    WORD_END,
+    _encode_word,
+    bpe_encode,
+    bpe_token_count,
+    bpe_train,
+)
+
+
+class TestTrain:
+    def test_hand_stepped_merges(self, spark):
+        """'low' x5 and 'lower' x2: the first merges must follow the
+        hand-run of the published algorithm on this dict —
+        ('l','o') count 7 first, then ('lo','w') 7, then the
+        word-end fold of the dominant word ('low', '</w>') 5."""
+        rows = [(i, "low") for i in range(5)] + [
+            (10 + i, "lower") for i in range(2)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe_train(df, n_merges=3)
+        assert merges == [
+            ("l", "o"),
+            ("lo", "w"),
+            ("low", WORD_END),
+        ]
+
+    def test_training_is_deterministic(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+            100
+        )
+        m1 = bpe_train(docs, n_merges=50)
+        m2 = bpe_train(docs, n_merges=50)
+        assert m1 == m2 and len(m1) == 50
+
+    def test_max_words_caps_driver_state(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+            100
+        )
+        # a tiny cap still trains (on the most frequent words only)
+        merges = bpe_train(docs, n_merges=10, max_words=20)
+        assert 0 < len(merges) <= 10
+
+
+class TestEncode:
+    MERGES = [("l", "o"), ("lo", "w"), ("low", WORD_END)]
+
+    def test_greedy_rank_order_application(self):
+        ranks = {p: i for i, p in enumerate(self.MERGES)}
+        assert _encode_word("low", ranks) == ["low" + WORD_END]
+        assert _encode_word("lower", ranks) == ["low", "e", "r", WORD_END]
+        assert _encode_word("xyz", ranks) == ["x", "y", "z", WORD_END]
+
+    def test_encode_round_trips_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "low lower"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["subwords"]
+            for r in bpe_encode(df, self.MERGES).collect()
+        }
+        assert out[1] == [
+            "low" + WORD_END,
+            "low",
+            "e",
+            "r",
+            WORD_END,
+        ]
+        assert out[2] == [] and out[3] == []
+        # concatenating subwords reconstructs the normalized words
+        joined = "".join(out[1]).replace(WORD_END, " ").strip()
+        assert joined == "low lower"
+        counts = {
+            r["doc_id"]: r["n_subwords"]
+            for r in bpe_token_count(df, self.MERGES).collect()
+        }
+        assert counts == {1: 5, 2: 0, 3: 0}
+
+    def test_trained_counts_shrink_with_more_merges(self, spark, sf_dir):
+        """More merges can only shorten encodings — the compression
+        monotonicity that makes the count a billing-grade number."""
+        docs = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).limit(80)
+        m_small = bpe_train(docs, n_merges=10)
+        m_big = bpe_train(docs, n_merges=120)
+        assert m_big[: len(m_small)] == m_small  # prefix property
+        tot = {}
+        for tag, merges in (("s", m_small), ("b", m_big)):
+            tot[tag] = (
+                bpe_token_count(docs, merges)
+                .agg(F.sum("n_subwords").alias("t"))
+                .first()["t"]
+            )
+        assert tot["b"] < tot["s"]
+
+    def test_rare_words_explode_frequent_words_collapse(
+        self, spark, sf_dir
+    ):
+        docs = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).limit(80)
+        merges = bpe_train(docs, n_merges=120)
+        probe = spark.createDataFrame(
+            [(1, "the the the"), (2, "zqxjkwv bnmpqr")],
+            "doc_id long, text string",
+        )
+        c = {
+            r["doc_id"]: r["n_subwords"]
+            for r in bpe_token_count(probe, merges).collect()
+        }
+        # a frequent trained word is few pieces per occurrence; an
+        # off-distribution string falls back toward characters
+        assert c[1] <= 6  # <= 2 pieces per "the"
+        assert c[2] >= 10
