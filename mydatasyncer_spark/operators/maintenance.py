@@ -927,8 +927,21 @@ def pq_rebuild(
         recorded_centroids,
     )
 
+    from mydatasyncer_spark.operators.dedup import (
+        _id_bucket_modulus,
+        id_bucketed_index,
+    )
+
     restored = restore_staging(spark, path, ["bucket"])
     store = spark.read.parquet(path)
+    # an id-bucket sub-layout survives the rebuild (retraining moves
+    # codes and centroid buckets, never id->bucket assignments) —
+    # the ivf_rebuild contract
+    idx_nb = (
+        _id_bucket_modulus(store, "neighbor_id")
+        if ID_BUCKET_COL in store.columns
+        else None
+    )
     if centroids is None:
         centroids = recorded_centroids(store)
         if centroids is None:
@@ -963,11 +976,15 @@ def pq_rebuild(
         books=books,
         centroids=centroids,
     )
+    parts = ["bucket"]
+    if idx_nb is not None:
+        rebuilt = id_bucketed_index(rebuilt, "neighbor_id", idx_nb)
+        parts.append(ID_BUCKET_COL)
     staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    rebuilt.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    rebuilt.write.mode("overwrite").partitionBy(*parts).parquet(staging)
     staged = spark.read.parquet(staging)
     rows = staged.count()
-    staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    staged.write.mode("overwrite").partitionBy(*parts).parquet(path)
     _delete_path(spark, staging)
     return {
         "rows": rows,

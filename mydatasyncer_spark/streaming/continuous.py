@@ -828,6 +828,7 @@ def continuous_pq_index(
     centroids: list[list[float]] | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_pq_index",
+    n_id_buckets: int | None = None,
 ):
     """Continuous embedding ingestion into a growing IVF-PQ store —
     the compressed twin of :func:`continuous_ann_index`, same
@@ -854,10 +855,23 @@ def continuous_pq_index(
     with ``operators/maintenance.pq_drift_report`` /
     ``ivf_drift_report``, rebuild with ``pq_rebuild`` (books; needs
     the true corpus — codes are lossy) or ``ivf_rebuild`` (coarse
-    centroids). Maintain file counts with ``compact_pq_index``."""
+    centroids). Maintain file counts with ``compact_pq_index``.
+
+    ``n_id_buckets`` seeds the same ``bucket/_id_bucket`` nested
+    layout as the other embedding streams (the delta-proportional-
+    guard-reads contract): probe queries keep pruning on the
+    centroid directories while the replay anti-join prunes to the
+    batch ids' second-level directories; the modulus follows the
+    STORED index on later batches, and ``compact_pq_index`` /
+    ``pq_rebuild`` auto-preserve the nesting."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
+    from mydatasyncer_spark.operators.dedup import (
+        ID_BUCKET_COL,
+        _id_bucket_modulus,
+        id_bucketed_index,
+    )
     from mydatasyncer_spark.operators.similarity import (
         _check_ivf_provenance,
         ivf_centroid_values,
@@ -887,6 +901,11 @@ def continuous_pq_index(
             stored = spark.read.parquet(index_path)
         except AnalysisException:
             stored = None
+        idx_nb = (
+            _id_bucket_modulus(stored, "neighbor_id")
+            if stored is not None and ID_BUCKET_COL in stored.columns
+            else (n_id_buckets if stored is None else None)
+        )
         use_cens, use_books = cens, books
         if stored is not None:
             if centroids is None:
@@ -929,7 +948,11 @@ def continuous_pq_index(
             books=use_books,
             centroids=use_cens,
         )
-        idx.write.mode("append").partitionBy("bucket").parquet(index_path)
+        parts = ["bucket"]
+        if idx_nb is not None:
+            idx = id_bucketed_index(idx, "neighbor_id", idx_nb)
+            parts.append(ID_BUCKET_COL)
+        idx.write.mode("append").partitionBy(*parts).parquet(index_path)
 
     writer = (
         stream_vecs.writeStream.foreachBatch(apply_batch)

@@ -3418,3 +3418,136 @@ class TestContinuousCurationModelGate:
         }
         assert got == want
         assert set(got) == {100, 102}
+
+
+class TestContinuousPqIdBucketLayout:
+    """r10: the PQ stream honors the delta-proportional-guard-reads
+    contract like every other stream — n_id_buckets seeds the nested
+    bucket/_id_bucket layout, the replay guard prunes to the batch
+    ids' buckets, and compaction + codebook rebuild preserve the
+    nesting."""
+
+    DIM, M, KSUB = 8, 4, 4
+
+    def _vec(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        return [round(rng.uniform(-1, 1), 3) for _ in range(self.DIM)]
+
+    def test_nested_layout_survives_maintenance_and_guard_prunes(
+        self, spark, tmp_path_factory
+    ):
+        import glob as _glob
+        import json as _json
+        import os
+
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_pq_index,
+            pq_rebuild,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_topk_indexed,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_pq_index,
+        )
+
+        in_dir = tmp_path_factory.mktemp("pqnb_in")
+        out = tmp_path_factory.mktemp("pqnb_out")
+        index_path = str(out / "index")
+
+        def drain(ckpt):
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_pq_index(
+                stream,
+                index_path,
+                self.DIM,
+                m=self.M,
+                ksub=self.KSUB,
+                n_centroids=4,
+                checkpoint_dir=ckpt,
+                n_id_buckets=4,
+            )
+            q.awaitTermination(120)
+
+        b1 = [
+            {"vec_id": i, "embedding": self._vec(i)} for i in range(20)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in b1)
+        )
+        drain(str(out / "ckpt"))
+        # nested directories exist
+        assert _glob.glob(
+            os.path.join(index_path, "bucket=*", "_id_bucket=*")
+        )
+        # batch 2 appends INTO the nested layout; replay adds nothing
+        b2 = [
+            {"vec_id": 100 + i, "embedding": self._vec(100 + i)}
+            for i in range(10)
+        ]
+        (in_dir / "b2.json").write_text(
+            "\n".join(_json.dumps(r) for r in b2)
+        )
+        drain(str(out / "ckpt"))
+        assert spark.read.parquet(index_path).count() == 30
+        drain(str(out / "ckpt_replay"))
+        assert spark.read.parquet(index_path).count() == 30
+        # content identical to the batch build (modulo the layout col)
+        all_rows = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+            "vec_id long, embedding array<double>",
+        )
+        want = {
+            (r["neighbor_id"], tuple(r["codes"]), r["bucket"])
+            for r in pq_index(
+                all_rows, self.DIM, m=self.M, ksub=self.KSUB,
+                n_centroids=4,
+            ).collect()
+        }
+
+        def got():
+            return {
+                (r["neighbor_id"], tuple(r["codes"]), r["bucket"])
+                for r in spark.read.parquet(index_path)
+                .select("neighbor_id", "codes", "bucket")
+                .collect()
+            }
+
+        assert got() == want
+        # compaction preserves the nesting
+        compact_pq_index(spark, index_path)
+        assert _glob.glob(
+            os.path.join(index_path, "bucket=*", "_id_bucket=*")
+        )
+        assert got() == want
+        # a codebook rebuild preserves the nesting too, and the
+        # stream continues appending into it afterwards
+        stats = pq_rebuild(
+            spark, index_path, all_rows, self.DIM, n_iter=2
+        )
+        assert stats["rows"] == 30
+        assert _glob.glob(
+            os.path.join(index_path, "bucket=*", "_id_bucket=*")
+        )
+        b3 = [
+            {"vec_id": 200 + i, "embedding": self._vec(200 + i)}
+            for i in range(5)
+        ]
+        (in_dir / "b3.json").write_text(
+            "\n".join(_json.dumps(r) for r in b3)
+        )
+        drain(str(out / "ckpt"))
+        stored = spark.read.parquet(index_path)
+        assert stored.count() == 35
+        # probe still works configless over the nested store
+        q = spark.createDataFrame(
+            [(0, self._vec(3))], "vec_id long, embedding array<double>"
+        )
+        assert pq_topk_indexed(
+            q, stored, self.DIM, k=5, n_centroids=4
+        ).count() == 5
