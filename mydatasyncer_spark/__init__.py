@@ -44,6 +44,7 @@ from mydatasyncer_spark.operators.dedup import (
 )
 from mydatasyncer_spark.operators.maintenance import (
     band_occupancy_report,
+    compact_content_keys,
     compact_ivf_index,
     compact_lsh_index,
     compact_minhash_index,
@@ -282,6 +283,7 @@ __all__ = [
     "compact_lsh_index",
     "compact_pq_index",
     "band_occupancy_report",
+    "compact_content_keys",
     "containment_occupancy_report",
     "pq_drift_report",
     "pq_rebuild",

@@ -1254,3 +1254,25 @@ def containment_occupancy_report(
         "candidates": [_occ(int(p)) for p in candidate_buckets],
         "pending_staging": pending,
     }
+
+
+def compact_content_keys(spark, path: str) -> dict:
+    """Compact a ``continuous_curation`` content-key store. Keys
+    append at-least-once by contract (they are written LAST, after
+    the survivor/index writes, so replays re-append), which makes
+    key-dedupe by ``_ckey`` lossless — duplicates of a key are
+    bit-identical ``(key, first-processor id)`` rows except when a
+    replay raced a different id to the same content, where EITHER
+    row serves the anti-join equally. Preserves the
+    ``_ckey_bucket`` partitioning the stream's explicit-IN pruning
+    reads."""
+    from mydatasyncer_spark.streaming.continuous import (
+        _CKEY_BUCKET_COL,
+    )
+
+    return compact_table(
+        spark,
+        path,
+        dedupe_cols=["_ckey"],
+        partition_by=[_CKEY_BUCKET_COL],
+    )

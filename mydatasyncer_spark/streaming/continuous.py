@@ -557,7 +557,12 @@ def continuous_curation(
             restore_staging,
         )
 
-        restore_staging(spark, content_keys_path)
+        # name the partition key explicitly: a restore that flattened
+        # the layout would leave flat files at the root next to the
+        # later appends' _ckey_bucket= directories — a mixed layout
+        # partition discovery cannot read (only the reserved
+        # _id_bucket column is auto-preserved)
+        restore_staging(spark, content_keys_path, [_CKEY_BUCKET_COL])
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         # replay guard FIRST (vs the signature index): a replayed
         # accepted survivor must not reach the exact stage, where its

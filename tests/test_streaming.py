@@ -3551,3 +3551,95 @@ class TestContinuousPqIdBucketLayout:
         assert pq_topk_indexed(
             q, stored, self.DIM, k=5, n_centroids=4
         ).count() == 5
+
+
+class TestContentKeyStoreMaintenance:
+    """r10: the content-key store joins the maintenance family —
+    compaction dedupes replayed keys preserving the bucket layout,
+    and a crashed compaction restores WITH the layout (a flattening
+    restore would leave flat files next to later appends'
+    _ckey_bucket= directories — a mixed layout partition discovery
+    cannot read)."""
+
+    def test_compact_and_crash_restore_keep_layout(
+        self, spark, tmp_path_factory
+    ):
+        import glob as _glob
+        import json as _json
+        import os
+        import shutil
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_content_keys,
+        )
+        from mydatasyncer_spark.operators.curation import CurationConfig
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_curation,
+        )
+
+        in_dir = tmp_path_factory.mktemp("ck_in")
+        out = tmp_path_factory.mktemp("ck_out")
+        keys_path = str(out / "keys")
+
+        def drain(ckpt):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_curation(
+                stream,
+                str(out / "index"),
+                str(out / "survivors"),
+                keys_path,
+                config=CurationConfig(
+                    min_quality=0.0,
+                    max_repetition=1.0,
+                    near_dup_threshold=0.99,
+                ),
+                checkpoint_dir=ckpt,
+                n_key_buckets=8,
+            )
+            q.awaitTermination(120)
+
+        docs = [
+            (i, " ".join(f"word{i}x{j}" for j in range(10)))
+            for i in range(12)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in docs
+            )
+        )
+        drain(str(out / "ckpt"))
+        keys = spark.read.parquet(keys_path)
+        assert keys.count() == 12
+        # simulate a replayed keys append (the at-least-once window)
+        keys.filter("doc_id < 4").localCheckpoint(eager=True).write.mode(
+            "append"
+        ).partitionBy("_ckey_bucket").parquet(keys_path)
+        assert spark.read.parquet(keys_path).count() == 16
+        stats = compact_content_keys(spark, keys_path)
+        assert stats["rows"] == 12 and stats["removed_rows"] == 4
+        assert _glob.glob(os.path.join(keys_path, "_ckey_bucket=*"))
+        # crash mid-overwrite: complete staged copy, store gone; the
+        # stream's restore-first replays it WITH the layout and the
+        # next batch (an exact dup of doc 0) is still rejected
+        spark.read.parquet(keys_path).localCheckpoint(
+            eager=True
+        ).write.partitionBy("_ckey_bucket").parquet(
+            keys_path + INDEX_STAGING_SUFFIX
+        )
+        shutil.rmtree(keys_path)
+        (in_dir / "b2.json").write_text(
+            _json.dumps({"doc_id": 100, "text": docs[0][1]})
+        )
+        drain(str(out / "ckpt"))
+        assert _glob.glob(os.path.join(keys_path, "_ckey_bucket=*"))
+        assert not os.path.exists(keys_path + INDEX_STAGING_SUFFIX)
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        assert 100 not in ids and len(ids) == 12
