@@ -179,7 +179,18 @@ def logreg_train(
         id_col,
     )
     feats = feats.localCheckpoint(eager=True)  # features are loop-invariant
-    n_docs = labels.count()
+    # normalize by the documents that actually PARTICIPATE: labeled
+    # ids absent from df and zero-token documents contribute no
+    # feature rows (they carry no signal for w), and dividing by the
+    # full label count would silently shrink the step size and
+    # under-report the mean log-loss by the missing fraction
+    n_docs = feats.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError(
+            "logreg_train: no labeled document has any token — "
+            "nothing to train on (check text_col/id_col and that "
+            "labels' ids exist in df)"
+        )
     w = [0.0] * n_features
     b = 0.0
     losses: list[float] = []

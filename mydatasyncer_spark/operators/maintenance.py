@@ -148,6 +148,47 @@ def restore_staging(spark, path: str, partition_by: list[str] | None = None) -> 
     return True
 
 
+def _pending_staging(spark, path: str) -> bool:
+    """True when a crashed staged rewrite left a readable staging
+    dir nobody restored — the shared ``pending_staging`` probe every
+    decision-signal report exposes."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        spark.read.parquet(path.rstrip("/") + INDEX_STAGING_SUFFIX)
+        return True
+    except AnalysisException:
+        return False
+
+
+def _bucket_occupancy(bucketed, bucket_col: str = "_b") -> dict:
+    """One aggregate pass over ``(bucket)`` rows: total rows, buckets
+    used, largest-bucket fraction, and the Σ bᵢ²/N² expected-scan
+    estimator (probability bᵢ/N of a store-distributed probe landing
+    in bucket i × fraction bᵢ/N read) — the shared math of every
+    occupancy/drift report (LSH, IVF, band, containment)."""
+    row = (
+        bucketed.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+            F.coalesce(
+                F.sum(F.col("_c") * F.col("_c")), F.lit(0)
+            ).alias("_sq"),
+            F.count(F.lit(1)).alias("_used"),
+            F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
+        )
+        .collect()[0]
+    )
+    n = int(row["_n"])
+    return {
+        "rows": n,
+        "buckets_used": int(row["_used"]),
+        "largest_bucket_fraction": int(row["_max"]) / n if n else 0.0,
+        "expected_scan": float(row["_sq"]) / (n * n) if n else 0.0,
+    }
+
+
 def compact_table(
     spark,
     path: str,
@@ -276,16 +317,22 @@ def compaction_report(
     pinned in the compaction tests) or when ``rows_per_file`` falls
     well below the target (``files_per_billion_rows`` ⇒ ~500k
     rows/file); between drains, like every maintenance op."""
-    from pyspark.sql.utils import AnalysisException
 
     df = spark.read.parquet(path)
     data_cols = df.columns
+    # count_distinct over bare columns SKIPS any row containing a
+    # NULL (SQL DISTINCT-aggregate semantics) — wrapping in a struct
+    # makes it match dropDuplicates exactly, which treats NULLs as
+    # equal values (an SCD2 gold store's current rows all carry
+    # valid_to = NULL and must not be reported as duplicates)
     if dedupe_cols:
         distinct_rows = F.count_distinct(
-            *[F.col(c) for c in dedupe_cols]
+            F.struct(*[F.col(c) for c in dedupe_cols])
         )
     else:
-        distinct_rows = F.count_distinct(*[F.col(c) for c in data_cols])
+        distinct_rows = F.count_distinct(
+            F.struct(*[F.col(c) for c in data_cols])
+        )
     # input_file_name is non-deterministic and must be PROJECTED
     # before it can feed an aggregate
     agg = df.withColumn("_file", F.input_file_name()).agg(
@@ -298,21 +345,12 @@ def compaction_report(
         int(agg["_distinct"]),
         int(agg["_files"]),
     )
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-
-    def _readable(p: str) -> bool:
-        try:
-            spark.read.parquet(p)
-            return True
-        except AnalysisException:
-            return False
-
     return {
         "rows": rows,
         "duplicate_rows": rows - distinct,
         "files": files,
         "rows_per_file": rows / files if files else 0.0,
-        "pending_staging": _readable(staging),
+        "pending_staging": _pending_staging(spark, path),
     }
 
 
@@ -483,9 +521,9 @@ def lsh_occupancy_report(
     rebuild op because, unlike IVF centroids, the family is an input
     everywhere (readers refuse a mismatch), so the switch is
     build-new-then-repoint."""
-    from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.similarity import (
+        _LSH_DIM_KEY,
         _LSH_PLANES_KEY,
         lsh_bucket,
     )
@@ -496,6 +534,18 @@ def lsh_occupancy_report(
         if "neighbor_id" in idx.columns
         else {}
     )
+    rec_dim = meta.get(_LSH_DIM_KEY)
+    if rec_dim is not None and int(rec_dim) != int(dim):
+        # a wrong dim null-pads every hyperplane dot: every vector
+        # degenerates to bucket 0 and the report returns plausible-
+        # looking nonsense (buckets_used=1, expected_scan=1.0) — the
+        # same guessed-family hazard the plane-count refusal covers,
+        # and the store records the right value; refuse instead
+        raise ValueError(
+            f"lsh_occupancy_report: dim={int(dim)} does not match "
+            f"the store's recorded dim={int(rec_dim)} — occupancy "
+            "under a mismatched dimensionality is meaningless"
+        )
     rec = meta.get(_LSH_PLANES_KEY)
     if candidate_planes is None:
         if rec is None:
@@ -511,41 +561,17 @@ def lsh_occupancy_report(
     vecs = idx.select(F.col("cv"))
 
     def _occ(p: int) -> dict:
-        row = (
+        occ = _bucket_occupancy(
             vecs.select(lsh_bucket(F.col("cv"), dim, p).alias("_b"))
-            .groupBy("_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
-                F.coalesce(
-                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
-                ).alias("_sq"),
-                F.count(F.lit(1)).alias("_used"),
-                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
-            )
-            .collect()[0]
         )
-        n = int(row["_n"])
-        return {
-            "n_planes": p,
-            "buckets_used": int(row["_used"]),
-            "largest_bucket_fraction": (
-                int(row["_max"]) / n if n else 0.0
-            ),
-            "expected_scan": float(row["_sq"]) / (n * n) if n else 0.0,
-        }
+        del occ["rows"]
+        return {"n_planes": p, **occ}
 
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    try:
-        spark.read.parquet(staging)
-        pending = True
-    except AnalysisException:
-        pending = False
     return {
         "rows": idx.count(),
         "recorded_planes": int(rec) if rec is not None else None,
         "candidates": [_occ(int(p)) for p in candidate_planes],
-        "pending_staging": pending,
+        "pending_staging": _pending_staging(spark, path),
     }
 
 
@@ -607,7 +633,6 @@ def ivf_drift_report(
     recorded_centroids` — the self-describing layout); an index
     recording none REFUSES without explicit ``centroids`` (measuring
     drift against guessed defaults would report nonsense)."""
-    from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.similarity import (
         ivf_buckets,
@@ -632,22 +657,14 @@ def ivf_drift_report(
     )
 
     def _occupancy(bucketed) -> tuple[int, int, int, float]:
-        row = (
-            bucketed.groupBy("_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
-                F.coalesce(
-                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
-                ).alias("_sq"),
-                F.count(F.lit(1)).alias("_used"),
-                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
-            )
-            .collect()[0]
+        occ = _bucket_occupancy(bucketed)
+        n = occ["rows"]
+        return (
+            n,
+            occ["buckets_used"],
+            int(round(occ["largest_bucket_fraction"] * n)) if n else 0,
+            occ["expected_scan"],
         )
-        n = int(row["_n"])
-        scan = float(row["_sq"]) / (n * n) if n else 0.0
-        return n, int(row["_used"]), int(row["_max"]), scan
 
     rows, used, largest, scan_frozen = _occupancy(
         idx.select(F.col("bucket").cast("int").alias("_b"))
@@ -665,12 +682,6 @@ def ivf_drift_report(
     )
     inertia_frozen = kmeans_inertia(vecs, cens)
     inertia_new = kmeans_inertia(vecs, new_cens)
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    try:
-        spark.read.parquet(staging)
-        pending = True
-    except AnalysisException:
-        pending = False
     return {
         "rows": rows,
         "buckets_used": used,
@@ -684,7 +695,7 @@ def ivf_drift_report(
             inertia_frozen / inertia_new if inertia_new else None
         ),
         "centroids_retrained": new_cens,
-        "pending_staging": pending,
+        "pending_staging": _pending_staging(spark, path),
     }
 
 
@@ -836,7 +847,6 @@ def pq_drift_report(
     ratio returns to ~1.0 — the fixpoint the tests pin. The store's
     books resolve from its own metadata; a store recording none
     REFUSES (error against guessed books is meaningless)."""
-    from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.similarity import (
         pq_quantization_error,
@@ -866,19 +876,13 @@ def pq_drift_report(
     new_books = pq_train(train, dim, m, ksub, n_iter)
     mse_frozen = pq_quantization_error(vecs, books, "embedding")
     mse_new = pq_quantization_error(vecs, new_books, "embedding")
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    try:
-        spark.read.parquet(staging)
-        pending = True
-    except AnalysisException:
-        pending = False
     return {
         "rows": store.count(),
         "mse_frozen": mse_frozen,
         "mse_retrained": mse_new,
         "mse_ratio": mse_frozen / mse_new if mse_new else None,
         "books_retrained": new_books,
-        "pending_staging": pending,
+        "pending_staging": _pending_staging(spark, path),
     }
 
 
@@ -1033,7 +1037,6 @@ def band_occupancy_report(
     no modulus REFUSES modulus candidates it wasn't given (occupancy
     under a guessed modulus is meaningless — the lsh-report
     contract). ``pending_staging`` surfaces a crashed rewrite."""
-    from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.dedup import (
         _BAND_BS_KEY,
@@ -1062,33 +1065,15 @@ def band_occupancy_report(
         )
 
     def _occ(p: int) -> dict:
-        row = (
+        occ = _bucket_occupancy(
             store.select(
                 F.pmod(
                     F.xxhash64("band", "band_key"), F.lit(int(p))
                 ).alias("_b")
             )
-            .groupBy("_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
-                F.coalesce(
-                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
-                ).alias("_sq"),
-                F.count(F.lit(1)).alias("_used"),
-                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
-            )
-            .collect()[0]
         )
-        n = int(row["_n"])
-        return {
-            "n_band_buckets": int(p),
-            "buckets_used": int(row["_used"]),
-            "largest_bucket_fraction": (
-                int(row["_max"]) / n if n else 0.0
-            ),
-            "expected_scan": float(row["_sq"]) / (n * n) if n else 0.0,
-        }
+        del occ["rows"]
+        return {"n_band_buckets": int(p), **occ}
 
     coll = (
         store.groupBy("band", "band_key")
@@ -1103,12 +1088,6 @@ def band_occupancy_report(
         .collect()[0]
     )
     n_rows = int(coll["_n"])
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    try:
-        spark.read.parquet(staging)
-        pending = True
-    except AnalysisException:
-        pending = False
     return {
         "rows": n_rows,
         "recorded": {
@@ -1123,7 +1102,7 @@ def band_occupancy_report(
             int(coll["_max"]) / n_rows if n_rows else 0.0
         ),
         "candidates": [_occ(int(p)) for p in candidate_buckets],
-        "pending_staging": pending,
+        "pending_staging": _pending_staging(spark, path),
     }
 
 
@@ -1160,7 +1139,6 @@ def containment_occupancy_report(
     and is REFUSED — the same structural-shape hazard
     :func:`~mydatasyncer_spark.operators.dedup.containment_join`
     guards."""
-    from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.dedup import (
         _CONTAIN_FULL_KEY,
@@ -1195,31 +1173,13 @@ def containment_occupancy_report(
         )
 
     def _occ(p: int) -> dict:
-        row = (
+        occ = _bucket_occupancy(
             store.select(
                 F.pmod(F.xxhash64("_ptok"), F.lit(int(p))).alias("_b")
             )
-            .groupBy("_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
-                F.coalesce(
-                    F.sum(F.col("_c") * F.col("_c")), F.lit(0)
-                ).alias("_sq"),
-                F.count(F.lit(1)).alias("_used"),
-                F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
-            )
-            .collect()[0]
         )
-        n = int(row["_n"])
-        return {
-            "n_token_buckets": int(p),
-            "buckets_used": int(row["_used"]),
-            "largest_bucket_fraction": (
-                int(row["_max"]) / n if n else 0.0
-            ),
-            "expected_scan": float(row["_sq"]) / (n * n) if n else 0.0,
-        }
+        del occ["rows"]
+        return {"n_token_buckets": int(p), **occ}
 
     df_stats = (
         store.groupBy("_ptok")
@@ -1235,12 +1195,6 @@ def containment_occupancy_report(
         .collect()[0]
     )
     n_rows = int(df_stats["_n"])
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    try:
-        spark.read.parquet(staging)
-        pending = True
-    except AnalysisException:
-        pending = False
     return {
         "rows": n_rows,
         "distinct_tokens": int(df_stats["_toks"]),
@@ -1252,7 +1206,7 @@ def containment_occupancy_report(
             float(df_stats["_sq"]) / n_rows if n_rows else 0.0
         ),
         "candidates": [_occ(int(p)) for p in candidate_buckets],
-        "pending_staging": pending,
+        "pending_staging": _pending_staging(spark, path),
     }
 
 

@@ -1187,21 +1187,38 @@ def pq_encode(
     The codebook VALUES and fingerprint ride ``neighbor_id`` metadata
     (:func:`recorded_codebooks`), so the encoding is SELF-DESCRIBING:
     :func:`pq_adc_topk` needs no codebook config, and scoring codes
-    under the wrong books is refused rather than silently wrong."""
-    import json
-
+    under the wrong books is refused rather than silently wrong
+    (over the :func:`_pq_meta` footer budget only the fingerprint
+    rides and readers demand explicit ``books=``)."""
     books = books or pq_codebook_values(dim, m, ksub)
-    meta = {
-        _PQ_FP_KEY: pq_codebook_fingerprint(books),
-        _PQ_BOOKS_KEY: json.dumps(
-            [[[float(x) for x in cen] for cen in book] for book in books]
-        ),
-    }
+    meta = _pq_meta(books)
     return corpus.select(
         F.col(id_col).alias("neighbor_id", metadata=meta),
         pq_codes(F.col(vec_col), books).alias("codes"),
         norm(F.col(vec_col)).alias("cn"),
     )
+
+
+def _pq_meta(books: list[list[list[float]]]) -> dict:
+    """Codebook provenance for a store's ``neighbor_id`` column: the
+    fingerprint always; the VALUES only within the same footer
+    budget the IVF side uses (dim*ksub numbers — the default 64x16
+    is ~1k doubles, but dim 1024 x ksub 256 would be ~5 MB of JSON
+    in every footer and schema). Over budget, readers refuse a
+    configless probe and demand explicit ``books=`` (the
+    fingerprint still guards them) — the exact
+    :func:`recorded_centroids` over-budget contract."""
+    import json
+
+    meta: dict = {_PQ_FP_KEY: pq_codebook_fingerprint(books)}
+    n_numbers = sum(
+        len(cen) for book in books for cen in book
+    )
+    if n_numbers <= _IVF_CENS_MAX_NUMBERS:
+        meta[_PQ_BOOKS_KEY] = json.dumps(
+            [[[float(x) for x in cen] for cen in book] for book in books]
+        )
+    return meta
 
 
 def recorded_codebooks(
@@ -1368,10 +1385,7 @@ def pq_index(
     ]
     meta: dict = {
         _IVF_FP_KEY: centroid_fingerprint(cens),
-        _PQ_FP_KEY: pq_codebook_fingerprint(books),
-        _PQ_BOOKS_KEY: json.dumps(
-            [[[float(x) for x in cen] for cen in book] for book in books]
-        ),
+        **_pq_meta(books),
     }
     if sum(len(cen) for cen in cens) <= _IVF_CENS_MAX_NUMBERS:
         meta[_IVF_CENS_KEY] = json.dumps(
@@ -1478,9 +1492,14 @@ def pq_topk_indexed(
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
+    # respect the caller's broadcast decision in the re-rank too:
+    # broadcast_queries=False exists precisely because the query side
+    # is too large to broadcast, and the refine join re-touches the
+    # full query projection
+    probe_qv = F.broadcast(qv) if broadcast_queries else qv
     exact = (
         cands.join(cv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        .join(probe_qv, "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -222,6 +222,7 @@ def dedup_apply_batch(
     n_band_buckets: int = 64,
     n_id_buckets: int | None = None,
     finalize_survivors=None,
+    skip_replay_guard: bool = False,
 ) -> None:
     """One :func:`continuous_dedup` micro-batch as a callable (the
     ``rollup_apply_batch`` pattern): the replay guard, the
@@ -232,7 +233,12 @@ def dedup_apply_batch(
     of a re-implementation. ``batch_df`` may carry extra columns
     (they ride through to the survivors store untouched);
     ``finalize_survivors`` lets a caller annotate survivors (e.g. a
-    split assignment) inside the same write."""
+    split assignment) inside the same write;
+    ``skip_replay_guard=True`` elides the id anti-join for callers
+    that ALREADY guarded the batch against the index (the curation
+    stream must — its exact stage would otherwise reject a replayed
+    survivor as a duplicate of itself) so the pruned index scan and
+    bucket collect run once per batch, not twice."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -308,7 +314,7 @@ def dedup_apply_batch(
         if index is not None and ID_BUCKET_COL in index.columns
         else (n_id_buckets if index is None else None)
     )
-    if index is not None:
+    if index is not None and not skip_replay_guard:
         # replay guard pruned to the batch's id buckets (r10:
         # this id-only scan was the last per-batch corpus-linear
         # read on a bucketed layout)
@@ -618,7 +624,18 @@ def continuous_curation(
             keys_store = spark.read.parquet(content_keys_path)
         except AnalysisException:
             keys_store = None
+        # the modulus FOLLOWS THE STORE (the idx_nb contract):
+        # n_key_buckets only seeds a fresh bootstrap — appending
+        # under a restart's different config would scatter keys into
+        # buckets the recorded-modulus prune never reads, silently
+        # re-admitting exact duplicates
+        use_nb: int | None = int(n_key_buckets)
         if keys_store is not None:
+            # a FLAT store (no bucket column) gets flat appends —
+            # partitioned files next to flat ones would be a mixed
+            # layout partition discovery cannot read
+            if _CKEY_BUCKET_COL not in keys_store.columns:
+                use_nb = None
             if _CKEY_BUCKET_COL in keys_store.columns:
                 meta = keys_store.schema["_ckey"].metadata
                 nb = meta.get(_CKEY_NB_KEY)
@@ -631,6 +648,7 @@ def continuous_curation(
                         "(compact_table preserves provenance) or "
                         "start a fresh path"
                     )
+                use_nb = int(nb)
                 # bounded (≤ modulus) touched-bucket collect →
                 # explicit IN on the partition column
                 keyed = keyed.localCheckpoint(eager=True)
@@ -638,7 +656,7 @@ def continuous_curation(
                     r["_b"]
                     for r in keyed.select(
                         F.pmod(
-                            F.xxhash64("_ckey"), F.lit(int(nb))
+                            F.xxhash64("_ckey"), F.lit(use_nb)
                         ).alias("_b")
                     )
                     .distinct()
@@ -657,9 +675,12 @@ def continuous_curation(
         # keys of every doc processed past the gate this batch —
         # captured BEFORE the near-dup stage decides survivors
         new_keys = keyed.select(
-            F.col("_ckey").alias("_ckey", metadata={
-                _CKEY_NB_KEY: int(n_key_buckets)
-            }),
+            F.col("_ckey").alias(
+                "_ckey",
+                metadata=(
+                    {_CKEY_NB_KEY: use_nb} if use_nb is not None else {}
+                ),
+            ),
             F.col(id_col),
         ).localCheckpoint(eager=True)
         # ---- NEAR-DUP + survivor/index writes: the shared stage ----
@@ -677,14 +698,21 @@ def continuous_curation(
                 "split",
                 split_column(F.col(id_col), config.split_fractions),
             ),
+            # the guard already ran above (it MUST run before the
+            # exact stage); don't pay the pruned index scan twice
+            skip_replay_guard=True,
         )
-        # keys LAST (see the crash contract in the docstring)
-        new_keys.withColumn(
-            _CKEY_BUCKET_COL,
-            F.pmod(F.xxhash64("_ckey"), F.lit(int(n_key_buckets))),
-        ).write.mode("append").partitionBy(_CKEY_BUCKET_COL).parquet(
-            content_keys_path
-        )
+        # keys LAST (see the crash contract in the docstring),
+        # bucketed under the STORE's modulus (flat when the store is)
+        if use_nb is not None:
+            new_keys.withColumn(
+                _CKEY_BUCKET_COL,
+                F.pmod(F.xxhash64("_ckey"), F.lit(use_nb)),
+            ).write.mode("append").partitionBy(
+                _CKEY_BUCKET_COL
+            ).parquet(content_keys_path)
+        else:
+            new_keys.write.mode("append").parquet(content_keys_path)
 
     writer = (
         stream_docs.writeStream.foreachBatch(apply_batch)

@@ -4109,3 +4109,78 @@ class TestPqRandomized:
             adc_all = pq_adc_topk(q, enc, dim, k=10**6)
             n_q = q.count()
             assert adc_all.count() == n_q * (df.count() - 1), seed
+
+
+class TestPqReviewFixes:
+    """Review fixes: the refine stage honors broadcast_queries=False
+    (the corpus-vs-corpus path must never hint a corpus-scale
+    broadcast), and codebooks over the footer budget record only the
+    fingerprint — configless reads refuse, explicit books still
+    work (the recorded_centroids over-budget contract)."""
+
+    def test_refine_nonbroadcast_identical_and_no_qv_broadcast(
+        self, spark, tmp_path
+    ):
+        import contextlib
+        import io
+
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_topk_indexed,
+        )
+
+        corpus = TestProductQuantization._corpus(spark)
+        queries = corpus.filter("vec_id % 7 = 0")
+        idx = pq_index(corpus, 8, m=4, ksub=4, n_centroids=4)
+        path = str(tmp_path / "pq")
+        idx.write.partitionBy("bucket").parquet(path)
+        stored = spark.read.parquet(path)
+        kw = dict(k=3, n_centroids=4, refine=5, corpus=corpus)
+        bc = pq_topk_indexed(queries, stored, 8, **kw)
+        nb = pq_topk_indexed(
+            queries, stored, 8, broadcast_queries=False, **kw
+        )
+        assert bc.exceptAll(nb).count() == 0
+        assert nb.exceptAll(bc).count() == 0
+        # the non-broadcast plan must not carry a broadcast HINT on
+        # the query side of the re-rank (Spark may still CHOOSE a
+        # broadcast at fixture sizes — the hint is what breaks at
+        # corpus scale, so pin the logical plan, not the physical)
+        logical = nb._jdf.queryExecution().logical().toString()
+        assert "UnresolvedHint" not in logical
+        assert logical.count("ResolvedHint") == 0, logical
+
+    def test_over_budget_books_fingerprint_only(self, spark):
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.similarity import (
+            _IVF_CENS_MAX_NUMBERS,
+            pq_adc_topk,
+            pq_codebook_values,
+            pq_encode,
+            recorded_codebooks,
+        )
+
+        # dim 64 x ksub 512 = 32768 numbers > the 16384 budget
+        dim, m, ksub = 64, 8, 512
+        assert dim * ksub > _IVF_CENS_MAX_NUMBERS
+        books = pq_codebook_values(dim, m, ksub)
+        corpus = spark.createDataFrame(
+            [
+                (i, [((i * 7 + j) % 13) / 13.0 for j in range(dim)])
+                for i in range(1, 8)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        enc = pq_encode(corpus, dim, books=books, m=m, ksub=ksub)
+        # values NOT recorded; configless probe refuses
+        assert recorded_codebooks(enc) is None
+        with _pytest.raises(ValueError, match="records no codebooks"):
+            pq_adc_topk(corpus, enc, dim, k=2)
+        # explicit books still work (fingerprint guards them)
+        got = pq_adc_topk(corpus, enc, dim, k=2, books=books)
+        assert got.count() > 0
+        # and WRONG explicit books are refused via the fingerprint
+        other = pq_codebook_values(dim, m, 16)
+        with _pytest.raises(ValueError, match="DIFFERENT codebooks"):
+            pq_adc_topk(corpus, enc, dim, k=2, books=other)

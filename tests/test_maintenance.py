@@ -1393,3 +1393,52 @@ class TestContainmentOccupancyReport:
         jaccard_prefix_store(ordered, threshold=0.6).write.parquet(path)
         with pytest.raises(ValueError, match="full-explosion"):
             containment_occupancy_report(spark, path)
+
+
+class TestReportReviewFixes:
+    """Review fixes: the compaction report's duplicate notion is
+    NULL-safe (an SCD2 gold store's valid_to=NULL rows are not
+    'duplicates'), and the LSH occupancy report refuses a dim that
+    contradicts the store's own recorded family."""
+
+    def test_compaction_report_null_safe(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            compaction_report,
+        )
+
+        path = str(tmp_path / "gold")
+        rows = [(i, f"v{i}", None) for i in range(20)] + [
+            (100 + i, f"w{i}", f"2024-01-0{i + 1}") for i in range(5)
+        ]
+        spark.createDataFrame(
+            rows, "k long, v string, valid_to string"
+        ).write.parquet(path)
+        rep = compaction_report(spark, path)
+        # 25 distinct rows, many carrying NULLs: zero duplicates
+        assert rep["rows"] == 25 and rep["duplicate_rows"] == 0
+        # a genuine full-row duplicate IS counted, NULL and all
+        spark.createDataFrame(
+            [(0, "v0", None)], "k long, v string, valid_to string"
+        ).write.mode("append").parquet(path)
+        rep2 = compaction_report(spark, path)
+        assert rep2["duplicate_rows"] == 1
+
+    def test_lsh_report_refuses_mismatched_dim(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            lsh_occupancy_report,
+        )
+        from mydatasyncer_spark.operators.similarity import lsh_index
+
+        vecs = spark.createDataFrame(
+            [
+                (i, [((i + j) % 5) / 5.0 - 0.4 for j in range(6)])
+                for i in range(1, 20)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "lsh")
+        lsh_index(vecs, dim=6, n_planes=3).write.parquet(path)
+        with pytest.raises(ValueError, match="recorded dim"):
+            lsh_occupancy_report(spark, path, dim=4)
+        rep = lsh_occupancy_report(spark, path, dim=6)
+        assert rep["recorded_planes"] == 3

@@ -3643,3 +3643,97 @@ class TestContentKeyStoreMaintenance:
             for r in spark.read.parquet(str(out / "survivors")).collect()
         }
         assert 100 not in ids and len(ids) == 12
+
+
+class TestContentKeyModulusFollowsStore:
+    """Review fix: the keys append must bucket under the STORE's
+    recorded modulus, not the restart config — a mismatch would
+    scatter new keys into buckets the recorded-modulus prune never
+    reads, silently re-admitting exact duplicates."""
+
+    def test_restart_with_different_n_key_buckets(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+
+        from mydatasyncer_spark.operators.curation import CurationConfig
+        from mydatasyncer_spark.streaming.continuous import (
+            _CKEY_NB_KEY,
+            continuous_curation,
+        )
+
+        in_dir = tmp_path_factory.mktemp("ckm_in")
+        out = tmp_path_factory.mktemp("ckm_out")
+        cfg = CurationConfig(
+            min_quality=0.0, max_repetition=1.0, near_dup_threshold=0.99
+        )
+
+        def drain(ckpt, nb):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_curation(
+                stream,
+                str(out / "index"),
+                str(out / "survivors"),
+                str(out / "keys"),
+                config=cfg,
+                checkpoint_dir=ckpt,
+                n_key_buckets=nb,
+            )
+            q.awaitTermination(120)
+
+        docs = [
+            (i, " ".join(f"m{i}w{j}" for j in range(10)))
+            for i in range(10)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in docs
+            )
+        )
+        drain(str(out / "ckpt"), nb=8)
+        # restart with a DIFFERENT config modulus: batch 2 adds one
+        # fresh doc and one exact dup of doc 0
+        (in_dir / "b2.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t})
+                for i, t in [
+                    (50, " ".join(f"fresh{j}" for j in range(10))),
+                    (51, docs[0][1]),
+                ]
+            )
+        )
+        drain(str(out / "ckpt"), nb=32)
+        keys = spark.read.parquet(str(out / "keys"))
+        # the appended key rode the RECORDED modulus (8), and its
+        # bucket matches xxhash64 % 8 — nothing landed under 32
+        assert int(keys.schema["_ckey"].metadata[_CKEY_NB_KEY]) == 8
+        from pyspark.sql import functions as F
+
+        mismatched = keys.filter(
+            F.col("_ckey_bucket")
+            != F.pmod(F.xxhash64("_ckey"), F.lit(8))
+        ).count()
+        assert mismatched == 0
+        # the dup is rejected; the fresh doc survives; batch 3 re-
+        # sending the dup against the GROWN store still rejects
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        assert 51 not in ids and 50 in ids
+        (in_dir / "b3.json").write_text(
+            _json.dumps(
+                {
+                    "doc_id": 60,
+                    "text": " ".join(f"fresh{j}" for j in range(10)),
+                }
+            )
+        )
+        drain(str(out / "ckpt"), nb=32)
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        assert 60 not in ids  # exact dup of 50, caught via the store
