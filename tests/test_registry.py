@@ -47,6 +47,17 @@ R10_TOUCHED = [
     "dedup_containment_probe",
 ]
 
+# PINNED EXCEPTION (r10): curate() gained the inert stage-2 model
+# gate, which makes curation_pipeline implementation-touched — but
+# the window is exactly full with rule-1/2/3 entries (5 new + 4
+# touched + the 41-query stale cohort). Resolution, documented
+# rather than silent: its r9 proof is the FRESHEST cohort, the
+# touched branch is pinned inert at the gate default
+# (test_curation.test_model_off_by_default_is_unchanged), the local
+# sf0.01 oracle parity re-ran green on the touched code this round,
+# and it enters the r11 window with rule-2 priority (list below).
+R11_PRIORITY = ["curation_pipeline"]
+
 # the entire last-green-r7 cohort rotates in this round (VERDICT r9
 # item #1: no proof may grow older than two rounds)
 R7_STALE_COHORT = [
