@@ -3737,3 +3737,98 @@ class TestContentKeyModulusFollowsStore:
             for r in spark.read.parquet(str(out / "survivors")).collect()
         }
         assert 60 not in ids  # exact dup of 50, caught via the store
+
+
+class TestContinuousCurationRandomized:
+    """Seeded randomized corpora through the standing curation
+    pipeline: random mixes of gate-fails, exact duplicates (in- and
+    cross-batch), near-duplicates and unique docs, streamed in id
+    order across 3 batches, must reproduce the batch curate() over
+    the union EXACTLY (ids, quality, split) — the composition-level
+    twin of the per-stage identity pins."""
+
+    def _corpus(self, rng, n):
+        vocab = [f"tok{v}" for v in range(200)]
+        docs = []
+        for i in range(n):
+            roll = rng.random()
+            if roll < 0.15 and docs:
+                # exact duplicate of an earlier doc (possibly
+                # crossing a batch boundary)
+                docs.append((i, docs[rng.randrange(len(docs))][1]))
+            elif roll < 0.3 and docs:
+                # near duplicate: copy + one word changed
+                base = docs[rng.randrange(len(docs))][1].split()
+                if len(base) > 3:
+                    base[rng.randrange(len(base))] = rng.choice(vocab)
+                docs.append((i, " ".join(base)))
+            elif roll < 0.4:
+                # degenerate repetition: fails the gate
+                docs.append((i, " ".join(["spamword"] * 15)))
+            else:
+                docs.append(
+                    (
+                        i,
+                        " ".join(
+                            rng.choice(vocab) for _ in range(14)
+                        ),
+                    )
+                )
+        return docs
+
+    def test_random_corpora_match_batch_pipeline(
+        self, spark, tmp_path_factory
+    ):
+        import json as _json
+        import random
+
+        from mydatasyncer_spark.operators.curation import (
+            CurationConfig,
+            curate,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_curation,
+        )
+
+        cfg = CurationConfig(
+            min_quality=0.2, max_repetition=0.5, near_dup_threshold=0.5
+        )
+        for seed in (13, 57):
+            rng = random.Random(seed)
+            docs = self._corpus(rng, 36)
+            in_dir = tmp_path_factory.mktemp(f"curr_in_{seed}")
+            out = tmp_path_factory.mktemp(f"curr_out_{seed}")
+            for b, lo in enumerate((0, 12, 24)):
+                (in_dir / f"b{b}.json").write_text(
+                    "\n".join(
+                        _json.dumps({"doc_id": i, "text": t})
+                        for i, t in docs[lo : lo + 12]
+                    )
+                )
+                stream = spark.readStream.schema(
+                    "doc_id long, text string"
+                ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+                q = continuous_curation(
+                    stream,
+                    str(out / "index"),
+                    str(out / "survivors"),
+                    str(out / "keys"),
+                    config=cfg,
+                    checkpoint_dir=str(out / "ckpt"),
+                    n_key_buckets=8,
+                )
+                q.awaitTermination(180)
+            got = {
+                r["doc_id"]: (r["quality"], r["split"])
+                for r in spark.read.parquet(
+                    str(out / "survivors")
+                ).collect()
+            }
+            union = spark.createDataFrame(
+                docs, "doc_id long, text string"
+            )
+            want = {
+                r["doc_id"]: (r["quality"], r["split"])
+                for r in curate(union, cfg).collect()
+            }
+            assert got == want and want, seed
