@@ -1442,3 +1442,141 @@ class TestReportReviewFixes:
             lsh_occupancy_report(spark, path, dim=4)
         rep = lsh_occupancy_report(spark, path, dim=6)
         assert rep["recorded_planes"] == 3
+
+
+class TestPqStoreRandomized:
+    """The staged-protocol fuzz, PQ-store flavored: random append /
+    replay / crash-window / compact / REBUILD sequences against a
+    bucket-partitioned IVF-PQ store — after every maintenance op the
+    probe answer must equal a fresh batch build over the ids ever
+    ingested, under whatever books the store currently records."""
+
+    DIM, M, KSUB = 8, 4, 4
+
+    def test_random_sequences_probe_identical_to_batch_build(
+        self, spark, tmp_path
+    ):
+        import random
+        import shutil as sh
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_pq_index,
+            pq_rebuild,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_topk_indexed,
+            recorded_codebooks,
+        )
+
+        def vec(i):
+            rng = random.Random(1000 + i)
+            return [round(rng.uniform(-1, 1), 3) for _ in range(self.DIM)]
+
+        for seed in (19, 83):
+            rng = random.Random(seed)
+            path = str(tmp_path / f"pq_{seed}")
+            ingested: dict[int, list[float]] = {}
+            next_id = 0
+
+            def corpus_df():
+                return spark.createDataFrame(
+                    sorted(ingested.items()),
+                    "vec_id long, embedding array<double>",
+                )
+
+            def append(ids):
+                rows = [(i, vec(i)) for i in ids]
+                for i, v in rows:
+                    ingested.setdefault(i, v)
+                batch = spark.createDataFrame(
+                    rows, "vec_id long, embedding array<double>"
+                )
+                # append like the stream does: only not-yet-indexed
+                # ids, under the store's recorded books
+                try:
+                    stored = spark.read.parquet(path)
+                    seen = {
+                        r["neighbor_id"]
+                        for r in stored.select("neighbor_id").collect()
+                    }
+                    books = recorded_codebooks(stored)
+                except Exception:
+                    seen, books = set(), None
+                fresh = batch.filter(
+                    ~F.col("vec_id").isin(list(seen)) if seen else F.lit(True)
+                )
+                if fresh.isEmpty():
+                    return
+                pq_index(
+                    fresh, self.DIM, m=self.M, ksub=self.KSUB,
+                    n_centroids=4, books=books,
+                ).write.mode("append").partitionBy("bucket").parquet(path)
+
+            def probe_matches_batch():
+                stored = spark.read.parquet(path)
+                books = recorded_codebooks(stored)
+                q = corpus_df().filter("vec_id % 3 = 0")
+                got = {
+                    (r["query_id"], r["neighbor_id"], r["rank"])
+                    for r in pq_topk_indexed(
+                        q, stored, self.DIM, k=3, n_centroids=4
+                    ).collect()
+                }
+                fresh = pq_index(
+                    corpus_df(), self.DIM, m=self.M, ksub=self.KSUB,
+                    n_centroids=4, books=books,
+                )
+                want = {
+                    (r["query_id"], r["neighbor_id"], r["rank"])
+                    for r in pq_topk_indexed(
+                        q, fresh, self.DIM, k=3, n_centroids=4,
+                        books=books,
+                    ).collect()
+                }
+                return got == want and got
+
+            append(range(8))
+            next_id = 8
+            for _ in range(8):
+                op = rng.random()
+                if op < 0.35:
+                    ids = range(next_id, next_id + rng.randrange(2, 5))
+                    next_id = ids.stop
+                    append(ids)
+                elif op < 0.55:
+                    # at-least-once replay of already-ingested ids —
+                    # the anti-join makes it a no-op
+                    lo = rng.randrange(0, max(1, next_id - 3))
+                    append(range(lo, min(lo + 3, next_id)))
+                elif op < 0.7:
+                    # crash mid-overwrite
+                    spark.read.parquet(path).localCheckpoint(
+                        eager=True
+                    ).write.mode("overwrite").partitionBy(
+                        "bucket"
+                    ).parquet(path + INDEX_STAGING_SUFFIX)
+                    sh.rmtree(path)
+                    # next maintenance/append must restore first
+                    from mydatasyncer_spark.operators.maintenance import (
+                        restore_staging,
+                    )
+
+                    restore_staging(spark, path, ["bucket"])
+                elif op < 0.85:
+                    compact_pq_index(spark, path)
+                    assert probe_matches_batch(), seed
+                else:
+                    pq_rebuild(
+                        spark, path, corpus_df(), self.DIM,
+                        m=self.M, ksub=self.KSUB, n_iter=2,
+                    )
+                    assert probe_matches_batch(), seed
+            compact_pq_index(spark, path)
+            assert probe_matches_batch(), seed
+            assert (
+                spark.read.parquet(path).count() == len(ingested)
+            ), seed
