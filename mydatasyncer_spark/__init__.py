@@ -84,6 +84,8 @@ from mydatasyncer_spark.operators.classify import (
     model_score_column,
     quality_weight_values,
     score_documents,
+    score_drift_report,
+    score_histogram,
 )
 from mydatasyncer_spark.operators.curriculum import (
     assign_quality_tiers,
@@ -299,6 +301,8 @@ __all__ = [
     "model_score_column",
     "quality_weight_values",
     "score_documents",
+    "score_drift_report",
+    "score_histogram",
     "bpe_train",
     "bpe_encode",
     "bpe_token_count",

@@ -252,3 +252,80 @@ def logreg_train(
                 "logreg_train: diverged (nan loss) — lower lr"
             )
     return w, b, losses
+
+
+def score_histogram(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    n_bins: int = 10,
+    text_col: str = "text",
+) -> list[float]:
+    """Fraction of documents per equal-width score bin — the
+    baseline artifact :func:`score_drift_report` compares against.
+    Persist it next to the weights at training time. One bounded
+    aggregate (``n_bins`` numbers); the binning is on the round-6
+    score, so it is deterministic across runs and engines."""
+    score = model_score_column(F.col(text_col), weights, bias)
+    b = F.least(
+        F.floor(score * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    rows = (
+        df.select(b.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    total = sum(int(r["_c"]) for r in rows) or 1
+    hist = [0.0] * n_bins
+    for r in rows:
+        hist[int(r["_b"])] = int(r["_c"]) / total
+    return hist
+
+
+def score_drift_report(
+    df: DataFrame,
+    weights: list[float],
+    baseline: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+) -> dict:
+    """The classifier's member of the decision-signal family
+    (jaccard → order drift, IVF → centroid drift, PQ → codebook
+    drift, this → WEIGHT drift): how differently today's corpus
+    scores under the frozen weights than the training-time corpus
+    did, as the Population Stability Index — the published
+    model-monitoring metric (PSI = Σ (cur-base)·ln(cur/base) over
+    score bins; rule of thumb: < 0.1 stable, 0.1-0.2 drifting,
+    > 0.2 retrain). A drifting corpus does not make scores WRONG —
+    it makes the training distribution unrepresentative, which is
+    when a min_model_quality threshold calibrated on the old corpus
+    silently starts gating the wrong fraction.
+
+    One bounded aggregate pass (the scoring fold is narrow, the
+    histogram is ``len(baseline)`` numbers). Returns ``{"psi",
+    "histogram", "baseline", "max_bin_shift"}``; retrain with
+    :func:`logreg_train` on freshly labeled data and re-baseline
+    with :func:`score_histogram` — the report then returns to ~0,
+    the fixpoint the tests pin."""
+    import math
+
+    n_bins = len(baseline)
+    if n_bins < 2:
+        raise ValueError(
+            "score_drift_report: baseline must have >= 2 bins"
+        )
+    cur = score_histogram(df, weights, bias, n_bins, text_col)
+    eps = 1e-4  # the standard PSI zero-bin clamp
+    psi = sum(
+        (c - b) * math.log(max(c, eps) / max(b, eps))
+        for c, b in zip(cur, baseline)
+    )
+    return {
+        "psi": psi,
+        "histogram": cur,
+        "baseline": list(baseline),
+        "max_bin_shift": max(
+            abs(c - b) for c, b in zip(cur, baseline)
+        ),
+    }

@@ -181,3 +181,66 @@ class TestTraining:
             .first()[0]
         )
         assert acc == 1.0
+
+
+class TestScoreDrift:
+    """The classifier's decision signal (weight drift as PSI): a
+    same-distribution corpus sits near 0, an off-distribution corpus
+    crosses the published 0.2 retrain threshold, and
+    retrain + re-baseline returns to the fixpoint."""
+
+    def _docs(self, spark, vocab, n, id0=0, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        return spark.createDataFrame(
+            [
+                (id0 + i, " ".join(rng.choice(vocab) for _ in range(15)))
+                for i in range(n)
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_psi_crosses_then_rebaselines(self, spark, separable):
+        from mydatasyncer_spark.operators.classify import (
+            score_drift_report,
+            score_histogram,
+        )
+
+        df, lab = separable
+        w, b, _ = logreg_train(df, lab, n_features=64, n_iter=12, lr=2.0)
+        baseline = score_histogram(df, w, b)
+        assert abs(sum(baseline) - 1.0) < 1e-9
+        # the training corpus against its own baseline: stable
+        same = score_drift_report(df, w, baseline, bias=b)
+        assert same["psi"] < 0.01
+        # an off-distribution corpus (vocab the model never saw —
+        # every doc collapses to the bias score): drifted
+        off = self._docs(
+            spark, [f"novel{i}" for i in range(40)], 60, id0=5000
+        )
+        drifted = score_drift_report(off, w, baseline, bias=b)
+        assert drifted["psi"] > 0.2
+        assert drifted["max_bin_shift"] > same["max_bin_shift"]
+        # retrain on the new mix and re-baseline: fixpoint
+        import pyspark.sql.functions as F
+
+        mixed = df.unionByName(off)
+        mixed_lab = lab.unionByName(
+            off.select("doc_id", F.lit(0).alias("label"))
+        )
+        w2, b2, _ = logreg_train(
+            mixed, mixed_lab, n_features=64, n_iter=8, lr=2.0
+        )
+        base2 = score_histogram(mixed, w2, b2)
+        again = score_drift_report(mixed, w2, base2, bias=b2)
+        assert again["psi"] < 0.01
+
+    def test_short_baseline_refused(self, spark, separable):
+        from mydatasyncer_spark.operators.classify import (
+            score_drift_report,
+        )
+
+        df, _ = separable
+        with pytest.raises(ValueError, match=">= 2 bins"):
+            score_drift_report(df, [0.0] * 64, [1.0])
