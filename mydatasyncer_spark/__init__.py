@@ -143,7 +143,9 @@ from mydatasyncer_spark.operators.similarity import (
     semantic_dedup_survivors,
 )
 from mydatasyncer_spark.operators.tokenizer import (
+    bpe_drift_report,
     bpe_encode,
+    bpe_pieces_per_word,
     bpe_token_count,
     bpe_train,
 )
@@ -306,6 +308,8 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "bpe_token_count",
+    "bpe_drift_report",
+    "bpe_pieces_per_word",
 ]
 
 __version__ = "0.1.0"

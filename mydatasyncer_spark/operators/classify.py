@@ -276,7 +276,16 @@ def score_histogram(
         .agg(F.count(F.lit(1)).alias("_c"))
         .collect()
     )
-    total = sum(int(r["_c"]) for r in rows) or 1
+    total = sum(int(r["_c"]) for r in rows)
+    if total == 0:
+        # the family convention: refuse degenerate input rather than
+        # fabricate a signal — an all-zero "histogram" would read as
+        # maximal drift (PSI >> the retrain threshold) from no data
+        raise ValueError(
+            "score_histogram: the frame has no rows — a histogram "
+            "of nothing is not a distribution, and drift against it "
+            "would report a spurious retrain signal"
+        )
     hist = [0.0] * n_bins
     for r in rows:
         hist[int(r["_b"])] = int(r["_c"]) / total

@@ -187,3 +187,102 @@ def bpe_token_count(
     return out.withColumn(
         count_col, F.size(F.col("_subwords"))
     ).drop("_subwords")
+
+
+def bpe_drift_report(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    baseline_pieces_per_word: float,
+    text_col: str = "text",
+) -> dict:
+    """The merge table's member of the decision-signal family
+    (jaccard → order, IVF → centroids, PQ → codebooks, classifier →
+    weights, this → MERGES): how well the frozen merges still
+    compress today's corpus.
+
+    Drift mechanics: merges are learned from the training corpus's
+    pair statistics; a drifted corpus (new domain, new language mix,
+    new jargon) matches fewer merges per word, so encodings fall
+    back toward characters — token counts inflate, packing bins
+    hold fewer documents, and per-token cost accounting skews.
+    Reported, from one encode pass (the same memoized Arrow path as
+    :func:`bpe_encode`):
+
+    - ``pieces_per_word`` vs the ``baseline_pieces_per_word``
+      recorded at training time (``words``-weighted mean of subword
+      pieces per word) and their ``compression_ratio`` — > ~1.2
+      sustained means the vocabulary has moved: retrain via
+      :func:`bpe_train` on current data and re-baseline.
+    - ``char_fallback_fraction`` — the share of word occurrences
+      whose end-of-word marker never merged into a learned suffix
+      piece (a bare ``</w>`` in the encoding): trained words almost
+      always end in a merged suffix, so this is the off-vocabulary
+      leading indicator, rising before the mean does.
+    - ``words`` — the denominator, so callers can gate on sample
+      size (a report over a handful of words is noise, and an EMPTY
+      frame REFUSES — the family convention)."""
+    out = bpe_encode(df, merges, text_col, "_subwords")
+    # per-document word and piece counts in one pass: words = number
+    # of WORD_END markers, char-fallback words = maximal runs of
+    # single-char pieces ending in a bare WORD_END. Counting rides
+    # the encoded array (JVM-side), not a second Python pass.
+    stats = out.select(
+        F.size(
+            F.filter(
+                F.col("_subwords"),
+                lambda p: p.endswith(WORD_END) | (p == WORD_END),
+            )
+        ).alias("_words"),
+        F.size(F.col("_subwords")).alias("_pieces"),
+        # a word whose marker never merged contributes a bare "</w>"
+        # piece — the no-learned-suffix indicator
+        F.size(
+            F.filter(F.col("_subwords"), lambda p: p == WORD_END)
+        ).alias("_bare"),
+    ).agg(
+        F.coalesce(F.sum("_words"), F.lit(0)).alias("w"),
+        F.coalesce(F.sum("_pieces"), F.lit(0)).alias("p"),
+        F.coalesce(F.sum("_bare"), F.lit(0)).alias("b"),
+    ).collect()[0]
+    words, pieces, bare = int(stats["w"]), int(stats["p"]), int(stats["b"])
+    if words == 0:
+        raise ValueError(
+            "bpe_drift_report: the frame has no tokens — compression "
+            "of nothing is not a signal"
+        )
+    ppw = pieces / words
+    return {
+        "words": words,
+        "pieces_per_word": ppw,
+        "baseline_pieces_per_word": float(baseline_pieces_per_word),
+        "compression_ratio": ppw / float(baseline_pieces_per_word),
+        "char_fallback_fraction": bare / words,
+    }
+
+
+def bpe_pieces_per_word(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> float:
+    """The training-time baseline :func:`bpe_drift_report` compares
+    against — persist it next to the merge table."""
+    out = bpe_encode(df, merges, text_col, "_subwords")
+    row = out.select(
+        F.size(
+            F.filter(
+                F.col("_subwords"),
+                lambda p: p.endswith(WORD_END) | (p == WORD_END),
+            )
+        ).alias("_words"),
+        F.size(F.col("_subwords")).alias("_pieces"),
+    ).agg(
+        F.coalesce(F.sum("_words"), F.lit(0)).alias("w"),
+        F.coalesce(F.sum("_pieces"), F.lit(0)).alias("p"),
+    ).collect()[0]
+    words = int(row["w"])
+    if words == 0:
+        raise ValueError(
+            "bpe_pieces_per_word: the frame has no tokens"
+        )
+    return int(row["p"]) / words

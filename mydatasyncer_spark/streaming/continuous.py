@@ -424,11 +424,25 @@ def continuous_dedup(
     entirely (the indexed doc — accepted in an earlier batch — is that
     cluster's survivor; streaming cannot retroactively reject it, so
     earlier-accepted wins where batch mode would compare raw ids), and
-    transitive chains collapse exactly as in batch mode — a doc whose
-    only near-neighbour is itself rejected still falls with its
-    component; (4) survivors append to ``survivors_path`` and their
-    signatures append to ``index_path``, so the next batch dedups
-    against everything accepted so far.
+    WITHIN a batch transitive chains collapse exactly as in batch
+    mode — a doc whose only near-neighbour is itself rejected still
+    falls with its component; (4) survivors append to
+    ``survivors_path`` and their signatures append to
+    ``index_path``, so the next batch dedups against everything
+    accepted so far.
+
+    The second streaming-vs-batch caveat (alongside
+    earlier-accepted-wins): CROSS-batch transitive chains through a
+    rejected intermediate can diverge. Only SURVIVOR signatures are
+    indexed, so a later batch's doc C — near-dup of a rejected B,
+    which was near-dup of surviving A — is compared against A
+    alone; if C is close to B but only borderline to A (or misses
+    A's band collisions), the stream keeps C where batch mode's
+    global connected component would drop it. Indexing rejected
+    docs' signatures too would close the gap at the cost of an
+    index that grows with the RAW corpus rather than the deduped
+    one — the wrong trade at 100 TB, so the divergence is
+    documented instead.
 
     First batch bootstraps an empty index (within-batch dedup only).
     Scale: the per-batch cost is batch × bucket-collisions — the index

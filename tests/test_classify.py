@@ -214,8 +214,11 @@ class TestScoreDrift:
         # the training corpus against its own baseline: stable
         same = score_drift_report(df, w, baseline, bias=b)
         assert same["psi"] < 0.01
-        # an off-distribution corpus (vocab the model never saw —
-        # every doc collapses to the bias score): drifted
+        # an off-distribution corpus: novel tokens still HASH into
+        # trained weight buckets (the no-vocabulary property), but
+        # they mix those buckets uniformly instead of along the
+        # trained good/junk split — the score distribution shifts
+        # toward the middle and PSI crosses the retrain threshold
         off = self._docs(
             spark, [f"novel{i}" for i in range(40)], 60, id0=5000
         )

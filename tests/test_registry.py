@@ -138,3 +138,20 @@ def test_registry_values_are_named_callables():
     for name, fn in entry_mod.queries().items():
         assert callable(fn), name
         assert fn.__name__ == name, (name, fn.__name__)
+
+
+def test_r11_priority_exception_is_real():
+    """The pinned window exception must stay TRUE, not rot like the
+    r5 hand-counted comment: every R11_PRIORITY query exists, and
+    each one is currently OUTSIDE the gate window (if someone
+    rotates it in early, this pin — and the exception note — must
+    be updated consciously; when the r11 rotation lands, this test
+    flips into the touched-queries window check)."""
+    names = list(entry_mod.queries())
+    window = set(names[:GATE_CAP])
+    for q in R11_PRIORITY:
+        assert q in names, q
+        assert q not in window, (
+            f"{q} entered the window — retire the R11_PRIORITY "
+            "exception note and this pin together"
+        )

@@ -124,3 +124,69 @@ class TestEncode:
         # off-distribution string falls back toward characters
         assert c[1] <= 6  # <= 2 pieces per "the"
         assert c[2] >= 10
+
+
+class TestBpeDrift:
+    """The merge table's decision signal: same-corpus compression is
+    the fixpoint, an off-vocabulary corpus crosses the documented
+    retrain ratio with the fallback fraction leading, and
+    retrain + re-baseline recovers."""
+
+    def test_ratio_crosses_then_retrain_recovers(self, spark, sf_dir):
+        from mydatasyncer_spark.operators.tokenizer import (
+            bpe_drift_report,
+            bpe_pieces_per_word,
+            bpe_train,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+            100
+        )
+        merges = bpe_train(docs, n_merges=120)
+        base = bpe_pieces_per_word(docs, merges)
+        same = bpe_drift_report(docs, merges, base)
+        assert same["compression_ratio"] == pytest.approx(1.0)
+        # off-vocabulary corpus: fall back toward characters
+        import random
+
+        rng = random.Random(3)
+        off = spark.createDataFrame(
+            [
+                (
+                    i,
+                    " ".join(
+                        "".join(
+                            rng.choice("zqxjwvbk") for _ in range(7)
+                        )
+                        for _ in range(12)
+                    ),
+                )
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        drifted = bpe_drift_report(off, merges, base)
+        assert drifted["compression_ratio"] > 1.2
+        assert (
+            drifted["char_fallback_fraction"]
+            > same["char_fallback_fraction"]
+        )
+        # retrain on the union + re-baseline: back to the fixpoint
+        union = docs.select("doc_id", "text").unionByName(off)
+        merges2 = bpe_train(union, n_merges=200)
+        base2 = bpe_pieces_per_word(union, merges2)
+        again = bpe_drift_report(union, merges2, base2)
+        assert again["compression_ratio"] == pytest.approx(1.0)
+        assert again["words"] > 0
+
+    def test_empty_frame_refused(self, spark):
+        from mydatasyncer_spark.operators.tokenizer import (
+            bpe_drift_report,
+            bpe_pieces_per_word,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="no tokens"):
+            bpe_drift_report(empty, [("l", "o")], 1.5)
+        with pytest.raises(ValueError, match="no tokens"):
+            bpe_pieces_per_word(empty, [("l", "o")])
