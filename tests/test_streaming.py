@@ -3843,3 +3843,148 @@ class TestContinuousCurationRandomized:
                 for r in curate(union, cfg).collect()
             }
             assert got == want and want, seed
+
+
+class TestContinuousCurationFullConfig:
+    """Everything-on integration: the curation stream with the model
+    gate, the band store (delta-proportional candidate reads), the
+    id-bucket index sub-layout (delta-proportional guard reads) and
+    the bucketed key store all enabled at once — the configuration a
+    production deployment would actually run. Pins that the options
+    compose: results still equal the batch pipeline, every store
+    carries its layout, and a replay appends nothing anywhere."""
+
+    def test_all_options_compose(self, spark, tmp_path_factory):
+        import glob as _glob
+        import json as _json
+        import os
+        import random
+
+        from mydatasyncer_spark.operators.classify import logreg_train
+        from mydatasyncer_spark.operators.curation import (
+            CurationConfig,
+            curate,
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_curation,
+        )
+
+        rng = random.Random(17)
+        good = [f"keep{i}" for i in range(25)]
+        bad = [f"drop{i}" for i in range(25)]
+        train_rows, train_labels = [], []
+        for i in range(60):
+            y = i % 2
+            vocab = good if y else bad
+            train_rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(15)))
+            )
+            train_labels.append((i, y))
+        w, b, _ = logreg_train(
+            spark.createDataFrame(
+                train_rows, "doc_id long, text string"
+            ),
+            spark.createDataFrame(train_labels, "doc_id long, label int"),
+            n_features=64,
+            n_iter=12,
+            lr=2.0,
+        )
+        cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.5,
+            model_weights=tuple(w),
+            model_bias=b,
+            min_model_quality=0.5,
+        )
+        # corpus: exact dups + model-gated docs + shingle-disjoint
+        # originals (a per-doc token namespace, so near-dup pairs
+        # arise ONLY from exact copies — deeper accidental chains
+        # would hit the documented cross-batch-chain divergence,
+        # which is TestContinuousCurationRandomized's subject, not
+        # this composition test's)
+        docs = []
+        for i in range(100, 124):
+            roll = rng.random()
+            if roll < 0.2 and docs:
+                docs.append((i, docs[rng.randrange(len(docs))][1]))
+            elif roll < 0.35:
+                docs.append(
+                    (i, " ".join(rng.choice(bad) for _ in range(20)))
+                )
+            else:
+                docs.append(
+                    (
+                        i,
+                        " ".join(
+                            f"{rng.choice(good)}u{i}n{j}"
+                            for j in range(20)
+                        ),
+                    )
+                )
+        in_dir = tmp_path_factory.mktemp("curfull_in")
+        out = tmp_path_factory.mktemp("curfull_out")
+        paths = {
+            "index": str(out / "index"),
+            "survivors": str(out / "survivors"),
+            "keys": str(out / "keys"),
+            "bands": str(out / "bands"),
+        }
+
+        def drain(ckpt):
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+            q = continuous_curation(
+                stream,
+                paths["index"],
+                paths["survivors"],
+                paths["keys"],
+                config=cfg,
+                checkpoint_dir=ckpt,
+                band_store_path=paths["bands"],
+                n_band_buckets=16,
+                n_id_buckets=4,
+                n_key_buckets=8,
+            )
+            q.awaitTermination(180)
+
+        for bnum, lo in enumerate((0, 8, 16)):
+            (in_dir / f"b{bnum}.json").write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t})
+                    for i, t in docs[lo : lo + 8]
+                )
+            )
+            drain(str(out / "ckpt"))
+        got = {
+            r["doc_id"]: (r["model_quality"], r["split"])
+            for r in spark.read.parquet(paths["survivors"]).collect()
+        }
+        union = spark.createDataFrame(docs, "doc_id long, text string")
+        want = {
+            r["doc_id"]: (r["model_quality"], r["split"])
+            for r in curate(union, cfg).collect()
+        }
+        assert got == want and want
+        # every store carries its layout
+        assert _glob.glob(
+            os.path.join(paths["index"], "_id_bucket=*")
+        ) or _glob.glob(
+            os.path.join(paths["index"], "*", "_id_bucket=*")
+        )
+        assert _glob.glob(os.path.join(paths["bands"], "_band_bucket=*"))
+        assert _glob.glob(os.path.join(paths["keys"], "_ckey_bucket=*"))
+        # replay with a fresh checkpoint appends nothing anywhere
+        counts = tuple(
+            spark.read.parquet(paths[k]).count()
+            for k in ("index", "survivors", "keys", "bands")
+        )
+        drain(str(out / "ckpt_replay"))
+        assert (
+            tuple(
+                spark.read.parquet(paths[k]).count()
+                for k in ("index", "survivors", "keys", "bands")
+            )
+            == counts
+        )
