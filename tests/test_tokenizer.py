@@ -190,3 +190,40 @@ class TestBpeDrift:
             bpe_drift_report(empty, [("l", "o")], 1.5)
         with pytest.raises(ValueError, match="no tokens"):
             bpe_pieces_per_word(empty, [("l", "o")])
+
+
+class TestEncodeProperties:
+    """Hypothesis properties of the pure-Python merge application —
+    the invariants that hold for ANY word under ANY merge table:
+    lossless reconstruction, piece non-emptiness, and the no-merges
+    character fallback."""
+
+    def test_reconstruction_and_fallback(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        words = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+            min_size=1,
+            max_size=12,
+        )
+        pairs = st.lists(
+            st.tuples(
+                st.text(alphabet="abcxyz", min_size=1, max_size=3),
+                st.text(alphabet="abcxyz", min_size=1, max_size=3),
+            ),
+            max_size=20,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(word=words, merges=pairs)
+        def check(word, merges):
+            ranks = {tuple(p): i for i, p in enumerate(merges)}
+            pieces = _encode_word(word, ranks)
+            # lossless: concatenation reconstructs word + marker
+            assert "".join(pieces) == word + WORD_END
+            assert all(pieces)
+            # no merges -> pure character fallback
+            assert _encode_word(word, {}) == [*word, WORD_END]
+
+        check()
