@@ -170,14 +170,18 @@ def logreg_train(
     float-sum association."""
     import math
 
+    # one label row per id: duplicate ids in `labels` would fan out
+    # the feature join, multiplying those documents' margin sums and
+    # gradient contributions — silently biasing training toward
+    # whatever got labeled twice. Collapse deterministically (max —
+    # dropDuplicates would pick an arbitrary row under conflicting
+    # labels, making two training runs disagree).
+    labels_1 = labels.groupBy(id_col).agg(
+        F.max(F.col(label_col).cast("double")).alias("_y")
+    )
     feats = hashed_token_features(
         df, n_features, text_col, id_col
-    ).join(
-        labels.select(
-            F.col(id_col), F.col(label_col).cast("double").alias("_y")
-        ),
-        id_col,
-    )
+    ).join(labels_1, id_col)
     feats = feats.localCheckpoint(eager=True)  # features are loop-invariant
     # normalize by the documents that actually PARTICIPATE: labeled
     # ids absent from df and zero-token documents contribute no

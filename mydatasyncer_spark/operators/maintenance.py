@@ -819,6 +819,7 @@ def pq_drift_report(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> dict:
     """The :func:`pq_rebuild` DECISION signal — the PQ member of the
     decision-signal family (``jaccard_drift_report`` -> refreeze,
@@ -845,24 +846,31 @@ def pq_drift_report(
     Run-rebuild-when contract: rebuild when ``mse_ratio`` exceeds
     ~1.3 sustained (one noisy batch is not drift); post-rebuild the
     ratio returns to ~1.0 — the fixpoint the tests pin. The store's
-    books resolve from its own metadata; a store recording none
-    REFUSES (error against guessed books is meaningless)."""
+    books resolve from its own metadata, validated against the
+    recorded fingerprint; a store recording neither values nor a
+    matching fingerprint REFUSES without explicit ``books=`` (error
+    against guessed books is meaningless). ``books=`` is the escape
+    hatch for OVER-BUDGET stores — dim*ksub past the footer budget
+    records only the fingerprint, so no rebuild can ever make such a
+    store value-self-describing; pass the books the store was encoded
+    with (the :func:`~mydatasyncer_spark.operators.similarity.
+    pq_adc_topk` contract — a wrong set is refused by fingerprint)."""
 
     from mydatasyncer_spark.operators.similarity import (
+        _resolve_codebooks,
         pq_quantization_error,
         pq_train,
-        recorded_codebooks,
     )
 
     store = spark.read.parquet(path)
-    books = recorded_codebooks(store)
-    if books is None:
-        raise ValueError(
-            "pq_drift_report: the store records no codebook values — "
-            "reconstruction error against guessed books is "
-            "meaningless; rebuild via pq_rebuild first (a rebuilt "
-            "store is self-describing)"
-        )
+    books = _resolve_codebooks(
+        store,
+        dim,
+        m or 0,
+        ksub or 0,
+        books,
+        "pq_drift_report",
+    )
     m = m or len(books)
     ksub = ksub or len(books[0])
     vecs = corpus.select(

@@ -965,6 +965,21 @@ def pq_codebook_values(
     return books
 
 
+def _check_books_dim(
+    books: list[list[list[float]]], dim: int, caller: str
+) -> None:
+    """Writer-side twin of ``_resolve_codebooks``'s dim check: refuse
+    encoding under books whose m*dsub doesn't equal the declared
+    vector dimension (the config error behind degenerate codes)."""
+    books_dim = len(books) * len(books[0][0])
+    if int(dim) != books_dim:
+        raise ValueError(
+            f"{caller}: dim {dim} != {books_dim} = m*dsub of the "
+            "passed codebooks — encoding would slice degenerate "
+            "subvectors; pass books matching the embedding dimension"
+        )
+
+
 def pq_codebook_fingerprint(books: list[list[list[float]]]) -> str:
     """Order-sensitive exact-repr fingerprint of a codebook set (the
     PQ twin of :func:`centroid_fingerprint`): code ids are positional
@@ -982,6 +997,31 @@ def pq_codebook_fingerprint(books: list[list[list[float]]]) -> str:
 def _pq_sub(vec: Column, j: int, dsub: int) -> Column:
     """Subvector j (0-based): elements j*dsub+1 .. (j+1)*dsub."""
     return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _pq_sized_vec(vec: Column, dim: int, caller: str) -> Column:
+    """Row-level dimension guard on a vector entering the PQ algebra:
+    ``F.slice`` on a short vector returns short/empty subvectors and
+    ``zip_with`` null-pads, so a dim/books mismatch would yield null
+    or degenerate codes instead of failing — the same hazard class the
+    LSH family's wrong-dim refusal covers. One ``size`` comparison per
+    row; raises with the offending length in the message."""
+    return F.when(F.size(vec) == F.lit(int(dim)), vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{caller}: vector length "
+                ),
+                F.size(vec).cast("string"),
+                F.lit(
+                    f" != {int(dim)} = m*dsub of the codebooks — "
+                    "slicing a mismatched vector yields degenerate "
+                    "codes; encode/score with books matching the "
+                    "embedding dimension"
+                ),
+            )
+        )
+    )
 
 
 def _pq_sub_scores(sub: Column, book: list[list[float]]) -> Column:
@@ -1003,6 +1043,7 @@ def pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
     dim = sum(len(book[0]) for book in books)
     dsub = len(books[0][0])
     assert dim == len(books) * dsub
+    vec = _pq_sized_vec(vec, dim, "pq_codes")
     cols = []
     for j, book in enumerate(books):
         scores = _pq_sub_scores(_pq_sub(vec, j, dsub), book)
@@ -1017,6 +1058,7 @@ def _pq_lut(vec: Column, books: list[list[list[float]]]) -> Column:
     books[j][c]), 6)`` as array<array<double>> — computed ONCE per
     query row; every candidate is then scored with ``m`` lookups."""
     dsub = len(books[0][0])
+    vec = _pq_sized_vec(vec, len(books) * dsub, "pq query LUT")
     luts = []
     for j, book in enumerate(books):
         sub = _pq_sub(vec, j, dsub)
@@ -1191,6 +1233,7 @@ def pq_encode(
     (over the :func:`_pq_meta` footer budget only the fingerprint
     rides and readers demand explicit ``books=``)."""
     books = books or pq_codebook_values(dim, m, ksub)
+    _check_books_dim(books, dim, "pq_encode")
     meta = _pq_meta(books)
     return corpus.select(
         F.col(id_col).alias("neighbor_id", metadata=meta),
@@ -1264,6 +1307,17 @@ def _resolve_codebooks(
     them under any other books returns plausible-but-wrong neighbors
     — the exact failure mode the dedup stores' modulus guards exist
     for, on the embedding side."""
+    def _check_dim(resolved: list[list[list[float]]]):
+        books_dim = len(resolved) * len(resolved[0][0])
+        if int(dim) != books_dim:
+            raise ValueError(
+                f"{caller}: dim {dim} != {books_dim} = m*dsub of the "
+                "resolved codebooks — a mismatched dim slices "
+                "degenerate subvectors; pass the dimension the books "
+                "were built for"
+            )
+        return resolved
+
     rec = recorded_codebooks(encoded)
     if books is not None:
         if (
@@ -1288,9 +1342,9 @@ def _resolve_codebooks(
                 "is self-describing) or rebuild via "
                 "operators/maintenance.pq_rebuild"
             )
-        return books
+        return _check_dim(books)
     if rec is not None:
-        return rec
+        return _check_dim(rec)
     # NO deterministic-default fallback here (unlike the writer
     # side): every pq_encode/pq_index store RECORDS its books, so a
     # codes frame recording none is a stripped-metadata store — the
@@ -1380,6 +1434,7 @@ def pq_index(
     import json
 
     books = books or pq_codebook_values(dim, m, ksub)
+    _check_books_dim(books, dim, "pq_index")
     cens = centroids or [
         ivf_centroid_values(dim, c) for c in range(n_centroids)
     ]

@@ -577,11 +577,19 @@ def continuous_curation(
             restore_staging,
         )
 
-        # name the partition key explicitly: a restore that flattened
-        # the layout would leave flat files at the root next to the
-        # later appends' _ckey_bucket= directories — a mixed layout
-        # partition discovery cannot read (only the reserved
-        # _id_bucket column is auto-preserved)
+        # restore-first on EVERY store this batch reads or appends,
+        # BEFORE the replay-guard read below: a batch arriving inside
+        # a crashed index-compaction window would otherwise see a
+        # missing/partial signature index, skip the guard, and
+        # re-append a replayed survivor (dedup_apply_batch restores
+        # again — idempotent and cheap when nothing is pending).
+        # The key store names its partition key explicitly: a restore
+        # that flattened the layout would leave flat files at the
+        # root next to the later appends' _ckey_bucket= directories —
+        # a mixed layout partition discovery cannot read (only the
+        # reserved _id_bucket column is auto-preserved)
+        restore_staging(spark, index_path)
+        restore_staging(spark, survivors_path)
         restore_staging(spark, content_keys_path, [_CKEY_BUCKET_COL])
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         # replay guard FIRST (vs the signature index): a replayed
@@ -921,11 +929,10 @@ def continuous_pq_index(
     )
     from mydatasyncer_spark.operators.similarity import (
         _check_ivf_provenance,
+        _resolve_codebooks,
         ivf_centroid_values,
-        pq_codebook_fingerprint,
         pq_index,
         recorded_centroids,
-        recorded_codebooks,
     )
 
     cens = centroids or [
@@ -960,22 +967,16 @@ def continuous_pq_index(
             _check_ivf_provenance(
                 stored, use_cens, "continuous_pq_index"
             )
-            if books is None:
-                use_books = recorded_codebooks(stored)
-            else:
-                rec = recorded_codebooks(stored)
-                if rec is not None and pq_codebook_fingerprint(
-                    rec
-                ) != pq_codebook_fingerprint(books):
-                    raise ValueError(
-                        "continuous_pq_index: the stored index was "
-                        "encoded under DIFFERENT codebooks than the "
-                        "restart config — appending would mix codes "
-                        "no single ADC table can score. Drop the "
-                        "explicit books= (the store is "
-                        "self-describing) or rebuild via "
-                        "operators/maintenance.pq_rebuild"
-                    )
+            # the READ path's resolver, reused verbatim so the append
+            # side carries ALL its guards: a fingerprint-only
+            # (over-budget) store REFUSES a configless restart instead
+            # of silently falling back to default books, and explicit
+            # books= are checked against the recorded fingerprint even
+            # when the store records no values — either slip would
+            # append codes no single ADC table can score
+            use_books = _resolve_codebooks(
+                stored, dim, m, ksub, books, "continuous_pq_index"
+            )
             existing = _guard_ids(
                 stored,
                 batch.select(F.col(id_col).alias("neighbor_id")),

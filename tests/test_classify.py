@@ -128,6 +128,26 @@ class TestTraining:
         ).agg(F.avg("ok")).first()[0]
         assert acc == 1.0
 
+    def test_duplicate_labels_do_not_bias_training(
+        self, spark, separable
+    ):
+        """r11 review fix: duplicate ids in the labels frame used to
+        fan out the feature join, multiplying those documents'
+        gradient contributions. Labels now collapse to one row per id
+        (deterministic max), so a triplicated labels frame trains the
+        same model as the clean one."""
+        df, lab = separable
+        w0, b0, l0 = logreg_train(
+            df, lab, n_features=32, n_iter=6, lr=1.0
+        )
+        tripled = lab.unionByName(lab).unionByName(lab)
+        w1, b1, l1 = logreg_train(
+            df, tripled, n_features=32, n_iter=6, lr=1.0
+        )
+        assert w1 == pytest.approx(w0, abs=1e-9)
+        assert b1 == pytest.approx(b0, abs=1e-9)
+        assert l1 == pytest.approx(l0, abs=1e-9)
+
     def test_l2_shrinks_weights(self, spark, separable):
         df, lab = separable
         w0, _, _ = logreg_train(

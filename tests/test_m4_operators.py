@@ -4184,3 +4184,46 @@ class TestPqReviewFixes:
         other = pq_codebook_values(dim, m, 16)
         with _pytest.raises(ValueError, match="DIFFERENT codebooks"):
             pq_adc_topk(corpus, enc, dim, k=2, books=other)
+
+    def test_dim_books_mismatch_refused_driver_side(self, spark):
+        """r11 review fix: a dim that doesn't equal m*dsub of the
+        books refuses at plan time — F.slice on a mismatched vector
+        would otherwise yield degenerate codes silently."""
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebook_values,
+            pq_encode,
+            pq_index,
+        )
+
+        corpus = TestProductQuantization._corpus(spark)
+        books8 = pq_codebook_values(8, m=4, ksub=4)
+        with _pytest.raises(ValueError, match="m\\*dsub"):
+            pq_encode(corpus, 16, books=books8)
+        with _pytest.raises(ValueError, match="m\\*dsub"):
+            pq_index(corpus, 16, books=books8, n_centroids=4)
+        enc = pq_encode(corpus, 8, books=books8, m=4, ksub=4)
+        with _pytest.raises(ValueError, match="m\\*dsub"):
+            pq_adc_topk(corpus, enc, 16, k=2, books=books8)
+
+    def test_wrong_length_vector_fails_fast_row_level(self, spark):
+        """A corpus row whose vector length doesn't match the books
+        raises at execution instead of null-padding into degenerate
+        codes (the zip_with hazard)."""
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.similarity import (
+            pq_codebook_values,
+            pq_encode,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, [0.1] * 8), (2, [0.2] * 6)],
+            "vec_id long, embedding array<double>",
+        )
+        books = pq_codebook_values(8, m=4, ksub=4)
+        enc = pq_encode(bad, 8, books=books, m=4, ksub=4)
+        with _pytest.raises(Exception, match="vector length"):
+            enc.collect()

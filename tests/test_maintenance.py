@@ -1214,6 +1214,58 @@ class TestPqMaintenance:
         with _pytest.raises(ValueError, match="records no codebook"):
             pq_drift_report(spark, path, corpus, self.DIM)
 
+    def test_fingerprint_only_store_measurable_with_explicit_books(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r11 review fix: an over-budget store records only the
+        fingerprint, so NO rebuild can ever make it value-self-
+        describing — books= is the escape hatch, validated against
+        the recorded fingerprint (wrong books refuse)."""
+        import pytest as _pytest
+
+        import mydatasyncer_spark.operators.similarity as sim
+        from mydatasyncer_spark.operators.maintenance import (
+            pq_drift_report,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            pq_train,
+        )
+
+        monkeypatch.setattr(sim, "_IVF_CENS_MAX_NUMBERS", 4)
+        path = str(tmp_path / "pq")
+        corpus = self._corpus(spark)
+        trained = pq_train(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_iter=2
+        )
+        pq_index(
+            corpus,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            n_centroids=4,
+            books=trained,
+        ).write.partitionBy("bucket").parquet(path)
+        assert sim.recorded_codebooks(spark.read.parquet(path)) is None
+        # configless: refused (values not recorded)
+        with _pytest.raises(ValueError, match="records no codebook"):
+            pq_drift_report(spark, path, corpus, self.DIM)
+        # wrong explicit books: refused via the recorded fingerprint
+        with _pytest.raises(ValueError, match="DIFFERENT codebooks"):
+            pq_drift_report(
+                spark,
+                path,
+                corpus,
+                self.DIM,
+                books=sim.pq_codebook_values(self.DIM, self.M, self.KSUB),
+            )
+        # the store's own books: measurable, near the fixpoint
+        rep = pq_drift_report(
+            spark, path, corpus, self.DIM, n_iter=2, books=trained
+        )
+        assert rep["rows"] == corpus.count()
+        assert rep["mse_frozen"] > 0.0
+
 
 class TestBandOccupancyReport:
     """r10: the MinHash band store's decision signal — modulus cost

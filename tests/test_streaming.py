@@ -3072,7 +3072,10 @@ class TestContinuousPqIndex:
 
         with _pytest.raises(
             (StreamingQueryException, Exception),
-            match="DIFFERENT codebooks",
+            # the r11 append path reuses the read resolver, whose
+            # recorded-values-mismatch message differs from the old
+            # inline one
+            match="DIFFERENT codebooks|do not match",
         ):
             q = self._drain(
                 spark,
@@ -3152,6 +3155,75 @@ class TestContinuousPqIndex:
             ).collect()
         }
         assert got == exp
+
+    def test_fingerprint_only_store_refuses_configless_and_guards_explicit(
+        self, spark, tmp_path_factory, monkeypatch
+    ):
+        """r11 review fix: the append path now runs the READ path's
+        codebook resolver. A store whose books are over the footer
+        budget records only the fingerprint; a configless restart
+        must REFUSE (previously it silently fell back to the default
+        books and appended codes no single ADC table can score), and
+        explicit books are checked against the recorded fingerprint
+        even without recorded values — wrong ones refuse, the right
+        ones append."""
+        import json as _json
+
+        import mydatasyncer_spark.operators.similarity as sim
+        from mydatasyncer_spark.operators.similarity import pq_train
+
+        # shrink the footer budget so these small books are
+        # "over budget" — values are NOT recorded, only fingerprints
+        monkeypatch.setattr(sim, "_IVF_CENS_MAX_NUMBERS", 4)
+        in_dir = tmp_path_factory.mktemp("pqfp_in")
+        out = tmp_path_factory.mktemp("pqfp_out")
+        index_path = str(out / "index")
+        b1 = [
+            {"vec_id": i, "embedding": self._vec(i)} for i in range(16)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in b1)
+        )
+        corpus = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1],
+            "vec_id long, embedding array<double>",
+        )
+        trained = pq_train(
+            corpus, self.DIM, m=self.M, ksub=self.KSUB, n_iter=2
+        )
+        self._drain(
+            spark, in_dir, index_path, str(out / "ckpt"), books=trained
+        )
+        stored = spark.read.parquet(index_path)
+        assert sim.recorded_codebooks(stored) is None  # fp-only store
+        assert stored.count() == 16
+        (in_dir / "b2.json").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"vec_id": 300 + i, "embedding": self._vec(300 + i)}
+                )
+                for i in range(4)
+            )
+        )
+        # configless restart: refused, nothing appended
+        with pytest.raises(Exception, match="records no codebooks"):
+            self._drain(spark, in_dir, index_path, str(out / "ckpt2"))
+        assert spark.read.parquet(index_path).count() == 16
+        # wrong explicit books: refused via the recorded fingerprint
+        with pytest.raises(Exception, match="DIFFERENT codebooks"):
+            self._drain(
+                spark,
+                in_dir,
+                index_path,
+                str(out / "ckpt3"),
+                books=sim.pq_codebook_values(self.DIM, self.M, self.KSUB),
+            )
+        assert spark.read.parquet(index_path).count() == 16
+        # the books the store was encoded with: appends
+        self._drain(
+            spark, in_dir, index_path, str(out / "ckpt4"), books=trained
+        )
+        assert spark.read.parquet(index_path).count() == 20
 
 
 class TestContinuousCuration:
@@ -3335,6 +3407,53 @@ class TestContinuousCuration:
         self._write(in_dir, "b2.json", [(20, self.GOOD_3)])
         with pytest.raises(Exception, match="records no.*modulus|modulus"):
             self._drain(spark, in_dir, paths, str(out / "ckpt"))
+
+    def test_replay_inside_index_crash_window_skips_guarded_batch(
+        self, spark, tmp_path_factory
+    ):
+        """r11 review fix: the replay guard reads the signature index
+        BEFORE dedup_apply_batch's restore ran, so a batch replayed
+        inside a crashed index-compaction window saw no index, skipped
+        the guard, and — when its key write had also been lost in the
+        crash — re-appended its survivors (same-id pairs are excluded
+        from the vs-index candidates, so near-dup cannot mask this
+        case). continuous_curation now restores index and survivors
+        paths FIRST, like dedup_apply_batch."""
+        import shutil
+
+        from mydatasyncer_spark.operators.dedup import (
+            INDEX_STAGING_SUFFIX,
+        )
+
+        in_dir = tmp_path_factory.mktemp("curw_in")
+        out = tmp_path_factory.mktemp("curw_out")
+        paths = {
+            "index": str(out / "index"),
+            "survivors": str(out / "survivors"),
+            "keys": str(out / "keys"),
+        }
+        self._write(in_dir, "b1.json", [(1, self.GOOD_1), (2, self.GOOD_2)])
+        self._drain(spark, in_dir, paths, str(out / "ckpt"))
+        # the compound crash window: the batch's key write was lost
+        # AND an index compaction crashed mid-overwrite (complete
+        # staged copy, index deleted)
+        shutil.rmtree(paths["keys"])
+        spark.read.parquet(paths["index"]).localCheckpoint(
+            eager=True
+        ).write.parquet(paths["index"] + INDEX_STAGING_SUFFIX)
+        shutil.rmtree(paths["index"])
+        # full replay (fresh checkpoint) lands inside the window: the
+        # restore must run before the guard, which then skips ids 1-2
+        self._drain(spark, in_dir, paths, str(out / "ckpt_replay"))
+        assert spark.read.parquet(paths["survivors"]).count() == 2
+        idx_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(paths["index"]).collect()
+        }
+        assert idx_ids == {1, 2}
+        import os
+
+        assert not os.path.exists(paths["index"] + INDEX_STAGING_SUFFIX)
 
 
 class TestContinuousCurationModelGate:
