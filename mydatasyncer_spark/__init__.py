@@ -151,6 +151,8 @@ from mydatasyncer_spark.operators.tokenizer import (
 )
 from mydatasyncer_spark.operators.text import (
     remove_repeated_segments,
+    unigram_baseline,
+    unigram_drift_report,
     unigram_logprob_table,
     unigram_perplexity,
 )
@@ -225,6 +227,8 @@ __all__ = [
     "epoch_shuffle",
     "weighted_sample",
     "remove_repeated_segments",
+    "unigram_baseline",
+    "unigram_drift_report",
     "unigram_logprob_table",
     "unigram_perplexity",
     "column_entropy",

@@ -380,7 +380,19 @@ def unigram_logprob_table(
     The open-vocabulary table of a web-scale corpus runs to billions
     of rows, so nothing here forces a broadcast — consumers join it
     like any table and let the optimizer pick the strategy; the cut
-    is what actually makes the model small."""
+    is what actually makes the model small.
+
+    A stored table is a FROZEN trained artifact (the
+    :func:`unigram_perplexity` ``model=`` path scores new batches
+    against it), so it drifts like every other frozen artifact.
+    Run-retrain-when contract: persist :func:`unigram_baseline` next
+    to the table at training time and monitor with
+    :func:`unigram_drift_report` — retrain (re-run this function on
+    current data) and re-baseline when the report's ``psi`` exceeds
+    ~0.2 sustained or ``oov_fraction`` rises well past the baseline's
+    (the leading indicator: token mass falling out of the frozen
+    vocabulary inflates perplexity before the distribution visibly
+    moves)."""
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     a = F.lit(float(alpha))
@@ -467,3 +479,191 @@ def unigram_perplexity(
         F.count(lp).cast("bigint").alias("n_tokens"),
         F.round(F.exp(-F.avg(lp)), 6).alias("perplexity"),
     )
+
+
+def _model_has_oov(model) -> bool:
+    """Whether a stored logprob table carries the NULL-token OOV
+    bucket (i.e. was built with ``min_count > 1``) — one bounded
+    probe, so report callers need not thread the flag by hand."""
+    return (
+        model.filter(F.col("tok").isNull()).limit(1).count() > 0
+    )
+
+
+def _oov_token_fraction(df, model, text_col: str) -> tuple[float, int]:
+    """(fraction of token occurrences outside the frozen vocabulary,
+    total tokens) — one explode + one equi join + one aggregate. For
+    an open-vocabulary model (no OOV bucket) "outside" means absent
+    from the table; for a cut model the NULL-bucket row never
+    equi-joins, so the same left join measures mass falling into the
+    bucket."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = model.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    row = (
+        toks.join(vocab, "tok", "left_anti")
+        .agg(F.count(F.lit(1)).alias("_oov"))
+        .crossJoin(
+            F.broadcast(toks.agg(F.count(F.lit(1)).alias("_n")))
+        )
+        .first()
+    )
+    n = int(row["_n"])
+    return (int(row["_oov"]) / n if n else 0.0, n)
+
+
+def _log_ppl_histogram(
+    df,
+    model,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    text_col: str,
+    id_col: str,
+    oov: bool,
+) -> tuple[list[float], int]:
+    """Per-document ln(perplexity) binned into ``n_bins`` equal-width
+    bins over [lo, hi] (outliers clamp into the end bins, so a
+    drifted corpus piles mass there instead of vanishing). Returns
+    (fractions, n_docs)."""
+    ppl = unigram_perplexity(
+        df, text_col=text_col, id_col=id_col, model=model, oov=oov
+    )
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    b = F.least(
+        F.greatest(
+            F.floor((F.log("perplexity") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    rows = (
+        ppl.select(b.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    total = sum(int(r["_c"]) for r in rows)
+    hist = [0.0] * n_bins
+    for r in rows:
+        hist[int(r["_b"])] = int(r["_c"]) / total if total else 0.0
+    return hist, total
+
+
+def unigram_baseline(
+    df,
+    model,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """The training-time artifact :func:`unigram_drift_report`
+    compares against — persist it next to the frozen logprob table
+    (the :func:`~mydatasyncer_spark.operators.classify.
+    score_histogram` convention, on the LM axis). Records the
+    ln(perplexity) distribution of the TRAINING corpus under its own
+    model — bin edges (min/max) plus per-bin fractions — and the
+    corpus's OOV token-mass fraction under the frozen vocabulary
+    (≈ 0 for an open-vocabulary model scoring its own corpus; the
+    cut-mass fraction for a ``min_count > 1`` model). Two bounded
+    aggregate passes; ``n_bins + 4`` numbers come back."""
+    oov = _model_has_oov(model)
+    ppl = unigram_perplexity(
+        df, text_col=text_col, id_col=id_col, model=model, oov=oov
+    )
+    edges = ppl.agg(
+        F.min(F.log("perplexity")).alias("_lo"),
+        F.max(F.log("perplexity")).alias("_hi"),
+    ).first()
+    if edges["_lo"] is None:
+        raise ValueError(
+            "unigram_baseline: no document has any in-model token — "
+            "a baseline of nothing is not a distribution"
+        )
+    lo, hi = float(edges["_lo"]), float(edges["_hi"])
+    hist, n_docs = _log_ppl_histogram(
+        df, model, lo, hi, n_bins, text_col, id_col, oov
+    )
+    oov_frac, _ = _oov_token_fraction(df, model, text_col)
+    return {
+        "lo": lo,
+        "hi": hi,
+        "hist": hist,
+        "oov_fraction": oov_frac,
+        "docs": n_docs,
+    }
+
+
+def unigram_drift_report(
+    df,
+    model,
+    baseline: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """The unigram LM's member of the decision-signal family
+    (jaccard → order, IVF → centroids, PQ → codebooks, classifier →
+    weights, BPE → merges, this → the frozen VOCABULARY and its
+    logprobs): how differently today's corpus scores under the frozen
+    table than the training corpus did. Two signals, one bounded pass
+    each:
+
+    - ``oov_fraction`` vs the baseline's (``oov_shift`` is the
+      difference) — the LEADING indicator: token mass falling out of
+      the frozen vocabulary (new domain, language mix, jargon)
+      inflates perplexity before the distribution visibly moves, and
+      for a cut model it is exactly the mass landing in the OOV
+      bucket's single smoothed logprob — where scoring is least
+      informative.
+    - ``psi`` — Population Stability Index of the ln(perplexity)
+      distribution over the baseline's recorded bins (same metric and
+      clamp as :func:`~mydatasyncer_spark.operators.classify.
+      score_drift_report`; outliers clamp into the end bins, so
+      drifted mass is counted, not dropped).
+
+    Run-retrain-when: retrain + re-baseline when ``psi`` > ~0.2
+    sustained or ``oov_shift`` rises by more than a few points; after
+    retraining on current data the report returns to ~0 — the
+    fixpoint the tests pin. Refuses a frame with no scorable
+    documents (the family's empty-input convention)."""
+    import math
+
+    n_bins = len(baseline["hist"])
+    if n_bins < 2:
+        raise ValueError(
+            "unigram_drift_report: baseline must have >= 2 bins"
+        )
+    oov = _model_has_oov(model)
+    hist, n_docs = _log_ppl_histogram(
+        df,
+        model,
+        float(baseline["lo"]),
+        float(baseline["hi"]),
+        n_bins,
+        text_col,
+        id_col,
+        oov,
+    )
+    if n_docs == 0:
+        raise ValueError(
+            "unigram_drift_report: no document has any in-model "
+            "token — drift of nothing would report a spurious "
+            "retrain signal"
+        )
+    eps = 1e-4  # the standard PSI zero-bin clamp
+    psi = sum(
+        (c - b) * math.log(max(c, eps) / max(b, eps))
+        for c, b in zip(hist, baseline["hist"])
+    )
+    oov_frac, _ = _oov_token_fraction(df, model, text_col)
+    return {
+        "psi": psi,
+        "histogram": hist,
+        "baseline_hist": list(baseline["hist"]),
+        "oov_fraction": oov_frac,
+        "baseline_oov_fraction": float(baseline["oov_fraction"]),
+        "oov_shift": oov_frac - float(baseline["oov_fraction"]),
+        "docs": n_docs,
+        "max_bin_shift": max(
+            abs(c - b) for c, b in zip(hist, baseline["hist"])
+        ),
+    }

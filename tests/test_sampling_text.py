@@ -873,3 +873,116 @@ class TestPackSequencesChunked:
         assert [(r["doc_id"], r["offset"], r["bin_id"]) for r in a] == [
             (r["doc_id"], r["offset"], r["bin_id"]) for r in b
         ]
+
+
+class TestUnigramDrift:
+    """r11: the unigram LM's decision signal — the one trained
+    artifact that lacked one. A same-distribution corpus sits at the
+    fixpoint, a drifted corpus crosses the retrain threshold on BOTH
+    signals (PSI over the ln-perplexity bins, OOV token-mass shift —
+    the leading indicator), and retrain + re-baseline returns to ~0."""
+
+    def _docs(self, spark, vocab, n, id0=0, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        return spark.createDataFrame(
+            [
+                (
+                    id0 + i,
+                    " ".join(rng.choice(vocab) for _ in range(12)),
+                )
+                for i in range(n)
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_psi_and_oov_cross_then_retrain_fixpoint(self, spark):
+        from mydatasyncer_spark.operators.text import (
+            unigram_baseline,
+            unigram_drift_report,
+            unigram_logprob_table,
+        )
+
+        train_vocab = [f"word{i}" for i in range(30)]
+        corpus = self._docs(spark, train_vocab, 60)
+        model = unigram_logprob_table(corpus).localCheckpoint(eager=True)
+        base = unigram_baseline(corpus, model)
+        assert abs(sum(base["hist"]) - 1.0) < 1e-9
+        assert base["oov_fraction"] == 0.0  # own corpus, open vocab
+        # the training corpus against its own baseline: stable (the
+        # score_drift_report convention — PSI over few-hundred-doc
+        # fresh samples is sampling noise, not drift)
+        same = unigram_drift_report(corpus, model, base)
+        assert same["psi"] < 0.01
+        assert abs(same["oov_shift"]) < 1e-9
+        # drifted batch (half the vocabulary is novel): both signals
+        # cross the documented thresholds
+        mixed_vocab = train_vocab[:15] + [f"novel{i}" for i in range(15)]
+        drifted_docs = self._docs(spark, mixed_vocab, 60, id0=1000)
+        drifted = unigram_drift_report(drifted_docs, model, base)
+        assert drifted["psi"] > 0.2
+        assert drifted["oov_fraction"] > 0.3
+        assert drifted["oov_shift"] > 0.3
+        assert drifted["max_bin_shift"] > same["max_bin_shift"]
+        # retrain on current data + re-baseline: fixpoint again
+        model2 = unigram_logprob_table(drifted_docs).localCheckpoint(
+            eager=True
+        )
+        base2 = unigram_baseline(drifted_docs, model2)
+        again = unigram_drift_report(drifted_docs, model2, base2)
+        assert again["psi"] < 0.01
+        assert abs(again["oov_shift"]) < 1e-9
+
+    def test_cut_model_oov_measures_bucket_mass(self, spark):
+        """With a min_count cut, OOV fraction is the mass landing in
+        the NULL-token bucket — nonzero already at training time (the
+        cut tail), rising under drift."""
+        from mydatasyncer_spark.operators.text import (
+            unigram_baseline,
+            unigram_drift_report,
+            unigram_logprob_table,
+        )
+
+        rows = [(i, "alpha beta alpha gamma") for i in range(40)]
+        rows += [(100 + i, f"alpha rare{i}") for i in range(8)]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        model = unigram_logprob_table(
+            corpus, min_count=3
+        ).localCheckpoint(eager=True)
+        base = unigram_baseline(corpus, model)
+        assert base["oov_fraction"] > 0.0  # the cut tail
+        novel = spark.createDataFrame(
+            [(500 + i, f"zz{i} qq{i} alpha") for i in range(30)],
+            "doc_id long, text string",
+        )
+        rep = unigram_drift_report(novel, model, base)
+        assert rep["oov_shift"] > 0.3
+
+    def test_empty_frame_refused(self, spark):
+        import pytest
+
+        from mydatasyncer_spark.operators.text import (
+            unigram_baseline,
+            unigram_drift_report,
+            unigram_logprob_table,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")],
+            "doc_id long, text string",
+        )
+        model = unigram_logprob_table(corpus)
+        base = unigram_baseline(corpus, model)
+        empty = spark.createDataFrame(
+            [(9, ""), (10, "!!!")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="no document"):
+            unigram_drift_report(empty, model, base)
+        with pytest.raises(ValueError, match="no document"):
+            unigram_baseline(empty, model)
+        with pytest.raises(ValueError, match=">= 2 bins"):
+            unigram_drift_report(
+                corpus, model, {"lo": 0.0, "hi": 1.0, "hist": [1.0],
+                                "oov_fraction": 0.0}
+            )
