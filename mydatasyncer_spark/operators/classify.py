@@ -258,6 +258,122 @@ def logreg_train(
     return w, b, losses
 
 
+#: metadata keys for the self-describing weights store (the
+#: recorded_centroids convention, on the trained-model axis)
+_QW_FP_KEY = "quality_weights_fingerprint"
+_QW_BIAS_KEY = "quality_model_bias"
+_QW_NF_KEY = "quality_model_n_features"
+_QW_BASE_KEY = "quality_score_baseline_json"
+
+
+def model_fingerprint(weights: list[float], bias: float) -> str:
+    """Order-sensitive exact-repr fingerprint of ``(weights, bias)``
+    — the classifier twin of :func:`~mydatasyncer_spark.operators.
+    similarity.centroid_fingerprint`: feature ids are positions into
+    the weight vector, so any reorder or retrain changes what every
+    hashed feature means."""
+    import hashlib
+
+    payload = (
+        ",".join(repr(float(w)) for w in weights)
+        + f"|b={float(bias)!r}"
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def quality_model_frame(
+    spark,
+    weights: list[float],
+    bias: float = 0.0,
+    baseline: list[float] | None = None,
+):
+    """The trained classifier as a SELF-DESCRIBING store frame:
+    one ``(feature, weight)`` row per feature (rows, not footer JSON
+    — so n_features has no footer budget), with the fingerprint,
+    bias, n_features, and the training-time :func:`score_histogram`
+    baseline riding ``feature``-column metadata into the parquet
+    footer. Write it next to the training run (``mode("overwrite")``
+    — the store is write-once per retrain, never append-maintained,
+    so no compaction wrapper exists or is needed); a scoring stream
+    or a later session resolves everything with
+    :func:`recorded_model` and needs NO weights config — and a
+    weights/baseline pairing can never mismatch, because both ride
+    the same footer (the hazard the drift report had: PSI against
+    someone else's baseline reports nonsense)."""
+    import json
+
+    meta: dict = {
+        _QW_FP_KEY: model_fingerprint(weights, bias),
+        _QW_BIAS_KEY: float(bias),
+        _QW_NF_KEY: len(weights),
+    }
+    if baseline is not None:
+        meta[_QW_BASE_KEY] = json.dumps(
+            [float(x) for x in baseline]
+        )
+    return spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "feature int, weight double",
+    ).select(
+        F.col("feature").alias("feature", metadata=meta),
+        "weight",
+    )
+
+
+def recorded_model(
+    store,
+) -> tuple[list[float], float, list[float] | None]:
+    """Resolve ``(weights, bias, baseline)`` from a
+    :func:`quality_model_frame` store — resolve-and-REFUSE, the
+    :func:`~mydatasyncer_spark.operators.similarity.
+    recorded_centroids` contract: a store with stripped provenance,
+    duplicate/missing feature rows (mixed appends from different
+    training runs), or rows that no longer match their own recorded
+    fingerprint raises instead of scoring under silently-wrong
+    weights."""
+    import json
+
+    if "feature" not in store.columns or "weight" not in store.columns:
+        raise ValueError(
+            "recorded_model: not a quality-model store — expected "
+            "(feature, weight) columns"
+        )
+    meta = store.schema["feature"].metadata
+    fp = meta.get(_QW_FP_KEY)
+    nf = meta.get(_QW_NF_KEY)
+    bias = meta.get(_QW_BIAS_KEY)
+    if fp is None or nf is None or bias is None:
+        raise ValueError(
+            "recorded_model: the store records no provenance — "
+            "scoring under weights of unknown origin is silently "
+            "wrong; rewrite it with quality_model_frame"
+        )
+    rows = store.select("feature", "weight").collect()
+    if len(rows) != int(nf) or {int(r["feature"]) for r in rows} != set(
+        range(int(nf))
+    ):
+        raise ValueError(
+            "recorded_model: the store's feature rows do not form "
+            "exactly 0..n_features-1 — mixed appends from different "
+            "training runs; rewrite it with quality_model_frame"
+        )
+    weights = [0.0] * int(nf)
+    for r in rows:
+        weights[int(r["feature"])] = float(r["weight"])
+    if model_fingerprint(weights, float(bias)) != fp:
+        raise ValueError(
+            "recorded_model: the store's rows do not match their own "
+            "recorded fingerprint — the store mixes rows from "
+            "different training runs; rewrite it with "
+            "quality_model_frame"
+        )
+    raw = meta.get(_QW_BASE_KEY)
+    baseline = (
+        [float(x) for x in json.loads(raw)] if raw is not None else None
+    )
+    return weights, float(bias), baseline
+
+
 def score_histogram(
     df: DataFrame,
     weights: list[float],

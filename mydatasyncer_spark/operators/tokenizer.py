@@ -108,6 +108,93 @@ def bpe_train(
     return merges
 
 
+#: metadata keys for the self-describing merge-table store
+_BPE_FP_KEY = "bpe_merges_fingerprint"
+_BPE_BASE_KEY = "bpe_baseline_pieces_per_word"
+
+
+def merges_fingerprint(merges: list[tuple[str, str]]) -> str:
+    """Order-sensitive fingerprint of a merge table: rank IS the
+    merge priority (:func:`_encode_word` applies the lowest rank
+    first), so any reorder changes every encoding."""
+    import hashlib
+
+    payload = "|".join(f"{a}\x00{b}" for a, b in merges)
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def bpe_merges_frame(
+    spark,
+    merges: list[tuple[str, str]],
+    baseline_pieces_per_word: float | None = None,
+):
+    """The trained merge table as a SELF-DESCRIBING store frame:
+    one ``(rank, left, right)`` row per merge, with the fingerprint
+    and the training-time :func:`bpe_pieces_per_word` baseline riding
+    ``rank``-column metadata into the parquet footer (the
+    ``recorded_centroids`` convention on the tokenizer axis). Write
+    ``mode("overwrite")`` per retrain — write-once, never
+    append-maintained, so no compaction wrapper exists or is needed.
+    A later session resolves merges AND the drift baseline with
+    :func:`recorded_merges` and needs no tokenizer config — and the
+    merges/baseline pairing can never mismatch, because both ride
+    the same footer."""
+    meta: dict = {_BPE_FP_KEY: merges_fingerprint(merges)}
+    if baseline_pieces_per_word is not None:
+        meta[_BPE_BASE_KEY] = float(baseline_pieces_per_word)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).select(
+        F.col("rank").alias("rank", metadata=meta), "left", "right"
+    )
+
+
+def recorded_merges(
+    store,
+) -> tuple[list[tuple[str, str]], float | None]:
+    """Resolve ``(merges, baseline_pieces_per_word)`` from a
+    :func:`bpe_merges_frame` store — resolve-and-REFUSE: stripped
+    provenance, non-contiguous ranks (mixed appends from different
+    training runs), or rows that no longer match their own recorded
+    fingerprint raise instead of encoding under a silently-wrong
+    table (rank is merge priority — one foreign row reorders
+    everything after it)."""
+    for c in ("rank", "left", "right"):
+        if c not in store.columns:
+            raise ValueError(
+                "recorded_merges: not a BPE merge store — expected "
+                "(rank, left, right) columns"
+            )
+    meta = store.schema["rank"].metadata
+    fp = meta.get(_BPE_FP_KEY)
+    if fp is None:
+        raise ValueError(
+            "recorded_merges: the store records no fingerprint — "
+            "encoding under a merge table of unknown origin is "
+            "silently wrong; rewrite it with bpe_merges_frame"
+        )
+    rows = store.select("rank", "left", "right").collect()
+    ranks = sorted(int(r["rank"]) for r in rows)
+    if ranks != list(range(len(rows))):
+        raise ValueError(
+            "recorded_merges: the store's ranks do not form exactly "
+            "0..n_merges-1 — mixed appends from different training "
+            "runs; rewrite it with bpe_merges_frame"
+        )
+    by_rank = {int(r["rank"]): (r["left"], r["right"]) for r in rows}
+    merges = [by_rank[i] for i in range(len(rows))]
+    if merges_fingerprint(merges) != fp:
+        raise ValueError(
+            "recorded_merges: the store's rows do not match their "
+            "own recorded fingerprint — the store mixes rows from "
+            "different training runs; rewrite it with "
+            "bpe_merges_frame"
+        )
+    base = meta.get(_BPE_BASE_KEY)
+    return merges, (float(base) if base is not None else None)
+
+
 def _encode_word(
     word: str, ranks: dict[tuple[str, str], int]
 ) -> list[str]:

@@ -511,6 +511,7 @@ def continuous_curation(
     n_band_buckets: int = 64,
     n_id_buckets: int | None = None,
     n_key_buckets: int = 64,
+    model_store_path: str | None = None,
 ):
     """The full curation pipeline (``operators/curation.curate``) as
     a standing stream — the daily-raw-crawl-drop shape: per
@@ -555,6 +556,18 @@ def continuous_curation(
     re-rejects them on replay for free, and at 100 TB writing
     reject-keys would roughly double the store for documents that
     can never collide with anything downstream anyway.
+
+    **The model store** (``model_store_path``, r11): the stage-2
+    gate's trained weights+bias(+drift baseline) resolve per batch
+    from a :func:`~mydatasyncer_spark.operators.classify.
+    quality_model_frame` store — the self-describing-index
+    convention on the trained-model axis, so a restarted stream
+    needs NO weights config and FOLLOWS a retrain (the store is
+    rewritten in one place). A restart that passes BOTH the store
+    path and explicit ``config.model_weights`` is fingerprint-checked
+    and REFUSES a mismatch rather than gating under whichever one
+    happens to win. ``min_model_quality`` stays in the config — it
+    is an operating threshold, not a training artifact.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -613,11 +626,40 @@ def continuous_curation(
             (F.col("quality") >= config.min_quality)
             & (F.col("repetition") <= config.max_repetition)
         )
-        if config.model_weights is not None:
-            # the config's stage-2 model gate (same narrow
-            # expression as the batch pipeline — the hash-bucketed
-            # features guarantee a stream scores exactly what the
-            # training run would)
+        use_weights, use_bias = (
+            list(config.model_weights)
+            if config.model_weights is not None
+            else None,
+            config.model_bias,
+        )
+        if model_store_path is not None:
+            # weights resolve from the self-describing store every
+            # batch (tiny read), so a retrain's rewrite is picked up
+            # mid-stream and a configless restart needs nothing
+            from mydatasyncer_spark.operators.classify import (
+                model_fingerprint,
+                recorded_model,
+            )
+
+            mw, mb, _base = recorded_model(
+                spark.read.parquet(model_store_path)
+            )
+            if use_weights is not None and model_fingerprint(
+                use_weights, use_bias
+            ) != model_fingerprint(mw, mb):
+                raise ValueError(
+                    "continuous_curation: config.model_weights do "
+                    "not match the model store at model_store_path — "
+                    "gating under whichever happened to win would be "
+                    "silently wrong; drop the explicit weights (the "
+                    "store is self-describing) or point at the store "
+                    "they came from"
+                )
+            use_weights, use_bias = mw, mb
+        if use_weights is not None:
+            # the stage-2 model gate (same narrow expression as the
+            # batch pipeline — the hash-bucketed features guarantee
+            # a stream scores exactly what the training run would)
             from mydatasyncer_spark.operators.classify import (
                 model_score_column,
             )
@@ -626,8 +668,8 @@ def continuous_curation(
                 "model_quality",
                 model_score_column(
                     F.col(text_col),
-                    list(config.model_weights),
-                    config.model_bias,
+                    use_weights,
+                    use_bias,
                 ),
             ).filter(
                 F.col("model_quality") >= config.min_model_quality

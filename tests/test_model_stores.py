@@ -1,0 +1,193 @@
+"""r11: self-describing stores for the TRAINED MODEL artifacts —
+the classifier weights(+bias+drift baseline) and the BPE merge table.
+Every INDEX already rode its own provenance (recorded_centroids /
+recorded_codebooks / the LSH family); these close the gap the r10
+verdict named: model artifacts lived as Python lists threaded through
+configs, so a restarted scoring stream had to be handed the right
+weights AND the right baseline by hand, and nothing could refuse a
+mismatched pairing. Contract pinned here: parquet round-trip
+resolves everything configless; stripped provenance, mixed appends,
+and rows contradicting their own fingerprint all REFUSE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mydatasyncer_spark.operators.classify import (
+    model_fingerprint,
+    quality_model_frame,
+    quality_weight_values,
+    recorded_model,
+    score_documents,
+)
+from mydatasyncer_spark.operators.tokenizer import (
+    bpe_encode,
+    bpe_merges_frame,
+    bpe_pieces_per_word,
+    bpe_train,
+    merges_fingerprint,
+    recorded_merges,
+)
+
+
+class TestQualityModelStore:
+    def _store(self, spark, tmp_path, baseline=(0.25, 0.5, 0.25)):
+        w = quality_weight_values(16)
+        path = str(tmp_path / "model")
+        quality_model_frame(
+            spark, w, bias=-0.1, baseline=list(baseline)
+        ).write.mode("overwrite").parquet(path)
+        return w, path
+
+    def test_round_trip_resolves_weights_bias_baseline(
+        self, spark, tmp_path
+    ):
+        w, path = self._store(spark, tmp_path)
+        rw, rb, rbase = recorded_model(spark.read.parquet(path))
+        assert rw == w
+        assert rb == -0.1
+        assert rbase == [0.25, 0.5, 0.25]
+        # scoring under the resolved artifact is EXACTLY scoring
+        # under the originals
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma")],
+            "doc_id long, text string",
+        )
+        a = {
+            r["doc_id"]: r["model_quality"]
+            for r in score_documents(docs, w, -0.1).collect()
+        }
+        b = {
+            r["doc_id"]: r["model_quality"]
+            for r in score_documents(docs, rw, rb).collect()
+        }
+        assert a == b
+
+    def test_baseline_optional(self, spark, tmp_path):
+        w = quality_weight_values(8)
+        path = str(tmp_path / "nobase")
+        quality_model_frame(spark, w, bias=0.2).write.parquet(path)
+        rw, rb, rbase = recorded_model(spark.read.parquet(path))
+        assert (rw, rb, rbase) == (w, 0.2, None)
+
+    def test_stripped_provenance_refused(self, spark, tmp_path):
+        _, path = self._store(spark, tmp_path)
+        stripped = spark.read.parquet(path).select(
+            F.col("feature").alias("feature", metadata={}), "weight"
+        )
+        with pytest.raises(ValueError, match="records no provenance"):
+            recorded_model(stripped)
+
+    def test_tampered_rows_refused_by_fingerprint(
+        self, spark, tmp_path
+    ):
+        _, path = self._store(spark, tmp_path)
+        store = spark.read.parquet(path)
+        tampered = store.select(
+            "feature",
+            F.when(F.col("feature") == 3, F.col("weight") * 2)
+            .otherwise(F.col("weight"))
+            .alias("weight"),
+        )
+        with pytest.raises(ValueError, match="recorded fingerprint"):
+            recorded_model(tampered)
+
+    def test_mixed_append_refused(self, spark, tmp_path):
+        _, path = self._store(spark, tmp_path)
+        # a second training run appended into the same path: feature
+        # ids no longer form exactly 0..n-1
+        quality_model_frame(
+            spark, quality_weight_values(16, seed="other"), bias=0.0
+        ).write.mode("append").parquet(path)
+        with pytest.raises(ValueError, match="mixed appends"):
+            recorded_model(spark.read.parquet(path))
+
+    def test_not_a_store_refused(self, spark):
+        junk = spark.createDataFrame([(1, "x")], "a int, b string")
+        with pytest.raises(ValueError, match="not a quality-model"):
+            recorded_model(junk)
+
+
+class TestBpeMergeStore:
+    def _corpus(self, spark):
+        rows = [
+            (i, "lower lowest newer newest wider widest " * 3)
+            for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_round_trip_preserves_order_and_encoding(
+        self, spark, tmp_path
+    ):
+        corpus = self._corpus(spark)
+        merges = bpe_train(corpus, n_merges=30)
+        assert len(merges) > 5
+        base = bpe_pieces_per_word(corpus, merges)
+        path = str(tmp_path / "merges")
+        # scramble row order on write: rank, not file order, is the
+        # merge priority the reader must reconstruct
+        bpe_merges_frame(
+            spark, merges, baseline_pieces_per_word=base
+        ).repartition(8).write.parquet(path)
+        got, got_base = recorded_merges(spark.read.parquet(path))
+        assert got == [tuple(m) for m in merges]
+        assert got_base == pytest.approx(base)
+        # encoding under the resolved table is byte-identical
+        a = [
+            tuple(r["subwords"])
+            for r in bpe_encode(corpus, merges)
+            .orderBy("doc_id")
+            .collect()
+        ]
+        b = [
+            tuple(r["subwords"])
+            for r in bpe_encode(corpus, got)
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert a == b
+
+    def test_stripped_provenance_refused(self, spark, tmp_path):
+        merges = bpe_train(self._corpus(spark), n_merges=10)
+        path = str(tmp_path / "m")
+        bpe_merges_frame(spark, merges).write.parquet(path)
+        stripped = spark.read.parquet(path).select(
+            F.col("rank").alias("rank", metadata={}), "left", "right"
+        )
+        with pytest.raises(ValueError, match="records no fingerprint"):
+            recorded_merges(stripped)
+
+    def test_tampered_rows_refused_by_fingerprint(
+        self, spark, tmp_path
+    ):
+        merges = bpe_train(self._corpus(spark), n_merges=10)
+        path = str(tmp_path / "m")
+        bpe_merges_frame(spark, merges).write.parquet(path)
+        tampered = spark.read.parquet(path).select(
+            "rank",
+            F.when(F.col("rank") == 1, F.lit("zz"))
+            .otherwise(F.col("left"))
+            .alias("left"),
+            "right",
+        )
+        with pytest.raises(ValueError, match="recorded fingerprint"):
+            recorded_merges(tampered)
+
+    def test_mixed_append_refused(self, spark, tmp_path):
+        corpus = self._corpus(spark)
+        merges = bpe_train(corpus, n_merges=10)
+        path = str(tmp_path / "m")
+        bpe_merges_frame(spark, merges).write.parquet(path)
+        bpe_merges_frame(spark, merges[:4]).write.mode(
+            "append"
+        ).parquet(path)
+        with pytest.raises(ValueError, match="mixed appends"):
+            recorded_merges(spark.read.parquet(path))
+
+    def test_fingerprint_is_order_sensitive(self):
+        m = [("a", "b"), ("c", "d")]
+        assert merges_fingerprint(m) != merges_fingerprint(m[::-1])
+        assert model_fingerprint([1.0, 2.0], 0.0) != model_fingerprint(
+            [2.0, 1.0], 0.0
+        )

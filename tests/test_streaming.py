@@ -3539,6 +3539,163 @@ class TestContinuousCurationModelGate:
         assert set(got) == {100, 102}
 
 
+class TestContinuousCurationModelStore:
+    """r11: the stage-2 gate's weights resolve from a self-describing
+    quality_model_frame store — a scoring stream restarts CONFIGLESS
+    (no weights threaded by hand), follows a retrain's rewrite, and a
+    config/store weight mismatch REFUSES instead of gating under
+    whichever happened to win."""
+
+    def _setup(self, spark, tmp_path_factory):
+        import json as _json
+        import random
+
+        from mydatasyncer_spark.operators.classify import (
+            logreg_train,
+            quality_model_frame,
+            score_histogram,
+        )
+
+        rng = random.Random(5)
+        good = [f"keep{i}" for i in range(20)]
+        bad = [f"drop{i}" for i in range(20)]
+        train_rows, train_labels = [], []
+        for i in range(60):
+            y = i % 2
+            vocab = good if y else bad
+            train_rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(15)))
+            )
+            train_labels.append((i, y))
+        tdf = spark.createDataFrame(train_rows, "doc_id long, text string")
+        tlab = spark.createDataFrame(train_labels, "doc_id long, label int")
+        w, b, _ = logreg_train(tdf, tlab, n_features=64, n_iter=12, lr=2.0)
+        out = tmp_path_factory.mktemp("curms_out")
+        in_dir = tmp_path_factory.mktemp("curms_in")
+        model_path = str(out / "model")
+        quality_model_frame(
+            spark, w, bias=b, baseline=score_histogram(tdf, w, b)
+        ).write.mode("overwrite").parquet(model_path)
+        docs = [
+            (100, " ".join(rng.choice(good) for _ in range(12))),
+            (101, " ".join(rng.choice(bad) for _ in range(12))),
+            (102, " ".join(rng.choice(good) for _ in range(12))),
+            (103, " ".join(rng.choice(bad) for _ in range(12))),
+        ]
+        for name, chunk in (("b1", docs[:2]), ("b2", docs[2:])):
+            (in_dir / f"{name}.json").write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t})
+                    for i, t in chunk
+                )
+            )
+        return w, b, docs, in_dir, out, model_path
+
+    def _drain(self, spark, in_dir, out, ckpt, cfg, **kw):
+        from mydatasyncer_spark.streaming.continuous import (
+            continuous_curation,
+        )
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(in_dir))
+        q = continuous_curation(
+            stream,
+            str(out / "index"),
+            str(out / "survivors"),
+            str(out / "keys"),
+            config=cfg,
+            checkpoint_dir=str(out / ckpt),
+            **kw,
+        )
+        q.awaitTermination(120)
+
+    def test_configless_stream_equals_batch_and_mismatch_refuses(
+        self, spark, tmp_path_factory
+    ):
+        from mydatasyncer_spark.operators.classify import (
+            quality_weight_values,
+        )
+        from mydatasyncer_spark.operators.curation import (
+            CurationConfig,
+            curate,
+        )
+
+        w, b, docs, in_dir, out, model_path = self._setup(
+            spark, tmp_path_factory
+        )
+        # NO weights in the config — only the store path (batch 1,
+        # then a configless RESTART for batch 2: fresh writer, same
+        # checkpoint, still nothing threaded by hand)
+        cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            min_model_quality=0.5,
+        )
+        self._drain(
+            spark, in_dir, out, "ckpt", cfg,
+            model_store_path=model_path,
+        )
+        got = {
+            r["doc_id"]: (r["model_quality"], r["split"])
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        # equals the batch pipeline with the weights pinned explicitly
+        union = spark.createDataFrame(docs, "doc_id long, text string")
+        batch_cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            model_weights=tuple(w),
+            model_bias=b,
+            min_model_quality=0.5,
+        )
+        want = {
+            r["doc_id"]: (r["model_quality"], r["split"])
+            for r in curate(union, batch_cfg).collect()
+        }
+        assert got == want
+        assert set(got) == {100, 102}
+        # explicit weights that DON'T match the store: refused
+        import json as _json
+
+        (in_dir / "b3.json").write_text(
+            _json.dumps({"doc_id": 300, "text": "keep1 keep2 keep3"})
+        )
+        wrong_cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            model_weights=tuple(quality_weight_values(64)),
+            model_bias=0.0,
+            min_model_quality=0.5,
+        )
+        with pytest.raises(Exception, match="do not match the model store"):
+            self._drain(
+                spark, in_dir, out, "ckpt_wrong", wrong_cfg,
+                model_store_path=model_path,
+            )
+        # matching explicit weights: allowed (belt and suspenders)
+        ok_cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            model_weights=tuple(w),
+            model_bias=b,
+            min_model_quality=0.5,
+        )
+        self._drain(
+            spark, in_dir, out, "ckpt", ok_cfg,
+            model_store_path=model_path,
+        )
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        assert 300 in ids
+
+
 class TestContinuousPqIdBucketLayout:
     """r10: the PQ stream honors the delta-proportional-guard-reads
     contract like every other stream — n_id_buckets seeds the nested
