@@ -43,6 +43,77 @@ class TestTrain:
         m2 = bpe_train(docs, n_merges=50)
         assert m1 == m2 and len(m1) == 50
 
+    def test_incremental_pair_counts_match_naive_recount(
+        self, spark, sf_dir
+    ):
+        """r11: bpe_train maintains pair counts incrementally (only
+        words containing the merged pair are re-segmented, heap
+        argmax). The merge table must be byte-identical to the
+        published full-recount formulation — pinned here against a
+        straight reimplementation of the naive algorithm over the
+        same word-frequency table."""
+
+        def naive_train(word_counts, n_merges):
+            vocab = dict(word_counts)
+            merges = []
+            for _ in range(n_merges):
+                pair_counts = {}
+                for word, cnt in vocab.items():
+                    for a, b in zip(word, word[1:]):
+                        pair_counts[(a, b)] = (
+                            pair_counts.get((a, b), 0) + cnt
+                        )
+                if not pair_counts:
+                    break
+                best = min(
+                    pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                if pair_counts[best] < 2:
+                    break
+                merged = best[0] + best[1]
+                new_vocab = {}
+                for word, cnt in vocab.items():
+                    out, i = [], 0
+                    while i < len(word):
+                        if (
+                            i + 1 < len(word)
+                            and word[i] == best[0]
+                            and word[i + 1] == best[1]
+                        ):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(word[i])
+                            i += 1
+                    new_vocab[tuple(out)] = (
+                        new_vocab.get(tuple(out), 0) + cnt
+                    )
+                vocab = new_vocab
+                merges.append(best)
+            return merges
+
+        from mydatasyncer_spark.operators.text import tokens
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
+            150
+        )
+        wc = {
+            (*r["_w"], WORD_END): int(r["_c"])
+            for r in docs.select(
+                F.explode(tokens(F.col("text"))).alias("_w")
+            )
+            .groupBy("_w")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        }
+        got = bpe_train(docs, n_merges=120)
+        want = naive_train(wc, 120)
+        # the 150-doc corpus exhausts its pair space before 120
+        # merges — the two formulations must agree on the merges AND
+        # on where training stops
+        assert got == want
+        assert len(got) > 50
+
     def test_max_words_caps_driver_state(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(
             100
