@@ -191,3 +191,69 @@ class TestBpeMergeStore:
         assert model_fingerprint([1.0, 2.0], 0.0) != model_fingerprint(
             [2.0, 1.0], 0.0
         )
+
+
+class TestStoreReaderProperties:
+    """Hypothesis: round-trip identity over arbitrary artifacts —
+    weights including extremes/duplicated values, merge tables with
+    repeated symbols — and fingerprint sensitivity to any single
+    perturbation."""
+
+    def test_model_round_trip_arbitrary_weights(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            w=st.lists(
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=1,
+                max_size=64,
+            ),
+            b=st.floats(
+                min_value=-10, max_value=10, allow_nan=False
+            ),
+        )
+        def check(w, b):
+            frame = quality_model_frame(spark, w, bias=b)
+            rw, rb, rbase = recorded_model(frame)
+            assert rw == [float(x) for x in w]
+            assert rb == float(b)
+            assert rbase is None
+
+        check()
+
+    def test_merges_round_trip_arbitrary_tables(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        sym = st.text(
+            alphabet="ab</w>", min_size=1, max_size=6
+        )
+
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            merges=st.lists(
+                st.tuples(sym, sym), min_size=1, max_size=40
+            )
+        )
+        def check(merges):
+            frame = bpe_merges_frame(spark, merges)
+            got, base = recorded_merges(frame)
+            assert got == merges
+            assert base is None
+
+        check()

@@ -10,99 +10,97 @@ machine-checked instead."""
 
 from __future__ import annotations
 
+import re
+from pathlib import Path
+
 import __spark_entry__ as entry_mod
 
 GATE_CAP = 50
 
-# the r10 window boundary, pinned by name: position 50 (last inside
+# the r11 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
-# consciously — whenever the rotation changes. (ann_lsh_topk_indexed
-# entered the window as NEW late in r10, displacing the alphabetical
-# filler dedup_exact_best_quality; the two IVF-PQ queries then
-# displaced ann_ivf_topk and ann_lsh_topk — all last green r8,
-# absorbed with their cohort in the r11 rotation.)
-LAST_IN_WINDOW = "zorder_orders_key"
-FIRST_PAST_CAP = "ann_cosine_topk"
+# consciously — whenever the rotation changes.
+LAST_IN_WINDOW = "window_topk_customers"
+FIRST_PAST_CAP = "quality_model_score"
 
-# everything added or implementation-touched in r10 MUST sit inside
+# everything added or implementation-touched in r11 MUST sit inside
 # the gate window (rotation policy rule 1-2)
-R10_TOUCHED = [
-    # new in r10: the IVF-PQ compressed ANN pair (brute-ADC algebra
-    # gate + the three-stage refined probe), the SemDeDup probe-2
-    # recall knob, and the self-describing LSH store path (same
-    # oracle as ann_lsh_topk — results identical by construction,
-    # the PLAN is what differs)
+R11_TOUCHED = [
+    # new in r11: the model-ON curation twin (proves the stage-2
+    # composition the pinned r10 exception deferred) and the
+    # self-describing weights-store scoring path (oracle legitimately
+    # shared with quality_model_score — results identical by
+    # construction, the resolve MECHANISM is what differs)
+    "curation_pipeline_scored",
+    "quality_model_score_stored",
+    # rule-2 priority carried over from r10 (the pinned exception:
+    # curate() gained the inert stage-2 gate there; the scored twin
+    # now proves the branch ON, this entry proves it still-inert-off)
+    "curation_pipeline",
+    # implementation touched in r11: pq_codes/_pq_lut gained the
+    # row-level vector-length guard and pq_encode/pq_index/
+    # _resolve_codebooks the driver-side dim check — both PQ gate
+    # queries run through those expressions
     "ann_pq_topk",
     "ann_pq_refined",
-    "quality_model_score",
-    "dedup_semantic_p2",
-    "ann_lsh_topk_indexed",
-    # implementation touched in r10: semantic_dedup_pairs grew the
-    # n_probe branch; containment_join's corpus_inv path gained the
-    # static touched-bucket prune and the positive full-explosion
-    # marker guard (all three containment queries share the function)
-    "dedup_semantic",
-    "dedup_containment_inv",
-    "dedup_containment_join",
-    "dedup_containment_probe",
 ]
 
-# PINNED EXCEPTION (r10): curate() gained the inert stage-2 model
-# gate, which makes curation_pipeline implementation-touched — but
-# the window is exactly full with rule-1/2/3 entries (5 new + 4
-# touched + the 41-query stale cohort). Resolution, documented
-# rather than silent: its r9 proof is the FRESHEST cohort, the
-# touched branch is pinned inert at the gate default
-# (test_curation.test_model_off_by_default_is_unchanged), the local
-# sf0.01 oracle parity re-ran green on the touched code this round,
-# and it enters the r11 window with rule-2 priority (list below).
-R11_PRIORITY = ["curation_pipeline"]
-
-# the entire last-green-r7 cohort rotates in this round (VERDICT r9
-# item #1: no proof may grow older than two rounds)
-R7_STALE_COHORT = [
-    "cap_docs_per_lang_scalable",
-    "column_projection_sync",
-    "cube_orders_profile",
-    "curriculum_quality_tiers",
-    "curriculum_tiers_scalable",
-    "diff_full_localized",
-    "diff_pruned_counts",
-    "diff_pruned_localized",
-    "histogram_doc_lengths",
-    "incremental_rollup",
-    "incremental_rollup_minmax",
-    "ivm_join_view_left",
-    "ivm_join_view_orders",
-    "mix_resample_docs",
-    "multimodal_features",
-    "multimodal_frames",
-    "mutual_info_orders",
-    "pack_sequences_docs",
-    "pk_validation_histogram",
-    "q10_returned_items",
-    "q11_part_value_concentration",
-    "q12_shipping_delay",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_heavy_promo_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "repetition_ngrams",
-    "scalar_datetime_pack",
-    "skew_report_lineitem",
-    "stratified_sample_docs",
-    "table_profile",
-    "unpivot_part_measures",
-    "weighted_sample_docs",
-    "zorder_orders_key",
+# the entire last-green-r8 cohort rotates in this round (VERDICT r10
+# item #1: no proof may grow older than two rounds) — 45 queries,
+# alphabetical so the cut is auditable
+R8_STALE_COHORT = [
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_exact_best_quality",
+    "dedup_simhash",
+    "diff_delete",
+    "diff_insert",
+    "diff_plan_counts",
+    "diff_update",
+    "distinct_agg_segments",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_rolling_hash",
+    "duplicate_key_detection",
+    "grouping_sets_parts",
+    "intersect_repeat_buyers",
+    "multimodal_meta",
+    "percentiles_by_segment",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "quantile_rollup_values",
+    "rollup_revenue",
+    "running_total_events",
+    "scd2_asof_join_lineitem",
+    "scd2_asof_join_ts",
+    "scd2_asof_state",
+    "scd2_keep_policy",
+    "scd2_orders_history",
+    "session_window_native",
+    "set_ops_except",
+    "sketch_error_bounds",
+    "sketch_rollup_cube",
+    "sketch_rollup_users",
+    "sliding_windows_events",
+    "theta_audience_overlap",
+    "top_ngrams_per_lang",
+    "unigram_perplexity_docs",
+    "unigram_perplexity_oov",
+    "window_topk_customers",
 ]
+
+# r12's rotation debt, recorded now so the next round's window is
+# planned against it: the 46-query last-green-r9 cohort (their proofs
+# turn three rounds old if r12 doesn't rotate them in). First names,
+# full list = the "last-green r9" block in queries().
+R12_DEBT_HEAD = ["dedup_minhash_incr", "dedup_jaccard_incremental"]
 
 
 def test_every_query_has_an_oracle_and_vice_versa():
@@ -123,15 +121,31 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 
 def test_round_touched_queries_sit_inside_the_gate_window():
+    """Also retires the r10 R11_PRIORITY exception the documented
+    way: curation_pipeline is now IN the window (rule 2), checked
+    here rather than via the standalone exception pin."""
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R10_TOUCHED if n not in window]
+    missing = [n for n in R11_TOUCHED if n not in window]
     assert not missing, missing
 
 
 def test_stale_cohort_rotated_into_the_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R7_STALE_COHORT if n not in window]
+    missing = [n for n in R8_STALE_COHORT if n not in window]
     assert not missing, missing
+    # the window is EXACTLY rule-1/2 entries + the stale cohort —
+    # no silent filler displacing a debt entry
+    assert window == set(R11_TOUCHED) | set(R8_STALE_COHORT)
+    assert len(R11_TOUCHED) + len(R8_STALE_COHORT) == GATE_CAP
+
+
+def test_r12_debt_is_first_past_the_r10_block():
+    """The r9-green cohort heads r12's rotation; pin that its block
+    ordering survived the r11 reshuffle."""
+    names = list(entry_mod.queries())
+    for n in R12_DEBT_HEAD:
+        assert n in names, n
+        assert n not in names[:GATE_CAP], n
 
 
 def test_registry_values_are_named_callables():
@@ -140,18 +154,15 @@ def test_registry_values_are_named_callables():
         assert fn.__name__ == name, (name, fn.__name__)
 
 
-def test_r11_priority_exception_is_real():
-    """The pinned window exception must stay TRUE, not rot like the
-    r5 hand-counted comment: every R11_PRIORITY query exists, and
-    each one is currently OUTSIDE the gate window (if someone
-    rotates it in early, this pin — and the exception note — must
-    be updated consciously; when the r11 rotation lands, this test
-    flips into the touched-queries window check)."""
-    names = list(entry_mod.queries())
-    window = set(names[:GATE_CAP])
-    for q in R11_PRIORITY:
-        assert q in names, q
-        assert q not in window, (
-            f"{q} entered the window — retire the R11_PRIORITY "
-            "exception note and this pin together"
-        )
+def test_readme_query_count_matches_registry():
+    """Counts in prose rot (the r10 verdict caught '133 named
+    queries' two rounds stale) — pin every README occurrence of the
+    registry count to the live registry instead."""
+    readme = (
+        Path(__file__).resolve().parent.parent / "README.md"
+    ).read_text()
+    counts = re.findall(r"(\d+) named queries|all (\d+) —", readme)
+    found = [int(a or b) for a, b in counts]
+    assert found, "README no longer states the query count"
+    n = len(entry_mod.queries())
+    assert all(c == n for c in found), (found, n)

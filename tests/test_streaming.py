@@ -3695,6 +3695,58 @@ class TestContinuousCurationModelStore:
         }
         assert 300 in ids
 
+    def test_stream_follows_retrain_rewrite_mid_stream(
+        self, spark, tmp_path_factory
+    ):
+        """The docstring's claim, pinned: weights resolve from the
+        store EVERY batch, so a retrain's overwrite is picked up by
+        the next batch without restarting the stream config."""
+        import json as _json
+
+        from mydatasyncer_spark.operators.classify import (
+            quality_model_frame,
+        )
+        from mydatasyncer_spark.operators.curation import CurationConfig
+
+        in_dir = tmp_path_factory.mktemp("currt_in")
+        out = tmp_path_factory.mktemp("currt_out")
+        model_path = str(out / "model")
+        # v1: a huge positive bias — everything clears the gate
+        quality_model_frame(spark, [0.0] * 8, bias=5.0).write.mode(
+            "overwrite"
+        ).parquet(model_path)
+        cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            min_model_quality=0.5,
+        )
+        (in_dir / "b1.json").write_text(
+            _json.dumps({"doc_id": 1, "text": "alpha beta gamma delta"})
+        )
+        self._drain(
+            spark, in_dir, out, "ckpt", cfg,
+            model_store_path=model_path,
+        )
+        assert spark.read.parquet(str(out / "survivors")).count() == 1
+        # retrain: overwrite with a huge NEGATIVE bias — the gate now
+        # drops everything; the standing stream must follow
+        quality_model_frame(spark, [0.0] * 8, bias=-5.0).write.mode(
+            "overwrite"
+        ).parquet(model_path)
+        (in_dir / "b2.json").write_text(
+            _json.dumps({"doc_id": 2, "text": "epsilon zeta eta theta"})
+        )
+        self._drain(
+            spark, in_dir, out, "ckpt", cfg,
+            model_store_path=model_path,
+        )
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "survivors")).collect()
+        }
+        assert ids == {1}  # doc 2 gated under the retrained model
+
 
 class TestContinuousPqIdBucketLayout:
     """r10: the PQ stream honors the delta-proportional-guard-reads
