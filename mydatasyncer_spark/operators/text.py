@@ -593,10 +593,70 @@ def unigram_baseline(
     }
 
 
+#: metadata key carrying the training-time baseline on a persisted
+#: logprob table (the quality_model_frame convention on the LM axis)
+_UNI_BASE_KEY = "unigram_baseline_json"
+
+
+def unigram_model_frame(model, baseline: dict):
+    """A persisted-ready logprob table with its drift BASELINE riding
+    ``tok``-column metadata into the parquet footer — so the
+    model/baseline pairing can never be mismatched by hand-threading
+    (the :func:`~mydatasyncer_spark.operators.classify.
+    quality_model_frame` convention on the LM axis). Honesty note on
+    the trust model: unlike the driver-sized weights/merge stores,
+    an open-vocabulary logprob table can run to billions of rows, so
+    NO content fingerprint is recorded (recomputing one per read
+    would be a corpus scan) — the baseline rides the same frame for
+    pairing, row integrity is the storage layer's job, the same
+    trust model as the signature index itself."""
+    import json
+
+    return model.select(
+        F.col("tok").alias(
+            "tok",
+            metadata={
+                _UNI_BASE_KEY: json.dumps(
+                    {
+                        "lo": float(baseline["lo"]),
+                        "hi": float(baseline["hi"]),
+                        "hist": [float(x) for x in baseline["hist"]],
+                        "oov_fraction": float(baseline["oov_fraction"]),
+                        "docs": int(baseline["docs"]),
+                    }
+                )
+            },
+        ),
+        "logp",
+    )
+
+
+def recorded_unigram_baseline(model) -> dict:
+    """Resolve the training-time baseline a :func:`unigram_model_frame`
+    store records — resolve-and-refuse: a table recording none raises
+    (drift against a hand-guessed baseline reports nonsense, the
+    hazard the self-describing stores exist to close)."""
+    import json
+
+    if "tok" not in model.columns:
+        raise ValueError(
+            "recorded_unigram_baseline: not a logprob table — "
+            "expected a 'tok' column"
+        )
+    raw = model.schema["tok"].metadata.get(_UNI_BASE_KEY)
+    if raw is None:
+        raise ValueError(
+            "recorded_unigram_baseline: the table records no "
+            "baseline — rewrite it with unigram_model_frame(model, "
+            "unigram_baseline(...)) or pass baseline= explicitly"
+        )
+    return json.loads(raw)
+
+
 def unigram_drift_report(
     df,
     model,
-    baseline: dict,
+    baseline: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
@@ -624,9 +684,14 @@ def unigram_drift_report(
     sustained or ``oov_shift`` rises by more than a few points; after
     retraining on current data the report returns to ~0 — the
     fixpoint the tests pin. Refuses a frame with no scorable
-    documents (the family's empty-input convention)."""
+    documents (the family's empty-input convention). ``baseline``
+    left ``None`` resolves from the model frame's own recorded
+    baseline (:func:`unigram_model_frame`) and refuses a table
+    recording none."""
     import math
 
+    if baseline is None:
+        baseline = recorded_unigram_baseline(model)
     n_bins = len(baseline["hist"])
     if n_bins < 2:
         raise ValueError(

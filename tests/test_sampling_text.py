@@ -986,3 +986,36 @@ class TestUnigramDrift:
                 corpus, model, {"lo": 0.0, "hi": 1.0, "hist": [1.0],
                                 "oov_fraction": 0.0}
             )
+
+    def test_baseline_rides_persisted_model_frame(self, spark, tmp_path):
+        """r11 symmetry with the weights/merge stores: the baseline
+        rides the logprob table's own footer, so the report resolves
+        it configless after a parquet round-trip — and a table
+        recording none refuses instead of accepting a hand-guessed
+        baseline."""
+        import pytest
+
+        from mydatasyncer_spark.operators.text import (
+            recorded_unigram_baseline,
+            unigram_baseline,
+            unigram_drift_report,
+            unigram_logprob_table,
+            unigram_model_frame,
+        )
+
+        corpus = self._docs(spark, [f"w{i}" for i in range(20)], 40)
+        model = unigram_logprob_table(corpus).localCheckpoint(eager=True)
+        base = unigram_baseline(corpus, model)
+        path = str(tmp_path / "lm")
+        unigram_model_frame(model, base).write.parquet(path)
+        stored = spark.read.parquet(path)
+        assert recorded_unigram_baseline(stored) == pytest.approx(base)
+        # configless report == explicit-baseline report
+        probe = self._docs(spark, [f"w{i}" for i in range(20)], 25, id0=900)
+        a = unigram_drift_report(probe, stored)
+        b = unigram_drift_report(probe, stored, base)
+        assert a == b
+        # a table recording no baseline refuses the configless path
+        plain = unigram_logprob_table(corpus)
+        with pytest.raises(ValueError, match="records no"):
+            unigram_drift_report(probe, plain)
