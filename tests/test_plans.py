@@ -770,3 +770,25 @@ def test_quality_model_score_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "quality_model_score")
     assert "Exchange" not in plan
     assert "model_quality" in plan
+
+
+def test_scored_curation_adds_zero_shuffles(spark, sf_dir):
+    """r11 model-ON curation twin: the stage-2 model gate is a narrow
+    filter (CurationConfig's docstring claim), so the scored pipeline
+    must plan NO MORE Exchanges than the unscored one — turning the
+    trained gate on costs scan-side work only. (Strictly fewer is
+    possible and fine: the gate shrinks the surviving corpus, which
+    can flip a downstream join to broadcast.)"""
+    base = plan_of(spark, sf_dir, "curation_pipeline")
+    scored = plan_of(spark, sf_dir, "curation_pipeline_scored")
+    assert scored.count("Exchange") <= base.count("Exchange")
+    assert "model_quality" in scored
+
+
+def test_stored_weights_scoring_is_shuffle_free(spark, sf_dir):
+    """The store-resolved scoring path keeps the no-Exchange plan —
+    resolving weights from the footer happens at plan time, not as a
+    join against the store frame."""
+    plan = plan_of(spark, sf_dir, "quality_model_score_stored")
+    assert "Exchange" not in plan
+    assert "model_quality" in plan
