@@ -2574,7 +2574,19 @@ def ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals), code argmin, the qc term, and the subspace-ordered
     summation — exact by construction. The residual flag rides the
     store's own metadata, so the estimator can never be mismatched
-    (refusal matrix in tests)."""
+    (refusal matrix in tests).
+
+    Bench-shape note (the jaccard-gate-pair discipline): the gate
+    builds the encoding INLINE, so the measured plan merges encode +
+    probe, and the literal surface doubles vs ann_pq_refined
+    (codebooks in codes AND LUT, centroids in assignment AND
+    residual AND qc) — most of its ~8s at sf0.1 is driver-side
+    analysis/codegen of those literals, CONSTANT in corpus size.
+    The deployment shape was measured separately: over a PERSISTED
+    pq_index the residual probe runs 2.35s vs the raw store's 3.00s
+    at sf0.1 (the store streams identical bytes; the extra qc dot is
+    query-side only), and the encode pass itself executes in ~0.2s
+    either way."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding")
     )
