@@ -4475,3 +4475,48 @@ class TestResidualPq:
         # post-rebuild drift fixpoint under the retrained books
         rep2 = pq_drift_report(spark, path, corpus, self.DIM, n_iter=3)
         assert rep2["mse_ratio"] < 1.15
+
+    def test_refine_recovers_exactness_on_residual_store(self, spark):
+        """The refine invariant holds regardless of construction:
+        with R covering the probed-bucket population, the re-rank
+        reads TRUE vectors, so a residual store's refined top-k is
+        exactly ivf_topk's — encoding error cannot leak through."""
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_topk,
+            pq_index,
+            pq_topk_indexed,
+        )
+
+        corpus, centers = self._clustered(spark, noise=0.8)
+        queries = corpus.filter("vec_id % 10 = 3")
+        idx = pq_index(
+            corpus,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            centroids=centers,
+            residual=True,
+        )
+        got = sorted(
+            map(
+                tuple,
+                pq_topk_indexed(
+                    queries,
+                    idx,
+                    self.DIM,
+                    k=3,
+                    centroids=centers,
+                    refine=10**6,
+                    corpus=corpus,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    queries, corpus, self.DIM, k=3, centroids=centers
+                ).collect(),
+            )
+        )
+        assert got == want
