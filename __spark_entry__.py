@@ -1970,33 +1970,16 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_model_sql(n_features: int = 64, bias: float = -0.1) -> str:
     """DuckDB twin of quality_model_score: same weight literals,
-    same hash-bucket feature ids, same sequential fold."""
-    from mydatasyncer_spark.functions.hashing import hash48_sql
-    from mydatasyncer_spark.operators.classify import (
-        quality_weight_values,
-    )
-
-    w = ", ".join(repr(float(x)) for x in quality_weight_values(n_features))
-    fid = hash48_sql("t")
+    same hash-bucket feature ids, same sequential fold — the fold
+    expression itself is _model_q_sql, shared with the scored
+    curation oracle so the two can never drift apart."""
     return f"""
         WITH toks AS (
             SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
-        ),
-        m AS (
-            SELECT doc_id,
-                   CASE WHEN len(tk) = 0 THEN CAST({bias!r} AS DOUBLE)
-                        ELSE list_reduce(
-                                 list_transform(tk, t ->
-                                     list_extract(CAST([{w}] AS DOUBLE[]),
-                                         CAST(({fid} % {n_features}) + 1 AS BIGINT))),
-                                 (a, b) -> a + b) / len(tk)
-                             + CAST({bias!r} AS DOUBLE)
-                   END AS margin
-            FROM toks
         )
         SELECT doc_id,
-               round(1.0 / (1.0 + exp(-margin)), 6) AS model_quality
-        FROM m
+               {_model_q_sql("tk", n_features, bias)} AS model_quality
+        FROM toks
     """
 
 
