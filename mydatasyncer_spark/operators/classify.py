@@ -412,6 +412,31 @@ def score_histogram(
     return hist
 
 
+def model_drift_report(
+    df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+) -> dict:
+    """:func:`score_drift_report` resolved entirely from a
+    :func:`quality_model_frame` store — weights, bias, AND the
+    training-time baseline come from the store's own footer (the
+    configless-drift path; a store persisted without a baseline
+    REFUSES rather than accepting a hand-guessed one — drift against
+    someone else's baseline reports nonsense PSI, the hazard the
+    store exists to close)."""
+    weights, bias, baseline = recorded_model(store)
+    if baseline is None:
+        raise ValueError(
+            "model_drift_report: the store records no baseline "
+            "histogram — persist one (quality_model_frame(...,"
+            "baseline=score_histogram(train_df, w, b))) or call "
+            "score_drift_report with an explicit baseline"
+        )
+    return score_drift_report(
+        df, weights, baseline, bias=bias, text_col=text_col
+    )
+
+
 def score_drift_report(
     df: DataFrame,
     weights: list[float],

@@ -394,6 +394,28 @@ def bpe_drift_report(
     }
 
 
+def bpe_drift_from_store(
+    df: DataFrame,
+    store,
+    text_col: str = "text",
+) -> dict:
+    """:func:`bpe_drift_report` resolved entirely from a
+    :func:`bpe_merges_frame` store — merges AND the training-time
+    pieces-per-word baseline come from the store's own footer (the
+    configless-drift path); a store persisted without a baseline
+    REFUSES rather than accepting a hand-guessed one."""
+    merges, baseline = recorded_merges(store)
+    if baseline is None:
+        raise ValueError(
+            "bpe_drift_from_store: the store records no "
+            "pieces-per-word baseline — persist one "
+            "(bpe_merges_frame(..., baseline_pieces_per_word="
+            "bpe_pieces_per_word(train_df, merges))) or call "
+            "bpe_drift_report with an explicit baseline"
+        )
+    return bpe_drift_report(df, merges, baseline, text_col)
+
+
 def bpe_pieces_per_word(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -257,3 +257,65 @@ class TestStoreReaderProperties:
             assert base is None
 
         check()
+
+
+class TestConfiglessDrift:
+    """r11: drift monitoring resolved entirely from the stores — the
+    configless path, and the refusal when a store was persisted
+    without its baseline."""
+
+    def test_model_drift_from_store_matches_explicit(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.classify import (
+            model_drift_report,
+            score_drift_report,
+            score_histogram,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 9} tok{(i * 3) % 9} filler") for i in range(40)],
+            "doc_id long, text string",
+        )
+        w = quality_weight_values(16)
+        base = score_histogram(docs, w, -0.1)
+        path = str(tmp_path / "m")
+        quality_model_frame(spark, w, bias=-0.1, baseline=base).write.parquet(
+            path
+        )
+        store = spark.read.parquet(path)
+        a = model_drift_report(docs, store)
+        b = score_drift_report(docs, w, base, bias=-0.1)
+        assert a == b
+        assert a["psi"] < 0.01  # own corpus: fixpoint
+        # baseline-less store refuses
+        nobase = str(tmp_path / "nb")
+        quality_model_frame(spark, w, bias=-0.1).write.parquet(nobase)
+        with pytest.raises(ValueError, match="records no baseline"):
+            model_drift_report(docs, spark.read.parquet(nobase))
+
+    def test_bpe_drift_from_store_matches_explicit(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.tokenizer import (
+            bpe_drift_from_store,
+            bpe_drift_report,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "lower lowest newer newest " * 3) for i in range(8)],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(corpus, n_merges=15)
+        base = bpe_pieces_per_word(corpus, merges)
+        path = str(tmp_path / "m")
+        bpe_merges_frame(spark, merges, base).write.parquet(path)
+        store = spark.read.parquet(path)
+        a = bpe_drift_from_store(corpus, store)
+        b = bpe_drift_report(corpus, merges, base)
+        assert a == b
+        assert abs(a["compression_ratio"] - 1.0) < 1e-9
+        nobase = str(tmp_path / "nb")
+        bpe_merges_frame(spark, merges).write.parquet(nobase)
+        with pytest.raises(ValueError, match="records no"):
+            bpe_drift_from_store(corpus, spark.read.parquet(nobase))
