@@ -3876,7 +3876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy_profile": column_entropy_profile,
         "contamination_check": contamination_check,
         "corpus_shuffle_epoch": corpus_shuffle_epoch,
-        "curation_pipeline": curation_pipeline,
+        # (curation_pipeline sits in the gate window — rule-2; it is
+        # NOT part of this r9 block despite being last green there)
         "dedup_cluster_assign": dedup_cluster_assign,
         "dedup_edit_distance": dedup_edit_distance,
         "dedup_exact": dedup_exact,

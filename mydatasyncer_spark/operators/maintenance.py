@@ -820,6 +820,7 @@ def pq_drift_report(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     books: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> dict:
     """The :func:`pq_rebuild` DECISION signal — the PQ member of the
     decision-signal family (``jaccard_drift_report`` -> refreeze,
@@ -857,6 +858,7 @@ def pq_drift_report(
     pq_adc_topk` contract — a wrong set is refused by fingerprint)."""
 
     from mydatasyncer_spark.operators.similarity import (
+        _check_ivf_provenance,
         _resolve_codebooks,
         ivf_residuals,
         pq_quantization_error,
@@ -882,15 +884,21 @@ def pq_drift_report(
     if recorded_pq_residual(store):
         # an IVFADC store quantizes residuals, so reconstruction
         # error is only meaningful over residuals under the store's
-        # OWN coarse quantizer
-        cens = recorded_centroids(store)
+        # OWN coarse quantizer. centroids= is the over-budget escape
+        # hatch (k×dim past the footer budget records only the
+        # fingerprint, and NO rebuild can change that — the books=
+        # situation, on the coarse axis); a wrong explicit set is
+        # refused via the recorded fingerprint.
+        cens = centroids or recorded_centroids(store)
         if cens is None:
             raise ValueError(
                 "pq_drift_report: the residual store records no "
-                "centroid values — residuals under a guessed coarse "
-                "quantizer measure nothing; rebuild via ivf_rebuild "
-                "(a rebuilt index records its centroids)"
+                "centroid values and none were passed — residuals "
+                "under a guessed coarse quantizer measure nothing; "
+                "pass centroids= (the set the store was bucketed "
+                "under — the recorded fingerprint guards it)"
             )
+        _check_ivf_provenance(store, cens, "pq_drift_report")
         vecs = ivf_residuals(vecs, cens)
     train = (
         vecs.sample(fraction=float(train_fraction), seed=seed)

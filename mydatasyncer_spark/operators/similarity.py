@@ -1383,7 +1383,21 @@ def pq_adc_topk(
     ADC-dot / (qn * stored cn): the cosine against the candidate's
     RECONSTRUCTION, normalized by its TRUE norm — the standard
     IVFADC estimator; recall bounds live in the tests, exactness
-    comes from :func:`pq_topk_indexed`'s refine path."""
+    comes from :func:`pq_topk_indexed`'s refine path.
+
+    A RESIDUAL store is refused: its codes quantize
+    ``vec − centroid[bucket]``, so the flat estimator would shift
+    every candidate's score by a missing per-bucket centroid term —
+    incomparable across buckets, silently mis-ranked. Probe residual
+    stores with :func:`pq_topk_indexed` (which applies the term)."""
+    if recorded_pq_residual(encoded):
+        raise ValueError(
+            "pq_adc_topk: the store's codes quantize residuals "
+            "(IVFADC) — the flat ADC estimator is missing the "
+            "per-bucket centroid term and would silently mis-rank "
+            "across buckets; probe with pq_topk_indexed, or "
+            "re-encode raw via pq_encode"
+        )
     books = _resolve_codebooks(encoded, dim, m, ksub, books, "pq_adc_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1432,12 +1446,17 @@ def ivf_residuals(
     vec − centroid[bucket], the vectors residual codebooks train on
     (:func:`pq_train` over this frame, then
     ``pq_index(residual=True, books=...)``). Pure broadcast-literal
-    array math, batch-narrow like :func:`ivf_buckets` itself."""
+    array math, batch-narrow like :func:`ivf_buckets` itself. The
+    raw vector is length-guarded here too: zip_with null-pads a
+    short vector to the centroid's length, which would slip PAST the
+    downstream codes-side size check and quantize nulls (silently
+    wrong training AND silently wrong drift MSE)."""
+    dim = len(centroids[0])
     b = ivf_buckets(F.col(vec_col), centroids, 1)[0]
     return corpus.select(
         F.col(id_col),
         F.zip_with(
-            F.col(vec_col),
+            _pq_sized_vec(F.col(vec_col), dim, "ivf_residuals"),
             F.element_at(_cens_lits(centroids), b),
             lambda a, c: a - c,
         ).alias(vec_col),

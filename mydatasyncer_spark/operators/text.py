@@ -492,42 +492,51 @@ def _model_has_oov(model) -> bool:
 
 def _oov_token_fraction(df, model, text_col: str) -> tuple[float, int]:
     """(fraction of token occurrences outside the frozen vocabulary,
-    total tokens) — one explode + one equi join + one aggregate. For
+    total tokens) — one explode + ONE left join + one aggregate
+    (total and OOV counted together; the vocab side is de-duplicated
+    defensively so a malformed model cannot fan the join out). For
     an open-vocabulary model (no OOV bucket) "outside" means absent
     from the table; for a cut model the NULL-bucket row never
     equi-joins, so the same left join measures mass falling into the
     bucket."""
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
-    vocab = model.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    vocab = (
+        model.filter(F.col("tok").isNotNull())
+        .select("tok")
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
     row = (
-        toks.join(vocab, "tok", "left_anti")
-        .agg(F.count(F.lit(1)).alias("_oov"))
-        .crossJoin(
-            F.broadcast(toks.agg(F.count(F.lit(1)).alias("_n")))
+        toks.join(vocab, "tok", "left")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(F.col("_in").isNull(), 1).otherwise(0)
+            ).alias("_oov"),
         )
         .first()
     )
     n = int(row["_n"])
-    return (int(row["_oov"]) / n if n else 0.0, n)
+    return (int(row["_oov"] or 0) / n if n else 0.0, n)
 
 
-def _log_ppl_histogram(
-    df,
-    model,
-    lo: float,
-    hi: float,
-    n_bins: int,
-    text_col: str,
-    id_col: str,
-    oov: bool,
-) -> tuple[list[float], int]:
-    """Per-document ln(perplexity) binned into ``n_bins`` equal-width
-    bins over [lo, hi] (outliers clamp into the end bins, so a
-    drifted corpus piles mass there instead of vanishing). Returns
-    (fractions, n_docs)."""
-    ppl = unigram_perplexity(
+def _ppl_frame(df, model, text_col: str, id_col: str, oov: bool):
+    """The per-document perplexity frame, materialized ONCE
+    (localCheckpoint) so edges, histogram, and doc count are tiny
+    aggregates over doc-level rows instead of repeated corpus
+    scoring passes."""
+    return unigram_perplexity(
         df, text_col=text_col, id_col=id_col, model=model, oov=oov
-    )
+    ).localCheckpoint(eager=True)
+
+
+def _hist_from_ppl(
+    ppl, lo: float, hi: float, n_bins: int
+) -> tuple[list[float], int]:
+    """ln(perplexity) binned into ``n_bins`` equal-width bins over
+    [lo, hi] (outliers clamp into the end bins, so a drifted corpus
+    piles mass there instead of vanishing). Returns
+    (fractions, n_docs)."""
     width = (hi - lo) / n_bins if hi > lo else 1.0
     b = F.least(
         F.greatest(
@@ -564,12 +573,15 @@ def unigram_baseline(
     model — bin edges (min/max) plus per-bin fractions — and the
     corpus's OOV token-mass fraction under the frozen vocabulary
     (≈ 0 for an open-vocabulary model scoring its own corpus; the
-    cut-mass fraction for a ``min_count > 1`` model). Two bounded
-    aggregate passes; ``n_bins + 4`` numbers come back."""
+    cut-mass fraction for a ``min_count > 1`` model).
+
+    Cost shape: ONE corpus scoring pass (the per-document perplexity
+    frame is checkpointed; edges and histogram are tiny aggregates
+    over its doc-level rows) + ONE token-explode join for the OOV
+    signal + a limit-1 probe of the model frame; ``n_bins + 4``
+    numbers come back."""
     oov = _model_has_oov(model)
-    ppl = unigram_perplexity(
-        df, text_col=text_col, id_col=id_col, model=model, oov=oov
-    )
+    ppl = _ppl_frame(df, model, text_col, id_col, oov)
     edges = ppl.agg(
         F.min(F.log("perplexity")).alias("_lo"),
         F.max(F.log("perplexity")).alias("_hi"),
@@ -580,9 +592,7 @@ def unigram_baseline(
             "a baseline of nothing is not a distribution"
         )
     lo, hi = float(edges["_lo"]), float(edges["_hi"])
-    hist, n_docs = _log_ppl_histogram(
-        df, model, lo, hi, n_bins, text_col, id_col, oov
-    )
+    hist, n_docs = _hist_from_ppl(ppl, lo, hi, n_bins)
     oov_frac, _ = _oov_token_fraction(df, model, text_col)
     return {
         "lo": lo,
@@ -673,12 +683,14 @@ def unigram_drift_report(
       inflates perplexity before the distribution visibly moves, and
       for a cut model it is exactly the mass landing in the OOV
       bucket's single smoothed logprob — where scoring is least
-      informative.
+      informative. One token-explode join + one aggregate.
     - ``psi`` — Population Stability Index of the ln(perplexity)
       distribution over the baseline's recorded bins (same metric and
       clamp as :func:`~mydatasyncer_spark.operators.classify.
       score_drift_report`; outliers clamp into the end bins, so
-      drifted mass is counted, not dropped).
+      drifted mass is counted, not dropped). One corpus scoring pass
+      (the per-document frame is checkpointed; the histogram is a
+      doc-level aggregate over it).
 
     Run-retrain-when: retrain + re-baseline when ``psi`` > ~0.2
     sustained or ``oov_shift`` rises by more than a few points; after
@@ -698,15 +710,11 @@ def unigram_drift_report(
             "unigram_drift_report: baseline must have >= 2 bins"
         )
     oov = _model_has_oov(model)
-    hist, n_docs = _log_ppl_histogram(
-        df,
-        model,
+    hist, n_docs = _hist_from_ppl(
+        _ppl_frame(df, model, text_col, id_col, oov),
         float(baseline["lo"]),
         float(baseline["hi"]),
         n_bins,
-        text_col,
-        id_col,
-        oov,
     )
     if n_docs == 0:
         raise ValueError(

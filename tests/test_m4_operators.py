@@ -4520,3 +4520,46 @@ class TestResidualPq:
             )
         )
         assert got == want
+
+    def test_flat_adc_refuses_residual_store(self, spark):
+        """r11 review fix: pq_adc_topk's flat estimator is missing
+        the per-bucket centroid term, so a residual store must be
+        REFUSED, not silently mis-ranked across buckets."""
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_index,
+        )
+
+        corpus, centers = self._clustered(spark)
+        idx = pq_index(
+            corpus,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            centroids=centers,
+            residual=True,
+        )
+        with _pytest.raises(ValueError, match="quantize residuals"):
+            pq_adc_topk(corpus, idx, self.DIM, k=2)
+
+    def test_ivf_residuals_guards_short_vectors(self, spark):
+        """r11 review fix: zip_with null-pads a short vector to the
+        centroid length, which would slip past the downstream
+        codes-side size check — the residual helper guards the RAW
+        length itself (this is the frame pq_drift_report and
+        pq_rebuild train on)."""
+        import pytest as _pytest
+
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_residuals,
+        )
+
+        _, centers = self._clustered(spark)
+        bad = spark.createDataFrame(
+            [(1, [0.1] * self.DIM), (2, [0.2] * (self.DIM - 2))],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(Exception, match="vector length"):
+            ivf_residuals(bad, centers).collect()

@@ -1266,6 +1266,62 @@ class TestPqMaintenance:
         assert rep["rows"] == corpus.count()
         assert rep["mse_frozen"] > 0.0
 
+    def test_residual_fp_only_store_measurable_with_explicit_centroids(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r11 review fix: a RESIDUAL store over the footer budget
+        records only fingerprints — no rebuild can ever record the
+        centroid values, so centroids= is the escape hatch (validated
+        against the recorded IVF fingerprint; wrong set refused),
+        exactly the books= contract on the coarse axis."""
+        import pytest as _pytest
+
+        import mydatasyncer_spark.operators.similarity as sim
+        from mydatasyncer_spark.operators.maintenance import (
+            pq_drift_report,
+        )
+        from mydatasyncer_spark.operators.similarity import (
+            ivf_centroid_values,
+            pq_codebook_values,
+            pq_index,
+        )
+
+        monkeypatch.setattr(sim, "_IVF_CENS_MAX_NUMBERS", 4)
+        path = str(tmp_path / "pqres")
+        corpus = self._corpus(spark)
+        cens = [ivf_centroid_values(self.DIM, c) for c in range(4)]
+        books = pq_codebook_values(self.DIM, self.M, self.KSUB)
+        pq_index(
+            corpus,
+            self.DIM,
+            m=self.M,
+            ksub=self.KSUB,
+            centroids=cens,
+            books=books,
+            residual=True,
+        ).write.partitionBy("bucket").parquet(path)
+        store = spark.read.parquet(path)
+        assert sim.recorded_centroids(store) is None  # fp-only
+        # configless: refused (residuals need the coarse quantizer)
+        with _pytest.raises(ValueError, match="records no centroid"):
+            pq_drift_report(
+                spark, path, corpus, self.DIM, books=books
+            )
+        # wrong explicit centroids: refused via the IVF fingerprint
+        wrong = [ivf_centroid_values(self.DIM, 10 + c) for c in range(4)]
+        with _pytest.raises(ValueError, match="centroid"):
+            pq_drift_report(
+                spark, path, corpus, self.DIM,
+                books=books, centroids=wrong,
+            )
+        # the store's own centroids: measurable
+        rep = pq_drift_report(
+            spark, path, corpus, self.DIM,
+            n_iter=2, books=books, centroids=cens,
+        )
+        assert rep["rows"] == corpus.count()
+        assert rep["mse_frozen"] > 0.0
+
 
 class TestBandOccupancyReport:
     """r10: the MinHash band store's decision signal — modulus cost

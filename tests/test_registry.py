@@ -180,6 +180,35 @@ def test_r12_priority_exception_is_real():
         )
 
 
+def test_registry_literals_have_no_duplicate_keys():
+    """A duplicate key in the queries()/oracle_sql() dict literal is
+    invisible at runtime (same value wins, first position kept) but
+    corrupts the rotation bookkeeping the comments audit by — r11's
+    reshuffle left `curation_pipeline` listed twice. Parse the source
+    and refuse duplicates outright."""
+    import ast
+
+    src = (
+        Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    ).read_text()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "queries",
+            "oracle_sql",
+        ):
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict):
+                    keys = [
+                        k.value
+                        for k in sub.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+                    dupes = sorted(
+                        k for k in set(keys) if keys.count(k) > 1
+                    )
+                    assert not dupes, (node.name, dupes)
+
+
 def test_readme_query_count_matches_registry():
     """Counts in prose rot (the r10 verdict caught '133 named
     queries' two rounds stale) — pin every README occurrence of the
