@@ -292,9 +292,13 @@ def quality_model_frame(
     — so n_features has no footer budget), with the fingerprint,
     bias, n_features, and the training-time :func:`score_histogram`
     baseline riding ``feature``-column metadata into the parquet
-    footer. Write it next to the training run (``mode("overwrite")``
-    — the store is write-once per retrain, never append-maintained,
-    so no compaction wrapper exists or is needed); a scoring stream
+    footer. Persist it next to the training run with
+    :func:`~mydatasyncer_spark.operators.maintenance.
+    write_model_store` — the ``_SUCCESS``-gated staged swap, so a
+    crash mid-retrain leaves the OLD store serving a standing stream
+    instead of a half-deleted path its reader refuses (the store is
+    write-once per retrain, never append-maintained, so no
+    compaction wrapper exists or is needed); a scoring stream
     or a later session resolves everything with
     :func:`recorded_model` and needs NO weights config — and a
     weights/baseline pairing can never mismatch, because both ride
@@ -318,6 +322,23 @@ def quality_model_frame(
         F.col("feature").alias("feature", metadata=meta),
         "weight",
     )
+
+
+def recorded_model_fingerprint(store) -> str | None:
+    """The store's own recorded fingerprint, read from the parquet
+    FOOTER alone (schema metadata — no row is scanned). This is the
+    cache key a per-batch resolver needs: :func:`recorded_model`
+    collects and re-verifies all n_features rows, which is nothing at
+    n_features=64 but a ~16 MB driver collect per micro-batch at a
+    production fastText-style 2^21 buckets — so a standing stream
+    re-collects ONLY when this footer value changes (a retrain's
+    rewrite stamps a new fingerprint by construction). ``None`` for a
+    frame that records no provenance; the caller's next full
+    :func:`recorded_model` then refuses with the real error."""
+    if "feature" not in store.columns:
+        return None
+    v = store.schema["feature"].metadata.get(_QW_FP_KEY)
+    return str(v) if v is not None else None
 
 
 def recorded_model(

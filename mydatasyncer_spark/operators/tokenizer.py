@@ -179,9 +179,12 @@ def bpe_merges_frame(
     one ``(rank, left, right)`` row per merge, with the fingerprint
     and the training-time :func:`bpe_pieces_per_word` baseline riding
     ``rank``-column metadata into the parquet footer (the
-    ``recorded_centroids`` convention on the tokenizer axis). Write
-    ``mode("overwrite")`` per retrain — write-once, never
-    append-maintained, so no compaction wrapper exists or is needed.
+    ``recorded_centroids`` convention on the tokenizer axis).
+    Persist per retrain with :func:`~mydatasyncer_spark.operators.
+    maintenance.write_model_store` (the ``_SUCCESS``-gated staged
+    swap — a crash mid-retrain leaves the old table serving, never a
+    half-deleted path) — write-once, never append-maintained, so no
+    compaction wrapper exists or is needed.
     A later session resolves merges AND the drift baseline with
     :func:`recorded_merges` and needs no tokenizer config — and the
     merges/baseline pairing can never mismatch, because both ride

@@ -567,7 +567,15 @@ def continuous_curation(
     path and explicit ``config.model_weights`` is fingerprint-checked
     and REFUSES a mismatch rather than gating under whichever one
     happens to win. ``min_model_quality`` stays in the config — it
-    is an operating threshold, not a training artifact.
+    is an operating threshold, not a training artifact. The per-batch
+    resolve is a FOOTER-ONLY fingerprint probe (r12): the full
+    row-collect + verify runs once per distinct fingerprint, so at a
+    production 2^21-feature model the stream pays the ~16 MB driver
+    collect per retrain, not per micro-batch. Retrains persist
+    through :func:`~mydatasyncer_spark.operators.maintenance.
+    write_model_store` (the staged swap), so the path always holds a
+    COMPLETE store — a crash mid-retrain leaves the old model
+    serving, never a half-deleted store this reader would refuse.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -581,6 +589,16 @@ def continuous_curation(
     from mydatasyncer_spark.operators.text import normalize_text
 
     config = config or CurationConfig()
+    # per-stream resolve cache for the model store: fingerprint ->
+    # (weights, bias). recorded_model collects and re-verifies all
+    # n_features rows; at production scale (fastText-style 2^21
+    # buckets) that is a ~16 MB driver collect per micro-batch, so a
+    # batch re-collects ONLY when the store's FOOTER fingerprint (a
+    # schema-only read, no row scanned) differs from the cached one —
+    # a retrain's rewrite stamps a new fingerprint by construction,
+    # so the mid-stream-retrain contract is unchanged. Cache dies
+    # with the stream (fresh resolve+verify on every restart).
+    _model_cache: dict[str, tuple[list[float], float]] = {}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -634,16 +652,28 @@ def continuous_curation(
         )
         if model_store_path is not None:
             # weights resolve from the self-describing store every
-            # batch (tiny read), so a retrain's rewrite is picked up
-            # mid-stream and a configless restart needs nothing
+            # batch (a footer-only fingerprint probe; the row collect
+            # + full verify run only when the fingerprint changed —
+            # see _model_cache above), so a retrain's rewrite is
+            # picked up mid-stream and a configless restart needs
+            # nothing
             from mydatasyncer_spark.operators.classify import (
                 model_fingerprint,
                 recorded_model,
+                recorded_model_fingerprint,
             )
 
-            mw, mb, _base = recorded_model(
-                spark.read.parquet(model_store_path)
+            store = spark.read.parquet(model_store_path)
+            sfp = recorded_model_fingerprint(store)
+            cached = (
+                _model_cache.get(sfp) if sfp is not None else None
             )
+            if cached is not None:
+                mw, mb = cached
+            else:
+                mw, mb, _base = recorded_model(store)
+                _model_cache.clear()  # one live model per stream
+                _model_cache[model_fingerprint(mw, mb)] = (mw, mb)
             if use_weights is not None and model_fingerprint(
                 use_weights, use_bias
             ) != model_fingerprint(mw, mb):

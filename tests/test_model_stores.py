@@ -319,3 +319,134 @@ class TestConfiglessDrift:
         bpe_merges_frame(spark, merges).write.parquet(nobase)
         with pytest.raises(ValueError, match="records no"):
             bpe_drift_from_store(corpus, spark.read.parquet(nobase))
+
+
+class TestStagedModelStoreRewrite:
+    """r12 (r11 verdict, what's-missing #5): model-store rewrites go
+    through the pq_rebuild staging discipline — write_model_store
+    stages the new store to a sibling ``_staging`` dir (``_SUCCESS``-
+    gated) and only then swaps it in, so a crash at ANY point leaves a
+    COMPLETE store at the path. A standing configless stream then
+    keeps scoring under the old weights through a crashed retrain
+    instead of going down on a half-deleted store its reader refuses.
+    The restore rule is SUPERSEDE, never union: a write-once store
+    merged with its predecessor mixes feature rows from two training
+    runs — the exact state the refusal matrix rejects."""
+
+    def _frames(self, spark):
+        w1 = quality_weight_values(16)
+        w2 = quality_weight_values(16, seed="retrained")
+        return (
+            w1,
+            quality_model_frame(spark, w1, bias=-0.1),
+            w2,
+            quality_model_frame(spark, w2, bias=0.3),
+        )
+
+    def test_write_round_trips_and_cleans_staging(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            write_model_store,
+        )
+
+        w1, f1, w2, f2 = self._frames(spark)
+        path = str(tmp_path / "model")
+        assert write_model_store(spark, f1, path) == 16
+        assert recorded_model(spark.read.parquet(path))[:2] == (w1, -0.1)
+        assert not (tmp_path / "model_staging").exists()
+        # a retrain's rewrite swaps in the new store whole
+        write_model_store(spark, f2, path)
+        assert recorded_model(spark.read.parquet(path))[:2] == (w2, 0.3)
+        assert not (tmp_path / "model_staging").exists()
+
+    def test_crash_mid_staging_leaves_old_store_serving(
+        self, spark, tmp_path
+    ):
+        """Retrain dies while WRITING the staged copy: the store path
+        was never touched — the old model keeps serving — and the
+        partial staging is dropped by the next restore/write."""
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+            write_model_store,
+        )
+
+        w1, f1, _, f2 = self._frames(spark)
+        path = str(tmp_path / "model")
+        write_model_store(spark, f1, path)
+        # simulate the crash: staged copy present but its write job
+        # never completed (no _SUCCESS marker)
+        f2.write.parquet(path + "_staging")
+        (tmp_path / "model_staging" / "_SUCCESS").unlink()
+        # the serving path is untouched — a stream's per-batch resolve
+        # still scores under the OLD weights, it never goes down
+        assert recorded_model(spark.read.parquet(path))[:2] == (w1, -0.1)
+        assert restore_model_store(spark, path) is False
+        assert not (tmp_path / "model_staging").exists()
+        assert recorded_model(spark.read.parquet(path))[:2] == (w1, -0.1)
+
+    def test_crash_between_staging_and_swap_adopts_staged(
+        self, spark, tmp_path
+    ):
+        """Retrain dies AFTER staging completed but before the swap:
+        the old store serves until restore, which adopts the staged
+        copy whole (supersede — never union with the old rows)."""
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+            write_model_store,
+        )
+
+        w1, f1, w2, f2 = self._frames(spark)
+        path = str(tmp_path / "model")
+        write_model_store(spark, f1, path)
+        f2.write.parquet(path + "_staging")  # complete: has _SUCCESS
+        # crash window: the OLD store is still the one serving
+        assert recorded_model(spark.read.parquet(path))[:2] == (w1, -0.1)
+        assert restore_model_store(spark, path) is True
+        assert not (tmp_path / "model_staging").exists()
+        assert recorded_model(spark.read.parquet(path))[:2] == (w2, 0.3)
+
+    def test_crash_mid_swap_recovers_new_store(self, spark, tmp_path):
+        """Retrain dies mid-overwrite of the path: the complete
+        staged copy replays — the next write_model_store resolves it
+        before writing, so even unattended the store self-heals."""
+        import shutil
+
+        from mydatasyncer_spark.operators.maintenance import (
+            write_model_store,
+        )
+
+        w1, f1, w2, f2 = self._frames(spark)
+        path = str(tmp_path / "model")
+        write_model_store(spark, f1, path)
+        f2.write.parquet(path + "_staging")
+        shutil.rmtree(path)  # mid-overwrite: target half-deleted
+        # the next retrain's write (not an explicit restore) resolves
+        # the crashed swap first — f2 lands, then f1 swaps over it
+        write_model_store(spark, f1, path)
+        assert recorded_model(spark.read.parquet(path))[:2] == (w1, -0.1)
+        assert not (tmp_path / "model_staging").exists()
+
+    def test_bpe_store_same_protocol(self, spark, tmp_path):
+        """The merge-table store rides the identical discipline —
+        write_model_store is store-agnostic (provenance lives in the
+        frame's own footer and survives the staging round-trip)."""
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+            write_model_store,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "lower lowest newer newest " * 3) for i in range(8)],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(corpus, n_merges=12)
+        base = bpe_pieces_per_word(corpus, merges)
+        path = str(tmp_path / "bpe")
+        write_model_store(spark, bpe_merges_frame(spark, merges, base), path)
+        rm, rb = recorded_merges(spark.read.parquet(path))
+        assert rm == merges and rb == base
+        # crash window between staging and swap, then adopt
+        retrained = bpe_train(corpus, n_merges=6)
+        bpe_merges_frame(spark, retrained).write.parquet(path + "_staging")
+        assert recorded_merges(spark.read.parquet(path))[0] == merges
+        assert restore_model_store(spark, path) is True
+        assert recorded_merges(spark.read.parquet(path))[0] == retrained
