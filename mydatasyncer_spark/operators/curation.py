@@ -53,9 +53,11 @@ class CurationConfig:
     ``model_quality >= min_model_quality`` to survive the gate. The
     model pass is a narrow projection (``operators/classify.py``),
     so turning it on adds zero shuffles to the pipeline — train
-    weights once with ``logreg_train`` and pin them in the config;
-    the hash-bucketed features need no vocabulary shared between
-    the training run and any batch or stream that scores."""
+    weights once with ``logreg_train`` and pin them in the config,
+    or (preferred) persist them as a self-describing store and pass
+    ``model_store_path`` to :func:`curate` so nothing is threaded by
+    hand; the hash-bucketed features need no vocabulary shared
+    between the training run and any batch or stream that scores."""
 
     min_quality: float = 0.70
     max_repetition: float = 0.01
@@ -104,11 +106,50 @@ def curate(
     config: CurationConfig | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    model_store_path: str | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns surviving documents
     with their ``quality`` score and ``split`` assignment (all input
-    columns preserved)."""
+    columns preserved).
+
+    ``model_store_path`` (r12): the stage-2 gate's trained
+    weights+bias resolve from a self-describing
+    :func:`~mydatasyncer_spark.operators.classify.
+    quality_model_frame` store — the SAME configless contract the
+    streaming twin (``streaming/continuous.continuous_curation``)
+    already had, so batch and stream have one story: a batch run
+    needs no weights threaded by hand, and a run that passes BOTH
+    the store path and explicit ``config.model_weights`` is
+    fingerprint-checked and REFUSES a mismatch rather than gating
+    under whichever happened to win. ``min_model_quality`` stays in
+    the config (operating threshold, not a training artifact)."""
     config = config or CurationConfig()
+    model_weights = (
+        list(config.model_weights)
+        if config.model_weights is not None
+        else None
+    )
+    model_bias = config.model_bias
+    if model_store_path is not None:
+        from mydatasyncer_spark.operators.classify import (
+            model_fingerprint,
+            recorded_model,
+        )
+
+        mw, mb, _base = recorded_model(
+            df.sparkSession.read.parquet(model_store_path)
+        )
+        if model_weights is not None and model_fingerprint(
+            model_weights, model_bias
+        ) != model_fingerprint(mw, mb):
+            raise ValueError(
+                "curate: config.model_weights do not match the model "
+                "store at model_store_path — gating under whichever "
+                "happened to win would be silently wrong; drop the "
+                "explicit weights (the store is self-describing) or "
+                "point at the store they came from"
+            )
+        model_weights, model_bias = mw, mb
     # The annotate expressions (tokenize + n-grams + quality) are the
     # per-row-heaviest narrow work in the pipeline; a single-row-group
     # parquet would run them on one core. Widen first — no-op at
@@ -121,7 +162,7 @@ def curate(
         (F.col("quality") >= config.min_quality)
         & (F.col("repetition") <= config.max_repetition)
     )
-    if config.model_weights is not None:
+    if model_weights is not None:
         # stage 2 of the published recipe: the trained linear model
         # gates on content, not surface shape — still narrow
         from mydatasyncer_spark.operators.classify import (
@@ -132,8 +173,8 @@ def curate(
             "model_quality",
             model_score_column(
                 F.col(text_col),
-                list(config.model_weights),
-                config.model_bias,
+                model_weights,
+                model_bias,
             ),
         ).filter(
             F.col("model_quality") >= config.min_model_quality
