@@ -2602,11 +2602,13 @@ def ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codebooks in codes AND LUT, centroids in assignment AND
     residual AND qc) — most of its ~8s at sf0.1 is driver-side
     analysis/codegen of those literals, CONSTANT in corpus size.
-    The deployment shape was measured separately: over a PERSISTED
-    pq_index the residual probe runs 2.35s vs the raw store's 3.00s
-    at sf0.1 (the store streams identical bytes; the extra qc dot is
-    query-side only), and the encode pass itself executes in ~0.2s
-    either way."""
+    The deployment shape is benched directly since r12:
+    ``bench.py``'s ``ann_pq_probe_stored_raw`` /
+    ``ann_pq_probe_stored_residual`` pair probes PERSISTED stores
+    (build untimed) — parity within box noise (r12 quiet-box medians
+    2.04s raw / 2.24s residual at sf0.1: identical stored bytes, the
+    extra qc dot is query-side only), and the encode pass itself
+    executes in ~0.2s either way."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec(F.col("embedding")).alias("embedding")
     )

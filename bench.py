@@ -246,6 +246,61 @@ def main() -> None:
     finally:
         shutil.rmtree(jtmp, ignore_errors=True)
 
+    # Deployment-shape IVF-PQ probe pair (r12): the PQ gate queries
+    # build the encoding INLINE, so their wall time is dominated by
+    # constant driver-side analysis/codegen of the doubled literal
+    # surface — a number that does NOT scale with the corpus and is
+    # not what a deployed probe pays. Here the store build + parquet
+    # write is UNTIMED setup (that is the point of a stored index)
+    # and the timed part is the probe over the PERSISTED store: raw
+    # codes vs IVFADC residual codes at the identical stored byte
+    # budget. The residual member's extra qc dot is query-side only
+    # (zero per-candidate cost), so the two must probe at PARITY
+    # within box noise despite residual ranking better — measured
+    # medians at sf0.1: raw 2.04s / residual 2.24s (r12, quiet box).
+    # Previously a hand-measured PARITY.md note; now recorded
+    # per-round in BENCH_r*.json.
+    ptmp = tempfile.mkdtemp(prefix="bench_pq_")
+    try:
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators import similarity as S
+
+        emb = _table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        pq_queries = emb.filter(F.col("vec_id") % 97 == 0)
+        for tag, residual in (("raw", False), ("residual", True)):
+            S.pq_index(
+                emb, 64, m=8, ksub=16, n_centroids=8, residual=residual
+            ).write.partitionBy("bucket").parquet(f"{ptmp}/{tag}")
+        pq_stores = {
+            tag: spark.read.parquet(f"{ptmp}/{tag}")
+            for tag in ("raw", "residual")
+        }
+
+        def pq_probe(tag):
+            # the estimator (raw ADC vs centroid-dot + residual ADC)
+            # resolves from the store's own metadata — the probe call
+            # is IDENTICAL for both members, as it is in deployment
+            return lambda: S.pq_topk_indexed(
+                pq_queries, pq_stores[tag], 64, k=5, n_centroids=8
+            )
+
+        run_pair(
+            {
+                "ann_pq_probe_stored_raw": pq_probe("raw"),
+                "ann_pq_probe_stored_residual": pq_probe("residual"),
+            }
+        )
+    except Exception as exc:
+        errors["ann_pq_probe_pair"] = f"{type(exc).__name__}: {exc}"[:200]
+    finally:
+        shutil.rmtree(ptmp, ignore_errors=True)
+
     for name in names:
         if name in pair:
             continue
