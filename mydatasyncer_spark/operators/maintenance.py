@@ -362,9 +362,16 @@ def write_model_store(spark, frame, path: str) -> int:
     frame`` / ``bpe_merges_frame`` / ``unigram_model_frame``) whose
     provenance rides column metadata; the parquet round-trip through
     staging preserves the footer (pinned in
-    tests/test_model_stores.py). Any pending crashed rewrite at
-    ``path`` is resolved first. Returns the row count written."""
-    restore_model_store(spark, path)
+    tests/test_model_stores.py). A pending crashed rewrite at
+    ``path`` is SUPERSEDED outright — the staging overwrite clobbers
+    it, and this write's swap replaces whatever the crash left —
+    deliberately not restored first: restoring would rewrite ``path``
+    before ``frame`` is evaluated, and a frame derived from the
+    stored table itself (the re-baseline flow: read the store, stamp
+    a new baseline, write it back) would then read mid-overwrite
+    state. As written, ``path`` is never touched until the staged
+    copy is complete, so self-derived frames are safe by
+    construction. Returns the row count written."""
     staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
     frame.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
@@ -372,6 +379,98 @@ def write_model_store(spark, frame, path: str) -> int:
     staged.write.mode("overwrite").parquet(path)
     _delete_path(spark, staging)
     return rows
+
+
+def model_store_report(spark, path: str) -> dict:
+    """The write-once model stores' operational probe — completing
+    the every-store-has-a-report symmetry (``compaction_report`` for
+    append stores, ``*_occupancy_report``/``*_drift_report`` for the
+    index families, this for the trained-model stores). An ops probe
+    REPORTS instead of refusing: where the resolve-and-refuse readers
+    raise (that is their job — never score under suspect weights),
+    this catches the refusal and surfaces it as ``valid=False`` +
+    the reader's own message, so "is this store healthy, and is a
+    crashed rewrite pending?" is one call, not a try/except at every
+    call site.
+
+    Keys: ``kind`` (``quality_classifier`` / ``bpe_merges`` /
+    ``unigram_logprobs`` / ``unknown``), ``readable``, ``valid``,
+    ``error`` (the refusal text when invalid), ``rows``,
+    ``pending_staging`` (a crashed :func:`write_model_store` left a
+    staging dir — :func:`restore_model_store` resolves it), and the
+    kind's provenance summary (``n_features``/``bias``/
+    ``baseline_recorded`` for the classifier, ``n_merges``/
+    ``baseline_recorded`` for the merge table, ``baseline`` bin
+    count + ``docs`` for the unigram table). Cost: the classifier /
+    merge resolves collect their driver-sized stores; the unigram
+    leg reads footer metadata plus a parquet-metadata count — no
+    corpus-scale scan."""
+    from pyspark.sql.utils import AnalysisException
+
+    report: dict = {
+        "pending_staging": _pending_staging(spark, path),
+        "readable": True,
+        "valid": False,
+        "kind": "unknown",
+        "error": None,
+    }
+    try:
+        store = spark.read.parquet(path)
+    except AnalysisException as exc:
+        report["readable"] = False
+        report["error"] = str(exc).split("\n")[0][:200]
+        return report
+    cols = set(store.columns)
+    try:
+        if {"feature", "weight"} <= cols:
+            from mydatasyncer_spark.operators.classify import (
+                recorded_model,
+            )
+
+            report["kind"] = "quality_classifier"
+            w, b, base = recorded_model(store)
+            report.update(
+                valid=True,
+                rows=len(w),
+                n_features=len(w),
+                bias=b,
+                baseline_recorded=base is not None,
+            )
+        elif {"rank", "left", "right"} <= cols:
+            from mydatasyncer_spark.operators.tokenizer import (
+                recorded_merges,
+            )
+
+            report["kind"] = "bpe_merges"
+            merges, base = recorded_merges(store)
+            report.update(
+                valid=True,
+                rows=len(merges),
+                n_merges=len(merges),
+                baseline_recorded=base is not None,
+            )
+        elif {"tok", "logp"} <= cols:
+            from mydatasyncer_spark.operators.text import (
+                recorded_unigram_baseline,
+            )
+
+            report["kind"] = "unigram_logprobs"
+            base = recorded_unigram_baseline(store)
+            report.update(
+                valid=True,
+                rows=store.count(),
+                baseline_bins=len(base["hist"]),
+                baseline_docs=int(base["docs"]),
+                baseline_recorded=True,
+            )
+        else:
+            report["error"] = (
+                "unknown store shape: columns "
+                + ", ".join(sorted(cols))
+            )
+    except ValueError as exc:
+        report["error"] = str(exc)
+    return report
 
 
 def compaction_report(

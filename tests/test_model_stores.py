@@ -419,8 +419,9 @@ class TestStagedModelStoreRewrite:
         write_model_store(spark, f1, path)
         f2.write.parquet(path + "_staging")
         shutil.rmtree(path)  # mid-overwrite: target half-deleted
-        # the next retrain's write (not an explicit restore) resolves
-        # the crashed swap first — f2 lands, then f1 swaps over it
+        # the next retrain's write (not an explicit restore)
+        # SUPERSEDES the crashed swap outright: its staging clobbers
+        # the pending copy and its own swap repairs the path
         write_model_store(spark, f1, path)
         assert recorded_model(spark.read.parquet(path))[:2] == (w1, -0.1)
         assert not (tmp_path / "model_staging").exists()
@@ -450,3 +451,181 @@ class TestStagedModelStoreRewrite:
         assert recorded_merges(spark.read.parquet(path))[0] == merges
         assert restore_model_store(spark, path) is True
         assert recorded_merges(spark.read.parquet(path))[0] == retrained
+
+    def test_rewrite_from_frame_derived_from_the_store_itself(
+        self, spark, tmp_path
+    ):
+        """The re-baseline flow: read the stored table, stamp a new
+        baseline onto it, write it back to the SAME path. Because
+        write_model_store never touches the path before the staged
+        copy is complete, a frame that lazily reads the store is safe
+        — no restore-first rewrite can slide under its evaluation."""
+        from mydatasyncer_spark.operators.maintenance import (
+            write_model_store,
+        )
+        from mydatasyncer_spark.operators.text import (
+            recorded_unigram_baseline,
+            unigram_logprob_table,
+            unigram_model_frame,
+            unigram_perplexity,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon " * 2) for i in range(6)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "lm")
+        model = unigram_logprob_table(corpus)
+        base1 = {"lo": 0.0, "hi": 2.0, "hist": [0.5, 0.5],
+                 "oov_fraction": 0.0, "docs": 6}
+        write_model_store(
+            spark, unigram_model_frame(model, base1), path
+        )
+        # derive the rewrite INPUT from the stored table itself
+        stored = spark.read.parquet(path)
+        base2 = {"lo": 0.1, "hi": 2.1, "hist": [0.25, 0.75],
+                 "oov_fraction": 0.01, "docs": 6}
+        write_model_store(
+            spark, unigram_model_frame(stored, base2), path
+        )
+        after = spark.read.parquet(path)
+        got = recorded_unigram_baseline(after)
+        assert got["hist"] == [0.25, 0.75] and got["lo"] == 0.1
+        # the logprob rows themselves survived the self-read rewrite
+        a = {
+            (r["doc_id"], r["perplexity"])
+            for r in unigram_perplexity(
+                corpus, model=model, oov=False
+            ).collect()
+        }
+        b = {
+            (r["doc_id"], r["perplexity"])
+            for r in unigram_perplexity(
+                corpus, model=after, oov=False
+            ).collect()
+        }
+        assert a == b
+
+
+class TestModelStoreReport:
+    """r12: the ops probe over the write-once stores — reports
+    instead of refusing (the readers' refusals surface as
+    valid=False + their own message), and exposes pending_staging
+    like every other store family's report."""
+
+    def test_healthy_quality_store(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            model_store_report,
+            write_model_store,
+        )
+
+        path = str(tmp_path / "m")
+        write_model_store(
+            spark,
+            quality_model_frame(
+                spark, quality_weight_values(16), bias=-0.1,
+                baseline=[0.5, 0.5],
+            ),
+            path,
+        )
+        r = model_store_report(spark, path)
+        assert r["kind"] == "quality_classifier"
+        assert r["valid"] and r["readable"]
+        assert r["n_features"] == 16 and r["bias"] == -0.1
+        assert r["baseline_recorded"] is True
+        assert r["pending_staging"] is False
+        assert r["error"] is None
+
+    def test_tampered_store_reports_not_raises(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            model_store_report,
+        )
+
+        path = str(tmp_path / "m")
+        quality_model_frame(
+            spark, quality_weight_values(8), bias=0.0
+        ).write.parquet(path)
+        # mixed append — the reader refuses; the report must SAY so
+        quality_model_frame(
+            spark, quality_weight_values(8, seed="other"), bias=1.0
+        ).write.mode("append").parquet(path)
+        r = model_store_report(spark, path)
+        assert r["kind"] == "quality_classifier"
+        assert r["valid"] is False
+        assert "mixed appends" in r["error"]
+
+    def test_pending_staging_surfaced(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            model_store_report,
+            write_model_store,
+        )
+
+        path = str(tmp_path / "m")
+        write_model_store(
+            spark,
+            quality_model_frame(spark, quality_weight_values(8)),
+            path,
+        )
+        quality_model_frame(
+            spark, quality_weight_values(8, seed="v2")
+        ).write.parquet(path + "_staging")
+        r = model_store_report(spark, path)
+        assert r["pending_staging"] is True
+        assert r["valid"] is True  # the SERVING store is healthy
+
+    def test_bpe_and_unigram_kinds(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            model_store_report,
+            write_model_store,
+        )
+        from mydatasyncer_spark.operators.text import (
+            unigram_logprob_table,
+            unigram_model_frame,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "lower lowest newer newest " * 2) for i in range(6)],
+            "doc_id long, text string",
+        )
+        bpath = str(tmp_path / "bpe")
+        merges = bpe_train(corpus, n_merges=8)
+        write_model_store(
+            spark,
+            bpe_merges_frame(spark, merges, bpe_pieces_per_word(corpus, merges)),
+            bpath,
+        )
+        rb = model_store_report(spark, bpath)
+        assert rb["kind"] == "bpe_merges" and rb["valid"]
+        assert rb["n_merges"] == len(merges)
+        assert rb["baseline_recorded"] is True
+
+        upath = str(tmp_path / "lm")
+        model = unigram_logprob_table(corpus)
+        base = {"lo": 0.0, "hi": 2.0, "hist": [0.5, 0.5],
+                "oov_fraction": 0.0, "docs": 6}
+        write_model_store(
+            spark, unigram_model_frame(model, base), upath
+        )
+        ru = model_store_report(spark, upath)
+        assert ru["kind"] == "unigram_logprobs" and ru["valid"]
+        assert ru["baseline_bins"] == 2 and ru["baseline_docs"] == 6
+        # a bare logprob table (no recorded baseline) reports invalid
+        bare = str(tmp_path / "bare")
+        model.write.parquet(bare)
+        rbare = model_store_report(spark, bare)
+        assert rbare["kind"] == "unigram_logprobs"
+        assert rbare["valid"] is False
+        assert "records no" in rbare["error"]
+
+    def test_unreadable_and_unknown(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            model_store_report,
+        )
+
+        r = model_store_report(spark, str(tmp_path / "nothing"))
+        assert r["readable"] is False and r["valid"] is False
+        junk = str(tmp_path / "junk")
+        spark.createDataFrame([(1, "x")], "a int, b string").write.parquet(junk)
+        r2 = model_store_report(spark, junk)
+        assert r2["kind"] == "unknown" and r2["valid"] is False
+        assert "unknown store shape" in r2["error"]
