@@ -613,7 +613,11 @@ def unigram_model_frame(model, baseline: dict):
     ``tok``-column metadata into the parquet footer — so the
     model/baseline pairing can never be mismatched by hand-threading
     (the :func:`~mydatasyncer_spark.operators.classify.
-    quality_model_frame` convention on the LM axis). Honesty note on
+    quality_model_frame` convention on the LM axis). Persist per
+    retrain with :func:`~mydatasyncer_spark.operators.maintenance.
+    write_model_store` (the ``_SUCCESS``-gated staged swap — safe
+    even for the re-baseline flow, where the rewrite input derives
+    from the stored table itself). Honesty note on
     the trust model: unlike the driver-sized weights/merge stores,
     an open-vocabulary logprob table can run to billions of rows, so
     NO content fingerprint is recorded (recomputing one per read
