@@ -348,15 +348,18 @@ def write_model_store(spark, frame, path: str) -> int:
     the trained-model stores (r11 verdict, what's-missing #5): the
     new store is staged to a sibling ``_staging`` dir first and the
     in-place overwrite of ``path`` only starts once staging is
-    complete, so a crash at ANY point leaves a standing
-    ``continuous_curation(model_store_path=...)`` stream a COMPLETE
-    store at ``path`` — either the old model (crash before/while
-    staging) or the new one (crash mid/after swap, finished by
-    :func:`restore_model_store`). A bare ``mode("overwrite")`` has a
-    window where the store is half-deleted: the stream's
-    resolve-and-refuse reader then fails LOUDLY (never scores wrong
-    weights) but the stream is DOWN until a human rewrites the store
-    — inconsistent with the family's crash-window standard.
+    complete. A crash anywhere in the (long) artifact-production
+    phase leaves the OLD store serving a standing
+    ``continuous_curation(model_store_path=...)`` stream untouched;
+    the only residual window is the final swap itself — entered with
+    the complete staged copy already on disk, so a crash there is
+    closed MECHANICALLY by :func:`restore_model_store` (or the next
+    write), never by retraining. A bare ``mode("overwrite")``
+    instead half-deletes the store for the whole rewrite with no
+    complete copy anywhere: the stream's resolve-and-refuse reader
+    fails LOUDLY (never scores wrong weights) but the stream is DOWN
+    until a human RETRAINS — inconsistent with the family's
+    crash-window standard.
 
     ``frame`` is a self-describing store frame (``quality_model_
     frame`` / ``bpe_merges_frame`` / ``unigram_model_frame``) whose

@@ -573,9 +573,11 @@ def continuous_curation(
     production 2^21-feature model the stream pays the ~16 MB driver
     collect per retrain, not per micro-batch. Retrains persist
     through :func:`~mydatasyncer_spark.operators.maintenance.
-    write_model_store` (the staged swap), so the path always holds a
-    COMPLETE store — a crash mid-retrain leaves the old model
-    serving, never a half-deleted store this reader would refuse.
+    write_model_store` (the staged swap): a crash anywhere in
+    artifact production leaves the old model serving; only the final
+    swap has a residual window, closed mechanically by
+    ``restore_model_store`` — never a half-deleted store only a
+    retrain can fix.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F

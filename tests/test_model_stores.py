@@ -325,10 +325,13 @@ class TestStagedModelStoreRewrite:
     """r12 (r11 verdict, what's-missing #5): model-store rewrites go
     through the pq_rebuild staging discipline — write_model_store
     stages the new store to a sibling ``_staging`` dir (``_SUCCESS``-
-    gated) and only then swaps it in, so a crash at ANY point leaves a
-    COMPLETE store at the path. A standing configless stream then
-    keeps scoring under the old weights through a crashed retrain
-    instead of going down on a half-deleted store its reader refuses.
+    gated) and only then swaps it in: a crash anywhere in artifact
+    production leaves the OLD store serving untouched, and the final
+    swap's residual window is entered with the complete staged copy
+    on disk, so it closes mechanically (restore or next write) —
+    never by retraining. A standing configless stream then keeps
+    scoring under the old weights through a crashed retrain instead
+    of going down on a half-deleted store its reader refuses.
     The restore rule is SUPERSEDE, never union: a write-once store
     merged with its predecessor mixes feature rows from two training
     runs — the exact state the refusal matrix rejects."""
@@ -629,3 +632,80 @@ class TestModelStoreReport:
         r2 = model_store_report(spark, junk)
         assert r2["kind"] == "unknown" and r2["valid"] is False
         assert "unknown store shape" in r2["error"]
+
+
+class TestCrashStateMatrix:
+    """Exhaustive pin of every state a crashed write_model_store can
+    leave (the protocol admits exactly four), with BOTH resolution
+    routes asserted per state: the serving path's readability/content
+    at crash time, and convergence via restore_model_store AND via
+    the next write. S1: crash mid-staging (partial staging, old path).
+    S2: crash between staging-complete and swap. S3: crash mid-swap
+    (path half-deleted, complete staging). S4: crash after the swap,
+    before staging cleanup (both complete and NEW)."""
+
+    def _setup(self, spark, tmp_path, state: str):
+        import shutil
+
+        from mydatasyncer_spark.operators.maintenance import (
+            write_model_store,
+        )
+
+        w1 = quality_weight_values(8)
+        w2 = quality_weight_values(8, seed="v2")
+        path = str(tmp_path / "m")
+        write_model_store(
+            spark, quality_model_frame(spark, w1, bias=1.0), path
+        )
+        f2 = quality_model_frame(spark, w2, bias=2.0)
+        if state == "S1":
+            f2.write.parquet(path + "_staging")
+            (tmp_path / "m_staging" / "_SUCCESS").unlink()
+        elif state == "S2":
+            f2.write.parquet(path + "_staging")
+        elif state == "S3":
+            f2.write.parquet(path + "_staging")
+            shutil.rmtree(path)
+        elif state == "S4":
+            f2.write.parquet(path + "_staging")
+            f2.write.mode("overwrite").parquet(path)
+        return w1, w2, path
+
+    @pytest.mark.parametrize("state", ["S1", "S2", "S3", "S4"])
+    def test_serving_path_and_restore_convergence(
+        self, spark, tmp_path, state
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+        )
+
+        w1, w2, path = self._setup(spark, tmp_path, state)
+        # at crash time: the path holds a COMPLETE resolvable store in
+        # every state except the mid-swap window S3 (entered only with
+        # the complete staged copy already on disk)
+        if state != "S3":
+            rw, rb, _ = recorded_model(spark.read.parquet(path))
+            want = (w1, 1.0) if state in ("S1", "S2") else (w2, 2.0)
+            assert (rw, rb) == want
+        restored = restore_model_store(spark, path)
+        assert restored is (state != "S1")
+        rw, rb, _ = recorded_model(spark.read.parquet(path))
+        assert (rw, rb) == ((w1, 1.0) if state == "S1" else (w2, 2.0))
+        assert not (tmp_path / "m_staging").exists()
+
+    @pytest.mark.parametrize("state", ["S1", "S2", "S3", "S4"])
+    def test_next_write_converges_without_explicit_restore(
+        self, spark, tmp_path, state
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            write_model_store,
+        )
+
+        _, _, path = self._setup(spark, tmp_path, state)
+        w3 = quality_weight_values(8, seed="v3")
+        write_model_store(
+            spark, quality_model_frame(spark, w3, bias=3.0), path
+        )
+        rw, rb, _ = recorded_model(spark.read.parquet(path))
+        assert (rw, rb) == (w3, 3.0)
+        assert not (tmp_path / "m_staging").exists()

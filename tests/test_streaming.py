@@ -3954,6 +3954,100 @@ class TestContinuousCurationModelStore:
 
         assert recorded_model(spark.read.parquet(model_path))[1] == -5.0
 
+    def test_operations_drill_full_lifecycle(
+        self, spark, tmp_path_factory
+    ):
+        """r12 composition drill: the round's operability claims run
+        as ONE lifecycle instead of isolated pins — a configless
+        stream (store-only weights, nothing threaded by hand) serves
+        through (1) a healthy staged retrain, (2) a CRASHED retrain
+        window under old weights, (3) the restore adopting the dead
+        retrain, (4) staged compaction of its index and survivors
+        stores between drains, and (5) cross-batch exact dedup still
+        firing after all of it — with the ops report healthy and no
+        staging pending at the end. Gate outcomes are wholesale per
+        phase (bias ±5), so the expected survivor set is exact."""
+        import json as _json
+
+        from mydatasyncer_spark.operators.classify import (
+            quality_model_frame,
+        )
+        from mydatasyncer_spark.operators.curation import CurationConfig
+        from mydatasyncer_spark.operators.maintenance import (
+            compact_minhash_index,
+            compact_survivors,
+            model_store_report,
+            restore_model_store,
+            write_model_store,
+        )
+
+        in_dir = tmp_path_factory.mktemp("drill_in")
+        out = tmp_path_factory.mktemp("drill_out")
+        model_path = str(out / "model")
+        cfg = CurationConfig(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            min_model_quality=0.5,
+        )
+
+        def feed(name: str, *docs):
+            (in_dir / f"{name}.json").write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t})
+                    for i, t in docs
+                )
+            )
+            self._drain(
+                spark, in_dir, out, "ckpt", cfg,
+                model_store_path=model_path,
+            )
+
+        def survivors() -> set:
+            return {
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    str(out / "survivors")
+                ).collect()
+            }
+
+        # phase 1: healthy staged retrain install (bias +5, open gate)
+        write_model_store(
+            spark, quality_model_frame(spark, [0.0] * 8, bias=5.0),
+            model_path,
+        )
+        feed("b1", (1, "alpha beta gamma"))
+        assert survivors() == {1}
+        # phase 2: a retrain to bias -5 stages completely, then DIES
+        # before the swap — the stream keeps serving the OLD model
+        quality_model_frame(spark, [0.0] * 8, bias=-5.0).write.parquet(
+            model_path + "_staging"
+        )
+        feed("b2", (2, "delta epsilon zeta"))
+        assert survivors() == {1, 2}
+        # phase 3: ops runs the restore — the dead retrain's artifact
+        # is adopted whole; the next batch gates everything
+        assert restore_model_store(spark, model_path) is True
+        feed("b3", (3, "eta theta iota"))
+        assert survivors() == {1, 2}
+        # phase 4: staged compaction of the stream's stores between
+        # drains, then a healthy retrain back to an open gate
+        compact_minhash_index(spark, str(out / "index"))
+        compact_survivors(spark, str(out / "survivors"))
+        write_model_store(
+            spark, quality_model_frame(spark, [0.0] * 8, bias=5.0),
+            model_path,
+        )
+        # phase 5: doc 4 is an EXACT duplicate of doc 1 — the
+        # cross-batch key store must still reject it after the
+        # compactions; doc 5 is fresh and survives
+        feed("b4", (4, "alpha beta gamma"), (5, "kappa lambda mu"))
+        assert survivors() == {1, 2, 5}
+        # end state: store healthy, nothing pending anywhere
+        r = model_store_report(spark, model_path)
+        assert r["valid"] and not r["pending_staging"]
+        assert r["bias"] == 5.0
+
 
 class TestContinuousPqIdBucketLayout:
     """r10: the PQ stream honors the delta-proportional-guard-reads
