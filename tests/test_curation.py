@@ -237,3 +237,85 @@ class TestModelStorePath:
         )
         out = curate(self._corpus(spark), cfg, model_store_path=path)
         assert out.count() == 3
+
+
+class TestStoreResolveIsPlanInvisible:
+    """The configless resolve is DRIVER-side: the store read happens
+    at plan-construction time (n_features rows), and the distributed
+    plan that actually scans the corpus must be IDENTICAL to the
+    explicit-weights plan — no extra scan, exchange, or join sneaks
+    in via the store path. Pinned on the physical plan text with ids
+    normalized (the no-Exchange discipline's stronger cousin)."""
+
+    @staticmethod
+    def _plan(df) -> str:
+        import contextlib
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
+        # normalize run-order artifacts that differ per construction
+        # but not per plan shape: expr ids (#123), plan ids, the
+        # localCheckpoint RDD ids, and the no-op self-alias a
+        # metadata attach leaves in a Project (`tok#N AS tok#N`)
+        txt = re.sub(r"#\d+", "#N", txt)
+        txt = re.sub(r"plan_id=\d+", "plan_id=N", txt)
+        txt = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", txt)
+        txt = re.sub(r"\b(\w+)#N(L?) AS \1#N\2\b", r"\1#N\2", txt)
+        txt = re.sub(r"\[id=#N\]", "", txt)
+        return txt
+
+    def test_curate_store_plan_equals_explicit_plan(
+        self, spark, tmp_path, corpus
+    ):
+        from mydatasyncer_spark.operators.classify import (
+            quality_model_frame,
+            quality_weight_values,
+        )
+        from mydatasyncer_spark.operators.maintenance import (
+            write_model_store,
+        )
+
+        w = quality_weight_values(64)
+        path = str(tmp_path / "model")
+        write_model_store(
+            spark, quality_model_frame(spark, w, bias=-0.1), path
+        )
+        base = dict(
+            min_quality=0.0,
+            max_repetition=1.0,
+            near_dup_threshold=0.99,
+            min_model_quality=0.0,
+        )
+        configless = curate(
+            corpus, CurationConfig(**base), model_store_path=path
+        )
+        explicit = curate(
+            corpus,
+            CurationConfig(
+                **base, model_weights=tuple(w), model_bias=-0.1
+            ),
+        )
+        assert self._plan(configless) == self._plan(explicit)
+
+    def test_unigram_stored_plan_equals_bare_table_plan(self, spark):
+        from mydatasyncer_spark.operators.text import (
+            unigram_logprob_table,
+            unigram_model_frame,
+            unigram_perplexity,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "alpha beta gamma delta " * 2) for i in range(6)],
+            "doc_id long, text string",
+        )
+        model = unigram_logprob_table(corpus)
+        base = {"lo": 0.0, "hi": 2.0, "hist": [0.5, 0.5],
+                "oov_fraction": 0.0, "docs": 6}
+        store = unigram_model_frame(model, base)
+        a = unigram_perplexity(corpus, model=model, oov=False)
+        b = unigram_perplexity(corpus, model=store, oov=False)
+        assert self._plan(a) == self._plan(b)
