@@ -337,24 +337,52 @@ def restore_model_store(spark, path: str) -> bool:
         if _readable(path) or not _readable(staging):
             _delete_path(spark, staging)
             return False
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    _delete_path(spark, staging)
+    _swap_in_staging(spark, staging, path)
     return True
+
+
+def _swap_in_staging(spark, staging: str, path: str) -> None:
+    """Adopt a COMPLETE staged store by filesystem RENAME — two
+    constant-time metadata ops (delete target, rename staging), so
+    the swap's crash window does not scale with store size. The
+    alternative (read staging, rewrite path through Spark) is a
+    second full write of the store — nothing for a driver-sized
+    weights table, a second corpus pass for a billions-of-rows
+    unigram logprob table. Staging is a sibling dir (same
+    filesystem), so rename is the cheap path everywhere; on
+    object-store committers it degrades to a server-side copy, still
+    never a recompute. A crash between the delete and the rename
+    leaves (no path, complete staging) — exactly the mid-swap state
+    :func:`restore_model_store` already resolves."""
+    from mydatasyncer_spark.sources.writers import _hadoop_fs
+
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), dst):
+        raise IOError(
+            f"model-store swap: rename {staging} -> {path} failed — "
+            "the complete staged copy is intact; re-run "
+            "restore_model_store"
+        )
 
 
 def write_model_store(spark, frame, path: str) -> int:
     """The ONE sanctioned way to (re)write a write-once model store
     to disk — the :func:`pq_rebuild` staging discipline applied to
     the trained-model stores (r11 verdict, what's-missing #5): the
-    new store is staged to a sibling ``_staging`` dir first and the
-    in-place overwrite of ``path`` only starts once staging is
-    complete. A crash anywhere in the (long) artifact-production
-    phase leaves the OLD store serving a standing
+    new store is staged to a sibling ``_staging`` dir first and
+    ``path`` is only touched once staging reads back complete — and
+    then only by a filesystem RENAME swap (two constant-time
+    metadata ops, :func:`_swap_in_staging`), so neither the swap's
+    cost nor its crash window scales with store size. A crash
+    anywhere in the (long) artifact-production phase leaves the OLD
+    store serving a standing
     ``continuous_curation(model_store_path=...)`` stream untouched;
-    the only residual window is the final swap itself — entered with
-    the complete staged copy already on disk, so a crash there is
-    closed MECHANICALLY by :func:`restore_model_store` (or the next
-    write), never by retraining. A bare ``mode("overwrite")``
+    the only residual window is the rename swap itself — entered
+    with the complete staged copy already on disk, so a crash there
+    is closed MECHANICALLY by :func:`restore_model_store` (or the
+    next write), never by retraining. A bare ``mode("overwrite")``
     instead half-deletes the store for the whole rewrite with no
     complete copy anywhere: the stream's resolve-and-refuse reader
     fails LOUDLY (never scores wrong weights) but the stream is DOWN
@@ -377,10 +405,10 @@ def write_model_store(spark, frame, path: str) -> int:
     construction. Returns the row count written."""
     staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
     frame.write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
-    rows = staged.count()
-    staged.write.mode("overwrite").parquet(path)
-    _delete_path(spark, staging)
+    # the count both returns rows and proves the staged copy reads
+    # back complete before one byte of the serving store is touched
+    rows = spark.read.parquet(staging).count()
+    _swap_in_staging(spark, staging, path)
     return rows
 
 
