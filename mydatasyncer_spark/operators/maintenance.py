@@ -303,20 +303,32 @@ def restore_model_store(spark, path: str) -> bool:
     reject. The staged copy, when complete, IS the newest trained
     artifact; adopting it finishes the crashed swap.
 
-    Crash states and their resolution (the only states the
-    :func:`write_model_store` protocol can leave):
+    Crash states and their resolution (every state the
+    :func:`write_model_store` protocol — or its first-ever run with
+    committer markers disabled — can leave):
 
-    - staging complete (``_SUCCESS``), store anything → adopt the
-      staged copy, delete staging, return True (a crash between
-      staging and swap, or mid-swap).
+    - staging complete (``_SUCCESS``) AND readable, store anything →
+      adopt the staged copy, delete staging, return True (a crash
+      between staging and swap, or mid-swap).
+    - staging marked but NOT readable (e.g. a crashed object-store
+      copy moved the marker without every data file) → never destroy
+      the serving store for it: delete the dead staging, return
+      False. The old store, when present, keeps serving.
     - staging incomplete, store readable → the retrain died while
       producing its artifact; the old store kept serving the whole
       time. The partial staging is unusable — delete it so the next
       retrain starts clean; return False. (Like every restore in the
       family, this is not run concurrently with a live retrain.)
-    - staging readable but unmarked AND store unreadable → the
-      markers-disabled fallback (the :func:`restore_staging` gate):
-      only a crashed swap leaves this, so adopt.
+    - staging unmarked AND store unreadable → the markers-disabled
+      fallback. Mere readability proves nothing here (a v2/direct
+      committer leaves individually-complete files from a partial
+      job — including a FIRST-EVER write that crashed mid-staging,
+      where no old store exists to fall back to), so adoption is
+      gated on the staged copy resolving through its kind's
+      refusing reader (the :func:`model_store_report` dispatch): a
+      genuine crashed swap's staging was a complete verified store
+      and resolves; a partial first write fails its own fingerprint
+      and is deleted, return False.
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -334,11 +346,24 @@ def restore_model_store(spark, path: str) -> bool:
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
         return False
     if not _job_succeeded(spark, staging):
-        if _readable(path) or not _readable(staging):
+        if _readable(path) or not _store_resolves(spark, staging):
             _delete_path(spark, staging)
             return False
+    elif not _readable(staging):
+        _delete_path(spark, staging)
+        return False
     _swap_in_staging(spark, staging, path)
     return True
+
+
+def _store_resolves(spark, path: str) -> bool:
+    """Whether the parquet dir at ``path`` resolves through its
+    kind's refusing reader — :func:`model_store_report`'s dispatch
+    folded back into the predicate the restore fallback needs. Used
+    only on the markers-disabled branch, where readability alone
+    cannot distinguish a complete staged store from a partial
+    first-ever write (the readers' fingerprints can)."""
+    return bool(model_store_report(spark, path)["valid"])
 
 
 def _swap_in_staging(spark, staging: str, path: str) -> None:
@@ -353,7 +378,11 @@ def _swap_in_staging(spark, staging: str, path: str) -> None:
     object-store committers it degrades to a server-side copy, still
     never a recompute. A crash between the delete and the rename
     leaves (no path, complete staging) — exactly the mid-swap state
-    :func:`restore_model_store` already resolves."""
+    :func:`restore_model_store` already resolves. The delete is only
+    ever entered with the staged copy PROVEN to read back — the
+    write path counts it, the restore path gates on readability (and
+    the markers-disabled branch on full reader resolution) — so a
+    dead staging can never destroy a healthy serving store."""
     from mydatasyncer_spark.sources.writers import _hadoop_fs
 
     jvm, fs, _ = _hadoop_fs(spark, path)
@@ -426,7 +455,9 @@ def model_store_report(spark, path: str) -> dict:
 
     Keys: ``kind`` (``quality_classifier`` / ``bpe_merges`` /
     ``unigram_logprobs`` / ``unknown``), ``readable``, ``valid``,
-    ``error`` (the refusal text when invalid), ``rows``,
+    ``error`` (the refusal text when invalid), ``rows`` (``None``
+    whenever the store does not resolve — unreadable, unknown shape,
+    or refused),
     ``pending_staging`` (a crashed :func:`write_model_store` left a
     staging dir — :func:`restore_model_store` resolves it), and the
     kind's provenance summary (``n_features``/``bias``/
@@ -444,6 +475,9 @@ def model_store_report(spark, path: str) -> dict:
         "valid": False,
         "kind": "unknown",
         "error": None,
+        # present on EVERY report — unhealthy stores (the ones the
+        # probe exists for) report rows=None, never a KeyError
+        "rows": None,
     }
     try:
         store = spark.read.parquet(path)

@@ -709,3 +709,145 @@ class TestCrashStateMatrix:
         rw, rb, _ = recorded_model(spark.read.parquet(path))
         assert (rw, rb) == (w3, 3.0)
         assert not (tmp_path / "m_staging").exists()
+
+
+class TestRestoreGuards:
+    """r13 (r12 verdict what's-wrong #1 + advisor findings): the two
+    restore edges where "a staging dir exists" could destroy or
+    masquerade as a healthy store. (1) A MARKED staging that does not
+    read back — a crashed object-store copy that moved ``_SUCCESS``
+    without every data file — must never take the serving store down
+    with it: the old swap deleted the target before reading the
+    staged copy. (2) With committer markers disabled, a FIRST-EVER
+    write crashing mid-staging leaves a readable-but-partial staging
+    and no serving store — exactly the state the old fallback adopted
+    and reported success on. Adoption is now gated on the kind's
+    refusing reader: a genuine crashed swap's staging resolves (it
+    was a complete verified store), a partial first write fails its
+    own fingerprint and is deleted."""
+
+    def _serving(self, spark, tmp_path):
+        from mydatasyncer_spark.operators.maintenance import (
+            write_model_store,
+        )
+
+        w1 = quality_weight_values(8)
+        path = str(tmp_path / "m")
+        write_model_store(
+            spark, quality_model_frame(spark, w1, bias=1.0), path
+        )
+        return w1, path
+
+    def test_marked_unreadable_staging_never_destroys_store(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+        )
+
+        w1, path = self._serving(spark, tmp_path)
+        staging = tmp_path / "m_staging"
+        staging.mkdir()
+        (staging / "_SUCCESS").touch()  # marker moved, data did not
+        assert restore_model_store(spark, path) is False
+        # the serving store survived AND the dead staging is cleaned
+        assert recorded_model(spark.read.parquet(path))[:2] == (
+            w1,
+            1.0,
+        )
+        assert not staging.exists()
+
+    def test_first_write_crash_markers_disabled_refused(
+        self, spark, tmp_path
+    ):
+        """No store has ever existed at the path; the first write
+        crashes mid-staging under a committer that leaves
+        individually-complete files and no marker. The partial
+        staging READS — readability proves nothing — but does not
+        RESOLVE, so restore refuses, cleans, and returns False
+        instead of promoting a partial store."""
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+        )
+
+        path = str(tmp_path / "m")
+        frame = quality_model_frame(
+            spark, quality_weight_values(8), bias=1.0
+        )
+        frame.repartition(4).write.parquet(path + "_staging")
+        staging = tmp_path / "m_staging"
+        (staging / "_SUCCESS").unlink()
+        # drop a part file that PROVABLY holds rows (repartition can
+        # leave empty partitions whose loss would change nothing)
+        import pyarrow.parquet as pq
+
+        parts = sorted(staging.glob("part-*.parquet"))
+        assert len(parts) >= 2
+        victim = next(
+            p
+            for p in parts
+            if pq.ParquetFile(p).metadata.num_rows > 0
+        )
+        victim.unlink()
+        crc = staging / ("." + victim.name + ".crc")
+        if crc.exists():
+            crc.unlink()
+        # sanity: the partial staging is spark-readable
+        assert 0 < spark.read.parquet(path + "_staging").count() < 8
+        assert restore_model_store(spark, path) is False
+        assert not staging.exists()
+        assert not (tmp_path / "m").exists()
+
+    def test_markers_disabled_crashed_swap_still_adopts(
+        self, spark, tmp_path
+    ):
+        """Regression guard for the state the fallback exists for: a
+        complete (but unmarked) staged store and no serving path —
+        the staged copy resolves through its reader, so restore
+        still adopts it."""
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+        )
+
+        w2 = quality_weight_values(8, seed="v2")
+        path = str(tmp_path / "m")
+        quality_model_frame(spark, w2, bias=2.0).write.parquet(
+            path + "_staging"
+        )
+        (tmp_path / "m_staging" / "_SUCCESS").unlink()
+        assert restore_model_store(spark, path) is True
+        assert recorded_model(spark.read.parquet(path))[:2] == (
+            w2,
+            2.0,
+        )
+        assert not (tmp_path / "m_staging").exists()
+
+    def test_report_rows_key_present_on_unhealthy_stores(
+        self, spark, tmp_path
+    ):
+        """The report's documented key set holds on exactly the
+        stores the probe exists for: unreadable, unknown-shape, and
+        refused stores all carry rows=None instead of KeyError-ing
+        callers that do report["rows"]."""
+        from mydatasyncer_spark.operators.maintenance import (
+            model_store_report,
+        )
+
+        assert (
+            model_store_report(spark, str(tmp_path / "nothing"))["rows"]
+            is None
+        )
+        junk = str(tmp_path / "junk")
+        spark.createDataFrame(
+            [(1, "x")], "a int, b string"
+        ).write.parquet(junk)
+        assert model_store_report(spark, junk)["rows"] is None
+        refused = str(tmp_path / "refused")
+        quality_model_frame(
+            spark, quality_weight_values(8), bias=0.0
+        ).write.parquet(refused)
+        quality_model_frame(
+            spark, quality_weight_values(8, seed="other"), bias=1.0
+        ).write.mode("append").parquet(refused)
+        r = model_store_report(spark, refused)
+        assert r["valid"] is False and r["rows"] is None
