@@ -288,6 +288,78 @@ def compact_table(
     }
 
 
+def staged_replace(
+    spark, frame, path: str, partition_by: list[str] | None = None
+) -> int:
+    """Replace the parquet dir at ``path`` with ``frame`` through the
+    staged rename-swap protocol (r12's :func:`write_model_store`
+    mechanics, factored out in r13 for every store that is REPLACED
+    whole per step — streaming rollup/join-view state, snapshot
+    stores, SCD2 path histories): stage to a sibling ``_staging``
+    dir, prove it reads back complete (the count), then swap by two
+    constant-time metadata ops. A bare ``mode("overwrite")`` deletes
+    the store for the whole rewrite — its crash window scales with
+    store size and a crash inside it leaves nothing readable; here a
+    crash anywhere in the write leaves the OLD store serving, and
+    the only residual window is the rename swap, entered with the
+    complete staged copy already on disk and closed mechanically by
+    :func:`restore_staged_replace`. ``partition_by`` stages the same
+    directory layout the store is read with. Returns rows written."""
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    w = frame.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    rows = spark.read.parquet(staging).count()
+    _swap_in_staging(spark, staging, path)
+    return rows
+
+
+def restore_staged_replace(spark, path: str, verify=None) -> bool:
+    """Resolve a crashed :func:`staged_replace` — SUPERSEDE
+    semantics: the staged copy, when complete, IS the newest version
+    of a store that is rewritten whole per step, so adopting it
+    finishes the crashed swap (union-merging, the append-store
+    :func:`restore_staging` rule, would mix two steps' contents).
+    States: marked+readable staging → adopt, True. Marked but
+    unreadable (a crashed object-store copy moved the marker without
+    the data) → never destroy the serving store for it: delete the
+    dead staging, False. Unmarked + store readable → the write died
+    mid-staging while the old store kept serving: delete, False.
+    Unmarked + store unreadable → the markers-disabled window, where
+    mere readability can't distinguish a complete staged copy from a
+    partial write's individually-complete files: adopt only when
+    ``verify(staging_path)`` (the store kind's own refusing reader,
+    when it has one) returns True; with no verifier, fall back to
+    readability — the :func:`restore_staging` gate, degraded
+    protection honestly inherited by stores without fingerprints."""
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.sources.writers import _hadoop_fs
+
+    def _readable(p: str) -> bool:
+        try:
+            spark.read.parquet(p)
+            return True
+        except AnalysisException:
+            return False
+
+    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
+        return False
+    if not _job_succeeded(spark, staging):
+        ok = verify(staging) if verify is not None else _readable(staging)
+        if _readable(path) or not ok:
+            _delete_path(spark, staging)
+            return False
+    elif not _readable(staging):
+        _delete_path(spark, staging)
+        return False
+    _swap_in_staging(spark, staging, path)
+    return True
+
+
 def restore_model_store(spark, path: str) -> bool:
     """Resolve a crashed :func:`write_model_store` rewrite — the
     WRITE-ONCE twin of :func:`restore_staging`, with one deliberate
@@ -329,31 +401,14 @@ def restore_model_store(spark, path: str) -> bool:
       genuine crashed swap's staging was a complete verified store
       and resolves; a partial first write fails its own fingerprint
       and is deleted, return False.
+
+    Mechanics shared with every whole-replace store via
+    :func:`restore_staged_replace`; the model stores add their
+    refusing readers as the markers-disabled verifier.
     """
-    from pyspark.sql.utils import AnalysisException
-
-    from mydatasyncer_spark.sources.writers import _hadoop_fs
-
-    def _readable(p: str) -> bool:
-        try:
-            spark.read.parquet(p)
-            return True
-        except AnalysisException:
-            return False
-
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    jvm, fs, _ = _hadoop_fs(spark, path)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
-        return False
-    if not _job_succeeded(spark, staging):
-        if _readable(path) or not _store_resolves(spark, staging):
-            _delete_path(spark, staging)
-            return False
-    elif not _readable(staging):
-        _delete_path(spark, staging)
-        return False
-    _swap_in_staging(spark, staging, path)
-    return True
+    return restore_staged_replace(
+        spark, path, verify=lambda p: _store_resolves(spark, p)
+    )
 
 
 def _store_resolves(spark, path: str) -> bool:
@@ -431,14 +486,12 @@ def write_model_store(spark, frame, path: str) -> int:
     a new baseline, write it back) would then read mid-overwrite
     state. As written, ``path`` is never touched until the staged
     copy is complete, so self-derived frames are safe by
-    construction. Returns the row count written."""
-    staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
-    frame.write.mode("overwrite").parquet(staging)
-    # the count both returns rows and proves the staged copy reads
-    # back complete before one byte of the serving store is touched
-    rows = spark.read.parquet(staging).count()
-    _swap_in_staging(spark, staging, path)
-    return rows
+    construction. Returns the row count written.
+
+    Mechanics are the generic :func:`staged_replace` (the staging
+    count both returns rows and proves the staged copy reads back
+    complete before one byte of the serving store is touched)."""
+    return staged_replace(spark, frame, path)
 
 
 def model_store_report(spark, path: str) -> dict:

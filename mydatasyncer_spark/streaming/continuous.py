@@ -1610,15 +1610,34 @@ def rollup_apply_batch(
 ) -> None:
     """One :func:`continuous_rollup` micro-batch, exposed standalone
     so the crash/replay semantics are directly testable. See that
-    function's docstring for the idempotence contract."""
+    function's docstring for the idempotence contract.
+
+    r13: both stores are replaced through ``maintenance.
+    staged_replace`` (stage → prove readable → constant-time rename
+    swap) with a ``restore_staged_replace`` at batch start — a crash
+    INSIDE a write no longer leaves an unreadable store that forces
+    a full re-bootstrap; the only residual window is the rename
+    swap, closed by the restore. The staging dir also breaks the
+    read-path lineage, so the full-state eager ``localCheckpoint``
+    is gone. I/O proportionality, honestly: the state write is
+    aggregate-sized (|groups| — rewriting it whole per batch is the
+    cost of a marker the delta-fold genuinely needs; bucket it like
+    the join view if |groups| ever rivals the fact table), the
+    snapshot write input-sized (each batch IS a full snapshot)."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
     from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
+    from mydatasyncer_spark.operators.maintenance import (
+        restore_staged_replace,
+        staged_replace,
+    )
 
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    restore_staged_replace(spark, state_path)
+    restore_staged_replace(spark, snapshot_path)
     try:
         state = spark.read.parquet(state_path)
     except AnalysisException:
@@ -1628,7 +1647,7 @@ def rollup_apply_batch(
         if last is not None and last == batch_id:
             # replay of the batch already folded into the state —
             # only the snapshot store may be stale; re-point it
-            batch_df.write.mode("overwrite").parquet(snapshot_path)
+            staged_replace(spark, batch_df, snapshot_path)
             return
         state = state.drop("_last_batch_id")
     try:
@@ -1644,11 +1663,12 @@ def rollup_apply_batch(
     else:
         diff = diff_snapshots(batch_df, prev, primary_key)
         new_state = maintain_rollup(state, diff, group_cols, value_col)
-    new_state = new_state.withColumn(
-        "_last_batch_id", F.lit(batch_id)
-    ).localCheckpoint(eager=True)
-    new_state.write.mode("overwrite").parquet(state_path)
-    batch_df.write.mode("overwrite").parquet(snapshot_path)
+    staged_replace(
+        spark,
+        new_state.withColumn("_last_batch_id", F.lit(batch_id)),
+        state_path,
+    )
+    staged_replace(spark, batch_df, snapshot_path)
 
 
 def continuous_rollup(
@@ -1690,9 +1710,11 @@ def continuous_rollup(
     skip. The marker assumes the stream restarts from its OWN
     checkpoint (batch ids monotonic per store pair); wiping the
     checkpoint while keeping the stores is out of contract. A crash
-    *inside* one overwrite is outside this guard — parquet overwrite
-    is not atomic; pair the stores with a transactional table format
-    if that window matters.
+    *inside* one write is covered too (r13): both stores go through
+    the staged rename-swap (``maintenance.staged_replace``), so the
+    old store keeps serving until a complete replacement exists and
+    the only residual window — the constant-time swap itself — is
+    closed by the restore at the next batch start.
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1716,6 +1738,22 @@ def continuous_rollup(
     return writer.start()
 
 
+#: partition column of a BUCKETED continuous join view (n_buckets)
+JV_BUCKET_COL = "_jk_bucket"
+
+
+def _jv_bucket_expr(join_key: str, n_buckets: int):
+    """Deterministic join-key bucket: ``pmod(xxhash64(key), n)``.
+    NULL keys hash to xxhash64's seed, so they land in one stable
+    bucket — no special case for ``left`` views whose NULL-key rows
+    ARE view rows."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(
+        F.xxhash64(F.col(join_key)), F.lit(n_buckets)
+    ).cast("int")
+
+
 def join_view_apply_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -1725,13 +1763,41 @@ def join_view_apply_batch(
     view_path: str,
     snapshot_path: str,
     how: str = "inner",
+    n_buckets: int | None = None,
 ) -> None:
     """One :func:`continuous_join_view` micro-batch: diff the incoming
     left snapshot against the stored previous one, repair only the
     affected join-key groups of the materialized view
-    (``operators/ivm.maintain_join_view``). Same ``_last_batch_id``
-    replay guard and checkpoint-before-overwrite discipline as
-    :func:`rollup_apply_batch`."""
+    (``operators/ivm.maintain_join_view``).
+
+    Store shapes (r13 — the repair COMPUTE was already
+    delta-proportional; these make the per-batch WRITE match it, the
+    ``scd2_apply_to_table`` treatment):
+
+    - ``n_buckets=None``: the view is one parquet dir, replaced whole
+      per batch — but through ``maintenance.staged_replace``, so the
+      crash window is the constant-time rename swap, not the
+      store-sized rewrite, and no full-view ``localCheckpoint`` is
+      needed (the staging dir breaks the read-path lineage). Write
+      I/O is still view-sized; use ``n_buckets`` when that matters.
+      Carries the ``_last_batch_id`` replay marker of
+      :func:`rollup_apply_batch` (a work-saver only — see below).
+    - ``n_buckets=K``: the view is partitioned by
+      :data:`JV_BUCKET_COL` = ``pmod(xxhash64(join_key), K)``; per
+      batch only the buckets holding an affected key are rewritten
+      (dynamic partition overwrite), buckets the repair empties are
+      cleared explicitly, and unaffected bucket DIRECTORIES are
+      never opened — per-batch view I/O is delta-proportional, read
+      and write. No replay marker: a per-bucket write is not atomic
+      across buckets, so a marker could claim "folded" while some
+      buckets are stale; instead replays rely on the repair being
+      IDEMPOTENT (recompute-of-affected-groups from the new
+      snapshots, not an increment — re-running it converges, unlike
+      the rollup's delta-fold which genuinely needs its marker).
+
+    The previous-snapshot store is replaced through the same staged
+    swap in both modes; its write is inherently input-sized (each
+    micro-batch IS one complete left snapshot), not state-sized."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -1740,18 +1806,30 @@ def join_view_apply_batch(
         join_view_state,
         maintain_join_view,
     )
+    from mydatasyncer_spark.operators.maintenance import (
+        restore_staged_replace,
+        staged_replace,
+    )
 
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    restore_staged_replace(spark, snapshot_path)
+    # both modes stage whole-view writes at least once (legacy: every
+    # batch; bucketed: the bootstrap) — finish a crashed swap first
+    restore_staged_replace(spark, view_path)
     try:
         view = spark.read.parquet(view_path)
     except AnalysisException:
         view = None
-    if view is not None and "_last_batch_id" in view.columns:
+    if (
+        n_buckets is None
+        and view is not None
+        and "_last_batch_id" in view.columns
+    ):
         last = view.select(F.max("_last_batch_id")).first()[0]
         if last is not None and last == batch_id:
-            batch_df.write.mode("overwrite").parquet(snapshot_path)
+            staged_replace(spark, batch_df, snapshot_path)
             return
         view = view.drop("_last_batch_id")
     try:
@@ -1760,17 +1838,104 @@ def join_view_apply_batch(
         prev = None
     if prev is None or view is None:
         new_view = join_view_state(batch_df, right_df, join_key, how)
+        if n_buckets is None:
+            staged_replace(
+                spark,
+                new_view.withColumn("_last_batch_id", F.lit(batch_id)),
+                view_path,
+            )
+        else:
+            # bootstrap: full build, staged+swapped with the bucket
+            # layout in place (a crash mid-bootstrap leaves either
+            # nothing or the complete view — never partial buckets a
+            # later repair would trust)
+            staged_replace(
+                spark,
+                new_view.withColumn(
+                    JV_BUCKET_COL, _jv_bucket_expr(join_key, n_buckets)
+                ),
+                view_path,
+                partition_by=[JV_BUCKET_COL],
+            )
     else:
         diff = diff_snapshots(batch_df, prev, primary_key)
         keys = affected_join_keys(diff, join_key)
-        new_view = maintain_join_view(
-            view, batch_df, right_df, join_key, keys, how
-        )
-    new_view = new_view.withColumn(
-        "_last_batch_id", F.lit(batch_id)
-    ).localCheckpoint(eager=True)
-    new_view.write.mode("overwrite").parquet(view_path)
-    batch_df.write.mode("overwrite").parquet(snapshot_path)
+        if n_buckets is None:
+            staged_replace(
+                spark,
+                maintain_join_view(
+                    view, batch_df, right_df, join_key, keys, how
+                ).withColumn("_last_batch_id", F.lit(batch_id)),
+                view_path,
+            )
+        else:
+            # delta-sized key set, used by three legs — pin it once
+            keys = keys.localCheckpoint(eager=True)
+            buckets = sorted(
+                r[0]
+                for r in keys.select(
+                    _jv_bucket_expr(join_key, n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if buckets:
+                # partition-pruned read: only changed bucket dirs
+                scoped = view.filter(
+                    F.col(JV_BUCKET_COL).isin(buckets)
+                ).drop(JV_BUCKET_COL)
+                repaired = (
+                    maintain_join_view(
+                        scoped, batch_df, right_df, join_key, keys, how
+                    )
+                    .withColumn(
+                        JV_BUCKET_COL,
+                        _jv_bucket_expr(join_key, n_buckets),
+                    )
+                    # delta-sized materialization: `repaired` reads
+                    # the very partitions the write replaces
+                    .localCheckpoint(eager=True)
+                )
+                present = {
+                    r[0]
+                    for r in repaired.select(JV_BUCKET_COL)
+                    .distinct()
+                    .collect()
+                }
+                conf = spark.conf
+                prev_mode = conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", None
+                )
+                try:
+                    conf.set(
+                        "spark.sql.sources.partitionOverwriteMode",
+                        "dynamic",
+                    )
+                    repaired.write.mode("overwrite").partitionBy(
+                        JV_BUCKET_COL
+                    ).parquet(view_path)
+                finally:
+                    if prev_mode is not None:
+                        conf.set(
+                            "spark.sql.sources.partitionOverwriteMode",
+                            prev_mode,
+                        )
+                    else:
+                        conf.unset(
+                            "spark.sql.sources.partitionOverwriteMode"
+                        )
+                # buckets the repair EMPTIED: dynamic overwrite only
+                # replaces partitions it writes rows into
+                from mydatasyncer_spark.operators.dedup import (
+                    _delete_path,
+                )
+
+                for b in buckets:
+                    if b not in present:
+                        _delete_path(
+                            spark, f"{view_path}/{JV_BUCKET_COL}={b}"
+                        )
+    staged_replace(spark, batch_df, snapshot_path)
 
 
 def continuous_join_view(
@@ -1783,6 +1948,7 @@ def continuous_join_view(
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_join_view",
     how: str = "inner",
+    n_buckets: int | None = None,
 ):
     """Continuously maintained equi-join view over a snapshot stream —
     the streaming twin of ``operators/ivm.maintain_join_view``, with
@@ -1795,7 +1961,17 @@ def continuous_join_view(
     ``affected_join_keys`` and unioning the key sets. ``how``
     (``inner``/``left``) selects the view's join semantics — a
     ``left`` view keeps unmatched (and NULL-key) left rows
-    null-padded, and a right-side change re-pads them on repair."""
+    null-padded, and a right-side change re-pads them on repair.
+
+    ``n_buckets`` stores the view partitioned on
+    ``pmod(xxhash64(join_key), n_buckets)`` and rewrites ONLY the
+    buckets an affected key lands in per batch — view I/O becomes
+    delta-proportional like the repair compute, the shape a standing
+    view at 100 TB needs (see :func:`join_view_apply_batch` for the
+    crash/replay contract of each layout). Readers drop the
+    :data:`JV_BUCKET_COL` partition column. Left ``None``, the view
+    stays one dir replaced whole per batch through the staged
+    rename-swap."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         join_view_apply_batch(
@@ -1807,6 +1983,7 @@ def continuous_join_view(
             view_path,
             snapshot_path,
             how=how,
+            n_buckets=n_buckets,
         )
 
     writer = (
@@ -1864,16 +2041,33 @@ def scd2_apply_batch(
     its effective date. Naturally replay-idempotent — re-applying a
     snapshot already folded in diffs empty against the current
     versions and changes nothing — so no batch-id marker is needed.
-    ``localCheckpoint`` before the overwrite breaks the read-path
-    lineage (same pattern as :func:`rollup_apply_batch`)."""
+
+    r13: the history is replaced through ``maintenance.
+    staged_replace`` (with a ``restore_staged_replace`` at batch
+    start), not a bare overwrite whose crash window scales with
+    history size. This store is the one streaming state that is NOT
+    rebuildable from the latest snapshot — a crash inside a bare
+    overwrite would silently RESET history to ``scd2_init`` of the
+    next batch; staged, a crash leaves the old history serving and
+    the swap window closes mechanically. The staging dir also breaks
+    the read-path lineage, replacing the old full-history
+    ``localCheckpoint``. Write I/O is history-sized per batch by
+    construction of the path-based layout; the managed-table twin
+    (:func:`scd2_table_apply_batch` → ``scd2_apply_to_table``) is
+    the delta-proportional shape — prefer it for large histories."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
+    from mydatasyncer_spark.operators.maintenance import (
+        restore_staged_replace,
+        staged_replace,
+    )
     from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
 
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    restore_staged_replace(spark, history_path)
     try:
         hist = spark.read.parquet(history_path)
     except AnalysisException:
@@ -1890,8 +2084,7 @@ def scd2_apply_batch(
             if hist is None
             else scd2_apply(hist, snap, primary_key, ts)
         )
-    hist = hist.localCheckpoint(eager=True)
-    hist.write.mode("overwrite").parquet(history_path)
+    staged_replace(spark, hist, history_path)
 
 
 def scd2_table_apply_batch(
@@ -2234,6 +2427,10 @@ def continuous_jaccard_index(
                 index, text_col, id_col, token_order=order
             )
             _staged_index_rewrite(spark, migrated, index_path)
+            # bare overwrite is fine HERE (r13 state-write audit):
+            # the order file is vocabulary-sized, derived data, and
+            # a crash inside this write is caught by complete() at
+            # the next batch start, which replays the migration
             order.write.mode("overwrite").parquet(order_loc)
             index = spark.read.parquet(index_path)
             if prefix_store_path is not None:
@@ -2312,6 +2509,11 @@ def continuous_jaccard_index(
                 )
 
                 order = jaccard_token_order(batch_idx)
+                # bare overwrite is fine HERE (r13 state-write
+                # audit): bootstrap writes the order BEFORE any index
+                # rows exist, so a crash inside it re-bootstraps; a
+                # partial order beside a live index is caught by
+                # complete() above
                 order.write.mode("overwrite").parquet(order_loc)
                 order = spark.read.parquet(order_loc)
                 pairs = jaccard_self_join(

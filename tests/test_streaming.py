@@ -1589,6 +1589,296 @@ class TestContinuousJoinView:
         ]
 
 
+class TestContinuousJoinViewBucketed:
+    """r13 (r12 verdict, next-round #2): the join view's per-batch
+    WRITE becomes delta-proportional like its repair compute —
+    n_buckets stores the view partitioned on pmod(xxhash64(join_key),
+    n_buckets) and each batch rewrites only the buckets an affected
+    key lands in (dynamic partition overwrite), with untouched bucket
+    directories never opened. The written-bytes pin follows the
+    jaccard shuffle-probe discipline: bucket count scales with view
+    size (constant bucket size, the scd2_init_table sizing rule), so
+    a FIXED delta writes FLAT bytes as the view grows."""
+
+    NB = 8
+
+    def _right(self, spark):
+        return spark.createDataFrame(
+            [(k, f"r{k}") for k in range(50)], "k long, rv string"
+        )
+
+    def _snap(self, spark, n, tag="a", drop_pks=()):
+        rows = [
+            (i, i % 50, f"{tag}{i}")
+            for i in range(n)
+            if i not in drop_pks
+        ]
+        return spark.createDataFrame(rows, "pk long, k long, v string")
+
+    def _apply(self, spark, batch_df, batch_id, paths, nb=None, how="inner"):
+        from mydatasyncer_spark.streaming.continuous import (
+            join_view_apply_batch,
+        )
+
+        join_view_apply_batch(
+            batch_df,
+            batch_id,
+            "pk",
+            "k",
+            self._right(spark),
+            paths[0],
+            paths[1],
+            how=how,
+            n_buckets=self.NB if nb is None else nb,
+        )
+
+    def _view_rows(self, spark, view):
+        from mydatasyncer_spark.streaming.continuous import JV_BUCKET_COL
+
+        return sorted(
+            (r["pk"], r["k"], r["v"], r["rv"])
+            for r in spark.read.parquet(view)
+            .drop(JV_BUCKET_COL)
+            .collect()
+        )
+
+    @staticmethod
+    def _files(view):
+        """relpath -> (size, sha256) of every DATA file in the view
+        dir (markers and crc sidecars excluded)."""
+        import hashlib
+        import os
+
+        out = {}
+        for root, _dirs, names in os.walk(view):
+            for name in names:
+                if name.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, name)
+                rel = os.path.relpath(p, view)
+                data = open(p, "rb").read()
+                out[rel] = (len(data), hashlib.sha256(data).hexdigest())
+        return out
+
+    def test_repair_identity_and_key_moves(self, spark, tmp_path):
+        """Incrementally maintained bucketed view == the full join of
+        the latest snapshot, through inserts, updates, deletes, and
+        a group-moving key update."""
+        paths = (str(tmp_path / "view"), str(tmp_path / "snap"))
+        s0 = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 20, "c")],
+            "pk long, k long, v string",
+        )
+        self._apply(spark, s0, 0, paths)
+        # pk1 moves 10->30, pk2 deleted, pk4 inserted into 20
+        s1 = spark.createDataFrame(
+            [(1, 30, "a2"), (3, 20, "c"), (4, 20, "d")],
+            "pk long, k long, v string",
+        )
+        self._apply(spark, s1, 1, paths)
+        want = sorted(
+            (r["pk"], r["k"], r["v"], r["rv"])
+            for r in s1.join(self._right(spark), "k", "inner")
+            .select("pk", "k", "v", "rv")
+            .collect()
+        )
+        assert self._view_rows(spark, paths[0]) == want
+
+    def test_left_view_null_keys_bucketed(self, spark, tmp_path):
+        """NULL join keys hash to one stable bucket (xxhash64's
+        seed), so a left view's null-padded rows repair in place
+        under the bucketed layout too."""
+        paths = (str(tmp_path / "view"), str(tmp_path / "snap"))
+        s0 = spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "b")], "pk long, k long, v string"
+        )
+        self._apply(spark, s0, 0, paths, how="left")
+        s1 = spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "b2"), (3, None, "c")],
+            "pk long, k long, v string",
+        )
+        self._apply(spark, s1, 1, paths, how="left")
+        got = self._view_rows(spark, paths[0])
+        assert got == [
+            (1, 10, "a", "r10"),
+            (2, None, "b2", None),
+            (3, None, "c", None),
+        ]
+
+    def test_untouched_buckets_never_rewritten(self, spark, tmp_path):
+        """The byte-identity pin: after a small delta, every data
+        file of every UNAFFECTED bucket directory is bit-identical —
+        the batch never opened those directories."""
+        from pyspark.sql import functions as F
+
+        paths = (str(tmp_path / "view"), str(tmp_path / "snap"))
+        self._apply(spark, self._snap(spark, 2000), 0, paths)
+        before = self._files(paths[0])
+        # delta: update the three rows of join keys 7 and 23
+        s1 = self._snap(spark, 2000).withColumn(
+            "v",
+            F.when(F.col("k").isin(7, 23), F.concat(F.col("v"), F.lit("!")))
+            .otherwise(F.col("v")),
+        )
+        self._apply(spark, s1, 1, paths)
+        after = self._files(paths[0])
+        changed_buckets = {
+            r[0]
+            for r in spark.createDataFrame([(7,), (23,)], "k long")
+            .select(F.pmod(F.xxhash64("k"), F.lit(self.NB)).alias("b"))
+            .collect()
+        }
+        untouched = {
+            rel: h
+            for rel, h in before.items()
+            if int(rel.split("=")[1].split("/")[0]) not in changed_buckets
+        }
+        for rel, h in untouched.items():
+            assert after.get(rel) == h, rel
+        # and the affected buckets DID change
+        assert any(
+            after.get(rel) != h
+            for rel, h in before.items()
+            if rel not in untouched
+        )
+
+    def test_write_bytes_flat_as_view_grows(self, spark, tmp_path):
+        """The written-bytes pin: fixed delta, view 4x larger with
+        bucket count scaled 4x (constant bucket size) — bytes written
+        per batch stay flat while the stored view grows ~4x."""
+        from pyspark.sql import functions as F
+
+        def run(n, nb, tag):
+            paths = (
+                str(tmp_path / f"view{tag}"),
+                str(tmp_path / f"snap{tag}"),
+            )
+            self._apply(spark, self._snap(spark, n), 0, paths, nb=nb)
+            before = self._files(paths[0])
+            total = sum(s for s, _ in before.values())
+            s1 = self._snap(spark, n).withColumn(
+                "v",
+                F.when(
+                    F.col("pk").isin(3, 4), F.concat(F.col("v"), F.lit("!"))
+                ).otherwise(F.col("v")),
+            )
+            self._apply(spark, s1, 1, paths, nb=nb)
+            after = self._files(paths[0])
+            written = sum(
+                s
+                for rel, (s, h) in after.items()
+                if before.get(rel) != (s, h)
+            )
+            return total, written
+
+        total_s, written_s = run(2000, 8, "s")
+        total_b, written_b = run(8000, 32, "b")
+        assert total_b >= 3 * total_s
+        assert written_b <= 2.5 * written_s
+        # and neither batch rewrote anywhere near the full view
+        assert written_s < total_s / 2
+        assert written_b < total_b / 4
+
+    def test_emptied_bucket_cleared(self, spark, tmp_path):
+        """A delta that removes EVERY view row of a bucket clears the
+        bucket directory outright — dynamic overwrite alone never
+        deletes a partition it writes no rows into."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        paths = (str(tmp_path / "view"), str(tmp_path / "snap"))
+        # one row per join key -> victim bucket empties when its
+        # keys' rows all go
+        s0 = spark.createDataFrame(
+            [(k, k, f"v{k}") for k in range(50)],
+            "pk long, k long, v string",
+        )
+        self._apply(spark, s0, 0, paths)
+        by_bucket: dict[int, list[int]] = {}
+        for r in (
+            s0.select("k", F.pmod(F.xxhash64("k"), F.lit(self.NB)).alias("b"))
+            .collect()
+        ):
+            by_bucket.setdefault(r["b"], []).append(r["k"])
+        victim, victim_keys = min(
+            by_bucket.items(), key=lambda kv: len(kv[1])
+        )
+        s1 = s0.filter(~F.col("k").isin(victim_keys))
+        self._apply(spark, s1, 1, paths)
+        from mydatasyncer_spark.streaming.continuous import JV_BUCKET_COL
+
+        assert not os.path.exists(
+            os.path.join(paths[0], f"{JV_BUCKET_COL}={victim}")
+        )
+        want = sorted(
+            (r["pk"], r["k"], r["v"], r["rv"])
+            for r in s1.join(self._right(spark), "k", "inner")
+            .select("pk", "k", "v", "rv")
+            .collect()
+        )
+        assert self._view_rows(spark, paths[0]) == want
+
+    def test_replay_converges_without_marker(self, spark, tmp_path):
+        """The bucketed layout carries NO batch-id marker (a
+        per-bucket write is not atomic across buckets, so a marker
+        could claim 'folded' while some buckets are stale). Replays
+        rely on the repair being idempotent: re-applying the same
+        batch BEFORE the snapshot advanced (crash between view write
+        and snapshot write) and AFTER it advanced (plain redelivery)
+        both converge to the full-join content."""
+        import shutil
+
+        paths = (str(tmp_path / "view"), str(tmp_path / "snap"))
+        s0 = self._snap(spark, 200)
+        self._apply(spark, s0, 0, paths)
+        snap_backup = str(tmp_path / "snap_backup")
+        shutil.copytree(paths[1], snap_backup)
+        s1 = self._snap(spark, 200, drop_pks={3, 7}).union(
+            spark.createDataFrame(
+                [(500, 5, "new")], "pk long, k long, v string"
+            )
+        )
+        self._apply(spark, s1, 1, paths)
+        want = sorted(
+            (r["pk"], r["k"], r["v"], r["rv"])
+            for r in s1.join(self._right(spark), "k", "inner")
+            .select("pk", "k", "v", "rv")
+            .collect()
+        )
+        assert self._view_rows(spark, paths[0]) == want
+        # crash-between-writes replay: snapshot rolled back to s0
+        shutil.rmtree(paths[1])
+        shutil.copytree(snap_backup, paths[1])
+        self._apply(spark, s1, 1, paths)
+        assert self._view_rows(spark, paths[0]) == want
+        # plain redelivery replay: snapshot already advanced
+        self._apply(spark, s1, 1, paths)
+        assert self._view_rows(spark, paths[0]) == want
+
+    def test_crashed_bootstrap_swap_restored(self, spark, tmp_path):
+        """A crash between the bootstrap's staging completion and its
+        rename swap leaves (no view, complete marked staging); the
+        next batch adopts it and repairs incrementally on top."""
+        import shutil
+
+        paths = (str(tmp_path / "view"), str(tmp_path / "snap"))
+        s0 = self._snap(spark, 200)
+        self._apply(spark, s0, 0, paths)
+        # recreate the mid-swap state: the completed store (which IS
+        # the staged copy, marker included) back under _staging
+        shutil.move(paths[0], paths[0] + "_staging")
+        s1 = self._snap(spark, 200, drop_pks={11})
+        self._apply(spark, s1, 1, paths)
+        want = sorted(
+            (r["pk"], r["k"], r["v"], r["rv"])
+            for r in s1.join(self._right(spark), "k", "inner")
+            .select("pk", "k", "v", "rv")
+            .collect()
+        )
+        assert self._view_rows(spark, paths[0]) == want
+
+
 class TestContinuousSemanticDedup:
     """r9: the embedding twin of continuous_dedup — cross-batch
     semantic rejection through the grown bucket-partitioned IVF
