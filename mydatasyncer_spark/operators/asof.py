@@ -25,6 +25,17 @@ rather than a range join:
 The right side must be unique per (key, ts) — pre-aggregate if not
 (the contract query does) — otherwise "which same-timestamp row wins"
 is undefined in every engine.
+
+NULL semantics (r13, aligned with the SQL the oracle runs): the match
+condition is an equi-join on the keys plus a timestamp comparison, so
+NULL never matches — a right row with a NULL key or NULL timestamp
+can match NOTHING (dropped before the union; under the old window
+pass its VALUES could leak into fills while its null timestamp was
+skipped, pairing a value with the wrong ``ts_out``), and a left row
+with a NULL timestamp gets NO match in either direction (the forward
+traversal orders ``desc_nulls_first`` so null-ts left rows precede
+every right row, mirroring backward's asc-nulls-first default).
+NULL-key left rows survive, null-filled — left-join semantics.
 """
 
 from __future__ import annotations
@@ -108,7 +119,7 @@ def _asof_join(
         F.col(ts_col),
         F.lit(0).alias(_SIDE),
         *[F.col(c) for c in value_cols],
-    )
+    ).na.drop(subset=[*key_cols, ts_col])
     for c in left_cols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
@@ -116,9 +127,13 @@ def _asof_join(
     # right rows sort BEFORE left rows at an equal timestamp (side
     # asc in both traversals), so the inclusive semantics hold:
     # backward walks time ascending (>= match), forward descending
-    # (<= match)
+    # (<= match). NULL-ts left rows must precede every right row in
+    # BOTH traversals (no comparison matches NULL): asc puts nulls
+    # first already; desc needs it spelled out.
     ts_order = (
-        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+        F.col(ts_col).asc()
+        if direction == "backward"
+        else F.col(ts_col).desc_nulls_first()
     )
     w = (
         Window.partitionBy(*key_cols)

@@ -648,6 +648,68 @@ class TestAsofJoin:
                 ["ts2", "user_id"],
             )
 
+    def test_null_semantics_match_sql_comparisons(self, spark):
+        """r13 adversarial sweep: the match condition is key equality
+        + a timestamp comparison, and SQL comparisons never match
+        NULL. Pinned against the pre-fix behaviors: (1) a NULL-ts
+        right row leaked its VALUES into fills while its timestamp
+        was skipped (value paired with the wrong/absent asof_ts);
+        (2) the forward traversal (desc, nulls last by default)
+        placed NULL-ts left rows after every right row, matching
+        them; (3) NULL keys window-partitioned together and matched
+        each other, unlike an equi-join."""
+        from mydatasyncer_spark.operators.asof import (
+            asof_join_backward,
+            asof_join_forward,
+        )
+
+        # (1) a lone NULL-ts right row can match nothing
+        left = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+        right = spark.createDataFrame(
+            [(1, None, 99.0)], "k int, ts double, val double"
+        )
+        row = asof_join_backward(left, right, ["k"], "ts", ["val"]).first()
+        assert (row["asof_ts"], row["val"]) == (None, None)
+        rowf = asof_join_forward(left, right, ["k"], "ts", ["val"]).first()
+        assert (rowf["asof_ts"], rowf["val"]) == (None, None)
+
+        # (2) NULL-ts LEFT rows survive with no match, both directions
+        left2 = spark.createDataFrame(
+            [(1, None), (1, 7.0)], "k int, ts double"
+        )
+        right2 = spark.createDataFrame(
+            [(1, 5.0, 50.0), (1, 9.0, 90.0)],
+            "k int, ts double, val double",
+        )
+        fwd = {
+            r["ts"]: (r["asof_ts"], r["val"])
+            for r in asof_join_forward(
+                left2, right2, ["k"], "ts", ["val"]
+            ).collect()
+        }
+        assert fwd[None] == (None, None)
+        assert fwd[7.0] == (9.0, 90.0)
+        bwd = {
+            r["ts"]: (r["asof_ts"], r["val"])
+            for r in asof_join_backward(
+                left2, right2, ["k"], "ts", ["val"]
+            ).collect()
+        }
+        assert bwd[None] == (None, None)
+        assert bwd[7.0] == (5.0, 50.0)
+
+        # (3) NULL keys never match; the left row still survives
+        left3 = spark.createDataFrame(
+            [(None, 10.0)], "k int, ts double"
+        )
+        right3 = spark.createDataFrame(
+            [(None, 5.0, 50.0)], "k int, ts double, val double"
+        )
+        row3 = asof_join_backward(
+            left3, right3, ["k"], "ts", ["val"]
+        ).first()
+        assert (row3["asof_ts"], row3["val"]) == (None, None)
+
 
 class TestMultimodalPlumbing:
     def test_resize_schema_and_determinism(self, spark, docs):
