@@ -27,34 +27,25 @@ import __spark_entry__ as entry_mod
 GATE_CAP = 50
 REPO = Path(__file__).resolve().parent.parent
 
-# the r12 window boundary, pinned by name: position 50 (last inside
+# the r13 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "window_analytics_suite"
-FIRST_PAST_CAP = "ann_pq_topk"
+LAST_IN_WINDOW = "zorder_orders_key"
+FIRST_PAST_CAP = "unigram_perplexity_stored"
 
-# everything added or implementation-touched in r12 MUST sit inside
+# everything added or implementation-touched in r13 MUST sit inside
 # the gate window (rotation policy rule 1-2)
-R12_TOUCHED = [
-    # new in r12: scoring through the self-describing unigram logprob
-    # store (unigram_model_frame → recorded_unigram_baseline) — the
-    # last trained-artifact store without a driver-gate resolve proof
-    "unigram_perplexity_stored",
-    # implementation touched in r12: curate() gained
-    # model_store_path= (the stream's configless story, on the batch
-    # axis) — both curation gate queries run through curate()
-    "curation_pipeline_scored",
-    "curation_pipeline",
-    # implementation touched in r12: classify gained the
-    # footer-fingerprint resolve (recorded_model_fingerprint) and the
-    # staged write_model_store rewrite discipline the stored-scoring
-    # query's store functions now prescribe
-    "quality_model_score_stored",
-    # rule-2 priority carried from r11: the pinned R12_PRIORITY
-    # exception (ann_pq_residual was new in r11 but the window was
-    # exactly full), retired this round the documented way — it
-    # enters the window with the debt cohort
-    "ann_pq_residual",
+R13_TOUCHED = [
+    # implementation touched in r13: asof.py's NULL handling was
+    # aligned with the SQL comparisons the oracle runs (right rows
+    # with NULL key/ts can match nothing; forward traversal
+    # desc_nulls_first so NULL-ts left rows match nothing either) —
+    # both asof gate queries run through _asof_join. The round's
+    # other code changes (maintenance.py staged_replace family,
+    # streaming/continuous.py bucketed join view) have no gate
+    # queries: their surface is streaming/ops, pytest-covered.
+    "asof_purchase_view",
+    "asof_next_purchase",
 ]
 
 
@@ -77,17 +68,17 @@ def _green(round_tag: str) -> set[str]:
 
 
 def _stale_cohort() -> set[str]:
-    """The last-green-r9 cohort — r12's rotation debt, computed:
-    green in the r9 gate and never re-greened since."""
-    return _green("09") - _green("10") - _green("11")
+    """The last-green-r10 cohort — r13's rotation debt, computed:
+    green in the r10 gate and never re-greened since."""
+    return _green("10") - _green("11") - _green("12")
 
 
-def _r13_debt() -> set[str]:
-    """The last-green-r10 cohort — r13's rotation debt (assuming the
-    r12 window goes green): green in r10, never re-greened in r11,
-    and not already inside the r12 window."""
+def _r14_debt() -> set[str]:
+    """The last-green-r11 cohort — r14's rotation debt (assuming the
+    r13 window goes green): green in r11, never re-greened in r12,
+    and not already inside the r13 window."""
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    return _green("10") - _green("11") - window
+    return _green("11") - _green("12") - window
 
 
 def test_every_query_has_an_oracle_and_vice_versa():
@@ -108,11 +99,8 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 
 def test_round_touched_queries_sit_inside_the_gate_window():
-    """Also retires the r11 R12_PRIORITY exception the documented
-    way: ann_pq_residual is now IN the window (rule 2), checked here
-    rather than via the standalone exception pin."""
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R12_TOUCHED if n not in window]
+    missing = [n for n in R13_TOUCHED if n not in window]
     assert not missing, missing
 
 
@@ -121,24 +109,24 @@ def test_stale_cohort_rotated_into_the_window():
     cohort — no silent filler displacing a debt entry, and no debt
     entry left out. The cohort size is asserted too, so a missing or
     truncated CORRECTNESS file fails loudly instead of silently
-    shrinking the debt."""
+    shrinking the debt. (r13 runs at the saturation point the r12
+    verdict predicted: 48 debt + 2 touched = the whole window.)"""
     cohort = _stale_cohort()
-    assert len(cohort) == 45, sorted(cohort)
+    assert len(cohort) == 48, sorted(cohort)
     window = set(list(entry_mod.queries())[:GATE_CAP])
     missing = sorted(cohort - window)
     assert not missing, missing
-    assert window == set(R12_TOUCHED) | cohort
-    assert len(R12_TOUCHED) + len(cohort) == GATE_CAP
+    assert window == set(R13_TOUCHED) | cohort
+    assert len(R13_TOUCHED) + len(cohort) == GATE_CAP
 
 
-def test_r13_debt_is_recorded_and_outside_the_window():
-    """r13's rotation debt (the last-green-r10 cohort) is computed
-    now so the next round's window is planned against it: 48 queries
-    — nearly a full window, leaving ~2 free slots for r13's
-    new/touched queries."""
+def test_r14_debt_is_recorded_and_outside_the_window():
+    """r14's rotation debt (the last-green-r11 cohort) is computed
+    now so the next round's window is planned against it: 47 queries
+    — leaving ~3 free slots for r14's new/touched queries."""
     names = list(entry_mod.queries())
-    debt = _r13_debt()
-    assert len(debt) == 48, len(debt)
+    debt = _r14_debt()
+    assert len(debt) == 47, len(debt)
     window = set(names[:GATE_CAP])
     for n in sorted(debt):
         assert n in names, n
