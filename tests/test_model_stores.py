@@ -851,3 +851,193 @@ class TestRestoreGuards:
         ).write.mode("append").parquet(refused)
         r = model_store_report(spark, refused)
         assert r["valid"] is False and r["rows"] is None
+
+
+class TestStagedProtocolFuzz:
+    """r13 (r12 verdict, next-round #6): randomized crash-point
+    injection over random store kinds — the r10 PQ staged-protocol
+    fuzz applied to write_model_store / restore_model_store. For
+    every drawn (kind, crash state, markers on/off, first-write)
+    combination the protocol's promises are asserted directly:
+    whatever the serving path holds resolves through the kind's
+    refusing reader to EXACTLY the old or the new artifact (never a
+    third thing, silently); restore_model_store never raises, never
+    installs a store the reader refuses, and always consumes the
+    staging dir; and the next write converges to its own artifact
+    regardless of the inherited wreckage. The unigram kind records
+    no row fingerprint by documented design (text.py trust-model
+    note), so it is fuzzed over the non-partial states where its
+    footer-only resolution is the full contract."""
+
+    def _artifacts(self, spark, kind):
+        """(build(tag) -> frame, resolve(df) -> comparable) per kind;
+        resolve raises ValueError when the store refuses."""
+        if kind == "quality":
+            def build(tag):
+                return quality_model_frame(
+                    spark,
+                    quality_weight_values(8, seed=tag),
+                    bias=float(len(tag)),
+                )
+
+            def resolve(df):
+                w, b, _ = recorded_model(df)
+                return ("q", tuple(w), b)
+
+        elif kind == "bpe":
+            def build(tag):
+                merges = [(f"{tag}{i}", f"x{i}") for i in range(5)]
+                return bpe_merges_frame(spark, merges, float(len(tag)))
+
+            def resolve(df):
+                m, b = recorded_merges(df)
+                return ("b", tuple(m), b)
+
+        else:  # unigram: footer-only resolution, by documented design
+            from mydatasyncer_spark.operators.text import (
+                recorded_unigram_baseline,
+                unigram_model_frame,
+            )
+
+            def build(tag):
+                model = spark.createDataFrame(
+                    [(f"t{i}", -float(i + len(tag))) for i in range(6)],
+                    "tok string, logp double",
+                )
+                base = {
+                    "lo": 0.0,
+                    "hi": float(len(tag)),
+                    "hist": [0.5, 0.5],
+                    "oov_fraction": 0.0,
+                    "docs": len(tag),
+                }
+                return unigram_model_frame(model, base)
+
+            def resolve(df):
+                base = recorded_unigram_baseline(df)
+                return ("u", base["hi"], base["docs"])
+
+        return build, resolve
+
+    def test_random_crash_states_converge(self, spark):
+        import os
+        import shutil
+        import tempfile
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mydatasyncer_spark.operators.maintenance import (
+            restore_model_store,
+            write_model_store,
+        )
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            kind=st.sampled_from(["quality", "bpe", "unigram"]),
+            state=st.sampled_from(
+                ["partial", "staged", "mid_swap", "post_swap"]
+            ),
+            markers=st.booleans(),
+            first_write=st.booleans(),
+            data=st.data(),
+        )
+        def check(kind, state, markers, first_write, data):
+            if kind == "unigram" and state == "partial":
+                state = "staged"  # no row fingerprint: partials are
+                # outside its documented refusal matrix
+            build, resolve = self._artifacts(spark, kind)
+            old = build("old")
+            new = build("newer")
+            want_old = resolve(old)
+            want_new = resolve(new)
+            d = tempfile.mkdtemp()
+            try:
+                path = os.path.join(d, "store")
+                staging = path + "_staging"
+                if not first_write:
+                    write_model_store(spark, old, path)
+                # inject the crash state by hand, the way the matrix
+                # tests do — never through the functions under test
+                if state == "partial":
+                    new.repartition(3).write.parquet(staging)
+                    os.unlink(os.path.join(staging, "_SUCCESS"))
+                    import glob as _glob
+
+                    import pyarrow.parquet as _pq
+
+                    parts = sorted(
+                        _glob.glob(os.path.join(staging, "part-*.parquet"))
+                    )
+                    victims = [
+                        p
+                        for p in parts
+                        if _pq.ParquetFile(p).metadata.num_rows > 0
+                    ]
+                    victim = victims[
+                        data.draw(
+                            st.integers(0, len(victims) - 1), label="victim"
+                        )
+                    ]
+                    os.unlink(victim)
+                    crc = os.path.join(
+                        staging, "." + os.path.basename(victim) + ".crc"
+                    )
+                    if os.path.exists(crc):
+                        os.unlink(crc)
+                else:
+                    new.write.parquet(staging)
+                    if not markers:
+                        os.unlink(os.path.join(staging, "_SUCCESS"))
+                    if state == "mid_swap" and not first_write:
+                        shutil.rmtree(path)
+                    elif state == "post_swap":
+                        new.write.mode("overwrite").parquet(path)
+
+                # invariant 1: whatever the path serves RIGHT NOW is
+                # old, new, absent, or a loud refusal — never a third
+                # artifact
+                self._assert_serves_known(
+                    spark, resolve, path, (want_old, want_new)
+                )
+                # invariant 2: restore never raises, consumes staging,
+                # and never installs a refused store
+                restore_model_store(spark, path)
+                assert not os.path.exists(staging)
+                self._assert_serves_known(
+                    spark, resolve, path, (want_old, want_new)
+                )
+                # invariant 3: the next write converges regardless
+                final = build("final")
+                write_model_store(spark, final, path)
+                assert resolve(
+                    spark.read.parquet(path)
+                ) == resolve(final)
+                assert not os.path.exists(staging)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        check()
+
+    @staticmethod
+    def _assert_serves_known(spark, resolve, path, wanted):
+        import os
+
+        import pytest as _pytest
+        from pyspark.sql.utils import AnalysisException
+
+        if not os.path.exists(path):
+            return
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            return  # unreadable = loud, acceptable mid-crash
+        try:
+            got = resolve(df)
+        except ValueError:
+            return  # refused = loud, acceptable mid-crash
+        assert got in wanted, got
