@@ -904,3 +904,115 @@ def test_asof_join_reads_managed_bucketed_history(spark):
         assert got == {10: "a", 11: "A"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+class TestScd2PolicyComposition:
+    """r13 (r12 verdict, next-round #6): Hypothesis over the diff
+    empty-input policy matrix × the SCD2 keep policy. Random snapshot
+    sequences — EMPTY snapshots included — with a random
+    delete_absent flag per step are folded through scd2_apply AND
+    scd2_apply_to_table, and both must match an independent
+    row-at-a-time simulation of the contract: delete_absent=True
+    makes each snapshot authoritative (an empty one closes
+    EVERYTHING), False keeps absent rows current (an empty one is a
+    no-op). The composition matters because each policy edge was
+    pinned separately (O11 matrix, scd2_keep_policy) but a sequence
+    can interleave them: close a key under True, resurrect it later,
+    hold it through an empty False snapshot."""
+
+    DATES = ["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"]
+
+    @staticmethod
+    def _simulate(bootstrap, steps, dates):
+        cur = {pk: (v, dates[0]) for pk, v in bootstrap.items()}
+        closed = []
+        for (snap, da), ts in zip(steps, dates[1:]):
+            for pk, v in snap.items():
+                if pk in cur:
+                    if cur[pk][0] != v:
+                        closed.append((pk, cur[pk][0], cur[pk][1], ts))
+                        cur[pk] = (v, ts)
+                else:
+                    cur[pk] = (v, ts)
+            if da:
+                for pk in [p for p in list(cur) if p not in snap]:
+                    closed.append((pk, cur[pk][0], cur[pk][1], ts))
+                    del cur[pk]
+        return {(pk, v, vf, vt, False) for pk, v, vf, vt in closed} | {
+            (pk, v, vf, None, True) for pk, (v, vf) in cur.items()
+        }
+
+    @staticmethod
+    def _rows(df):
+        return {
+            (
+                r["id"],
+                r["v"],
+                str(r["valid_from"]),
+                str(r["valid_to"]) if r["valid_to"] is not None else None,
+                bool(r["is_current"]),
+            )
+            for r in df.select(
+                "id", "v", "valid_from", "valid_to", "is_current"
+            ).collect()
+        }
+
+    def test_random_sequences_match_simulation(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mydatasyncer_spark.operators.scd import (
+            scd2_apply,
+            scd2_apply_to_table,
+            scd2_init,
+            scd2_init_table,
+        )
+
+        snap_st = st.dictionaries(
+            st.integers(1, 5), st.sampled_from(["a", "b", "c"]),
+            max_size=5,
+        )
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            bootstrap=st.dictionaries(
+                st.integers(1, 5), st.sampled_from(["a", "b", "c"]),
+                min_size=1, max_size=5,
+            ),
+            steps=st.lists(
+                st.tuples(snap_st, st.booleans()), min_size=2, max_size=3
+            ),
+        )
+        def check(bootstrap, steps):
+            def frame(d):
+                return spark.createDataFrame(
+                    [(pk, v) for pk, v in sorted(d.items())],
+                    "id long, v string",
+                )
+
+            want = self._simulate(bootstrap, steps, self.DATES)
+            # path A: whole-history rewrites
+            hist = scd2_init(frame(bootstrap), self.DATES[0])
+            for (snap, da), ts in zip(steps, self.DATES[1:]):
+                hist = scd2_apply(
+                    hist, frame(snap), "id", ts, delete_absent=da
+                )
+            assert self._rows(hist) == want
+            # path B: the managed-table twin (partition-scoped MERGE)
+            name = f"scd2_fuzz_{uuid.uuid4().hex[:8]}"
+            scd2_init_table(spark, name, frame(bootstrap), self.DATES[0])
+            try:
+                for (snap, da), ts in zip(steps, self.DATES[1:]):
+                    scd2_apply_to_table(
+                        spark, name, frame(snap), "id", ts,
+                        delete_absent=da,
+                    )
+                assert self._rows(spark.table(name)) == want
+            finally:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+        check()
