@@ -1065,6 +1065,77 @@ class TestIntervalOverlapJoin:
         right = [("u", 2, 3.0, 48.0)]
         assert self._run(spark, left, right, bucket=10) == [(1, 2)]
 
+    def test_property_matches_brute_force_any_config(self, spark):
+        """r13 adversarial sweep pin: the exactly-once rule must hold
+        for EVERY (bucket size, segment cap, convention) — including
+        NEGATIVE coordinates (floor-division bucket math below zero),
+        zero-length intervals, and a segment cap of 1 — against the
+        quadratic reference predicate. Results must be independent of
+        bucket_seconds and max_buckets_per_row by contract."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mydatasyncer_spark.operators.intervals import (
+            interval_overlap_join,
+        )
+
+        iv = st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-50, 150),
+            st.integers(0, 37),
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            left=st.lists(iv, min_size=1, max_size=12),
+            right=st.lists(iv, min_size=1, max_size=12),
+            bucket=st.sampled_from([1, 3, 10, 64]),
+            mbpr=st.sampled_from([1, 2, 7, 256]),
+            conv=st.sampled_from(["closed", "half_open"]),
+        )
+        def check(left, right, bucket, mbpr, conv):
+            L = [
+                (k, i, float(s), float(s + n))
+                for i, (k, s, n) in enumerate(left)
+            ]
+            R = [
+                (k, 1000 + i, float(s), float(s + n))
+                for i, (k, s, n) in enumerate(right)
+            ]
+            l = spark.createDataFrame(
+                L, "k string, lid long, ls double, le double"
+            )
+            r = spark.createDataFrame(
+                R, "k string, rid long, rs double, re double"
+            )
+            out = interval_overlap_join(
+                l, r, "ls", "le", "rs", "re", on=["k"],
+                bucket_seconds=bucket, how_overlap=conv,
+                max_buckets_per_row=mbpr,
+            )
+            got = sorted(
+                (row["lid"], row["rid"]) for row in out.collect()
+            )
+            if conv == "closed":
+                def pred(ls, le, rs, re_):
+                    return ls <= re_ and rs <= le
+            else:
+                def pred(ls, le, rs, re_):
+                    return ls < re_ and rs < le
+            want = sorted(
+                (lid, rid)
+                for lk, lid, ls, le in L
+                for rk, rid, rs, re_ in R
+                if lk == rk and pred(ls, le, rs, re_)
+            )
+            assert got == want
+
+        check()
+
     def test_key_isolation(self, spark):
         left = [("a", 1, 0.0, 100.0)]
         right = [("b", 2, 0.0, 100.0)]  # overlaps in time, wrong key
