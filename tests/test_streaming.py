@@ -4907,3 +4907,160 @@ class TestContinuousCurationFullConfig:
             )
             == counts
         )
+
+
+class TestBucketedJoinViewScanPruning:
+    """The read-side half of the delta-proportional claim: the
+    repair's scoped view read (`view.filter(bucket.isin(changed))`)
+    must prune at the PARTITION level — directories of unaffected
+    buckets are excluded by the scan's PartitionFilters, not filtered
+    row-by-row after being opened. The write-side half is the
+    byte-identity pin in TestContinuousJoinViewBucketed."""
+
+    def test_scoped_read_prunes_bucket_directories(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.streaming.continuous import (
+            JV_BUCKET_COL,
+            join_view_apply_batch,
+        )
+
+        right = spark.createDataFrame(
+            [(k, f"r{k}") for k in range(50)], "k long, rv string"
+        )
+        s0 = spark.createDataFrame(
+            [(i, i % 50, f"v{i}") for i in range(400)],
+            "pk long, k long, v string",
+        )
+        view, snap = str(tmp_path / "view"), str(tmp_path / "snap")
+        join_view_apply_batch(
+            s0, 0, "pk", "k", right, view, snap, n_buckets=8
+        )
+        # the exact scoped-read shape the incremental batch performs
+        scoped = spark.read.parquet(view).filter(
+            F.col(JV_BUCKET_COL).isin([1, 4])
+        )
+        plan = (
+            scoped._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
+        seg = plan.split("PartitionFilters")[1][:160]
+        assert JV_BUCKET_COL in seg
+        # and the pruning is real: only the two bucket dirs are read
+        files = {
+            r[0].split(f"{JV_BUCKET_COL}=")[1].split("/")[0]
+            for r in scoped.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+        assert files <= {"1", "4"}
+
+
+class TestRollupCrashStateFuzz:
+    """r13: randomized PROTOCOL-REACHABLE crash states injected
+    between continuous-rollup batches — the staged_replace twin of
+    the model-store fuzz. After any drawn sequence of (snapshot,
+    crash injection, replay?) steps, the state store must equal a
+    fresh rollup of the LAST snapshot: the marker guard, the restores
+    at batch start, and the diff-fold must compose under mid-swap
+    crashes on either store and partial stagings left by killed
+    writes."""
+
+    def test_random_crash_sequences_converge(self, spark, tmp_path_factory):
+        import glob
+        import os
+        import shutil
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mydatasyncer_spark.operators.ivm import rollup_state
+        from mydatasyncer_spark.streaming.continuous import (
+            rollup_apply_batch,
+        )
+
+        def inject(kind, store):
+            """Recreate a crash state the staged protocol can leave."""
+            if kind == "none" or not os.path.exists(store):
+                return
+            if kind == "mid_swap":
+                # crash between delete-target and rename: the
+                # complete (marked) copy sits under _staging
+                shutil.move(store, store + "_staging")
+            elif kind == "partial_staging":
+                # a later write died mid-staging: partial, unmarked,
+                # beside the healthy serving store
+                os.makedirs(store + "_staging", exist_ok=True)
+                parts = sorted(glob.glob(os.path.join(store, "part-*")))
+                if parts:
+                    shutil.copy(
+                        parts[0],
+                        os.path.join(
+                            store + "_staging",
+                            os.path.basename(parts[0]),
+                        ),
+                    )
+
+        snap_st = st.dictionaries(
+            st.integers(1, 6),
+            st.tuples(st.integers(0, 2), st.integers(-5, 5)),
+            min_size=1,
+            max_size=6,
+        )
+        crash_st = st.sampled_from(["none", "mid_swap", "partial_staging"])
+
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            steps=st.lists(
+                st.tuples(snap_st, crash_st, crash_st, st.booleans()),
+                min_size=2,
+                max_size=3,
+            )
+        )
+        def check(steps):
+            out = tmp_path_factory.mktemp("rcf")
+            state, snap = str(out / "state"), str(out / "snap")
+
+            def frame(d):
+                return spark.createDataFrame(
+                    [(pk, g, float(v)) for pk, (g, v) in sorted(d.items())],
+                    "pk long, g long, val double",
+                )
+
+            for bid, (d, state_crash, snap_crash, replay) in enumerate(
+                steps
+            ):
+                b = frame(d)
+                rollup_apply_batch(b, bid, "pk", ["g"], "val", state, snap)
+                inject(state_crash, state)
+                inject(snap_crash, snap)
+                if replay:  # at-least-once redelivery of the batch
+                    rollup_apply_batch(
+                        b, bid, "pk", ["g"], "val", state, snap
+                    )
+            # one clean closing batch so any lingering crash state is
+            # resolved through the protocol itself
+            final = dict(steps[-1][0])
+            rollup_apply_batch(
+                frame(final), len(steps), "pk", ["g"], "val", state, snap
+            )
+            got = {
+                (r["g"], r["sum_val"], r["n_rows"])
+                for r in spark.read.parquet(state)
+                .drop("_last_batch_id")
+                .select("g", "sum_val", "n_rows")
+                .collect()
+            }
+            want = {
+                (r["g"], r["sum_val"], r["n_rows"])
+                for r in rollup_state(frame(final), ["g"], "val")
+                .select("g", "sum_val", "n_rows")
+                .collect()
+            }
+            assert got == want
+
+        check()
