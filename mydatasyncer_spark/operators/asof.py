@@ -110,6 +110,24 @@ def _asof_join(
             f"ts_out={ts_out!r} collides with an existing column — "
             "pick a different name"
         )
+    # NULL-key left rows can never equi-match, and the window pass
+    # would pile every one of them into the single NULL partition —
+    # the one straggler this design otherwise admits (skewed VALUES
+    # spread like any window; a null-heavy key column does not).
+    # Route them around the window: emitted null-padded directly,
+    # exactly what the traversal would produce for them.
+    null_key = F.lit(False)  # keyless (global) as-of: nothing to split
+    for k in key_cols:
+        null_key = null_key | F.col(k).isNull()
+    padded = left.filter(null_key).select(
+        *left_cols,
+        F.lit(None).cast(left.schema[ts_col].dataType).alias(ts_out),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+    )
+    left = left.filter(~null_key)
     l = left.withColumn(_SIDE, F.lit(1))
     for c in value_cols:
         if c not in l.columns:
@@ -177,4 +195,4 @@ def _asof_join(
             F.when(in_tol, F.col(f"_filled_{c}")).alias(c)
             for c in value_cols
         ],
-    )
+    ).unionByName(padded)

@@ -710,6 +710,30 @@ class TestAsofJoin:
         ).first()
         assert (row3["asof_ts"], row3["val"]) == (None, None)
 
+    def test_plan_one_shuffle_null_branch_free(self, spark):
+        """The design claim, pinned: union + ONE window pass = ONE
+        hash exchange, no join operator — and the NULL-key bypass
+        (r13: those rows would otherwise pile into the window's
+        single NULL partition, the design's one straggler) adds no
+        exchange of its own."""
+        from mydatasyncer_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame(
+            [(1, 10.0, 1)], "k int, ts double, lid int"
+        )
+        right = spark.createDataFrame(
+            [(1, 5.0, 50.0)], "k int, ts double, val double"
+        )
+        plan = (
+            asof_join_backward(left, right, ["k"], "ts", ["val"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Window") == 1
+        assert plan.count("Exchange") == 1  # the window's hash shuffle
+        assert "Join" not in plan
+
 
 class TestMultimodalPlumbing:
     def test_resize_schema_and_determinism(self, spark, docs):
