@@ -5064,3 +5064,82 @@ class TestRollupCrashStateFuzz:
             assert got == want
 
         check()
+
+
+class TestStagedStateCrashLegs:
+    """r13 targeted crash legs for the two whole-replace stores the
+    fuzzes don't drive directly: the path-based SCD2 history (the ONE
+    streaming state not rebuildable from the latest snapshot — before
+    this round a crash inside its bare overwrite silently RESET
+    history to scd2_init of the next batch) and the legacy
+    (unbucketed) join view."""
+
+    def test_scd2_history_survives_mid_swap_crash(self, spark, tmp_path):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.streaming.continuous import (
+            scd2_apply_batch,
+        )
+
+        hist = str(tmp_path / "hist")
+        b0 = spark.createDataFrame(
+            [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")],
+            "id long, v string, _effective string",
+        )
+        scd2_apply_batch(b0, 0, "id", hist)
+        b1 = spark.createDataFrame(
+            [(1, "A", "2024-02-01"), (2, "b", "2024-02-01")],
+            "id long, v string, _effective string",
+        )
+        scd2_apply_batch(b1, 1, "id", hist)
+        # crash between the swap's delete and rename: the complete
+        # history sits under _staging, nothing at the path
+        shutil.move(hist, hist + "_staging")
+        b2 = spark.createDataFrame(
+            [(1, "A", "2024-03-01"), (3, "c", "2024-03-01")],
+            "id long, v string, _effective string",
+        )
+        scd2_apply_batch(b2, 2, "id", hist)
+        rows = spark.read.parquet(hist)
+        # history is INTACT and extended — not re-inited from b2: the
+        # closed id=1 "a" version from day 2 must still exist
+        closed_a = rows.filter(
+            (F.col("id") == 1) & (F.col("v") == "a") & ~F.col("is_current")
+        )
+        assert closed_a.count() == 1
+        # day-3 delete of id=2 closed it; id=3 opened
+        assert rows.filter("is_current").count() == 2  # ids 1, 3
+        # 1:a closed, 1:A current, 2:b closed, 3:c current
+        assert rows.count() == 4
+        assert not (tmp_path / "hist_staging").exists()
+
+    def test_legacy_join_view_adopts_crashed_swap(self, spark, tmp_path):
+        import shutil
+
+        from mydatasyncer_spark.streaming.continuous import (
+            join_view_apply_batch,
+        )
+
+        right = spark.createDataFrame(
+            [(10, "r10"), (20, "r20")], "k long, rv string"
+        )
+        view, snap = str(tmp_path / "view"), str(tmp_path / "snap")
+        s0 = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "pk long, k long, v string"
+        )
+        join_view_apply_batch(s0, 0, "pk", "k", right, view, snap)
+        shutil.move(view, view + "_staging")  # mid-swap crash
+        s1 = spark.createDataFrame(
+            [(1, 10, "a2"), (2, 20, "b")], "pk long, k long, v string"
+        )
+        join_view_apply_batch(s1, 1, "pk", "k", right, view, snap)
+        got = sorted(
+            (r["pk"], r["v"], r["rv"])
+            for r in spark.read.parquet(view)
+            .drop("_last_batch_id")
+            .collect()
+        )
+        assert got == [(1, "a2", "r10"), (2, "b", "r20")]
+        assert not (tmp_path / "view_staging").exists()
