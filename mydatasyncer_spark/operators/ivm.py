@@ -344,6 +344,36 @@ def maintain_rollup_minmax(
 # --- maintained equi-join views -------------------------------------
 
 
+def affected_rollup_groups(
+    diff: DiffResult, group_cols: list[str]
+) -> DataFrame:
+    """The group values whose rollup rows a diff invalidates — the
+    rollup twin of :func:`affected_join_keys`, feeding the BUCKETED
+    streaming layout's recompute scope. An updated row contributes
+    both its after- and before-group (a row that moved between groups
+    dirties the group it left as well as the one it joined); inserts
+    contribute their group, deletes the group of the removed db-side
+    row. Delta-sized; NULL group values are regular groups here, as
+    everywhere in the rollup family."""
+    ins = diff.to_insert.select(*group_cols)
+    dele = diff.to_delete.select(*group_cols)
+    legs = [ins, dele]
+    if BEFORE_COL in diff.to_update.columns:
+        legs.append(diff.to_update.select(*group_cols))
+        legs.append(
+            diff.to_update.select(
+                *[
+                    F.col(BEFORE_COL).getField(c).alias(c)
+                    for c in group_cols
+                ]
+            )
+        )
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out.distinct()
+
+
 def join_view_state(
     left: DataFrame, right: DataFrame, join_key: str, how: str = "inner"
 ) -> DataFrame:

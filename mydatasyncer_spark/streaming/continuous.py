@@ -1607,6 +1607,7 @@ def rollup_apply_batch(
     value_col: str,
     state_path: str,
     snapshot_path: str,
+    n_buckets: int | None = None,
 ) -> None:
     """One :func:`continuous_rollup` micro-batch, exposed standalone
     so the crash/replay semantics are directly testable. See that
@@ -1619,11 +1620,25 @@ def rollup_apply_batch(
     a full re-bootstrap; the only residual window is the rename
     swap, closed by the restore. The staging dir also breaks the
     read-path lineage, so the full-state eager ``localCheckpoint``
-    is gone. I/O proportionality, honestly: the state write is
-    aggregate-sized (|groups| — rewriting it whole per batch is the
-    cost of a marker the delta-fold genuinely needs; bucket it like
-    the join view if |groups| ever rivals the fact table), the
-    snapshot write input-sized (each batch IS a full snapshot)."""
+    is gone. I/O proportionality: unbucketed, the state write is
+    aggregate-sized (|groups| — the cost of a marker the delta-fold
+    genuinely needs), the snapshot write input-sized (each batch IS
+    a full snapshot).
+
+    ``n_buckets`` gives high-cardinality rollups (per-user/per-doc
+    groups, where |groups| rivals the fact) the join-view treatment:
+    the state is partitioned on ``pmod(xxhash64(group_cols...), n)``
+    (:data:`RU_BUCKET_COL`) and each batch rewrites only the buckets
+    holding an affected group. The maintenance strategy CHANGES with
+    the layout, deliberately: instead of the marker-guarded delta
+    FOLD (whose double-apply hazard is exactly why the unbucketed
+    path needs `_last_batch_id`, and a per-bucket write is not
+    atomic across buckets, so no single marker is sound), affected
+    groups are RECOMPUTED from the new snapshot (semi-join pruned,
+    the ``maintain_rollup_minmax`` damaged-group strategy) — replays
+    converge by idempotence, no marker at all. Compute per batch is
+    the diff plus one partial aggregate over the affected groups'
+    snapshot rows; view I/O is delta-proportional, read and write."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
@@ -1642,6 +1657,19 @@ def rollup_apply_batch(
         state = spark.read.parquet(state_path)
     except AnalysisException:
         state = None
+    if n_buckets is not None:
+        _rollup_apply_bucketed(
+            spark,
+            batch_df,
+            primary_key,
+            group_cols,
+            value_col,
+            state,
+            state_path,
+            snapshot_path,
+            n_buckets,
+        )
+        return
     if state is not None and "_last_batch_id" in state.columns:
         last = state.select(F.max("_last_batch_id")).first()[0]
         if last is not None and last == batch_id:
@@ -1671,6 +1699,99 @@ def rollup_apply_batch(
     staged_replace(spark, batch_df, snapshot_path)
 
 
+def _rollup_apply_bucketed(
+    spark,
+    batch_df: DataFrame,
+    primary_key: str,
+    group_cols: list[str],
+    value_col: str,
+    state,
+    state_path: str,
+    snapshot_path: str,
+    n_buckets: int,
+) -> None:
+    """The ``n_buckets`` body of :func:`rollup_apply_batch` —
+    recompute-of-affected-groups into bucket-partitioned state (see
+    that docstring for why this layout drops the marker)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from mydatasyncer_spark.operators.ivm import (
+        affected_rollup_groups,
+        rollup_state,
+    )
+    from mydatasyncer_spark.operators.maintenance import staged_replace
+
+    if state is not None and RU_BUCKET_COL not in state.columns:
+        state = None  # layout switch: rebootstrap under the buckets
+    try:
+        prev = spark.read.parquet(snapshot_path)
+    except AnalysisException:
+        prev = None
+    if prev is None or state is None:
+        staged_replace(
+            spark,
+            rollup_state(batch_df, group_cols, value_col).withColumn(
+                RU_BUCKET_COL, _group_bucket_expr(group_cols, n_buckets)
+            ),
+            state_path,
+            partition_by=[RU_BUCKET_COL],
+        )
+        staged_replace(spark, batch_df, snapshot_path)
+        return
+    diff = diff_snapshots(batch_df, prev, primary_key)
+    # delta-sized group set, used by three legs — pin it once
+    groups = affected_rollup_groups(diff, group_cols).localCheckpoint(
+        eager=True
+    )
+    buckets = sorted(
+        r[0]
+        for r in groups.select(
+            _group_bucket_expr(group_cols, n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if buckets:
+        g = groups.alias("g")
+
+        def scoped_to_groups(df: DataFrame, mode: str) -> DataFrame:
+            # null-safe: NULL group values are regular groups in the
+            # whole rollup family (groupBy treats them so)
+            d = df.alias("d")
+            cond = None
+            for c in group_cols:
+                e = F.col(f"d.{c}").eqNullSafe(F.col(f"g.{c}"))
+                cond = e if cond is None else cond & e
+            return d.join(g, on=cond, how=mode)
+
+        # partition-pruned read: only changed bucket dirs
+        kept = scoped_to_groups(
+            state.filter(F.col(RU_BUCKET_COL).isin(buckets)).drop(
+                RU_BUCKET_COL
+            ),
+            "left_anti",
+        )
+        recomputed = rollup_state(
+            scoped_to_groups(batch_df, "left_semi"),
+            group_cols,
+            value_col,
+        )
+        new_rows = (
+            kept.unionByName(recomputed)
+            .withColumn(
+                RU_BUCKET_COL, _group_bucket_expr(group_cols, n_buckets)
+            )
+            # delta-sized materialization: reads the partitions the
+            # write replaces
+            .localCheckpoint(eager=True)
+        )
+        _dynamic_bucket_overwrite(
+            spark, new_rows, state_path, RU_BUCKET_COL, buckets
+        )
+    staged_replace(spark, batch_df, snapshot_path)
+
+
 def continuous_rollup(
     stream_df: DataFrame,
     primary_key: str,
@@ -1680,9 +1801,18 @@ def continuous_rollup(
     snapshot_path: str,
     checkpoint_dir: str | None = None,
     query_name: str = "continuous_rollup",
+    n_buckets: int | None = None,
 ):
     """Maintained rollup over a snapshot stream — the streaming form
     of :mod:`mydatasyncer_spark.operators.ivm`.
+
+    ``n_buckets`` (r13) stores the state partitioned on a group-hash
+    bucket and rewrites only affected buckets per batch via
+    recompute-of-affected-groups — for high-cardinality rollups
+    whose |groups| rivals the fact table; readers drop
+    :data:`RU_BUCKET_COL`. See :func:`rollup_apply_batch` for why
+    that layout trades the marker-guarded delta fold for idempotent
+    recompute.
 
     Each micro-batch is ONE complete table snapshot (the
     :func:`continuous_sync` convention). The batch is diffed against
@@ -1726,6 +1856,7 @@ def continuous_rollup(
             value_col,
             state_path,
             snapshot_path,
+            n_buckets=n_buckets,
         )
 
     writer = (
@@ -1741,17 +1872,60 @@ def continuous_rollup(
 #: partition column of a BUCKETED continuous join view (n_buckets)
 JV_BUCKET_COL = "_jk_bucket"
 
+#: partition column of a BUCKETED continuous rollup state (n_buckets)
+RU_BUCKET_COL = "_grp_bucket"
 
-def _jv_bucket_expr(join_key: str, n_buckets: int):
-    """Deterministic join-key bucket: ``pmod(xxhash64(key), n)``.
-    NULL keys hash to xxhash64's seed, so they land in one stable
-    bucket — no special case for ``left`` views whose NULL-key rows
-    ARE view rows."""
+
+def _group_bucket_expr(cols: list[str], n_buckets: int):
+    """Deterministic bucket of one-or-more key/group columns:
+    ``pmod(xxhash64(cols...), n)``. NULL values hash to xxhash64's
+    seed, so NULL keys/groups land in one stable bucket — no special
+    case for ``left`` views or NULL rollup groups."""
     from pyspark.sql import functions as F
 
     return F.pmod(
-        F.xxhash64(F.col(join_key)), F.lit(n_buckets)
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)
     ).cast("int")
+
+
+def _jv_bucket_expr(join_key: str, n_buckets: int):
+    """Join-view instance of :func:`_group_bucket_expr`."""
+    return _group_bucket_expr([join_key], n_buckets)
+
+
+def _dynamic_bucket_overwrite(
+    spark, frame, path: str, bucket_col: str, buckets: list
+) -> None:
+    """Replace exactly the given bucket PARTITIONS of ``path`` with
+    ``frame``'s rows via dynamic partition overwrite, then clear the
+    listed buckets the frame writes no rows into (dynamic overwrite
+    never deletes a partition it writes nothing to). ``frame`` must
+    already be materialized — it typically reads the very partitions
+    the write replaces."""
+    from mydatasyncer_spark.operators.dedup import _delete_path
+
+    present = {
+        r[0] for r in frame.select(bucket_col).distinct().collect()
+    }
+    conf = spark.conf
+    prev_mode = conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    )
+    try:
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        frame.write.mode("overwrite").partitionBy(bucket_col).parquet(
+            path
+        )
+    finally:
+        if prev_mode is not None:
+            conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        else:
+            conf.unset("spark.sql.sources.partitionOverwriteMode")
+    for b in buckets:
+        if b not in present:
+            _delete_path(spark, f"{path}/{bucket_col}={b}")
 
 
 def join_view_apply_batch(
@@ -1896,45 +2070,9 @@ def join_view_apply_batch(
                     # the very partitions the write replaces
                     .localCheckpoint(eager=True)
                 )
-                present = {
-                    r[0]
-                    for r in repaired.select(JV_BUCKET_COL)
-                    .distinct()
-                    .collect()
-                }
-                conf = spark.conf
-                prev_mode = conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", None
+                _dynamic_bucket_overwrite(
+                    spark, repaired, view_path, JV_BUCKET_COL, buckets
                 )
-                try:
-                    conf.set(
-                        "spark.sql.sources.partitionOverwriteMode",
-                        "dynamic",
-                    )
-                    repaired.write.mode("overwrite").partitionBy(
-                        JV_BUCKET_COL
-                    ).parquet(view_path)
-                finally:
-                    if prev_mode is not None:
-                        conf.set(
-                            "spark.sql.sources.partitionOverwriteMode",
-                            prev_mode,
-                        )
-                    else:
-                        conf.unset(
-                            "spark.sql.sources.partitionOverwriteMode"
-                        )
-                # buckets the repair EMPTIED: dynamic overwrite only
-                # replaces partitions it writes rows into
-                from mydatasyncer_spark.operators.dedup import (
-                    _delete_path,
-                )
-
-                for b in buckets:
-                    if b not in present:
-                        _delete_path(
-                            spark, f"{view_path}/{JV_BUCKET_COL}={b}"
-                        )
     staged_replace(spark, batch_df, snapshot_path)
 
 

@@ -5143,3 +5143,194 @@ class TestStagedStateCrashLegs:
         )
         assert got == [(1, "a2", "r10"), (2, "b", "r20")]
         assert not (tmp_path / "view_staging").exists()
+
+
+class TestContinuousRollupBucketed:
+    """r13: the rollup twin of TestContinuousJoinViewBucketed — with
+    n_buckets the state is group-hash partitioned and each batch
+    rewrites only affected buckets, maintained by
+    recompute-of-affected-groups (idempotent, marker-free) instead of
+    the marker-guarded delta fold."""
+
+    NB = 8
+
+    def _snap(self, spark, n, bump=(), drop=()):
+        rows = [
+            (i, i % 25, float(i) + (1000.0 if i in bump else 0.0))
+            for i in range(n)
+            if i not in drop
+        ]
+        return spark.createDataFrame(rows, "pk long, g long, val double")
+
+    def _apply(self, spark, b, bid, paths, nb=None):
+        from mydatasyncer_spark.streaming.continuous import (
+            rollup_apply_batch,
+        )
+
+        rollup_apply_batch(
+            b, bid, "pk", ["g"], "val", paths[0], paths[1],
+            n_buckets=self.NB if nb is None else nb,
+        )
+
+    def _state_rows(self, spark, state):
+        from mydatasyncer_spark.streaming.continuous import RU_BUCKET_COL
+
+        return {
+            (r["g"], r["sum_val"], r["n_rows"], r["n_vals"])
+            for r in spark.read.parquet(state)
+            .drop(RU_BUCKET_COL)
+            .collect()
+        }
+
+    def _want(self, spark, snap_df):
+        from mydatasyncer_spark.operators.ivm import rollup_state
+
+        return {
+            (r["g"], r["sum_val"], r["n_rows"], r["n_vals"])
+            for r in rollup_state(snap_df, ["g"], "val").collect()
+        }
+
+    def test_repair_identity_and_null_groups(self, spark, tmp_path):
+        paths = (str(tmp_path / "state"), str(tmp_path / "snap"))
+        s0 = spark.createDataFrame(
+            [(1, 10, 1.0), (2, None, 2.0), (3, 10, None)],
+            "pk long, g int, val double",
+        )
+        from mydatasyncer_spark.streaming.continuous import (
+            rollup_apply_batch,
+        )
+
+        rollup_apply_batch(
+            s0, 0, "pk", ["g"], "val", *paths, n_buckets=self.NB
+        )
+        # NULL group updates in place; group move 10 -> 20; a group
+        # whose only value was NULL keeps SQL SUM semantics
+        s1 = spark.createDataFrame(
+            [(1, 20, 1.5), (2, None, 2.5), (3, 10, None)],
+            "pk long, g int, val double",
+        )
+        rollup_apply_batch(
+            s1, 1, "pk", ["g"], "val", *paths, n_buckets=self.NB
+        )
+        got = self._state_rows(spark, paths[0])
+        want = self._want(spark, s1)
+        assert got == want
+        # the all-NULL-value group reports sum NULL, not 0
+        assert any(g == 10 and s is None for g, s, _, _ in got)
+
+    def test_untouched_buckets_never_rewritten(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        paths = (str(tmp_path / "state"), str(tmp_path / "snap"))
+        self._apply(spark, self._snap(spark, 2000), 0, paths)
+        files = TestContinuousJoinViewBucketed._files
+        before = files(paths[0])
+        self._apply(spark, self._snap(spark, 2000, bump={3, 7}), 1, paths)
+        after = files(paths[0])
+        changed = {
+            r[0]
+            for r in spark.createDataFrame(
+                [(3 % 25,), (7 % 25,)], "g long"
+            )
+            .select(F.pmod(F.xxhash64("g"), F.lit(self.NB)).alias("b"))
+            .collect()
+        }
+        untouched = {
+            rel: h
+            for rel, h in before.items()
+            if int(rel.split("=")[1].split("/")[0]) not in changed
+        }
+        assert untouched
+        for rel, h in untouched.items():
+            assert after.get(rel) == h, rel
+        assert self._state_rows(spark, paths[0]) == self._want(
+            spark, self._snap(spark, 2000, bump={3, 7})
+        )
+
+    def test_write_bytes_flat_as_state_grows(self, spark, tmp_path):
+        def run(n_groups, nb, tag):
+            from pyspark.sql import functions as F
+
+            paths = (
+                str(tmp_path / f"s{tag}"),
+                str(tmp_path / f"n{tag}"),
+            )
+            base = spark.range(0, n_groups * 4).selectExpr(
+                "id AS pk", f"id % {n_groups} AS g",
+                "CAST(id AS DOUBLE) AS val",
+            )
+            self._apply(spark, base, 0, paths, nb=nb)
+            files = TestContinuousJoinViewBucketed._files
+            before = files(paths[0])
+            total = sum(s for s, _ in before.values())
+            nxt = base.withColumn(
+                "val",
+                F.when(F.col("pk").isin(1, 2), F.col("val") + 9.0)
+                .otherwise(F.col("val")),
+            )
+            self._apply(spark, nxt, 1, paths, nb=nb)
+            after = files(paths[0])
+            written = sum(
+                s
+                for rel, (s, h) in after.items()
+                if before.get(rel) != (s, h)
+            )
+            return total, written
+
+        total_s, written_s = run(500, 8, "s")
+        total_b, written_b = run(2000, 32, "b")
+        assert total_b >= 2.5 * total_s
+        assert written_b <= 2.5 * written_s
+        assert written_s < total_s / 2
+
+    def test_emptied_bucket_cleared_and_group_drop(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.streaming.continuous import RU_BUCKET_COL
+
+        paths = (str(tmp_path / "state"), str(tmp_path / "snap"))
+        s0 = spark.createDataFrame(
+            [(g, g, float(g)) for g in range(25)],
+            "pk long, g long, val double",
+        )
+        self._apply(spark, s0, 0, paths)
+        by_bucket: dict[int, list[int]] = {}
+        for r in (
+            s0.select("g", F.pmod(F.xxhash64("g"), F.lit(self.NB)).alias("b"))
+            .collect()
+        ):
+            by_bucket.setdefault(r["b"], []).append(r["g"])
+        victim, victim_groups = min(
+            by_bucket.items(), key=lambda kv: len(kv[1])
+        )
+        s1 = s0.filter(~F.col("g").isin(victim_groups))
+        self._apply(spark, s1, 1, paths)
+        assert not os.path.exists(
+            os.path.join(paths[0], f"{RU_BUCKET_COL}={victim}")
+        )
+        assert self._state_rows(spark, paths[0]) == self._want(spark, s1)
+
+    def test_replay_converges_without_marker(self, spark, tmp_path):
+        import shutil
+
+        paths = (str(tmp_path / "state"), str(tmp_path / "snap"))
+        s0 = self._snap(spark, 300)
+        self._apply(spark, s0, 0, paths)
+        backup = str(tmp_path / "snap_b")
+        shutil.copytree(paths[1], backup)
+        s1 = self._snap(spark, 300, bump={5}, drop={9})
+        self._apply(spark, s1, 1, paths)
+        want = self._want(spark, s1)
+        assert self._state_rows(spark, paths[0]) == want
+        # crash between state write and snapshot write: replay folds
+        # against the OLD snapshot — recompute makes it idempotent
+        # (the delta-FOLD path needs its marker for exactly this)
+        shutil.rmtree(paths[1])
+        shutil.copytree(backup, paths[1])
+        self._apply(spark, s1, 1, paths)
+        assert self._state_rows(spark, paths[0]) == want
+        # plain redelivery after both writes landed
+        self._apply(spark, s1, 1, paths)
+        assert self._state_rows(spark, paths[0]) == want
