@@ -1638,7 +1638,7 @@ def rollup_apply_batch(
     the ``maintain_rollup_minmax`` damaged-group strategy) — replays
     converge by idempotence, no marker at all. Compute per batch is
     the diff plus one partial aggregate over the affected groups'
-    snapshot rows; view I/O is delta-proportional, read and write."""
+    snapshot rows; state I/O is delta-proportional, read and write."""
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
