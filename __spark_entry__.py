@@ -5937,11 +5937,12 @@ def oracle_sql() -> dict[str, str]:
                        MIN(CASE WHEN below * 3 >= n * 2 THEN quality END) AS cut2
                 FROM rk GROUP BY source
             )
-            SELECT doc_id, source, quality,
+            SELECT doc_id, t.source AS source, quality,
                    CASE WHEN quality >= cut2 THEN 'high'
                         WHEN quality >= cut1 THEN 'mid'
                         ELSE 'low' END AS tier
-            FROM t JOIN cuts USING (source)
+            FROM t LEFT JOIN cuts
+              ON t.source IS NOT DISTINCT FROM cuts.source
         """,
         "unigram_perplexity_oov": f"""
             WITH tok AS (

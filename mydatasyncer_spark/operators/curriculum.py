@@ -9,9 +9,11 @@ entire corpus: the canonical single-reducer scale-killer.
 The scalable path decomposes into bounded pieces:
 
 1. ``groupBy(source, quality).count()`` — a map-side-combinable
-   aggregate. Quality scores are rounded (6 dp in [0, 1]), so the
-   result is bounded by ``|sources| x 1e6 + 1`` rows REGARDLESS of
-   corpus size.
+   aggregate. Boundedness is the CALLER's contract: pass a rounded
+   quality (the gate query rounds to 6 dp in [0, 1]), so the result
+   is bounded by ``|sources| x 1e6 + 1`` rows regardless of corpus
+   size — this function groups by the raw value it is given and
+   cannot bound a continuous score by itself.
 2. A running-sum window over that *pre-aggregated* table gives, per
    (source, quality), the number of docs strictly below — the
    per-source sort is over distinct quality values, never documents.
@@ -93,8 +95,21 @@ def assign_quality_tiers(
     """Attach a ``tier`` column by broadcast-joining the per-source
     cut points (one row per source) and comparing quality against
     them highest-first. NULL cuts (nothing crossed that fraction)
-    compare false and fall through to the lower tier."""
-    out = df.join(F.broadcast(cutpoints), source_col)
+    compare false and fall through to the lower tier.
+
+    The join is null-safe and LEFT (r13, the ``apply_mix_weights``
+    discipline): a NULL source is a regular group everywhere else in
+    the family, so its docs must match their own cut row rather than
+    silently vanish on a plain equality join — and a source absent
+    from ``cutpoints`` entirely (tiers computed on an earlier corpus)
+    keeps its docs, falling through to the lowest tier via the same
+    NULL-cuts-compare-false rule."""
+    cuts = F.broadcast(
+        cutpoints.withColumnRenamed(source_col, "_cut_src")
+    )
+    out = df.join(
+        cuts, F.col(source_col).eqNullSafe(F.col("_cut_src")), "left"
+    ).drop("_cut_src")
     chain = None
     for i in range(len(labels) - 1, 0, -1):
         cond = F.col(quality_col) >= F.col(f"cut{i}")

@@ -1019,3 +1019,65 @@ class TestUnigramDrift:
         plain = unigram_logprob_table(corpus)
         with pytest.raises(ValueError, match="records no"):
             unigram_drift_report(probe, plain)
+
+
+class TestCurriculumNullAndUnseenSources:
+    """r13 adversarial sweep of curriculum.py: the tier-assignment
+    join must follow the family's NULL discipline (apply_mix_weights:
+    a NULL group is a regular group) — a plain equality join silently
+    DROPPED every NULL-source doc while the cutpoints table dutifully
+    computed their cut row; and a source absent from the cutpoints
+    (tiers computed on an earlier corpus) must keep its docs in the
+    lowest tier via the documented NULL-cuts-compare-false rule, not
+    vanish."""
+
+    def test_null_source_docs_keep_their_tiers(self, spark):
+        from mydatasyncer_spark.operators.curriculum import (
+            assign_quality_tiers,
+            quality_tier_cutpoints,
+        )
+
+        rows = [(i, None, round(i / 10.0, 6)) for i in range(9)] + [
+            (100 + i, "web", round(i / 10.0, 6)) for i in range(9)
+        ]
+        d = spark.createDataFrame(
+            rows, "doc_id long, source string, quality double"
+        )
+        cuts = quality_tier_cutpoints(d, "source", "quality")
+        out = assign_quality_tiers(d, cuts, "source", "quality")
+        assert out.count() == 18  # nothing dropped
+        null_tiers = {
+            r["doc_id"]: r["tier"]
+            for r in out.filter(F.col("source").isNull()).collect()
+        }
+        web_tiers = {
+            r["doc_id"] - 100: r["tier"]
+            for r in out.filter(F.col("source") == "web").collect()
+        }
+        # identical quality distribution -> identical tier layout
+        assert null_tiers == web_tiers
+        assert set(null_tiers.values()) == {"low", "mid", "high"}
+
+    def test_unseen_source_falls_to_lowest_tier(self, spark):
+        from mydatasyncer_spark.operators.curriculum import (
+            assign_quality_tiers,
+            quality_tier_cutpoints,
+        )
+
+        train = spark.createDataFrame(
+            [(i, "web", round(i / 10.0, 6)) for i in range(9)],
+            "doc_id long, source string, quality double",
+        )
+        cuts = quality_tier_cutpoints(train, "source", "quality")
+        newer = spark.createDataFrame(
+            [(1, "web", 0.9), (2, "books", 0.9)],
+            "doc_id long, source string, quality double",
+        )
+        out = {
+            r["doc_id"]: r["tier"]
+            for r in assign_quality_tiers(
+                newer, cuts, "source", "quality"
+            ).collect()
+        }
+        assert out[1] == "high"   # seen source, top quality
+        assert out[2] == "low"    # unseen source: kept, lowest tier
