@@ -189,3 +189,100 @@ class TestSaltedJoinAuto:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "_salt" not in plan
         assert out.count() == 500
+
+
+class TestSaltedJoinProperties:
+    """r13 sweep pin: salted_join is a physical-distribution trick —
+    result-identical to the plain join for EVERY (mode, salt count,
+    hot-key set) over random frames with NULL keys on both sides and
+    duplicate keys everywhere. Includes NULL in the hot_keys list
+    (what salted_join_auto passes when the NULL key is the heaviest):
+    today that routes NULL rows to the cold half — correct, just
+    unsalted — and this pin is what the planned NULL-bypass
+    optimization must keep true."""
+
+    def test_matches_plain_join_any_config(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mydatasyncer_spark.operators.partitioning import salted_join
+
+        key = st.one_of(st.none(), st.integers(0, 6))
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            fact_keys=st.lists(key, min_size=1, max_size=25),
+            dim_keys=st.lists(key, min_size=1, max_size=8),
+            how=st.sampled_from(["inner", "left", "right"]),
+            n_salts=st.sampled_from([2, 5, 8]),
+            hot=st.one_of(
+                st.none(),
+                st.lists(key, min_size=1, max_size=3, unique=True),
+            ),
+        )
+        def check(fact_keys, dim_keys, how, n_salts, hot):
+            fact = spark.createDataFrame(
+                [(k, i) for i, k in enumerate(fact_keys)],
+                "k int, payload int",
+            )
+            # dim unique per key (the salted right-mode contract —
+            # replicas must be per-key-deterministic)
+            dim = spark.createDataFrame(
+                [(k, f"d{k}") for k in dict.fromkeys(dim_keys)],
+                "k int, attr string",
+            )
+            got = sorted(
+                (
+                    (r["k"], r["payload"], r["attr"])
+                    for r in salted_join(
+                        fact, dim, ["k"], n_salts, how, hot_keys=hot
+                    ).collect()
+                ),
+                key=repr,
+            )
+            want = sorted(
+                (
+                    (r["k"], r["payload"], r["attr"])
+                    for r in fact.join(dim, ["k"], how).collect()
+                ),
+                key=repr,
+            )
+            assert got == want
+
+        check()
+
+    def test_multi_key_join_matches_plain(self, spark):
+        from mydatasyncer_spark.operators.partitioning import salted_join
+
+        fact = spark.createDataFrame(
+            [(1, "x", 10), (1, "y", 11), (None, "x", 12), (2, None, 13)]
+            + [(1, "x", 100 + i) for i in range(20)],
+            "a int, b string, payload int",
+        )
+        dim = spark.createDataFrame(
+            [(1, "x", "d1x"), (2, None, "d2n"), (3, "z", "d3z")],
+            "a int, b string, attr string",
+        )
+        for how in ("inner", "left"):
+            for hot in (None, [1]):
+                got = sorted(
+                    (
+                        (r["a"], r["b"], r["payload"], r["attr"])
+                        for r in salted_join(
+                            fact, dim, ["a", "b"], 4, how, hot_keys=hot
+                        ).collect()
+                    ),
+                    key=repr,
+                )
+                want = sorted(
+                    (
+                        (r["a"], r["b"], r["payload"], r["attr"])
+                        for r in fact.join(dim, ["a", "b"], how).collect()
+                    ),
+                    key=repr,
+                )
+                assert got == want, (how, hot)
