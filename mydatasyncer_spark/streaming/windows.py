@@ -88,6 +88,19 @@ def _sessionize_group(
     State = (next_session_id, last_ts_epoch, open_n, open_start,
     open_last). Emits every *closed* session; the open session flushes
     on state timeout (watermark passes the gap).
+
+    Late-data semantics (r13): a late-but-inside-the-watermark event
+    can sort BEFORE rows a previous batch already folded in. It
+    extends the open session's ENVELOPE — ``open_start = min``,
+    ``open_last = max``, and the gap clock reads the envelope's max —
+    matching the batch twin's max−min duration; it never rewinds the
+    session's clock (the pre-r13 code set ``last_ts`` to the late
+    event's time, shrinking the reported duration and spuriously
+    splitting the next on-time event). The remaining divergence from
+    the batch sessionizer is inherent to incremental state: a late
+    event that global ordering would place in an earlier *closed*
+    session (or that would merge two closed sessions) joins the open
+    envelope instead — closed output is append-only.
     """
     (user_id,) = key
     if state.hasTimedOut:
@@ -115,10 +128,14 @@ def _sessionize_group(
         if last_ts is None or t - last_ts > SESSION_GAP_SECONDS:
             if open_n:
                 closed.append((next_id - 1, open_n, open_last - open_start))
-            open_n, open_start = 0, t
+            open_n, open_start, open_last = 0, t, t
             next_id += 1
         open_n += 1
-        open_last = last_ts = t
+        if t < open_start:
+            open_start = t
+        if t > open_last:
+            open_last = t
+        last_ts = open_last
 
     state.update((next_id, last_ts, open_n, open_start, open_last))
     state.setTimeoutTimestamp(int((last_ts + SESSION_GAP_SECONDS) * 1000))

@@ -5334,3 +5334,58 @@ class TestContinuousRollupBucketed:
         # plain redelivery after both writes landed
         self._apply(spark, s1, 1, paths)
         assert self._state_rows(spark, paths[0]) == want
+
+
+def test_sessionize_late_event_extends_envelope_not_rewinds(
+    spark, tmp_path_factory
+):
+    """r13 windows.py sweep: a late-but-inside-the-watermark event
+    used to REWIND the open session's clock (last_ts = the late
+    event's time), shrinking the reported duration and spuriously
+    splitting the next on-time event off into a new session. Now it
+    extends the session envelope (min start / max end — the batch
+    twin's max-min duration) and the gap clock reads the envelope's
+    max: events at +1000s, +2000s, a LATE +1500s, then +3500s are ONE
+    session of 4 (3500-2000 = 1500 < the 1800s gap), duration 2500 —
+    the pre-fix code split at +3500 (3500-1500 = 2000 > gap) and
+    reported the first session's duration as 500."""
+    import time
+    from datetime import datetime, timedelta
+
+    from mydatasyncer_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+
+    def write_file(out, tag, offsets):
+        rows = [
+            (100 + o, base + timedelta(seconds=o), 7, "view", 1.0, "{}")
+            for o in offsets
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    out = str(tmp_path_factory.mktemp("late_events"))
+    write_file(out, "b0", [1000, 2000])
+    write_file(out, "b1", [1500])      # late, inside the watermark
+    write_file(out, "b2", [3500])      # on time: same session post-fix
+    write_file(out, "b3", [20000])     # > gap: closes session 1
+    stream = read_event_stream(spark, out, max_files_per_trigger=1)
+    run_to_memory(
+        sessionize_stream(stream), "late_sessions", output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            round(r["duration_sec"], 3),
+        )
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    assert got == {(7, 1): (4, 2500.0)}
