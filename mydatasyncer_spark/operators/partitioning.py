@@ -126,6 +126,15 @@ def salted_join(
     fix). ``full`` is unsupported BY DESIGN: it would need both
     outer halves at once; compose ``left`` with the ``right``-only
     remainder if you need it.
+
+    NULL join keys never equi-match, so NULL-key rows are routed
+    AROUND the join entirely (the as-of join's bypass pattern):
+    inner drops them before any shuffle, left emits them null-padded
+    via a shuffle-free scan+filter+project leg, and NULL-key dim
+    rows are pruned from every join leg. This matters precisely when
+    NULL is the hot key — the single most common real-world skew key
+    — which previously fell to the cold join and piled its rows into
+    one shuffle partition (the straggler the salt exists to kill).
     """
     if how == "right":
         inner = salted_join(
@@ -150,25 +159,58 @@ def salted_join(
         raise ValueError(
             "salted_join supports how='inner', 'left', or 'right'"
         )
+    import functools
+    import operator
+
+    # NULL-key bypass: a row with ANY join key NULL matches nothing
+    # in an equi join, so it never needs to enter a shuffle. isNull()
+    # is two-valued, so the filters below partition fact exactly.
+    has_null_key = functools.reduce(
+        operator.or_, [F.col(c).isNull() for c in on]
+    )
+    joinable_fact = fact.filter(~has_null_key)
+    joinable_dim = dim.filter(~has_null_key)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), n_salts)
     replicas = F.explode(
         F.sequence(F.lit(0).cast("long"), F.lit(int(n_salts) - 1))
     )
     if hot_keys is None:
-        f = fact.withColumn("_salt", salt.cast("long"))
-        d = dim.select("*", replicas.alias("_salt"))
-        return f.join(d, [*on, "_salt"], how).drop("_salt")
-    # hot/cold split tests the FIRST join key (the skewed one); NULL
-    # keys must land in the cold half (isin yields NULL, and a left
-    # join has to preserve NULL-key fact rows), hence the coalesce
-    is_hot = F.coalesce(
-        F.col(on[0]).isin([k for k in hot_keys]), F.lit(False)
+        f = joinable_fact.withColumn("_salt", salt.cast("long"))
+        d = joinable_dim.select("*", replicas.alias("_salt"))
+        joined = f.join(d, [*on, "_salt"], how).drop("_salt")
+    else:
+        # hot/cold split tests the FIRST join key (the skewed one).
+        # A NULL in hot_keys is satisfied by the bypass above — keep
+        # the isin list NULL-free so the predicate stays two-valued
+        # on the joinable (all-keys-non-null) rows.
+        hot_list = [k for k in hot_keys if k is not None]
+        if not hot_list:
+            joined = joinable_fact.join(joinable_dim, on, how)
+        else:
+            is_hot = F.col(on[0]).isin(hot_list)
+            f_hot = joinable_fact.filter(is_hot).withColumn(
+                "_salt", salt.cast("long")
+            )
+            d_hot = joinable_dim.filter(is_hot).select(
+                "*", replicas.alias("_salt")
+            )
+            hot = f_hot.join(d_hot, [*on, "_salt"], how).drop("_salt")
+            cold = joinable_fact.filter(~is_hot).join(
+                joinable_dim.filter(~is_hot), on, how
+            )
+            joined = hot.unionByName(cold)
+    if how == "inner":
+        return joined
+    dim_types = dict(dim.dtypes)
+    padded_nulls = fact.filter(has_null_key).select(
+        "*",
+        *[
+            F.lit(None).cast(dim_types[c]).alias(c)
+            for c in dim.columns
+            if c not in on
+        ],
     )
-    f_hot = fact.filter(is_hot).withColumn("_salt", salt.cast("long"))
-    d_hot = dim.filter(is_hot).select("*", replicas.alias("_salt"))
-    hot = f_hot.join(d_hot, [*on, "_salt"], how).drop("_salt")
-    cold = fact.filter(~is_hot).join(dim.filter(~is_hot), on, how)
-    return hot.unionByName(cold)
+    return joined.unionByName(padded_nulls)
 
 
 def salted_join_auto(

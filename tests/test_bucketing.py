@@ -197,9 +197,9 @@ class TestSaltedJoinProperties:
     hot-key set) over random frames with NULL keys on both sides and
     duplicate keys everywhere. Includes NULL in the hot_keys list
     (what salted_join_auto passes when the NULL key is the heaviest):
-    today that routes NULL rows to the cold half — correct, just
-    unsalted — and this pin is what the planned NULL-bypass
-    optimization must keep true."""
+    since r14 those rows take the NULL-key bypass (inner drops them
+    pre-shuffle, left pads them shuffle-free) — these identity pins
+    are what the bypass must keep true."""
 
     def test_matches_plain_join_any_config(self, spark):
         from hypothesis import HealthCheck, given, settings
@@ -254,6 +254,57 @@ class TestSaltedJoinProperties:
             assert got == want
 
         check()
+
+    def test_null_hot_key_takes_the_bypass(self, spark):
+        """r14 (r13 deferred finding): when NULL is the hot key, the
+        cure must ENGAGE — NULL-key fact rows never enter a join (no
+        single-NULL-partition straggler). Pinned structurally: every
+        join leg filters the fact key non-null (visible as isnotnull
+        even under LEFT, where Spark itself would never add it), and
+        the preserved NULL rows arrive through a join-free Union leg.
+        Identity vs the plain join guards the semantics."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.partitioning import salted_join
+
+        # NULL-heavy fact: the NULL key carries half the rows
+        fact_rows = (
+            [(None, i) for i in range(60)]
+            + [(1, 100 + i) for i in range(30)]
+            + [(k, 1000 + k) for k in range(2, 12)]
+        )
+        fact = spark.createDataFrame(fact_rows, "k int, payload int")
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(1, 12)], "k int, attr string"
+        )
+        norm = lambda rows: sorted(rows, key=repr)  # noqa: E731
+        for how in ("inner", "left"):
+            out = salted_join(
+                fact, dim, ["k"], 8, how, hot_keys=[None, 1]
+            )
+            got = norm(
+                (r["k"], r["payload"], r["attr"]) for r in out.collect()
+            )
+            want = norm(
+                (r["k"], r["payload"], r["attr"])
+                for r in fact.join(dim, ["k"], how).collect()
+            )
+            assert got == want, how
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            assert "isnotnull(k" in plan, (how, plan)
+        # inner: NULL rows dropped before any exchange — zero NULL
+        # keys survive to the join output
+        inner = salted_join(fact, dim, ["k"], 8, "inner", hot_keys=[None])
+        assert inner.filter(F.col("k").isNull()).count() == 0
+        # left: all 60 NULL rows preserved, padded, exactly once
+        left = salted_join(fact, dim, ["k"], 8, "left", hot_keys=[None])
+        nulls = left.filter(F.col("k").isNull())
+        assert nulls.count() == 60
+        assert nulls.filter(F.col("attr").isNotNull()).count() == 0
+        # and the padded leg is join-free: the NULL-key filter side of
+        # the Union contains no Join node in the optimized plan
+        lplan = left._jdf.queryExecution().optimizedPlan().toString()
+        assert "Union" in lplan, lplan
 
     def test_multi_key_join_matches_plain(self, spark):
         from mydatasyncer_spark.operators.partitioning import salted_join
