@@ -27,26 +27,31 @@ import __spark_entry__ as entry_mod
 GATE_CAP = 50
 REPO = Path(__file__).resolve().parent.parent
 
-# the r13 window boundary, pinned by name: position 50 (last inside
+# the r14 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "zorder_orders_key"
-FIRST_PAST_CAP = "unigram_perplexity_stored"
+LAST_IN_WINDOW = "ann_pq_residual"
+FIRST_PAST_CAP = "asof_purchase_view"
 
-# everything added or implementation-touched in r13 MUST sit inside
+# everything added or implementation-touched in r14 MUST sit inside
 # the gate window (rotation policy rule 1-2)
-R13_TOUCHED = [
-    # implementation touched in r13: asof.py's NULL handling was
-    # aligned with the SQL comparisons the oracle runs (right rows
-    # with NULL key/ts can match nothing; forward traversal
-    # desc_nulls_first so NULL-ts left rows match nothing either) —
-    # both asof gate queries run through _asof_join. The round's
-    # other code changes (maintenance.py staged_replace family,
-    # streaming/continuous.py bucketed join view) have no gate
-    # queries: their surface is streaming/ops, pytest-covered.
-    "asof_purchase_view",
-    "asof_next_purchase",
+R14_TOUCHED = [
+    # implementation touched in r14: partitioning.salted_join grew
+    # the NULL-key bypass (the r13 deferred finding) — NULL-key fact
+    # rows now route around the join (inner drops pre-shuffle, left
+    # pads shuffle-free) so a hot NULL key engages the cure. Both
+    # skew gate queries run through salted_join. The round's other
+    # code changes (continuous.py bucketed crash-window closure,
+    # bench.py medians) have no gate queries: streaming/ops +
+    # instrument surface, pytest-covered.
+    "skew_salted_join",
+    "skew_salted_join_right",
 ]
+
+# rule-4 fill: one free slot after the 47-query debt + 2 touched;
+# pre-paid with the alphabetically-first member of the last-green-r12
+# cohort (the auditable cut), shrinking r15's debt by one.
+R14_FILL = ["ann_pq_residual"]
 
 
 def _green(round_tag: str) -> set[str]:
@@ -68,17 +73,17 @@ def _green(round_tag: str) -> set[str]:
 
 
 def _stale_cohort() -> set[str]:
-    """The last-green-r10 cohort — r13's rotation debt, computed:
-    green in the r10 gate and never re-greened since."""
-    return _green("10") - _green("11") - _green("12")
+    """The last-green-r11 cohort — r14's rotation debt, computed:
+    green in the r11 gate and never re-greened since."""
+    return _green("11") - _green("12") - _green("13")
 
 
-def _r14_debt() -> set[str]:
-    """The last-green-r11 cohort — r14's rotation debt (assuming the
-    r13 window goes green): green in r11, never re-greened in r12,
-    and not already inside the r13 window."""
+def _r15_debt() -> set[str]:
+    """The last-green-r12 cohort — r15's rotation debt (assuming the
+    r14 window goes green): green in r12, never re-greened in r13,
+    and not already inside the r14 window."""
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    return _green("11") - _green("12") - window
+    return _green("12") - _green("13") - window
 
 
 def test_every_query_has_an_oracle_and_vice_versa():
@@ -100,33 +105,34 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 def test_round_touched_queries_sit_inside_the_gate_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R13_TOUCHED if n not in window]
+    missing = [n for n in R14_TOUCHED if n not in window]
     assert not missing, missing
 
 
 def test_stale_cohort_rotated_into_the_window():
     """The window is EXACTLY rule-1/2 entries + the computed stale
-    cohort — no silent filler displacing a debt entry, and no debt
-    entry left out. The cohort size is asserted too, so a missing or
-    truncated CORRECTNESS file fails loudly instead of silently
-    shrinking the debt. (r13 runs at the saturation point the r12
-    verdict predicted: 48 debt + 2 touched = the whole window.)"""
+    cohort + the named rule-4 fill — no silent filler displacing a
+    debt entry, and no debt entry left out. The cohort size is
+    asserted too, so a missing or truncated CORRECTNESS file fails
+    loudly instead of silently shrinking the debt."""
     cohort = _stale_cohort()
-    assert len(cohort) == 48, sorted(cohort)
+    assert len(cohort) == 47, sorted(cohort)
     window = set(list(entry_mod.queries())[:GATE_CAP])
     missing = sorted(cohort - window)
     assert not missing, missing
-    assert window == set(R13_TOUCHED) | cohort
-    assert len(R13_TOUCHED) + len(cohort) == GATE_CAP
+    assert window == set(R14_TOUCHED) | cohort | set(R14_FILL)
+    assert len(R14_TOUCHED) + len(cohort) + len(R14_FILL) == GATE_CAP
 
 
-def test_r14_debt_is_recorded_and_outside_the_window():
-    """r14's rotation debt (the last-green-r11 cohort) is computed
-    now so the next round's window is planned against it: 47 queries
-    — leaving ~3 free slots for r14's new/touched queries."""
+def test_r15_debt_is_recorded_and_outside_the_window():
+    """r15's rotation debt (the last-green-r12 cohort) is computed
+    now so the next round's window is planned against it: 45 queries
+    (48 in the raw cohort, minus the 2 rule-2 skew queries and the 1
+    rule-4 fill this window re-greens) — leaving ~5 free slots for
+    r15's new/touched queries."""
     names = list(entry_mod.queries())
-    debt = _r14_debt()
-    assert len(debt) == 47, len(debt)
+    debt = _r15_debt()
+    assert len(debt) == 45, len(debt)
     window = set(names[:GATE_CAP])
     for n in sorted(debt):
         assert n in names, n
