@@ -4,7 +4,11 @@
 
 Each query is forced end-to-end with a count over its result (no
 collect of payload rows — the measured work is the distributed plan,
-not driver materialization).
+not driver materialization). Every query whose first shot exceeds
+1.5s is re-measured twice more, interleaved across the slow set, and
+reports its median of 3 (r14 — kills the cold-first-shot artifact
+that inflated two consecutive rounds of shipped single-shot
+numbers); per-shot lists land in BENCH_SIDECAR.json.
 """
 
 from __future__ import annotations
@@ -101,6 +105,9 @@ def main() -> None:
     pair = ("diff_full_localized", "diff_pruned_localized")
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # every shot of every query, for the sidecar (the printed line
+    # carries only the medians)
+    shots: dict[str, list[float]] = {}
 
     def timed_fn(fn) -> float:
         start = time.perf_counter()
@@ -124,6 +131,7 @@ def main() -> None:
                     errors[n] = f"{type(exc).__name__}: {exc}"[:200]
         for n in pair_fns:
             if samples[n] and n not in errors:
+                shots[n] = [round(x, 4) for x in samples[n]]
                 timings[n] = round(
                     sorted(samples[n])[len(samples[n]) // 2], 4
                 )
@@ -301,13 +309,46 @@ def main() -> None:
     finally:
         shutil.rmtree(ptmp, ignore_errors=True)
 
+    # Median-of-3 interleaved for every non-trivial query (r14; the
+    # r13 verdict's prescription after two consecutive rounds of
+    # single-shot noise burned the perf signal — shipped r13 single
+    # shots ran 3-7x their judge-measured medians on untouched code).
+    # Pass 1 gives every query one shot, in registry order. Every
+    # query whose first shot exceeds the threshold then gets two more
+    # shots, INTERLEAVED across the whole slow set (q1..qk, q1..qk),
+    # so box-load drift during the re-measure window hits all of them
+    # symmetrically instead of whichever query owned that second. The
+    # median of 3 discards the cold-first-shot artifact; sub-threshold
+    # queries keep their single shot (their absolute error is bounded
+    # by the threshold).
+    SLOW_THRESHOLD = 1.5
     for name in names:
         if name in pair:
             continue
         try:
-            timings[name] = round(timed(name), 4)
+            shots[name] = [round(timed(name), 4)]
         except Exception as exc:  # one broken query must not void the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    slow = [
+        n
+        for n in names
+        if n not in pair
+        and n not in errors
+        and shots.get(n)
+        and shots[n][0] > SLOW_THRESHOLD
+    ]
+    for _ in range(2):
+        for name in slow:
+            if name in errors:
+                continue
+            try:
+                shots[name].append(round(timed(name), 4))
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    for name, s in shots.items():
+        if name in errors or name in timings:
+            continue  # pairs already recorded their medians
+        timings[name] = sorted(s)[len(s) // 2]
     total = round(sum(timings.values()), 4)
 
     # The driver captures only the LAST 2000 chars of output — a JSON
@@ -315,6 +356,30 @@ def main() -> None:
     # (this voided BENCH_r02). Emit 2-decimal timings and, if still
     # too long, keep only the slowest queries plus a suppressed-count
     # marker; `value` always remains the total over ALL timed queries.
+    # full per-shot record to a sidecar file: the printed line is
+    # capped at ~1800 chars (driver capture), the sidecar is not —
+    # it is what variance questions get answered from
+    sidecar = {
+        "sf": sf,
+        "calibration": calibration,
+        "warmup_scan": warmup_scan,
+        "slow_threshold_sec": SLOW_THRESHOLD,
+        "method": "median-of-3 interleaved for first-shot > threshold",
+        "shots": shots,
+        "errors": errors,
+    }
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_SIDECAR.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(sidecar, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
     def payload(qdict: dict[str, float], suppressed: int) -> dict:
         out = {
             "metric": "headline_queries_total_wall",
@@ -324,6 +389,7 @@ def main() -> None:
             "sf": sf,
             "calibration": calibration,
             "warmup_scan": warmup_scan,
+            "timing": "median3",
         }
         if jaccard_shuffle_mb:
             out["jaccard_ingest_shuffle_mb"] = jaccard_shuffle_mb
