@@ -304,10 +304,18 @@ def staged_replace(
     the only residual window is the rename swap, entered with the
     complete staged copy already on disk and closed mechanically by
     :func:`restore_staged_replace`. ``partition_by`` stages the same
-    directory layout the store is read with. Returns rows written."""
+    directory layout the store is read with — EXCEPT when ``frame``
+    is empty: a partitioned write of zero rows produces a staging dir
+    holding only ``_SUCCESS`` (no schema-bearing file), so the
+    prove-readable count would raise and the batch would fail on
+    every retry. An empty frame is staged unpartitioned instead,
+    keeping the partition columns as ordinary (readable, empty) data
+    columns; :func:`~mydatasyncer_spark.streaming.continuous.
+    _dynamic_bucket_overwrite` clears that root-file form before its
+    first partitioned write. Returns rows written."""
     staging = path.rstrip("/") + INDEX_STAGING_SUFFIX
     w = frame.write.mode("overwrite")
-    if partition_by:
+    if partition_by and not frame.isEmpty():
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
     rows = spark.read.parquet(staging).count()

@@ -293,6 +293,23 @@ def scd2_apply_to_table(
     diffs empty against already-updated state — idempotent). Swap in
     a reliable ``df.checkpoint()`` via ``spark.sparkContext.
     setCheckpointDir`` if executor loss must not fail the apply.
+
+    Crash window (honest caveat, restored r14): the current-rows
+    rewrite is an ``insertInto(overwrite=True)`` with no staging — a
+    crash INSIDE its job commit can leave a current partition
+    partially replaced, and unlike the streaming bucketed stores
+    (whose replay rebuilds affected buckets from source data), SCD2
+    history is NOT rebuildable from the current snapshot alone: the
+    closed-row lineage lives only in the table. The re-run-the-apply
+    recovery above covers a crash BETWEEN the append and the
+    overwrite; for a crash inside the overwrite's commit, pair the
+    table with a transactional format (Delta/Iceberg) if that window
+    matters. ``insertInto`` honors only the SESSION
+    ``partitionOverwriteMode`` conf (the per-write DataFrameWriter
+    option is ignored for catalog tables — verified on Spark 4.1),
+    so the dynamic-mode toggle below is session-wide for the write's
+    duration; don't run concurrent partition-overwrite writers on
+    the same session.
     """
     history = spark.table(table)
     n_buckets = (

@@ -58,6 +58,21 @@ def merge_into_table(
     overwrite); without it the whole table is rewritten (small-table
     path). ``compute_stats=False`` skips the three count jobs — at
     scale the counts are an extra pass over the affected slice.
+
+    Crash window (honest caveat, restored r14): the rewrite is an
+    unstaged ``insertInto(overwrite=True)`` — a crash inside its job
+    commit can leave an affected partition partially replaced.
+    Re-running the merge from the same source converges (the merge
+    derives each affected partition's full contents from source +
+    target's UNAFFECTED rows... for ``delete_not_in_source=True``
+    entirely from source), EXCEPT the ``delete_not_in_source=False``
+    path, whose ``kept`` leg re-reads the possibly-torn partition;
+    pair with a transactional format if that window matters.
+    ``insertInto`` honors only the SESSION ``partitionOverwriteMode``
+    conf (the per-write option is ignored for catalog tables —
+    verified on Spark 4.1), so the dynamic toggle is session-wide
+    for the write's duration; don't run concurrent
+    partition-overwrite writers on the same session.
     """
     target = spark.table(table)
     stats = MergeStats()

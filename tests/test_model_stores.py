@@ -1041,3 +1041,36 @@ class TestStagedProtocolFuzz:
         except ValueError:
             return  # refused = loud, acceptable mid-crash
         assert got in wanted, got
+
+
+class TestStagedReplaceEmptyPartitioned:
+    """r14 (advisor finding): ``staged_replace(partition_by=...)`` of
+    an EMPTY frame used to stage a dir holding only ``_SUCCESS`` — no
+    schema-bearing file — so the prove-readable count raised and the
+    caller's batch failed on every retry (the empty bucketed
+    join-view bootstrap). Empty frames now stage unpartitioned,
+    keeping the partition columns as readable data columns."""
+
+    def test_empty_partitioned_replace_succeeds_and_reads(
+        self, spark, tmp_path
+    ):
+        from mydatasyncer_spark.operators.maintenance import (
+            staged_replace,
+        )
+
+        path = str(tmp_path / "store")
+        empty = spark.createDataFrame([], "k long, v string, b int")
+        rows = staged_replace(spark, empty, path, partition_by=["b"])
+        assert rows == 0
+        got = spark.read.parquet(path)
+        assert got.count() == 0
+        assert set(got.columns) == {"k", "v", "b"}
+        # and a later NON-empty replace lays the partitioned layout
+        frame = spark.createDataFrame(
+            [(1, "x", 0), (2, "y", 1)], "k long, v string, b int"
+        )
+        assert staged_replace(spark, frame, path, partition_by=["b"]) == 2
+        import os
+
+        assert os.path.isdir(os.path.join(path, "b=0"))
+        assert spark.read.parquet(path).count() == 2
