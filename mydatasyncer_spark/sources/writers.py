@@ -357,8 +357,14 @@ def copy_files(
 
     def one(f: str) -> None:
         src = path_cls(f)
+        # resolve the SOURCE's own filesystem: layout versions usually
+        # share one store, but a merge reading an hdfs:// (or other-
+        # bucket) layout into a local/new-store out_path would hand
+        # FileUtil.copy the destination FS for the source and fail on
+        # the first cross-scheme path (r14 sweep)
+        src_fs = src.getFileSystem(conf)
         jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs, src, fs, path_cls(out_path, src.getName()), False, conf
+            src_fs, src, fs, path_cls(out_path, src.getName()), False, conf
         )
 
     if not files:

@@ -138,7 +138,16 @@ def _sessionize_group(
         last_ts = open_last
 
     state.update((next_id, last_ts, open_n, open_start, open_last))
-    state.setTimeoutTimestamp(int((last_ts + SESSION_GAP_SECONDS) * 1000))
+    # ceil, not int(): the gap test above keeps an event at EXACTLY
+    # last_ts + gap in the session, so the timeout must never fire
+    # before that instant — float truncation set it up to 1ms early,
+    # letting a watermark landing in that sliver flush the session
+    # out from under a still-in-gap boundary event (r14 sweep)
+    import math
+
+    state.setTimeoutTimestamp(
+        int(math.ceil((last_ts + SESSION_GAP_SECONDS) * 1000))
+    )
     if closed:
         yield pd.DataFrame(
             {
@@ -154,12 +163,21 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     """Streaming 30-minute-gap sessionization via
     ``applyInPandasWithState`` — one state row per active user, timed
     out by event-time watermark. Batch twin: the ``sessionization``
-    contract query."""
+    contract query.
+
+    NULL event times are filtered out BEFORE the stateful pass (r14
+    sweep): an event with no event time cannot be placed in any
+    session — and the watermark does not drop such rows, so they
+    reached the group function as NaT, poisoned the whole envelope to
+    NaN, and ``setTimeoutTimestamp(int(nan))`` killed the query
+    permanently (every checkpoint retry replays the same batch). The
+    equi-join NULL-key bypass rule, applied to event time."""
     state_schema = (
         "next_id long, last_ts double, open_n long, open_start double, open_last double"
     )
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,
@@ -182,7 +200,22 @@ def dedup_stream(
     ``dropDuplicatesWithinWatermark`` keeps state only for keys whose
     event time is still inside the watermark horizon, so state is
     bounded by arrival spread rather than stream history (a plain
-    streaming ``dropDuplicates`` would grow state forever)."""
+    streaming ``dropDuplicates`` would grow state forever).
+
+    Known divergence from the batch twin (r14 sweep, pinned in
+    tests): rows with a NULL event time are NOT reliably
+    deduplicated ACROSS micro-batches. A NULL-ts row has no place on
+    the watermark timeline that bounds the dedup state; empirically
+    (Spark 4.1), once the watermark has advanced past its initial
+    value, an arriving NULL-ts row is treated as already-expired —
+    emitted without creating a state entry — so every later copy
+    passes through too. Copies sharing one micro-batch always dedup,
+    and streams whose watermark never moves (no non-null event times
+    yet) dedup across batches. Dropping NULL-ts rows here instead
+    would silently lose events, the worse failure for a dedup
+    operator. If NULL-ts duplicates matter upstream, assign an
+    ingest-time fallback ``ts`` before this operator — that places
+    the rows on the timeline and restores exact dedup for them."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         id_cols or ["event_id"]
     )

@@ -5645,3 +5645,160 @@ def test_sessionize_late_event_extends_envelope_not_rewinds(
         for r in spark.sql("SELECT * FROM late_sessions").collect()
     }
     assert got == {(7, 1): (4, 2500.0)}
+
+
+def test_sessionize_null_event_time_is_excluded_not_fatal(
+    spark, tmp_path_factory
+):
+    """r14 windows.py sweep: the watermark does NOT drop NULL-ts rows,
+    so they reached the stateful group function as NaT, poisoned the
+    session envelope to NaN, and setTimeoutTimestamp(int(nan)) raised
+    — killing the query PERMANENTLY (the checkpoint replays the same
+    batch on every restart). An event with no event time cannot be
+    placed in any session; it is now filtered before the stateful
+    pass, and the sessions over the remaining events are unchanged."""
+    import time
+    from datetime import datetime, timedelta
+
+    from mydatasyncer_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    base = datetime(2024, 3, 2, 9, 0, 0)
+
+    def write_file(out, rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)
+
+    out = str(tmp_path_factory.mktemp("nullts_events"))
+    write_file(
+        out,
+        [
+            (1, base, 7, "view", 1.0, "{}"),
+            (2, None, 7, "view", 1.0, "{}"),  # the killer pre-fix
+            (3, base + timedelta(seconds=600), 7, "view", 1.0, "{}"),
+        ],
+    )
+    # a far-future event closes user 7's session so it is emitted
+    write_file(out, [(4, base + timedelta(seconds=50000), 7, "view", 1.0, "{}")])
+    stream = read_event_stream(spark, out, max_files_per_trigger=1)
+    run_to_memory(
+        sessionize_stream(stream), "nullts_sessions", output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            round(r["duration_sec"], 3),
+        )
+        for r in spark.sql("SELECT * FROM nullts_sessions").collect()
+    }
+    # the two timestamped events form one 600s session; the NULL-ts
+    # event is in no session and crashed nothing
+    assert got == {(7, 1): (2, 600.0)}
+
+
+def test_dedup_stream_null_ts_cross_batch_dup_passes_through(
+    spark, tmp_path_factory
+):
+    """r14 windows.py sweep, pinned DIVERGENCE (documented in the
+    dedup_stream docstring): once the watermark has advanced, an
+    arriving NULL-ts row is expired-on-arrival — emitted without
+    creating a dedup-state entry — so a copy in a LATER micro-batch
+    passes through undeduplicated. Same-batch copies still dedup.
+    Dropping NULL-ts rows instead would silently lose events (worse
+    for a dedup operator); callers needing them deduped assign an
+    ingest-time fallback ts upstream. This pin is the honest record:
+    if a Spark upgrade starts deduping them, the docstring
+    divergence note must go."""
+    import time
+    from datetime import datetime
+
+    from mydatasyncer_spark.streaming.windows import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    out = str(tmp_path_factory.mktemp("nullts_dedup"))
+    batches = [
+        # batch 0 advances the watermark before any NULL-ts row
+        [(3, datetime(2024, 3, 2, 12, 0, 0), 7, "view", 1.0, "{}")],
+        # batch 1: NULL-ts pair in ONE batch — dedups in-batch,
+        # but leaves no state behind (expired on arrival)
+        [
+            (2, None, 7, "view", 1.0, "{}"),
+            (2, None, 7, "view", 1.0, "{}"),
+        ],
+        # batch 2: the cross-batch copy — passes through
+        [(2, None, 7, "view", 1.0, "{}")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    stream = read_event_stream(spark, out, max_files_per_trigger=1)
+    run_to_memory(dedup_stream(stream), "nullts_dedup", output_mode="append")
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT * FROM nullts_dedup").collect()
+    )
+    # in-batch NULL dup deduped (one 2 from batch 1); cross-batch
+    # copy emitted again (the second 2, from batch 2)
+    assert got == [2, 2, 3]
+
+
+def test_sessionize_timeout_is_never_set_before_the_gap_boundary():
+    """r14 windows.py sweep: the gap test keeps an event at EXACTLY
+    last_ts + gap inside the session, so the timeout must fire only
+    strictly AFTER that instant. int() truncation set it up to 1ms
+    early whenever (last_ts + gap) * 1000 is not float-exact — a
+    watermark landing in that sliver flushed the session out from
+    under a still-in-gap boundary event. Drives the group function
+    directly with a stub state and a fractional-millisecond
+    timestamp."""
+    import math
+
+    import pandas as pd
+
+    from mydatasyncer_spark.streaming.windows import (
+        SESSION_GAP_SECONDS,
+        _sessionize_group,
+    )
+
+    class StubState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.timeout_ms = None
+            self.stored = None
+
+        def update(self, v):
+            self.stored = v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    # .0005s fraction: *1000 lands between two integers, where int()
+    # truncates below the boundary and ceil stays at-or-above it
+    t = 1_700_000_000.0005
+    state = StubState()
+    batch = pd.DataFrame(
+        {"ts": [pd.Timestamp(t, unit="s")], "event_id": [1]}
+    )
+    list(_sessionize_group((7,), iter([batch]), state))
+    stored_last = state.stored[1]
+    boundary_ms = (stored_last + SESSION_GAP_SECONDS) * 1000
+    assert state.timeout_ms >= boundary_ms
+    assert state.timeout_ms == int(math.ceil(boundary_ms))

@@ -451,6 +451,36 @@ class TestCopyFilesConcurrent:
             with open(f, "rb") as a, open(dst, "rb") as b:
                 assert a.read() == b.read(), f
 
+    def test_source_filesystem_resolved_per_source_uri(
+        self, spark, tmp_path_factory
+    ):
+        """r14 sweep pin: copy_files resolves each SOURCE's own
+        filesystem from the source path (src.getFileSystem) rather
+        than reusing the destination's — a merge reading another
+        store's hdfs://-qualified layout into a local out_path handed
+        FileUtil.copy the wrong FS for the source. Locally provable
+        leg: fully-scheme-qualified file: URIs as sources, bare local
+        destination, bytes identical."""
+        import os
+
+        from mydatasyncer_spark.sources.writers import copy_files
+
+        out = tmp_path_factory.mktemp("cpy_uri")
+        src_dir, dst_dir = str(out / "src"), str(out / "dst")
+        spark.range(100).coalesce(2).write.parquet(src_dir)
+        files = [
+            "file:" + os.path.join(src_dir, f)
+            for f in os.listdir(src_dir)
+            if f.startswith("part-")
+        ]
+        assert len(files) == 2
+        copy_files(spark, files, dst_dir)
+        for f in files:
+            local = f[len("file:"):]
+            dst = os.path.join(dst_dir, os.path.basename(local))
+            with open(local, "rb") as a, open(dst, "rb") as b:
+                assert a.read() == b.read(), f
+
 
 class TestPlanMergeGroups:
     """Driver-side planner unit tests (no Spark jobs)."""
