@@ -138,31 +138,42 @@ def coerce_rfc3339(df: DataFrame, columns: list[str] | None = None) -> DataFrame
 
     The typed counterpart of the reference's per-value probe
     (ref: convertValue, loader.go:28-43): a column is converted only
-    where the value matches; non-matching strings stay as-is in a
-    string column (mixed columns keep strings — schema-first design
-    means real pipelines should declare schemas instead).
+    where every non-null value matches (the all-or-nothing column
+    typing the reference converges to in practice) AND at least one
+    non-null value exists (an all-NULL column carries no type
+    evidence); non-matching strings stay as-is in a string column
+    (mixed columns keep strings — schema-first design means real
+    pipelines should declare schemas instead).
+
+    The probe is ONE aggregate job over ALL target columns at once
+    (r14 sweep): the previous per-column probes launched up to two
+    full scans per string column — a 50-string-column snapshot cost
+    up to 100 scans before the sync even started.
     """
-    out = df
-    targets = columns or [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, T.StringType)
-    ]
-    for name in targets:
-        if not isinstance(df.schema[name].dataType, T.StringType):
-            continue
-        all_rfc = F.min(
-            F.col(name).isNull() | F.col(name).rlike(_RFC3339_RE)
+    targets = [
+        name
+        for name in (
+            columns
+            or [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            ]
         )
-        # cheap single-pass probe: convert the column only if every
-        # non-null value is RFC3339 (mirrors the all-or-nothing column
-        # typing the reference converges to in practice)
-        if out.select(all_rfc.alias("ok")).first()["ok"]:
-            has_any = out.select(
-                F.max(F.col(name).isNotNull()).alias("any")
-            ).first()["any"]
-            if has_any:
-                out = out.withColumn(name, F.to_timestamp(name))
+        if isinstance(df.schema[name].dataType, T.StringType)
+    ]
+    if not targets:
+        return df
+    aggs = []
+    for i, name in enumerate(targets):
+        c = F.col(name)
+        aggs.append(F.min(c.isNull() | c.rlike(_RFC3339_RE)).alias(f"_ok_{i}"))
+        aggs.append(F.max(c.isNotNull()).alias(f"_any_{i}"))
+    probe = df.select(*aggs).first()
+    out = df
+    for i, name in enumerate(targets):
+        if probe[f"_ok_{i}"] and probe[f"_any_{i}"]:
+            out = out.withColumn(name, F.to_timestamp(name))
     return out
 
 
