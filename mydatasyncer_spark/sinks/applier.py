@@ -447,8 +447,19 @@ def stage_and_apply(
         stats = ApplyStats()
         stats.inserted, stats.updated = apply_staged_upserts(backend, legs)
         stats.deleted = apply_staged_deletes(backend, legs)
-    finally:
-        drop_staged(backend, legs)
+    except BaseException:
+        # roll back BEFORE the cleanup: drop_staged COMMITS (the
+        # Derby catalog-lock release documented there), so running it
+        # first would commit an already-half-applied triple that the
+        # caller's Transaction could no longer undo — the O6
+        # all-or-nothing breach (r14 sweep; pinned by the sqlite
+        # FK-blocked-delete-after-successful-insert test)
+        try:
+            backend.conn.rollback()
+        finally:
+            drop_staged(backend, legs)
+        raise
+    drop_staged(backend, legs)
     return stats
 
 

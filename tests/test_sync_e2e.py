@@ -308,6 +308,60 @@ class TestStagingApplier:
         ]
         assert (stats.inserted, stats.updated, stats.deleted) == (1, 1, 1)
 
+    def test_partial_apply_rolls_back_when_a_later_leg_fails(self, spark):
+        """r14 sweep: stage_and_apply's cleanup (drop_staged) COMMITS
+        — by design, so dropped staging releases catalog locks — but
+        pre-fix it ran in a bare finally, so a failure in the DELETE
+        step committed the already-applied inserts/updates on its way
+        out and the caller's Transaction had nothing left to roll
+        back: a half-applied triple, the exact all-or-nothing breach
+        O6 exists to prevent. The failure now rolls back BEFORE the
+        cleanup commit."""
+        conn = sqlite3.connect(":memory:")
+        conn.execute("PRAGMA foreign_keys=ON")
+        conn.execute(
+            "CREATE TABLE parent (id INTEGER PRIMARY KEY, name TEXT)"
+        )
+        conn.execute(
+            "CREATE TABLE child (id INTEGER PRIMARY KEY, "
+            "pid INTEGER REFERENCES parent(id))"
+        )
+        conn.executemany(
+            "INSERT INTO parent VALUES (?, ?)", [(1, "a"), (2, "b")]
+        )
+        conn.execute("INSERT INTO child VALUES (10, 2)")
+        conn.commit()
+        backend = DbApiBackend(conn)
+        to_insert = spark.createDataFrame(
+            [(3, "c")], "id long, name string"
+        )
+        empty = to_insert.limit(0)
+        # deleting parent 2 violates child's FK -> the LAST apply step
+        # fails after the insert step already succeeded
+        to_delete = spark.createDataFrame([(2,)], "id long")
+        with pytest.raises(Exception):
+            with Transaction(conn):
+                stage_and_apply(
+                    backend,
+                    "parent",
+                    ["id", "name"],
+                    "id",
+                    to_insert,
+                    empty,
+                    to_delete,
+                )
+        # the successful insert leg must NOT survive the failed delete
+        assert rows(conn, "parent") == [(1, "a"), (2, "b")]
+        # staging is still cleaned up on the failure path
+        stg = [
+            r[0]
+            for r in conn.execute(
+                "SELECT name FROM sqlite_master WHERE name LIKE 'stg_%'"
+            ).fetchall()
+        ]
+        assert stg == []
+        conn.close()
+
     def test_immutable_column_excluded(self, spark, db):
         backend = DbApiBackend(db)
         to_update = spark.createDataFrame(
