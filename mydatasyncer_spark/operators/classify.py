@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mydatasyncer_spark.functions.hashing import hash48
+from mydatasyncer_spark.operators.similarity import _arr_lit
 from mydatasyncer_spark.operators.text import tokens
 
 
@@ -101,7 +102,7 @@ def _margin_column(
     matches term-for-term), then divides by the token count (the
     mean-of-one-hots normalization). Empty documents score the bias
     alone."""
-    wlits = F.array(*[F.lit(float(w)) for w in weights])
+    wlits = _arr_lit(weights)
     toks = tokens(text)
     per_tok = F.transform(
         toks,
@@ -199,7 +200,7 @@ def logreg_train(
     b = 0.0
     losses: list[float] = []
     for _ in range(n_iter):
-        wlits = F.array(*[F.lit(float(x)) for x in w])
+        wlits = _arr_lit(w)
         doc = (
             feats.groupBy(id_col)
             .agg(

@@ -16,6 +16,7 @@ what makes the DuckDB ``list_dot_product`` oracle agree bit-for-bit).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -23,6 +24,23 @@ from mydatasyncer_spark.operators.partitioning import (
     cluster_parallelism,
     fanout_spread,
 )
+
+
+def _arr_lit(vals: list[float]) -> Column:
+    """``array<double>`` constant as ONE ``Literal`` node (via a 1-D
+    float64 ndarray) instead of a ``CreateArray`` of per-element
+    ``F.lit`` calls. Same doubles bit-for-bit (float64 is exactly the
+    Python float), but one py4j call and one expression node where the
+    per-element form costs ``dim`` of each — at the PQ/IVF literal
+    surface (m*ksub*dsub + n_centroids*dim constants per plan) that
+    collapses thousands of analyzer/codegen nodes to dozens, which was
+    most of the inline-encode queries' wall time (r14 bench)."""
+    return F.lit(np.asarray([float(x) for x in vals], dtype=np.float64))
+
+
+def _mat_lit(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` constant: one ``_arr_lit`` per row."""
+    return F.array(*[_arr_lit(r) for r in rows])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -108,7 +126,7 @@ def hyperplane_values(dim: int, plane: int) -> list[float]:
 
 
 def _hyperplane(dim: int, plane: int) -> Column:
-    return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane)])
+    return _arr_lit(hyperplane_values(dim, plane))
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
@@ -420,12 +438,7 @@ def _ivf_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """array<double> of rounded scaled dots to each centroid. The
     vector's own norm is constant across centroids so it can't change
     the argmax and is left out."""
-    scaled = F.array(
-        *[
-            F.array(*[F.lit(v) for v in cen])
-            for cen in _scaled_centroids(centroids)
-        ]
-    )
+    scaled = _mat_lit(_scaled_centroids(centroids))
     return F.transform(scaled, lambda cen: F.round(dot(vec, cen), 6))
 
 
@@ -1034,10 +1047,8 @@ def _pq_sub_scores(sub: Column, book: list[list[float]]) -> Column:
     constant across codes, minimizing |x - c|^2 equals maximizing
     dot(x, c) - |c|^2/2. Same first-max tie-break as
     :func:`ivf_buckets` / the oracle's ``list_position(list_max)``."""
-    cens = F.array(*[F.array(*[F.lit(x) for x in cen]) for cen in book])
-    offs = F.array(
-        *[F.lit(sum(x * x for x in cen) / 2.0) for cen in book]
-    )
+    cens = _mat_lit(book)
+    offs = _arr_lit([sum(x * x for x in cen) / 2.0 for cen in book])
     return F.zip_with(cens, offs, lambda c, h: F.round(dot(sub, c) - h, 6))
 
 
@@ -1066,9 +1077,7 @@ def _pq_lut(vec: Column, books: list[list[list[float]]]) -> Column:
     luts = []
     for j, book in enumerate(books):
         sub = _pq_sub(vec, j, dsub)
-        cens = F.array(
-            *[F.array(*[F.lit(x) for x in cen]) for cen in book]
-        )
+        cens = _mat_lit(book)
         luts.append(F.transform(cens, lambda c: F.round(dot(sub, c), 6)))
     return F.array(*luts)
 
@@ -1201,9 +1210,7 @@ def pq_quantization_error(
         sub = _pq_sub(v, j, dsub)
         scores = _pq_sub_scores(sub, book)
         code = F.array_position(scores, F.array_max(scores)).cast("int")
-        cens = F.array(
-            *[F.array(*[F.lit(x) for x in cen]) for cen in book]
-        )
+        cens = _mat_lit(book)
         chosen = F.element_at(cens, code)
         errs.append(
             F.aggregate(
@@ -1431,9 +1438,7 @@ def pq_adc_topk(
 
 def _cens_lits(cens: list[list[float]]) -> Column:
     """The centroid set as an array<array<double>> literal."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in cen]) for cen in cens]
-    )
+    return _mat_lit(cens)
 
 
 def ivf_residuals(
