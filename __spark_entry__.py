@@ -677,76 +677,59 @@ def diff_plan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def diff_pruned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-pruned diff (operators/diff.diff_snapshots_pruned): the
-    wide three-way diff runs only over key-hash buckets whose
-    (count, bit_xor(fingerprint)) summaries differ between snapshots.
-    The oracle is the PLAIN full-diff counts — pruning must be
-    invisible in the result."""
-    from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+    """Bucket-pruned diff counts (operators/diff.diff_counts_pruned):
+    the classification runs only over key-hash buckets whose
+    (count, bit_xor(fingerprint)) summaries differ between snapshots,
+    and the surviving slice collapses to (key, fingerprint) for ONE
+    full-outer classification join (r14 — previously the pruned
+    three-join triple was counted leg by leg: six pruned scans +
+    three joins for three numbers). The oracle is the PLAIN full-diff
+    counts — pruning must be invisible in the result."""
+    from mydatasyncer_spark.operators.diff import diff_counts_pruned
 
     f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
-    res = diff_snapshots_pruned(f, d, "o_orderkey", f.columns, n_buckets=64)
-    ins = res.to_insert.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_insert")
-    )
-    upd = res.to_update.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_update")
-    )
-    dele = res.to_delete.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_delete")
-    )
-    return ins.crossJoin(upd).crossJoin(dele)
-
-
-def _diff_counts_triple(res) -> DataFrame:
-    ins = res.to_insert.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_insert")
-    )
-    upd = res.to_update.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_update")
-    )
-    dele = res.to_delete.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_delete")
-    )
-    return ins.crossJoin(upd).crossJoin(dele)
+    return diff_counts_pruned(f, d, "o_orderkey", f.columns, n_buckets=64)
 
 
 def diff_pruned_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pruned diff on the LOCALIZED-change fixture: mutations confined
-    to 3 of 64 key-range buckets (contract.snapshot_*_localized — the
-    daily-sync shape), pruned with the matching range bucket_fn so the
-    wide joins see ~3/64 of each snapshot. Oracle = the full diff
-    counts: pruning must be invisible. Benchmarked side by side with
-    diff_full_localized — the pair is the measured pruning win."""
+    """Pruned diff counts on the LOCALIZED-change fixture: mutations
+    confined to 3 of 64 key-range buckets (contract.snapshot_*_localized
+    — the daily-sync shape), pruned with the matching range bucket_fn
+    so the classification sees ~3/64 of each snapshot, then counted
+    via the one-pass (key, fingerprint) full-outer join (r14; the
+    leg-by-leg triple count it replaces is result-identical but cost
+    six pruned scans + three joins). Oracle = the full diff counts:
+    pruning must be invisible. Benchmarked side by side with
+    diff_full_localized — the pair is the measured pruning win, both
+    members now on the same one-pass counting machinery."""
     from mydatasyncer_spark.contract import (
         localized_bucket,
         snapshot_db_localized,
         snapshot_file_localized,
     )
-    from mydatasyncer_spark.operators.diff import diff_snapshots_pruned
+    from mydatasyncer_spark.operators.diff import diff_counts_pruned
 
     f = snapshot_file_localized(spark, sf_dir)
     d = snapshot_db_localized(spark, sf_dir)
-    res = diff_snapshots_pruned(
+    return diff_counts_pruned(
         f, d, "o_pk", f.columns, n_buckets=64, bucket_fn=localized_bucket
     )
-    return _diff_counts_triple(res)
 
 
 def diff_full_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNpruned diff over the same localized-change fixture —
-    the baseline diff_pruned_localized is measured against."""
+    the baseline diff_pruned_localized is measured against (same
+    one-pass classification join as diff_plan_counts, so the pair's
+    delta is the PRUNING, not a counting-machinery difference)."""
     from mydatasyncer_spark.contract import (
         snapshot_db_localized,
         snapshot_file_localized,
     )
-    from mydatasyncer_spark.operators.diff import diff_snapshots
+    from mydatasyncer_spark.operators.diff import diff_counts
 
     f = snapshot_file_localized(spark, sf_dir)
     d = snapshot_db_localized(spark, sf_dir)
-    return _diff_counts_triple(
-        diff_snapshots(f, d, "o_pk", f.columns)
-    )
+    return diff_counts(f, d, "o_pk", f.columns)
 
 
 def zorder_orders_key(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -236,6 +236,86 @@ class TestPrunedDiff:
         # id=1 identical across types, id=2 insert, id=3 delete
         assert c == {"insert": 1, "update": 0, "delete": 1}
 
+
+class TestPrunedDiffCounts:
+    """diff_counts_pruned (r14) must count identically to the
+    leg-by-leg triple of diff_snapshots_pruned — the one-pass
+    classification is a plan change, never a semantic one."""
+
+    def _as_tuple(self, df):
+        row = df.first()
+        return (row["n_insert"], row["n_update"], row["n_delete"])
+
+    @pytest.mark.parametrize("n_buckets", [1, 4, 64])
+    def test_matches_pruned_triple(self, spark, snapshots, n_buckets):
+        from mydatasyncer_spark.operators.diff import (
+            diff_counts_pruned,
+            diff_snapshots_pruned,
+        )
+
+        file_df, db_df = snapshots
+        c = diff_snapshots_pruned(
+            file_df, db_df, "id", n_buckets=n_buckets
+        ).counts()
+        assert self._as_tuple(
+            diff_counts_pruned(file_df, db_df, "id", n_buckets=n_buckets)
+        ) == (c["insert"], c["update"], c["delete"])
+
+    def test_matches_on_random_frames(self, spark):
+        import random
+
+        from mydatasyncer_spark.operators.diff import diff_counts_pruned
+
+        rng = random.Random(13)
+        rows_f = [(i, rng.randint(0, 3)) for i in range(300) if rng.random() < 0.8]
+        rows_d = [(i, rng.randint(0, 3)) for i in range(300) if rng.random() < 0.8]
+        f = spark.createDataFrame(rows_f, "id long, v long")
+        d = spark.createDataFrame(rows_d, "id long, v long")
+        full = diff_snapshots(f, d, "id").counts()
+        assert self._as_tuple(diff_counts_pruned(f, d, "id", n_buckets=16)) == (
+            full["insert"],
+            full["update"],
+            full["delete"],
+        )
+
+    def test_identical_snapshots_count_zero_not_null(self, spark):
+        """No changed buckets prunes EVERYTHING — the sums over the
+        empty classification must coalesce to 0, exactly like count()
+        over an empty DiffResult leg."""
+        from mydatasyncer_spark.operators.diff import diff_counts_pruned
+
+        rows = [(i, i % 5) for i in range(100)]
+        f = spark.createDataFrame(rows, "id long, v long")
+        d = spark.createDataFrame(rows, "id long, v long")
+        assert self._as_tuple(
+            diff_counts_pruned(f, d, "id", n_buckets=32)
+        ) == (0, 0, 0)
+
+    def test_range_bucket_fn(self, spark):
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.diff import diff_counts_pruned
+
+        rows_d = [(i, 0) for i in range(1024)]
+        rows_f = [(i, 1 if 512 <= i < 528 else 0) for i in range(1024)]
+        d = spark.createDataFrame(rows_d, "id long, v long")
+        f = spark.createDataFrame(rows_f, "id long, v long")
+        range_fn = lambda df: F.expr("pmod(id div 16, 64)")  # noqa: E731
+        assert self._as_tuple(
+            diff_counts_pruned(f, d, "id", n_buckets=64, bucket_fn=range_fn)
+        ) == (0, 16, 0)
+
+    def test_delete_gating(self, snapshots):
+        from mydatasyncer_spark.operators.diff import diff_counts_pruned
+
+        file_df, db_df = snapshots
+        t = self._as_tuple(
+            diff_counts_pruned(
+                file_df, db_df, "id", delete_not_in_file=False
+            )
+        )
+        assert t[2] == 0 and t[0] == 1
+
     def test_bucket_filter_prunes_partitioned_layout(self, spark, tmp_path):
         """On a snapshot STORED partitioned by bucket_col, a bucket
         IN-filter must reach the scan as a PartitionFilter — file-level
