@@ -1045,7 +1045,14 @@ def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
     idx = jaccard_prefix_index(corpus)
-    order = jaccard_token_order(idx)
+    # materialize the frozen order once (r14): it is a tiny
+    # vocab-sized table consumed by BOTH the ordered-index build and
+    # the ingest's batch-ordering legs — built lazily, every consumer
+    # re-ran the corpus-wide explode+count (the deployment shape
+    # persists it next to the index, exactly what bench.py's untimed
+    # setup and streaming/continuous.py:2640 do; this keeps the
+    # inline gate on the same footing). Same values, same result.
+    order = jaccard_token_order(idx).localCheckpoint(eager=True)
     return jaccard_join_incremental(
         batch,
         jaccard_ordered_index(idx, token_order=order),

@@ -20,7 +20,6 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
@@ -38,6 +37,18 @@ def get_spark(app_name: str = "mydatasyncer-spark", **extra_conf: str) -> SparkS
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Shuffle width tracks the ACTUAL core count instead of a
+    # constant (r14): a fixed 32 over-splits a lower-core run into
+    # multiple task waves of tiny partitions (the driver measures
+    # core-count scaling) and under-splits a wider box. On a real
+    # cluster this comes from cluster conf and AQE re-coalesces at
+    # runtime either way; callers can still override via extra_conf.
+    n_cores = os.cpu_count() or 32
+    if cpus != "*":
+        try:
+            n_cores = int(cpus)
+        except ValueError:
+            pass
     # Python workers (pandas UDF / mapInPandas) unpickle closures that
     # reference this package — make sure they can import it regardless
     # of the driver's cwd. (On a cluster, ship the package with
@@ -49,6 +60,11 @@ def get_spark(app_name: str = "mydatasyncer-spark", **extra_conf: str) -> SparkS
             f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
         )
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
-    for key, value in {**_DEFAULT_CONF, **extra_conf}.items():
+    conf = {
+        **_DEFAULT_CONF,
+        "spark.sql.shuffle.partitions": str(n_cores),
+        **extra_conf,
+    }
+    for key, value in conf.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

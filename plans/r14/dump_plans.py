@@ -1,13 +1,15 @@
 """Dump .explain("formatted") for every registered query to
 plans/r14/<query>_<tag>.txt. Usage: python plans/r14/dump_plans.py <tag>
-[query ...]. Driver-side only (no job execution)."""
+[query ...]. Driver-side only (no job execution). Set
+SPARK_GRAFT_REPO to dump from a different checkout (e.g. a worktree
+at the pre-optimization commit for the _before tag)."""
 
 import contextlib
 import io
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.environ.get("SPARK_GRAFT_REPO", "/root/repo"))
 
 import __spark_entry__ as entry_mod
 from mydatasyncer_spark.session import get_spark
@@ -18,7 +20,9 @@ def main() -> None:
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.dirname(os.path.abspath(__file__))
-    spark = get_spark("plan-dump")
+    spark = get_spark(
+        "plan-dump", **{"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = entry_mod.queries()
     for name, fn in registry.items():
