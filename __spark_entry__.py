@@ -883,14 +883,20 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply the file-vs-db diff's deltas — the oracle recomputes the
     rollup DIRECTLY from the file side, so a hash match proves
     maintained state == full recompute (including group moves from
-    updates and group drops from deletes)."""
-    from mydatasyncer_spark.operators.ivm import maintain_rollup, rollup_state
+    updates and group drops from deletes). r14: deltas derived via
+    the one-pass classification join (maintain_rollup_onepass) —
+    one narrow full outer instead of the five wide diff-leg joins;
+    bit-identical output (equivalence-pinned + oracle)."""
+    from mydatasyncer_spark.operators.ivm import (
+        maintain_rollup_onepass,
+        rollup_state,
+    )
 
     f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
     state = rollup_state(d, ["o_orderstatus"], "o_totalprice")
-    diff = diff_snapshots(f, d, "o_orderkey", f.columns)
-    new_state = maintain_rollup(
-        state, diff, ["o_orderstatus"], "o_totalprice"
+    new_state = maintain_rollup_onepass(
+        state, f, d, "o_orderkey", f.columns, ["o_orderstatus"],
+        "o_totalprice",
     )
     return new_state.select(
         "o_orderstatus",
@@ -906,9 +912,12 @@ def ivm_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted / updated rows contribute their custkeys — before AND
     after for updates). The oracle joins the file side directly, so a
     hash match proves maintained view == full recompute while the
-    maintenance itself is delta-sized anti/semi joins."""
+    maintenance itself is delta-sized anti/semi joins. r14: the
+    affected-key scope comes from the one-pass classification join
+    (affected_join_keys_onepass) instead of reading one column off
+    the four wide diff-leg joins; same distinct key set."""
     from mydatasyncer_spark.operators.ivm import (
-        affected_join_keys,
+        affected_join_keys_onepass,
         join_view_state,
         maintain_join_view,
     )
@@ -918,8 +927,9 @@ def ivm_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
     )
     state = join_view_state(d, c, "o_custkey")
-    diff = diff_snapshots(f, d, "o_orderkey", f.columns)
-    keys = affected_join_keys(diff, "o_custkey")
+    keys = affected_join_keys_onepass(
+        f, d, "o_orderkey", f.columns, "o_custkey"
+    )
     view = maintain_join_view(state, f, c, "o_custkey", keys)
     return view.select(
         "o_orderkey",
@@ -950,9 +960,11 @@ def ivm_join_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plain-equality repair legs would keep stale rows and drop the
     recomputes). The oracle left-joins the file side directly, so a
     hash match proves maintained == full recompute including the
-    NULL group."""
+    NULL group. r14: affected keys via the one-pass classification
+    join (affected_join_keys_onepass) — NULL keys ride the same
+    explode legs, so the NULL group's repair scope is unchanged."""
     from mydatasyncer_spark.operators.ivm import (
-        affected_join_keys,
+        affected_join_keys_onepass,
         join_view_state,
         maintain_join_view,
     )
@@ -963,8 +975,9 @@ def ivm_join_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
     )
     state = join_view_state(d, c, "o_custkey", how="left")
-    diff = diff_snapshots(f, d, "o_orderkey", f.columns)
-    keys = affected_join_keys(diff, "o_custkey")
+    keys = affected_join_keys_onepass(
+        f, d, "o_orderkey", f.columns, "o_custkey"
+    )
     view = maintain_join_view(state, f, c, "o_custkey", keys, how="left")
     return view.select(
         "o_orderkey",
@@ -982,12 +995,16 @@ def scd2_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleteNotInFile=false semantics (ref: dbsync.go:409-420) lifted
     to history maintenance. Same snapshots as scd2_orders_history;
     only updates close versions, the file-absent keys survive as
-    current."""
-    from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+    current. r14: one-pass classification apply (scd2_apply_onepass,
+    bit-identical — absent keys ride the surviving branch)."""
+    from mydatasyncer_spark.operators.scd import (
+        scd2_apply_onepass,
+        scd2_init,
+    )
 
     d, f = snapshot_db(spark, sf_dir), snapshot_file(spark, sf_dir)
     hist = scd2_init(d, "1994-01-01")
-    out = scd2_apply(
+    out = scd2_apply_onepass(
         hist, f, "o_orderkey", "1995-06-01", delete_absent=False
     )
     return out.withColumn(
@@ -1156,15 +1173,16 @@ def scd2_asof_join_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem events early on 1995-06-01 hit the morning version,
     afternoon events the revised one. Same equi-join + residual
     shape as the date-grained gate; the effectivity dtype is derived
-    from the history's valid_from column."""
+    from the history's valid_from column. r14: history built by the
+    one-pass classification apply (scd2_apply_onepass)."""
     from mydatasyncer_spark.operators.scd import (
-        scd2_apply,
+        scd2_apply_onepass,
         scd2_asof_join,
         scd2_init,
     )
 
     d, f = snapshot_db(spark, sf_dir), snapshot_file(spark, sf_dir)
-    hist = scd2_apply(
+    hist = scd2_apply_onepass(
         scd2_init(
             d, "1995-06-01 00:00:00", effective_type="timestamp_ntz"
         ),
@@ -1200,15 +1218,16 @@ def scd2_asof_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     range as a cheap residual (at most one version matches by SCD2
     construction; no window, no range-join machinery). Lines shipped
     before the history begins, or for deleted-at-ship-time orders,
-    drop out like any inner lookup."""
+    drop out like any inner lookup. r14: history built by the
+    one-pass classification apply (scd2_apply_onepass)."""
     from mydatasyncer_spark.operators.scd import (
-        scd2_apply,
+        scd2_apply_onepass,
         scd2_asof_join,
         scd2_init,
     )
 
     d, f = snapshot_db(spark, sf_dir), snapshot_file(spark, sf_dir)
-    hist = scd2_apply(
+    hist = scd2_apply_onepass(
         scd2_init(d, "1994-01-01"), f, "o_orderkey", "1995-06-01"
     )
     fact = table(spark, sf_dir, "lineitem").select(
@@ -1666,17 +1685,21 @@ def incremental_rollup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     the file-vs-db diff. Non-invertible aggregates: removals hitting a
     stored bound trigger group-targeted repair (semi-join-pruned fact
     re-aggregation of ONLY those groups); the oracle recomputes from
-    the file side, so a hash match proves maintained == recompute."""
+    the file side, so a hash match proves maintained == recompute.
+    r14: deltas + damage detection via the one-pass classification
+    join (maintain_rollup_minmax_onepass) — one narrow full outer +
+    one aggregation instead of eight wide diff-leg join subtrees;
+    bit-identical output (equivalence-pinned + oracle)."""
     from mydatasyncer_spark.operators.ivm import (
-        maintain_rollup_minmax,
+        maintain_rollup_minmax_onepass,
         rollup_state_minmax,
     )
 
     f, d = snapshot_file(spark, sf_dir), snapshot_db(spark, sf_dir)
     state = rollup_state_minmax(d, ["o_orderstatus"], "o_totalprice")
-    diff = diff_snapshots(f, d, "o_orderkey", f.columns)
-    new_state = maintain_rollup_minmax(
-        state, diff, f, ["o_orderstatus"], "o_totalprice"
+    new_state = maintain_rollup_minmax_onepass(
+        state, f, d, f, "o_orderkey", f.columns, ["o_orderstatus"],
+        "o_totalprice",
     )
     return new_state.select(
         "o_orderstatus",
@@ -1709,12 +1732,18 @@ def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     1995-06-01 — updated/deleted keys close their version (keeping
     the OLD values), new/changed rows open current versions. Pure
     key equi/anti joins reusing the diff legs; the oracle rebuilds
-    the same history with explicit SQL set logic."""
-    from mydatasyncer_spark.operators.scd import scd2_apply, scd2_init
+    the same history with explicit SQL set logic. r14: one-pass
+    classification apply (scd2_apply_onepass) — each changed key
+    explodes straight into its closed/opened/surviving versions from
+    a single narrow full outer; bit-identical output."""
+    from mydatasyncer_spark.operators.scd import (
+        scd2_apply_onepass,
+        scd2_init,
+    )
 
     d, f = snapshot_db(spark, sf_dir), snapshot_file(spark, sf_dir)
     hist = scd2_init(d, "1994-01-01")
-    out = scd2_apply(hist, f, "o_orderkey", "1995-06-01")
+    out = scd2_apply_onepass(hist, f, "o_orderkey", "1995-06-01")
     # effectivity as TIMESTAMP_NTZ for the cross-engine hash (the
     # fixture's own date columns ride as naive timestamps too)
     return out.withColumn(

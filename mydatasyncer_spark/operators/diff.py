@@ -179,6 +179,81 @@ def diff_counts(
     )
 
 
+#: classification label column of :func:`diff_changes`
+KIND_COL = "_kind"
+#: after-image struct column of :func:`diff_changes` (NULL for deletes)
+AFTER_COL = "_after"
+
+
+def diff_changes(
+    file_df: DataFrame,
+    db_df: DataFrame,
+    primary_key: str,
+    columns: list[str] | None = None,
+    payload: list[str] | None = None,
+    delete_not_in_file: bool = True,
+) -> DataFrame:
+    """One-pass classified change rows — the row-level twin of
+    :func:`diff_counts`.
+
+    Where :func:`diff_snapshots` answers "give me the three legs" with
+    three wide joins (each rescanning both snapshots), many consumers
+    only need *which rows changed and how* plus a few payload columns
+    (IVM delta derivation, affected-key scopes, SCD2 maintenance). For
+    those, one full-outer join over ``(canonical_key, row_fingerprint,
+    payload...)`` classifies every row in a single narrow pass: at
+    100 TB the exchange carries 16 bytes + the payload per row, once,
+    instead of every sync column three-to-five times.
+
+    Returns one row per changed key with:
+
+    - ``_kind`` — ``'insert'`` / ``'update'`` / ``'delete'``
+    - ``_after`` — struct of ``payload`` columns from the file side
+      (NULL struct for deletes)
+    - ``_before`` — struct of ``payload`` columns from the db side
+      (NULL struct for inserts)
+
+    ``payload`` defaults to all sync ``columns``. Update detection is
+    the same canonical fingerprint inequality as :func:`row_differs`
+    (same collision trade-off). Unchanged rows never leave the join.
+
+    Assumes the primary key is unique per side (the snapshot
+    contract; duplicate keys would classify per joined PAIR where the
+    leg-wise triple classifies per row).
+    """
+    if columns is None:
+        columns = [c for c in file_df.columns if c in set(db_df.columns)]
+    if payload is None:
+        payload = columns
+    f = with_canonical_key(file_df.select(*columns), primary_key)
+    d = with_canonical_key(db_df.select(*columns), primary_key)
+    fs = f.select(
+        F.col(_KEY),
+        row_fingerprint(f, columns).alias("_f_fp"),
+        F.struct(*[F.col(c) for c in payload]).alias(AFTER_COL),
+    )
+    ds = d.select(
+        F.col(_KEY),
+        row_fingerprint(d, columns).alias("_d_fp"),
+        F.struct(*[F.col(c) for c in payload]).alias(BEFORE_COL),
+    )
+    j = fs.join(ds, _KEY, "full_outer")
+    # a present side's fingerprint is never NULL (xxhash64 over
+    # strings); NULL fp == that side absent from the full outer
+    is_ins = F.col("_d_fp").isNull()
+    is_del = F.col("_f_fp").isNull()
+    is_upd = (~is_ins) & (~is_del) & (F.col("_f_fp") != F.col("_d_fp"))
+    kind = (
+        F.when(is_ins, F.lit("insert"))
+        .when(is_upd, F.lit("update"))
+        .when(is_del & F.lit(delete_not_in_file), F.lit("delete"))
+    )
+    return (
+        j.select(kind.alias(KIND_COL), AFTER_COL, BEFORE_COL)
+        .filter(F.col(KIND_COL).isNotNull())
+    )
+
+
 def diff_counts_pruned(
     file_df: DataFrame,
     db_df: DataFrame,

@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mydatasyncer_spark.operators.diff import BEFORE_COL, DiffResult
+from mydatasyncer_spark.operators.diff import (
+    AFTER_COL,
+    BEFORE_COL,
+    KIND_COL,
+    DiffResult,
+    diff_changes,
+)
 
 _SUM = "sum_val"
 _CNT = "n_rows"
@@ -98,6 +104,18 @@ def maintain_rollup(
     deltas = legs[0]
     for l in legs[1:]:
         deltas = deltas.unionByName(l)
+    return _merge_rollup_deltas(state_df, deltas, group_cols, dec)
+
+
+def _merge_rollup_deltas(
+    state_df: DataFrame,
+    deltas: DataFrame,
+    group_cols: list[str],
+    dec: str,
+) -> DataFrame:
+    """Fold per-row signed deltas ``(group_cols..., _dv, _dn, _dz)``
+    into a :func:`rollup_state`-shaped state (shared tail of
+    :func:`maintain_rollup` and :func:`maintain_rollup_onepass`)."""
     grouped = deltas.groupBy(*group_cols).agg(
         F.sum("_dv").alias("_dv"),
         F.sum("_dn").alias("_dn"),
@@ -142,6 +160,73 @@ def maintain_rollup(
         .alias(_CNT),
         new_nnv.alias(_NNV),
     ).filter(F.col(_CNT) > 0)
+
+
+def maintain_rollup_onepass(
+    state_df: DataFrame,
+    file_df: DataFrame,
+    db_df: DataFrame,
+    primary_key: str,
+    columns: list[str],
+    group_cols: list[str],
+    value_col: str,
+    precision: int = 18,
+    scale: int = 2,
+    delete_not_in_file: bool = True,
+) -> DataFrame:
+    """:func:`maintain_rollup` with the deltas derived straight from
+    the snapshots in ONE classification pass (r14 optimization).
+
+    The legacy composition — ``maintain_rollup(state,
+    diff_snapshots(f, d, pk), ...)`` — expands to FIVE wide joins at
+    plan level: insert anti, delete anti, and the update inner join
+    *twice* (its subtree feeds both the after- and before-value leg,
+    and Spark does not dedupe common subtrees across union branches).
+    Here :func:`~mydatasyncer_spark.operators.diff.diff_changes`
+    classifies in one narrow full-outer join carrying only
+    ``(key, fingerprint, group_cols, value_col)``, each changed row
+    explodes to its signed delta(s) — +after / −before — and the
+    shared :func:`_merge_rollup_deltas` tail folds them into the
+    state. Same decimal casts, same NULL-group and NULL-sum
+    semantics, bit-identical output (oracle-pinned); at 100 TB the
+    snapshots are scanned once each and shuffled once, 16 bytes +
+    group/value per row, instead of every sync column five times.
+    Requires unique primary keys per side (the snapshot contract —
+    see ``diff_changes``).
+    """
+    dec = f"decimal({precision},{scale})"
+    ch = diff_changes(
+        file_df,
+        db_df,
+        primary_key,
+        columns,
+        payload=[*group_cols, value_col],
+        delete_not_in_file=delete_not_in_file,
+    )
+    plus = F.struct(F.lit(1).alias("_sign"), F.col(AFTER_COL).alias("_p"))
+    minus = F.struct(
+        F.lit(-1).alias("_sign"), F.col(BEFORE_COL).alias("_p")
+    )
+    k = F.col(KIND_COL)
+    signed = ch.select(
+        F.explode(
+            F.when(k == "insert", F.array(plus))
+            .when(k == "delete", F.array(minus))
+            .otherwise(F.array(plus, minus))  # update: +after, -before
+        ).alias("_l")
+    )
+    v = F.col(f"_l._p.{value_col}")
+    sign = F.col("_l._sign")
+    deltas = signed.select(
+        *[F.col(f"_l._p.{c}").alias(c) for c in group_cols],
+        (sign * v.cast(dec)).alias("_dv"),
+        sign.cast("bigint").alias("_dn"),
+        F.when(v.isNull(), F.lit(0))
+        .otherwise(sign)
+        .cast("bigint")
+        .alias("_dz"),
+    )
+    return _merge_rollup_deltas(state_df, deltas, group_cols, dec)
 
 
 _MIN = "min_val"
@@ -341,6 +426,118 @@ def maintain_rollup_minmax(
     return maintained.unionByName(repaired)
 
 
+def maintain_rollup_minmax_onepass(
+    state_df: DataFrame,
+    file_df: DataFrame,
+    db_df: DataFrame,
+    new_fact_df: DataFrame,
+    primary_key: str,
+    columns: list[str],
+    group_cols: list[str],
+    value_col: str,
+    delete_not_in_file: bool = True,
+) -> DataFrame:
+    """:func:`maintain_rollup_minmax` with deltas AND damage detection
+    derived in one classification pass (r14 optimization).
+
+    The legacy composition re-executes diff-leg join subtrees across
+    the add legs, the removal legs and :func:`damaged_groups` — eight
+    join subtrees at plan level. Here one
+    :func:`~mydatasyncer_spark.operators.diff.diff_changes` pass
+    explodes each changed row into tagged (add|removed, value) legs,
+    ONE aggregation collapses them to per-group stats — add min/max/
+    count, removal count, and the removal value envelope — and one
+    null-safe full-outer join against the state both merges the
+    monotone path and detects damage: a group is damaged iff some
+    non-null removed value hits a stored bound, i.e. iff
+    ``min(removed) <= stored_min OR max(removed) >= stored_max``
+    (exists-quantifier collapsed to the envelope). Damaged groups
+    route to the same semi-join-pruned fact repair. Bit-identical to
+    the legacy path (equivalence-pinned by tests); requires unique
+    primary keys per side (the snapshot contract).
+    """
+    ch = diff_changes(
+        file_df,
+        db_df,
+        primary_key,
+        columns,
+        payload=[*group_cols, value_col],
+        delete_not_in_file=delete_not_in_file,
+    )
+    add = F.struct(F.lit(True).alias("_is_add"), F.col(AFTER_COL).alias("_p"))
+    rem = F.struct(
+        F.lit(False).alias("_is_add"), F.col(BEFORE_COL).alias("_p")
+    )
+    k = F.col(KIND_COL)
+    vals = ch.select(
+        F.explode(
+            F.when(k == "insert", F.array(add))
+            .when(k == "delete", F.array(rem))
+            .otherwise(F.array(add, rem))  # update: add after, remove before
+        ).alias("_l")
+    ).select(
+        *[F.col(f"_l._p.{c}").alias(c) for c in group_cols],
+        F.col("_l._is_add").alias("_is_add"),
+        F.col(f"_l._p.{value_col}").alias("_v"),
+    )
+    is_add = F.col("_is_add")
+    g = vals.groupBy(*group_cols).agg(
+        F.min(F.when(is_add, F.col("_v"))).alias("_add_min"),
+        F.max(F.when(is_add, F.col("_v"))).alias("_add_max"),
+        F.sum(F.when(is_add, 1).otherwise(0)).cast("bigint").alias("_add_n"),
+        F.sum(F.when(~is_add, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_rem_n"),
+        F.min(F.when(~is_add, F.col("_v"))).alias("_rem_vmin"),
+        F.max(F.when(~is_add, F.col("_v"))).alias("_rem_vmax"),
+    )
+    cond = None
+    for c in group_cols:
+        e = F.col(f"s.{c}").eqNullSafe(F.col(f"g.{c}"))
+        cond = e if cond is None else cond & e
+    merged = state_df.alias("s").join(g.alias("g"), on=cond, how="full_outer")
+    # NULL-safe by construction: a group with no state row, or whose
+    # removals are all NULL values, compares NULL -> not damaged —
+    # exactly damaged_groups' isNotNull() & hit filter
+    is_damaged = F.coalesce(
+        (F.col("_rem_vmin") <= F.col(f"s.{_MIN}"))
+        | (F.col("_rem_vmax") >= F.col(f"s.{_MAX}")),
+        F.lit(False),
+    )
+    maintained = (
+        merged.filter(~is_damaged)
+        .select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"g.{c}")).alias(c)
+                for c in group_cols
+            ],
+            F.least(F.col(f"s.{_MIN}"), F.col("_add_min")).alias(_MIN),
+            F.greatest(F.col(f"s.{_MAX}"), F.col("_add_max")).alias(_MAX),
+            (
+                F.coalesce(F.col(f"s.{_CNT}"), F.lit(0))
+                + F.coalesce(F.col("_add_n"), F.lit(0))
+                - F.coalesce(F.col("_rem_n"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias(_CNT),
+        )
+        .filter(F.col(_CNT) > 0)
+    )
+    damaged = merged.filter(is_damaged).select(
+        *[F.col(f"s.{c}").alias(c) for c in group_cols]
+    )
+    fact_cond = None
+    f = new_fact_df.alias("f")
+    d2 = damaged.alias("d")
+    for c in group_cols:
+        e = F.col(f"f.{c}").eqNullSafe(F.col(f"d.{c}"))
+        fact_cond = e if fact_cond is None else fact_cond & e
+    repaired = rollup_state_minmax(
+        f.join(d2, on=fact_cond, how="left_semi"), group_cols, value_col
+    )
+    return maintained.unionByName(repaired)
+
+
 # --- maintained equi-join views -------------------------------------
 
 
@@ -406,6 +603,47 @@ def affected_join_keys(diff: DiffResult, join_key: str) -> DataFrame:
         .unionByName(dele)
         .distinct()
     )
+
+
+def affected_join_keys_onepass(
+    file_df: DataFrame,
+    db_df: DataFrame,
+    primary_key: str,
+    columns: list[str],
+    join_key: str,
+    delete_not_in_file: bool = True,
+) -> DataFrame:
+    """:func:`affected_join_keys` derived straight from the snapshots
+    in one classification pass (r14 optimization).
+
+    The legacy composition needs the whole
+    :func:`~mydatasyncer_spark.operators.diff.diff_snapshots` triple —
+    four wide join subtrees — only to read one key column off each
+    leg. One :func:`~mydatasyncer_spark.operators.diff.diff_changes`
+    pass carrying just the join key classifies every changed row;
+    inserts contribute their after-key, deletes their before-key,
+    updates both (key moves dirty both groups — NULL keys included,
+    exactly as the legacy union). Same distinct key set; requires
+    unique primary keys per side (the snapshot contract).
+    """
+    ch = diff_changes(
+        file_df,
+        db_df,
+        primary_key,
+        columns,
+        payload=[join_key],
+        delete_not_in_file=delete_not_in_file,
+    )
+    after = F.col(f"{AFTER_COL}.{join_key}")
+    before = F.col(f"{BEFORE_COL}.{join_key}")
+    k = F.col(KIND_COL)
+    return ch.select(
+        F.explode(
+            F.when(k == "insert", F.array(after))
+            .when(k == "delete", F.array(before))
+            .otherwise(F.array(after, before))
+        ).alias(join_key)
+    ).distinct()
 
 
 def maintain_join_view(

@@ -108,6 +108,103 @@ def scd2_apply(
     )
 
 
+def scd2_apply_onepass(
+    history: DataFrame,
+    snapshot: DataFrame,
+    primary_key: str,
+    ts: str,
+    columns: list[str] | None = None,
+    delete_absent: bool = True,
+) -> DataFrame:
+    """:func:`scd2_apply` in one classification pass (r14
+    optimization).
+
+    The legacy leg composition expands to FIVE wide join subtrees at
+    plan level: the diff's insert anti + update inner (the update
+    subtree feeding both closing_keys and opened), plus the
+    closed/surviving semi/anti pair re-joining the current slice
+    against the closing keys. But every SCD2 decision is per-key —
+    close, survive, open — so one full-outer join of ``(canonical_key,
+    row_fingerprint, row)`` between the snapshot and the CURRENT slice
+    classifies each key, and each joined row explodes directly into
+    its 1–2 output versions:
+
+    - snapshot-only → open a new current version at ``ts``
+    - both, fingerprints differ → close the old at ``ts`` AND open
+      the new
+    - current-only → close at ``ts`` (or survive untouched when
+      ``delete_absent=False``)
+    - both, fingerprints equal → survive untouched
+
+    Non-current history passes through unioned, exactly as before.
+    Bit-identical to :func:`scd2_apply` (equivalence-pinned by tests
+    incl. the policy matrix and NULL-key/NULL-value rows) under the
+    SCD2 contract's one-current-version-per-key invariant — with
+    duplicate keys in the current slice the legacy path closes the
+    whole key group when ANY pair differs, while this per-pair
+    classification would keep the equal pairs; keep the legacy path
+    for histories that can violate the invariant. At 100 TB both
+    sides are scanned and shuffled once instead of five times.
+    """
+    from mydatasyncer_spark.functions.canonical import row_fingerprint
+    from mydatasyncer_spark.operators.diff import _KEY, with_canonical_key
+
+    if columns is None:
+        columns = [c for c in snapshot.columns]
+    eff_type = _effective_type(history)
+    cur = history.filter(F.col(IS_CURRENT)).select(*columns, VALID_FROM)
+    f = with_canonical_key(snapshot.select(*columns), primary_key)
+    d = with_canonical_key(cur, primary_key)
+    fs = f.select(
+        F.col(_KEY),
+        row_fingerprint(f, columns).alias("_f_fp"),
+        F.struct(*[F.col(c) for c in columns]).alias("_f_p"),
+    )
+    ds = d.select(
+        F.col(_KEY),
+        row_fingerprint(d, columns).alias("_d_fp"),
+        F.struct(*[F.col(c) for c in columns]).alias("_d_p"),
+        F.col(VALID_FROM).alias("_d_vf"),
+    )
+    j = fs.join(ds, _KEY, "full_outer")
+    # a present side's fingerprint is never NULL (xxhash64 over
+    # strings) — NULL fp means that side is absent from the full outer
+    is_ins = F.col("_d_fp").isNull()
+    is_del = F.col("_f_fp").isNull()
+    is_upd = (~is_ins) & (~is_del) & (F.col("_f_fp") != F.col("_d_fp"))
+    ts_lit = F.lit(ts).cast(eff_type)
+    null_eff = F.lit(None).cast(eff_type)
+    opened = F.struct(
+        *[F.col(f"_f_p.{c}").alias(c) for c in columns],
+        ts_lit.alias(VALID_FROM),
+        null_eff.alias(VALID_TO),
+        F.lit(True).alias(IS_CURRENT),
+    )
+    closed = F.struct(
+        *[F.col(f"_d_p.{c}").alias(c) for c in columns],
+        F.col("_d_vf").alias(VALID_FROM),
+        ts_lit.alias(VALID_TO),
+        F.lit(False).alias(IS_CURRENT),
+    )
+    surviving = F.struct(
+        *[F.col(f"_d_p.{c}").alias(c) for c in columns],
+        F.col("_d_vf").alias(VALID_FROM),
+        null_eff.alias(VALID_TO),
+        F.lit(True).alias(IS_CURRENT),
+    )
+    on_absent = F.array(closed) if delete_absent else F.array(surviving)
+    rows = (
+        F.when(is_ins, F.array(opened))
+        .when(is_upd, F.array(closed, opened))
+        .when(is_del, on_absent)
+        .otherwise(F.array(surviving))
+    )
+    out = j.select(F.explode(rows).alias("_r")).select("_r.*")
+    meta = [VALID_FROM, VALID_TO, IS_CURRENT]
+    past = history.filter(~F.col(IS_CURRENT)).select(*columns, *meta)
+    return past.unionByName(out)
+
+
 def _scd2_legs(
     history: DataFrame,
     snapshot: DataFrame,
