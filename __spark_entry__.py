@@ -927,9 +927,15 @@ def ivm_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
     )
     state = join_view_state(d, c, "o_custkey")
+    # materialize the delta-sized key set (r14): maintain_join_view
+    # consumes it in THREE legs (state anti + two snapshot semis) —
+    # built lazily, the classification full-outer executed three
+    # times; pinned, it runs once and its now-known (tiny) size lets
+    # AQE broadcast the scope joins. Exactly what the streaming twin
+    # does per batch. Same key set, same result.
     keys = affected_join_keys_onepass(
         f, d, "o_orderkey", f.columns, "o_custkey"
-    )
+    ).localCheckpoint(eager=True)
     view = maintain_join_view(state, f, c, "o_custkey", keys)
     return view.select(
         "o_orderkey",
@@ -975,9 +981,12 @@ def ivm_join_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
     )
     state = join_view_state(d, c, "o_custkey", how="left")
+    # delta-sized key set pinned once for the three scope legs (r14
+    # — see ivm_join_view_orders); NULL keys ride the materialized
+    # set unchanged.
     keys = affected_join_keys_onepass(
         f, d, "o_orderkey", f.columns, "o_custkey"
-    )
+    ).localCheckpoint(eager=True)
     view = maintain_join_view(state, f, c, "o_custkey", keys, how="left")
     return view.select(
         "o_orderkey",
@@ -1070,9 +1079,19 @@ def dedup_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # setup and streaming/continuous.py:2640 do; this keeps the
     # inline gate on the same footing). Same values, same result.
     order = jaccard_token_order(idx).localCheckpoint(eager=True)
+    # ... and the ordered index itself (r14): the ingest consumes it
+    # in TWO legs (prefix-candidate explode + verification rejoin),
+    # so built lazily the corpus-wide prefix-index + re-sort subtree
+    # executed twice per ingest. In deployment this frame IS the
+    # persisted store (bench.py's untimed setup writes it to
+    # parquet); the eager pin puts the inline gate on the same
+    # one-build footing. Same rows, same result.
+    oidx = jaccard_ordered_index(idx, token_order=order).localCheckpoint(
+        eager=True
+    )
     return jaccard_join_incremental(
         batch,
-        jaccard_ordered_index(idx, token_order=order),
+        oidx,
         threshold=0.8,
         token_order=order,
         corpus_ordered=True,
@@ -2196,7 +2215,14 @@ def dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
-    sigs = D.minhash_signature(corpus)
+    # materialize the corpus signatures once (r14): built lazily the
+    # corpus-wide md5+permutation subtree executes TWICE — once under
+    # the band store (candidate side) and once under the estimate's
+    # signature rejoin. In deployment both frames are persisted
+    # stores (untimed setup); the eager pin of the signature frame
+    # (id + k smallints — far smaller than the corpus text) puts the
+    # inline gate on the same one-build footing. Same rows.
+    sigs = D.minhash_signature(corpus).localCheckpoint(eager=True)
     bands = D.minhash_band_store(sigs, n_band_buckets=32)
     return D.minhash_lsh_pairs_incremental(
         batch, sigs, corpus_bands=bands, n_band_buckets=32

