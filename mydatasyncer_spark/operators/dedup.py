@@ -810,7 +810,12 @@ def simhash_near_pairs(
             for i in range(bits)
             for j in range(i + 1, bits)
         ]
-    sig = simhash(df, text_col, id_col, bits)
+    # Pin the signature table (r14): it feeds BOTH the variant
+    # explode and the original-key side of the bucket join — built
+    # lazily, the corpus tokenize+hash subtree executed twice. One
+    # row of (id, 64-bit signature) per doc, the cheapest possible
+    # materialization of a corpus pass.
+    sig = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     variants = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -2242,6 +2247,17 @@ def containment_join(
             .groupBy("_tok")
             .agg(F.count(F.lit(1)).alias("_df"))
         )
+    elif token_order is None and self_mode:
+        # self-mode: probe IS the corpus, so the probe-∪-corpus
+        # union below would count every token exactly twice — the
+        # (2·df, token) sort order is the (df, token) order, so one
+        # count pass gives the IDENTICAL ordering for half the work
+        # (r14; _df is consumed only by _ordered_token_rows' sort)
+        token_order = (
+            probe.select(F.explode("toks").alias("_tok"))
+            .groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
     elif token_order is None:
         # one fixed global order over BOTH vocabularies: rarest-first
         # by combined document frequency (ties by token)
@@ -2256,7 +2272,18 @@ def containment_join(
         token_order = token_order.select(
             F.col(cols[0]).alias("_tok"), F.col(cols[1]).alias("_df")
         )
-    probe_ordered = _ordered_token_rows(probe, id_col, token_order)
+    # Pin the ordered probe table (r14): it feeds the prefix explode
+    # AND the verification a-side rejoin (in self-mode also the
+    # inverted index and the verification b-side below) — built
+    # lazily, the tokenize+order+sort subtree executed once per leg.
+    # Probe-vs-corpus: batch-sized, always cheap. Self-mode: corpus-
+    # sized like curation's exact-survivors pin — the standing
+    # 100 TB path is the persisted corpus_inv store; self-mode is
+    # the one-off analysis shape where one materialized pass beats
+    # four recomputes.
+    probe_ordered = _ordered_token_rows(
+        probe, id_col, token_order
+    ).localCheckpoint(eager=True)
     pfx = _prefix_rows(probe_ordered, id_col, t, "a")
     if broadcast_probe is None:
         broadcast_probe = corpus_inv is not None
@@ -2324,7 +2351,12 @@ def containment_join(
             ]
             inv = inv.filter(F.col(PREFIX_BUCKET_COL).isin(touched))
     else:
-        inv = corpus.select(
+        # self-mode: the inverted index is the SAME token sets the
+        # pinned ordered table holds (array order is irrelevant to an
+        # inverted index), so explode the checkpoint instead of
+        # re-tokenizing the corpus (r14)
+        inv_src = probe_ordered if self_mode else corpus
+        inv = inv_src.select(
             F.col(id_col).alias("_id_b"), F.explode("toks").alias("_ptok")
         )
         if not self_mode and prefilter_index:
@@ -2344,7 +2376,10 @@ def containment_join(
     return _verify_pairs(
         cand,
         probe_ordered,
-        corpus,
+        # self-mode: verify against the pinned ordered arrays —
+        # array_intersect sizes are order-independent, so the score
+        # is bit-identical and the corpus is never re-tokenized (r14)
+        probe_ordered if self_mode else corpus,
         id_col,
         t,
         "containment",
