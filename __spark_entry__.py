@@ -1593,7 +1593,11 @@ def unigram_perplexity_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    model = unigram_logprob_table(d)
+    # pin the trained table once (r14): built lazily, the corpus
+    # token explode + two aggregates re-ran under the baseline's
+    # scoring join, its OOV signal, AND the final scoring pass; the
+    # deployment persists exactly this frame (vocab-sized)
+    model = unigram_logprob_table(d).localCheckpoint(eager=True)
     store = unigram_model_frame(model, unigram_baseline(d, model))
     base = recorded_unigram_baseline(store)
     if len(base["hist"]) < 2 or base["docs"] <= 0:

@@ -1174,7 +1174,14 @@ def jaccard_self_join(
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
-    ordered = _ordered_token_rows(toks, id_col, token_order)
+    # Pin the ordered token table (r14): it feeds FOUR plan legs
+    # (both prefix sides + both verification rejoins), and its
+    # subtree embeds the tokenize + order-count passes — built
+    # lazily, the corpus was re-tokenized once per leg (the
+    # containment_join pin, applied to the symmetric join).
+    ordered = _ordered_token_rows(toks, id_col, token_order).localCheckpoint(
+        eager=True
+    )
     a = _prefix_rows(ordered, id_col, t, "a")
     b = _prefix_rows(ordered, id_col, t, "b")
     cand = (
