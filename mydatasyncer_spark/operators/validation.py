@@ -158,14 +158,21 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Per-column data profile: one row per column with null count,
     distinct count, and min/max (as strings, for a uniform schema).
 
-    One aggregation pass computes every statistic (Spark plans the
-    multiple DISTINCT aggregates via a single expand — still one scan
-    of the input), then a ``stack`` unpivots the single result row
-    into per-column rows: the profile of a 100 TB table costs one
-    scan + one n-columns-wide row to the driver. The engine-side twin
-    of a warehouse's ANALYZE: feed it the columns you are about to
-    join or partition on, and read skew (distinct count vs rows) and
-    null discipline off the result.
+    Two aggregation shapes, one action (r14). The count/null/min/max
+    stats run as ONE ungrouped aggregate (keys-empty aggregation never
+    sorts, whatever the buffer types), stack-unpivoted to a row per
+    column. Each distinct count runs as its OWN column-pruned
+    ``count(DISTINCT c)`` subtree, unioned to ``(column_name,
+    n_distinct)`` and broadcast-joined back. A single combined
+    aggregate — the previous shape — forces the multi-DISTINCT Expand
+    rewrite: rows duplicated (columns+1)-fold, then deduplicated
+    through a SORT aggregate (the min/max string buffers bar hash
+    aggregation) over a full-width exchange. Split, every subtree
+    hash-aggregates with map-side partials, and the per-column scans
+    together read exactly the bytes the fused scan did (columnar
+    pruning). The engine-side twin of a warehouse's ANALYZE: feed it
+    the columns you are about to join or partition on, and read skew
+    (distinct count vs rows) and null discipline off the result.
     """
     def lit_str(s: str) -> str:
         # SQL string literal: double embedded single quotes
@@ -183,20 +190,32 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
                 F.sum(F.when(col.isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias(f"_nulls_{c}"),
-                F.countDistinct(col).alias(f"_nd_{c}"),
                 F.min(col).cast("string").alias(f"_min_{c}"),
                 F.max(col).cast("string").alias(f"_max_{c}"),
             ]
         )
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"{lit_str(c)}, _rows, {ident('_nulls_' + c)}, {ident('_nd_' + c)},"
+        f"{lit_str(c)}, _rows, {ident('_nulls_' + c)},"
         f" {ident('_min_' + c)}, {ident('_max_' + c)}"
         for c in columns
     )
-    return one.selectExpr(
+    base = one.selectExpr(
         f"stack({len(columns)}, {stack_args}) AS "
-        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        "(column_name, n_rows, n_nulls, min_val, max_val)"
+    )
+    nd = None
+    for c in columns:
+        leg = df.agg(
+            F.countDistinct(F.col(ident(c))).alias("n_distinct")
+        ).select(F.lit(c).alias("column_name"), "n_distinct")
+        nd = leg if nd is None else nd.unionAll(leg)
+    # left join (not inner): keeps the n_distinct column nullable, so
+    # the output schema is identical to the fused-aggregate original.
+    # Every leg always yields exactly one row (ungrouped aggregate),
+    # so the join itself never drops or nulls anything.
+    return base.join(F.broadcast(nd), "column_name", "left").select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
     )
 
 

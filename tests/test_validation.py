@@ -108,9 +108,13 @@ class TestProfileColumns:
         assert prof[0]["n_rows"] == 2
         assert prof[0]["n_distinct"] == 2
 
-    def test_single_scan_plan(self, spark):
-        """All statistics come from ONE pass over the input — the plan
-        must contain exactly one scan of the source."""
+    def test_no_expand_plan(self, spark):
+        """The profile must NOT plan through the multi-DISTINCT Expand
+        rewrite (r14): Expand duplicates every row (columns+1)-fold and
+        the min/max string buffers force the dedup into a full-sort
+        SortAggregate. The split shape is one ungrouped stats pass +
+        one column-pruned count(DISTINCT) subtree per column — so
+        len(columns)+1 scans, zero Expand nodes."""
         from mydatasyncer_spark.operators.validation import profile_columns
 
         df = spark.range(0, 100).selectExpr("id", "id % 7 AS v")
@@ -120,7 +124,60 @@ class TestProfileColumns:
             .executedPlan()
             .toString()
         )
-        assert plan.count("Range (0, 100") == 1
+        assert "Expand" not in plan
+        assert plan.count("Range (0, 100") == 3  # stats + 2 nd legs
+
+    def test_matches_fused_aggregate_on_edge_values(self, spark):
+        """Row-for-row identity with the straightforward single
+        fused aggregate on edge inputs: empty frame, all-NULL column,
+        NaN / -0.0 doubles (countDistinct and groupBy both collapse
+        NaNs and signed zeros)."""
+        from pyspark.sql import functions as F
+
+        from mydatasyncer_spark.operators.validation import profile_columns
+
+        def fused(df, columns):
+            aggs = [F.count(F.lit(1)).alias("_rows")]
+            for c in columns:
+                aggs += [
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"_nulls_{c}"),
+                    F.countDistinct(c).alias(f"_nd_{c}"),
+                    F.min(c).cast("string").alias(f"_min_{c}"),
+                    F.max(c).cast("string").alias(f"_max_{c}"),
+                ]
+            one = df.agg(*aggs)
+            stack = ", ".join(
+                f"'{c}', _rows, _nulls_{c}, _nd_{c}, _min_{c}, _max_{c}"
+                for c in columns
+            )
+            return one.selectExpr(
+                f"stack({len(columns)}, {stack}) AS "
+                "(column_name, n_rows, n_nulls, n_distinct, min_val,"
+                " max_val)"
+            )
+
+        df = spark.createDataFrame(
+            [
+                (1, float("nan"), None),
+                (2, float("nan"), None),
+                (3, -0.0, None),
+                (4, 0.0, None),
+                (None, 1.5, None),
+            ],
+            "id long, d double, z string",
+        )
+        cols = ["id", "d", "z"]
+        got = sorted(map(tuple, profile_columns(df, cols).collect()))
+        want = sorted(map(tuple, fused(df, cols).collect()))
+        assert got == want
+        empty = df.limit(0)
+        got_e = sorted(map(tuple, profile_columns(empty, cols).collect()))
+        want_e = sorted(map(tuple, fused(empty, cols).collect()))
+        assert got_e == want_e
+        # schema (incl. nullability) unchanged from the fused shape
+        assert profile_columns(df, cols).schema == fused(df, cols).schema
 
 
 class TestEntropyProfilers:
