@@ -3401,26 +3401,35 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape, adapted (no receipt/commit dates: late =
     shipped >90 days after order). The reference Q21 is a correlated
     EXISTS + NOT EXISTS self-join pair over lineitem; the scale-correct
-    rewrite is ONE aggregation per order — count distinct suppliers
-    and distinct late suppliers, keep orders with ≥2 suppliers where
-    exactly one was late, then count per sole-late supplier. Two
-    shuffles total (order rollup + supplier rollup); the naive
-    translation's two extra lineitem self-joins never happen."""
+    rewrite aggregates per order — never the naive translation's two
+    extra lineitem self-joins. r14: the per-order pass pre-collapses
+    to (order, supplier, any_late) first, so the multi-countDistinct
+    Expand (every joined row tripled through the dedup aggregate)
+    never appears; with NULL suppliers filtered up front (countDistinct
+    ignores them; a no-op on this data) count-over-groups IS
+    countDistinct, count_if(any_late) IS the distinct late-supplier
+    count, and min(when(any_late, supp)) IS the sole-supplier pick —
+    exact equivalence for any input, oracle-pinned on this one."""
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
-    )
+    ).filter(F.col("l_suppkey").isNotNull())
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
-    per_order = (
+    per_supp = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .withColumn("_late_supp", F.when(late, F.col("l_suppkey")))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("_any_late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("_late_supp").alias("n_late"),
-            F.min("_late_supp").alias("sole_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count_if(F.col("_any_late")).alias("n_late"),
+            F.min(
+                F.when(F.col("_any_late"), F.col("l_suppkey"))
+            ).alias("sole_supp"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from mydatasyncer_spark.operators.partitioning import (
     cluster_parallelism,
+    ensure_min_parallelism,
     fanout_spread,
 )
 
@@ -235,7 +236,9 @@ def lsh_index(
     is REFUSED instead of silently probing buckets from a different
     hash family."""
     meta = {_LSH_PLANES_KEY: int(n_planes), _LSH_DIM_KEY: int(dim)}
-    return corpus.select(
+    # widen narrow inputs so the hash/norm pass parallelizes; no-op
+    # when the source already has splits (see pq_index)
+    return ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id", metadata=meta),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -677,7 +680,9 @@ def ivf_index(
         meta[_IVF_CENS_KEY] = json.dumps(
             [[float(x) for x in cen] for cen in cens]
         )
-    return corpus.select(
+    # widen narrow inputs so the bucket/norm pass parallelizes; no-op
+    # when the source already has splits (see pq_index)
+    return ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id", metadata=meta),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
@@ -1541,6 +1546,13 @@ def pq_index(
         meta[_IVF_CENS_KEY] = json.dumps(
             [[float(x) for x in cen] for cen in cens]
         )
+    # The per-row encode (m× code argmin, plus the residual
+    # subtraction) is the expensive part of the build; a corpus read
+    # from one file would run it in ONE task. Widen narrow inputs to
+    # the cluster BEFORE the encode projection — a no-op at scale,
+    # where the source already has splits (r14: the inline
+    # ann_pq_residual gate spent ~3 s encoding 2 k rows serially).
+    corpus = ensure_min_parallelism(corpus)
     if not residual:
         return corpus.select(
             F.col(id_col).alias("neighbor_id", metadata=meta),
