@@ -441,13 +441,17 @@ def test_plain_rank_caps_get_window_group_limit_pushdown(spark, sf_dir):
         assert "WindowGroupLimit" in plan, name
 
 
-def test_scd2_is_pure_key_joins_no_window(spark, sf_dir):
-    """SCD2 maintenance must stay anti/semi/equi joins on the key + a
-    union — no window pass, no pair blow-up, and the diff legs'
-    LeftAnti/LeftSemi shapes visible."""
+def test_scd2_is_onepass_classification_no_window(spark, sf_dir):
+    """SCD2 maintenance is the one-pass classification shape (r14,
+    scd2_apply_onepass): exactly ONE full-outer equi-join on the key
+    classifies every row, each key exploding into its version rows —
+    no window pass, no pair blow-up, and none of the legacy leg-wise
+    anti/semi rescans of the snapshots."""
     plan = plan_of(spark, sf_dir, "scd2_orders_history")
-    assert "LeftAnti" in plan
-    assert "LeftSemi" in plan
+    assert "FullOuter" in plan
+    assert "Generate" in plan
+    assert "LeftAnti" not in plan
+    assert "LeftSemi" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
