@@ -163,6 +163,16 @@ def diff_counts(
     d = with_canonical_key(db_df.select(*columns), primary_key)
     fs = f.select(F.col(_KEY), row_fingerprint(f, columns).alias("_f_fp"))
     ds = d.select(F.col(_KEY), row_fingerprint(d, columns).alias("_d_fp"))
+    return _classify_counts(fs, ds, delete_not_in_file)
+
+
+def _classify_counts(
+    fs: DataFrame, ds: DataFrame, delete_not_in_file: bool
+) -> DataFrame:
+    """The one-pass classification aggregate over pre-collapsed sides
+    ``(canonical key, fingerprint)`` — shared by :func:`diff_counts`
+    and :func:`diff_counts_pruned` so the localized bench pair sits on
+    byte-identical counting machinery."""
     j = fs.join(ds, _KEY, "full_outer")
     is_ins = F.col("_d_fp").isNull()
     is_del = F.col("_f_fp").isNull()
@@ -264,15 +274,26 @@ def diff_counts_pruned(
     bucket_fn: "Callable[[DataFrame], Column] | None" = None,
 ) -> DataFrame:
     """:func:`diff_counts`, but classified only over the key-hash
-    buckets whose fingerprints changed (:func:`changed_buckets`) —
-    the counts twin of :func:`diff_snapshots_pruned`. Composition of
-    the two existing shapes: the bucket pre-pass prunes WHAT is read
-    and the one-pass (key, fingerprint) full-outer classifies it —
-    two narrow pruned scans + one narrow join instead of the six wide
-    scans + three joins of counting a :class:`DiffResult` leg by leg.
-    Result-identical to counting the pruned triple (the sums are
-    zero-coalesced so the no-changed-buckets case counts 0, exactly
-    like ``count()`` over an empty leg).
+    buckets whose fingerprints changed — the counts twin of
+    :func:`diff_snapshots_pruned`.
+
+    Single-scan form (r14): each side collapses ONCE to the narrow
+    ``(bucket, canonical key, row fingerprint)`` frame, pinned with an
+    eager ``localCheckpoint``. The :func:`changed_buckets` summary
+    (count + bit_xor per bucket) is aggregated FROM that pinned frame,
+    and the classification join then filters the SAME frame to the
+    changed buckets — so the wide snapshot is read once per side, not
+    twice (the earlier composition re-scanned and re-fingerprinted the
+    wide rows after the pre-pass; once :func:`diff_counts` itself
+    became a narrow one-pass join, that second scan cost more than
+    the pruning saved). At 100 TB the pin holds ~17 bytes/row of
+    narrow state per side — cheaper than a second full read of every
+    sync column. Bucket selection and classification expressions are
+    unchanged, so the counts are byte-identical to the full diff
+    (pruning stays invisible, modulo the documented fingerprint
+    collision odds; the sums are zero-coalesced so the
+    no-changed-buckets case counts 0, exactly like ``count()`` over an
+    empty leg).
     """
     if columns is None:
         columns = [c for c in file_df.columns if c in set(db_df.columns)]
@@ -280,12 +301,51 @@ def diff_counts_pruned(
         bucket_fn = lambda d: bucket_col(d, primary_key, n_buckets)  # noqa: E731
     file_p = file_df.select(*columns)
     db_p = db_df.select(*columns)
-    buckets = changed_buckets(
-        file_p, db_p, primary_key, columns, n_buckets, bucket_fn
+
+    def narrow(df_p: DataFrame, fp_alias: str) -> DataFrame:
+        b = df_p.select(bucket_fn(df_p).alias("_bucket"), *columns)
+        k = with_canonical_key(b, primary_key)
+        return k.select(
+            "_bucket",
+            F.col(_KEY),
+            row_fingerprint(k, columns).alias(fp_alias),
+        )
+
+    # the two pins are independent jobs — run them concurrently so one
+    # side's stragglers back-fill with the other side's tasks (guide
+    # §2.6; measured: serial pins cost ~2× the pair's wall at sf0.1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_f = pool.submit(
+            lambda: narrow(file_p, "_f_fp").localCheckpoint(eager=True)
+        )
+        fut_d = pool.submit(
+            lambda: narrow(db_p, "_d_fp").localCheckpoint(eager=True)
+        )
+        fs, ds = fut_f.result(), fut_d.result()
+
+    def summarize(s: DataFrame, fp_alias: str, side: str) -> DataFrame:
+        return s.groupBy("_bucket").agg(
+            F.count(F.lit(1)).alias(f"_n_{side}"),
+            F.bit_xor(fp_alias).alias(f"_x_{side}"),
+        )
+
+    j = summarize(fs, "_f_fp", "f").join(
+        summarize(ds, "_d_fp", "d"), "_bucket", "full_outer"
     )
-    fb = file_p.filter(bucket_fn(file_p).isin(buckets))
-    db = db_p.filter(bucket_fn(db_p).isin(buckets))
-    out = diff_counts(fb, db, primary_key, columns, delete_not_in_file)
+    changed = j.filter(
+        F.col("_n_f").isNull()
+        | F.col("_n_d").isNull()
+        | (F.col("_n_f") != F.col("_n_d"))
+        | (F.col("_x_f") != F.col("_x_d"))
+    ).select("_bucket")
+    buckets = sorted(r["_bucket"] for r in changed.collect())
+    out = _classify_counts(
+        fs.filter(F.col("_bucket").isin(buckets)).drop("_bucket"),
+        ds.filter(F.col("_bucket").isin(buckets)).drop("_bucket"),
+        delete_not_in_file,
+    )
     return out.select(
         *[
             F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
