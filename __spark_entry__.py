@@ -2217,19 +2217,24 @@ def dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental path exactly (pinned in tests); the oracle computes
     the same split brute-force in SQL."""
     d = table(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
-    # materialize the corpus signatures once (r14): built lazily the
-    # corpus-wide md5+permutation subtree executes TWICE — once under
-    # the band store (candidate side) and once under the estimate's
-    # signature rejoin. In deployment both frames are persisted
-    # stores (untimed setup); the eager pin of the signature frame
-    # (id + k smallints — far smaller than the corpus text) puts the
-    # inline gate on the same one-build footing. Same rows.
-    sigs = D.minhash_signature(corpus).localCheckpoint(eager=True)
+    # ONE signature pass over the whole snapshot (r14): signatures are
+    # row-local, so minhash_signature(all).filter(parity) is
+    # bit-identical to signing each half separately — one corpus text
+    # scan + hash pass instead of two (the batch half previously
+    # re-hashed inside the incremental join). The pin (id + k
+    # smallints — far smaller than the corpus text) also keeps the
+    # band store and the estimate rejoin on one build, as the
+    # persisted deployment stores are. Same rows, same estimates.
+    all_sigs = D.minhash_signature(d).localCheckpoint(eager=True)
+    sigs = all_sigs.filter(F.col("doc_id") % 2 == 0)
     bands = D.minhash_band_store(sigs, n_band_buckets=32)
     return D.minhash_lsh_pairs_incremental(
-        batch, sigs, corpus_bands=bands, n_band_buckets=32
+        batch,
+        sigs,
+        corpus_bands=bands,
+        n_band_buckets=32,
+        new_signatures=all_sigs.filter(F.col("doc_id") % 2 == 1),
     )
 
 

@@ -458,9 +458,21 @@ def minhash_lsh_pairs_incremental(
     corpus_bands: DataFrame | None = None,
     n_band_buckets: int | None = None,
     broadcast_batch: bool | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for a NEW document batch against an
     existing corpus signature index — the daily-ingest shape.
+
+    ``new_signatures`` (r14, optional) short-circuits the internal
+    :func:`minhash_signature` pass over ``new_df`` with a
+    caller-supplied signature frame for EXACTLY the batch rows (same
+    ``k``/``shingle_n`` — signatures are row-local, so
+    ``minhash_signature(all).filter(batch_predicate)`` is
+    bit-identical to ``minhash_signature(batch)``). Callers that
+    already hold signatures for a superset of the batch (e.g. one
+    signature pass over the whole snapshot split into corpus + batch
+    halves) avoid hashing the batch text twice. The caller owns the
+    frame's lifecycle (no persist/unpersist is done on it here).
 
     ``corpus_signatures`` is :func:`minhash_signature` output,
     typically written once and stored (the "index": k small ints per
@@ -499,7 +511,13 @@ def minhash_lsh_pairs_incremental(
     """
     if broadcast_batch is None:
         broadcast_batch = corpus_bands is not None
-    sig_new = minhash_signature(new_df, text_col, id_col, k, shingle_n).persist()
+    owns_sig = new_signatures is None
+    if owns_sig:
+        sig_new = minhash_signature(
+            new_df, text_col, id_col, k, shingle_n
+        ).persist()
+    else:
+        sig_new = new_signatures
     try:
         banded_new = _banded_with_sig(sig_new, id_col, k, band_size)
         if corpus_bands is not None:
@@ -547,7 +565,7 @@ def minhash_lsh_pairs_incremental(
         )
         return out.localCheckpoint() if eager else out
     finally:
-        if eager:
+        if eager and owns_sig:
             sig_new.unpersist()
 
 

@@ -115,6 +115,37 @@ class TestIncrementalMinhash:
             assert r["id_a"] in new_ids
             assert r["id_b"] not in new_ids
 
+    def test_precomputed_new_signatures_identical(self, spark, sf_dir):
+        """new_signatures= (r14): passing signatures pre-computed by
+        one pass over the whole snapshot must give row-identical
+        output to the internal per-batch signature pass — signatures
+        are row-local, so sign-all-then-filter == sign-the-batch."""
+        from mydatasyncer_spark.operators.dedup import (
+            minhash_band_store,
+            minhash_lsh_pairs_incremental,
+            minhash_signature,
+        )
+
+        full_docs, corpus, new = self._split(spark, sf_dir)
+        all_sigs = minhash_signature(full_docs).localCheckpoint(eager=True)
+        sigs = all_sigs.filter(F.col("doc_id") % 5 != 0)
+        bands = minhash_band_store(sigs, n_band_buckets=32)
+        base = minhash_lsh_pairs_incremental(
+            new, sigs, corpus_bands=bands, n_band_buckets=32
+        )
+        pre = minhash_lsh_pairs_incremental(
+            new,
+            sigs,
+            corpus_bands=bands,
+            n_band_buckets=32,
+            new_signatures=all_sigs.filter(F.col("doc_id") % 5 == 0),
+        )
+        key = lambda r: (r["id_a"], r["id_b"], r["est_jaccard"])  # noqa: E731
+        assert sorted(map(key, pre.collect())) == sorted(
+            map(key, base.collect())
+        )
+        assert pre.count() > 0
+
     def test_reingested_doc_never_self_pairs(self, spark):
         from mydatasyncer_spark.operators.dedup import (
             minhash_lsh_pairs_incremental,
