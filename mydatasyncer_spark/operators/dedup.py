@@ -2050,7 +2050,15 @@ def jaccard_join_incremental(
         corpus_src = corpus_index.select(*corpus_cols)
     else:
         corpus_src = _ordered_token_rows(corpus_index, id_col, token_order)
+    # pin the ordered batch ONCE (r14): it feeds the prefix-candidate
+    # explode, the verification a-side (twice with new-new pairs on),
+    # and the new-new b-side — built lazily, each leg re-tokenized and
+    # re-ordered the batch from source (≥4 extra batch-source scans in
+    # the plan). Batch-sized by the operator's own contract, so the
+    # eager pin is the cheapest frame this plan materializes. Same
+    # rows, same pairs.
     new_ordered = _ordered_token_rows(new_toks, id_col, token_order)
+    new_ordered = new_ordered.localCheckpoint(eager=True)
     pa = _prefix_rows(new_ordered, id_col, t, "a")
     if corpus_prefix is not None:
         # a persisted jaccard_prefix_store: skip deriving prefix rows
@@ -2094,6 +2102,20 @@ def jaccard_join_incremental(
                 PREFIX_BUCKET_COL,
                 F.pmod(F.xxhash64("_ptok"), F.lit(int(n_token_buckets))),
             )
+            # STATIC partition pruning (r14): the batch's touched
+            # buckets are a bounded driver list (≤ n_token_buckets
+            # values, collected off the PINNED batch-sized prefix
+            # rows) and an explicit IN on the partition column prunes
+            # store directories at planning time — the
+            # minhash/containment store contract, replacing the DPP
+            # subquery this path previously leaned on (which lapses
+            # over a checkpointed probe side and was only
+            # heuristic-eligible anyway)
+            touched = [
+                r[0]
+                for r in pa.select(PREFIX_BUCKET_COL).distinct().collect()
+            ]
+            pc = pc.filter(F.col(PREFIX_BUCKET_COL).isin(touched))
     else:
         pc = _prefix_rows(corpus_src, id_col, t, "b")
     if broadcast_batch:

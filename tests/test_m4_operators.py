@@ -2008,8 +2008,16 @@ class TestJaccardPrefixStore:
         with contextlib.redirect_stdout(buf):
             out.explain("formatted")
         plan = buf.getvalue()
-        assert "dynamicpruningexpression" in plan, plan
-        assert "_tok_bucket" in plan
+        # STATIC pruning (r14): the store scan's PartitionFilters must
+        # carry an explicit IN over the probe's touched token buckets
+        # — planning-time-guaranteed, replacing the DPP subquery the
+        # pre-pin plan leaned on (heuristic-eligible only)
+        pf = [
+            line
+            for line in plan.splitlines()
+            if "PartitionFilters" in line and "_tok_bucket" in line
+        ]
+        assert pf and any("IN" in line or " in" in line for line in pf), plan
 
     def test_store_preconditions_fail_fast(self, spark, tmp_path):
         import pytest
