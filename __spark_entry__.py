@@ -3675,11 +3675,34 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("bench_id"), "gram")
     )
     corpus = grams.filter(F.col("doc_id") % 97 != 0)
-    hits = corpus.join(F.broadcast(bench), "gram")
-    return hits.groupBy("doc_id").agg(
-        F.countDistinct("gram").alias("grams_hit"),
-        F.countDistinct("bench_id").alias("bench_docs_hit"),
+    # (doc_id, gram, bench_id) triples are distinct by construction:
+    # per-doc grams are array_distinct'd on BOTH sides before the
+    # join. The two countDistincts over one agg planned through the
+    # multi-DISTINCT Expand (every hit row duplicated 3×, deduped in
+    # a SortAggregate) — split instead into two plain hash-agg legs
+    # (r15, guide §2.3/§7.2). The hits frame is pinned once so the
+    # tokenize+explode+join subtree runs once, not per leg; it holds
+    # only the CONTAMINATED gram pairs (benchmark-overlap-sized, tiny
+    # next to the corpus at any scale; executor-local blocks — an
+    # executor loss recomputes from source, fine inside one query).
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .select("doc_id", "gram", "bench_id")
+        .localCheckpoint(eager=True)
     )
+    grams_hit = (
+        hits.select("doc_id", "gram")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("grams_hit"))
+    )
+    bench_hit = (
+        hits.select("doc_id", "bench_id")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bench_docs_hit"))
+    )
+    return grams_hit.join(bench_hit, "doc_id")
 
 
 def _minhash_sig_sql(k: int = 16, source: str = "documents") -> str:

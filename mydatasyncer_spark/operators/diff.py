@@ -264,6 +264,28 @@ def diff_changes(
     )
 
 
+#: per-side size (Catalyst estimate, bytes) above which
+#: :func:`diff_counts_pruned` pins the narrow frame instead of
+#: recomputing it. Scale-adaptive, overridable per session.
+PRUNE_PIN_THRESHOLD_CONF = (
+    "spark.mydatasyncer.diff.prunedPinThresholdBytes"
+)
+_PRUNE_PIN_THRESHOLD_DEFAULT = 1 << 30  # 1 GiB
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame (file sizes propagated
+    through the optimized plan). Used only to pick between two
+    result-identical execution strategies; when the estimate is
+    unavailable, assume BIG — the pin path is the safe one at scale."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 1 << 62
+
+
 def diff_counts_pruned(
     file_df: DataFrame,
     db_df: DataFrame,
@@ -277,23 +299,37 @@ def diff_counts_pruned(
     buckets whose fingerprints changed — the counts twin of
     :func:`diff_snapshots_pruned`.
 
-    Single-scan form (r14): each side collapses ONCE to the narrow
-    ``(bucket, canonical key, row fingerprint)`` frame, pinned with an
-    eager ``localCheckpoint``. The :func:`changed_buckets` summary
-    (count + bit_xor per bucket) is aggregated FROM that pinned frame,
-    and the classification join then filters the SAME frame to the
-    changed buckets — so the wide snapshot is read once per side, not
-    twice (the earlier composition re-scanned and re-fingerprinted the
-    wide rows after the pre-pass; once :func:`diff_counts` itself
-    became a narrow one-pass join, that second scan cost more than
-    the pruning saved). At 100 TB the pin holds ~17 bytes/row of
-    narrow state per side — cheaper than a second full read of every
-    sync column. Bucket selection and classification expressions are
-    unchanged, so the counts are byte-identical to the full diff
-    (pruning stays invisible, modulo the documented fingerprint
-    collision odds; the sums are zero-coalesced so the
-    no-changed-buckets case counts 0, exactly like ``count()`` over an
-    empty leg).
+    Two result-identical execution strategies, picked by input size
+    (``spark.mydatasyncer.diff.prunedPinThresholdBytes``, default
+    1 GiB per side — the crossover where a second read of the wide
+    snapshot stops being page-cache-cheap):
+
+    - **Pin path (large inputs, the 100 TB shape):** each side
+      collapses ONCE to the narrow ``(bucket, canonical key, row
+      fingerprint)`` frame, pinned with an eager ``localCheckpoint``
+      (~17 bytes/row of executor-local state per side — cheaper than a
+      second full read of every sync column; the blocks are NOT
+      replicated, so an executor loss mid-query recomputes from
+      source — acceptable for a derived frame inside one query). The
+      :func:`changed_buckets` summary is aggregated FROM the pinned
+      frame and the classification join filters the SAME frame, so
+      the wide snapshot is read once per side.
+    - **Recompute path (small inputs):** the summary aggregates from
+      a lazy ``(bucket, fingerprint)`` projection, and the
+      classification re-derives ``(key, fingerprint)`` from a second
+      scan — with the changed-bucket filter applied BEFORE the
+      fingerprint projection, so only the surviving slice pays
+      canonicalization twice. Below the threshold the re-scan costs
+      less than the pin's materialization barrier + write (measured
+      at sf0.1: the pin path ran the pruned member of the localized
+      bench pair 2.7× slower than the unpruned baseline; this path
+      exists so pruning never loses where scans are cheap).
+
+    Bucket selection and classification expressions are identical in
+    both, so the counts are byte-identical to the full diff (pruning
+    stays invisible, modulo the documented fingerprint collision
+    odds; the sums are zero-coalesced so the no-changed-buckets case
+    counts 0, exactly like ``count()`` over an empty leg).
     """
     if columns is None:
         columns = [c for c in file_df.columns if c in set(db_df.columns)]
@@ -301,29 +337,67 @@ def diff_counts_pruned(
         bucket_fn = lambda d: bucket_col(d, primary_key, n_buckets)  # noqa: E731
     file_p = file_df.select(*columns)
     db_p = db_df.select(*columns)
+    threshold = int(
+        file_df.sparkSession.conf.get(
+            PRUNE_PIN_THRESHOLD_CONF, str(_PRUNE_PIN_THRESHOLD_DEFAULT)
+        )
+    )
+    pin = (
+        max(_plan_size_bytes(file_p), _plan_size_bytes(db_p)) > threshold
+    )
 
-    def narrow(df_p: DataFrame, fp_alias: str) -> DataFrame:
+    def keyed(df_p: DataFrame) -> DataFrame:
         b = df_p.select(bucket_fn(df_p).alias("_bucket"), *columns)
-        k = with_canonical_key(b, primary_key)
+        return with_canonical_key(b, primary_key)
+
+    def narrow(k: DataFrame, fp_alias: str) -> DataFrame:
         return k.select(
             "_bucket",
             F.col(_KEY),
             row_fingerprint(k, columns).alias(fp_alias),
         )
 
-    # the two pins are independent jobs — run them concurrently so one
-    # side's stragglers back-fill with the other side's tasks (guide
-    # §2.6; measured: serial pins cost ~2× the pair's wall at sf0.1)
-    from concurrent.futures import ThreadPoolExecutor
+    if pin:
+        # the two pins are independent jobs — run them concurrently so
+        # one side's stragglers back-fill with the other side's tasks
+        # (guide §2.6; measured: serial pins cost ~2× the pair's wall
+        # at sf0.1)
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_f = pool.submit(
-            lambda: narrow(file_p, "_f_fp").localCheckpoint(eager=True)
-        )
-        fut_d = pool.submit(
-            lambda: narrow(db_p, "_d_fp").localCheckpoint(eager=True)
-        )
-        fs, ds = fut_f.result(), fut_d.result()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_f = pool.submit(
+                lambda: narrow(keyed(file_p), "_f_fp").localCheckpoint(
+                    eager=True
+                )
+            )
+            fut_d = pool.submit(
+                lambda: narrow(keyed(db_p), "_d_fp").localCheckpoint(
+                    eager=True
+                )
+            )
+            fs_sum, ds_sum = fut_f.result(), fut_d.result()
+
+        def pruned(s: DataFrame, buckets: list) -> DataFrame:
+            return s.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
+
+        fs_cls, ds_cls = pruned, pruned
+    else:
+        fk, dk = keyed(file_p), keyed(db_p)
+        fs_sum, ds_sum = narrow(fk, "_f_fp"), narrow(dk, "_d_fp")
+
+        def pruned_f(s: DataFrame, buckets: list) -> DataFrame:
+            # filter FIRST, fingerprint after — only the changed slice
+            # pays canonicalization on the second scan
+            return narrow(
+                fk.filter(F.col("_bucket").isin(buckets)), "_f_fp"
+            ).drop("_bucket")
+
+        def pruned_d(s: DataFrame, buckets: list) -> DataFrame:
+            return narrow(
+                dk.filter(F.col("_bucket").isin(buckets)), "_d_fp"
+            ).drop("_bucket")
+
+        fs_cls, ds_cls = pruned_f, pruned_d
 
     def summarize(s: DataFrame, fp_alias: str, side: str) -> DataFrame:
         return s.groupBy("_bucket").agg(
@@ -331,8 +405,8 @@ def diff_counts_pruned(
             F.bit_xor(fp_alias).alias(f"_x_{side}"),
         )
 
-    j = summarize(fs, "_f_fp", "f").join(
-        summarize(ds, "_d_fp", "d"), "_bucket", "full_outer"
+    j = summarize(fs_sum, "_f_fp", "f").join(
+        summarize(ds_sum, "_d_fp", "d"), "_bucket", "full_outer"
     )
     changed = j.filter(
         F.col("_n_f").isNull()
@@ -342,8 +416,8 @@ def diff_counts_pruned(
     ).select("_bucket")
     buckets = sorted(r["_bucket"] for r in changed.collect())
     out = _classify_counts(
-        fs.filter(F.col("_bucket").isin(buckets)).drop("_bucket"),
-        ds.filter(F.col("_bucket").isin(buckets)).drop("_bucket"),
+        fs_cls(fs_sum, buckets),
+        ds_cls(ds_sum, buckets),
         delete_not_in_file,
     )
     return out.select(

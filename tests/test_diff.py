@@ -278,6 +278,42 @@ class TestPrunedDiffCounts:
             full["delete"],
         )
 
+    @pytest.mark.parametrize("threshold", ["0", str(1 << 40)])
+    def test_pin_and_recompute_paths_identical(self, spark, threshold):
+        """The size-adaptive strategy switch (r15) is execution-only:
+        the pin path (threshold 0 forces every input over it) and the
+        recompute path (huge threshold) must count identically,
+        including the all-buckets-pruned zero edge."""
+        from mydatasyncer_spark.operators.diff import (
+            PRUNE_PIN_THRESHOLD_CONF,
+            diff_counts_pruned,
+        )
+
+        old = spark.conf.get(PRUNE_PIN_THRESHOLD_CONF, None)
+        spark.conf.set(PRUNE_PIN_THRESHOLD_CONF, threshold)
+        try:
+            rows_f = [
+                (i, 1 if i % 50 == 0 else 0)
+                for i in range(400)
+                if i % 17 != 3
+            ]
+            rows_d = [(i, 0) for i in range(400) if i % 13 != 5]
+            f = spark.createDataFrame(rows_f, "id long, v long")
+            d = spark.createDataFrame(rows_d, "id long, v long")
+            full = diff_snapshots(f, d, "id").counts()
+            assert self._as_tuple(
+                diff_counts_pruned(f, d, "id", n_buckets=16)
+            ) == (full["insert"], full["update"], full["delete"])
+            same = spark.createDataFrame(rows_d, "id long, v long")
+            assert self._as_tuple(
+                diff_counts_pruned(d, same, "id", n_buckets=16)
+            ) == (0, 0, 0)
+        finally:
+            if old is None:
+                spark.conf.unset(PRUNE_PIN_THRESHOLD_CONF)
+            else:
+                spark.conf.set(PRUNE_PIN_THRESHOLD_CONF, old)
+
     def test_identical_snapshots_count_zero_not_null(self, spark):
         """No changed buckets prunes EVERYTHING — the sums over the
         empty classification must coalesce to 0, exactly like count()
