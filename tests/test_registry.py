@@ -27,31 +27,42 @@ import __spark_entry__ as entry_mod
 GATE_CAP = 50
 REPO = Path(__file__).resolve().parent.parent
 
-# the r14 window boundary, pinned by name: position 50 (last inside
+# the r15 window boundary, pinned by name: position 50 (last inside
 # the driver gate) and position 51 (first outside). Update these —
 # consciously — whenever the rotation changes.
-LAST_IN_WINDOW = "ann_pq_residual"
-FIRST_PAST_CAP = "asof_purchase_view"
+LAST_IN_WINDOW = "sessionization"
+FIRST_PAST_CAP = "skew_salted_join"
 
-# everything added or implementation-touched in r14 MUST sit inside
-# the gate window (rotation policy rule 1-2)
-R14_TOUCHED = [
-    # implementation touched in r14: partitioning.salted_join grew
-    # the NULL-key bypass (the r13 deferred finding) — NULL-key fact
-    # rows now route around the join (inner drops pre-shuffle, left
-    # pads shuffle-free) so a hot NULL key engages the cure. Both
-    # skew gate queries run through salted_join. The round's other
-    # code changes (continuous.py bucketed crash-window closure,
-    # bench.py medians) have no gate queries: streaming/ops +
-    # instrument surface, pytest-covered.
-    "skew_salted_join",
-    "skew_salted_join_right",
+# rule-2 (r15): queries REWRITTEN in the r14/r15 optimization rounds
+# AFTER their last driver-oracle proof (r13) — the r14 verdict's
+# item-#2 list verbatim, plus the three r15-touched queries
+# (contamination_check Expand split, diff_pruned_* size-adaptive
+# strategy, quality_model_score_stored resolve path). Their
+# equivalence rests on local tests until the driver gate re-greens
+# them, so they take the window slots ahead of plain debt.
+R15_TOUCHED = [
+    "contamination_check",
+    "quality_model_score_stored",
+    "diff_pruned_counts",
+    "diff_pruned_localized",
+    "diff_full_localized",
+    "q21_sole_late_supplier",
+    "table_profile",
+    "incremental_rollup",
+    "incremental_rollup_minmax",
+    "ivm_join_view_left",
+    "ivm_join_view_orders",
+    "dedup_jaccard_incremental",
+    "dedup_jaccard_incr_reorder",
+    "dedup_jaccard_join_exact",
+    "dedup_minhash_incr",
+    "dedup_containment_join",
+    "dedup_containment_inv",
+    "dedup_containment_probe",
+    "curation_pipeline",
+    "curation_pipeline_scored",
+    "unigram_perplexity_stored",
 ]
-
-# rule-4 fill: one free slot after the 47-query debt + 2 touched;
-# pre-paid with the alphabetically-first member of the last-green-r12
-# cohort (the auditable cut), shrinking r15's debt by one.
-R14_FILL = ["ann_pq_residual"]
 
 
 def _green(round_tag: str) -> set[str]:
@@ -73,17 +84,21 @@ def _green(round_tag: str) -> set[str]:
 
 
 def _stale_cohort() -> set[str]:
-    """The last-green-r11 cohort — r14's rotation debt, computed:
-    green in the r11 gate and never re-greened since."""
-    return _green("11") - _green("12") - _green("13")
+    """The last-green-r12 cohort — r15's rotation debt, computed:
+    green in the r12 gate and never re-greened since. The r14 window
+    is read from CORRECTNESS_r14.json's own keys (the registry order
+    no longer encodes it after the r15 rotation)."""
+    r14_window = set(
+        json.loads((REPO / "CORRECTNESS_r14.json").read_text())
+    )
+    return _green("12") - _green("13") - r14_window
 
 
-def _r15_debt() -> set[str]:
-    """The last-green-r12 cohort — r15's rotation debt (assuming the
-    r14 window goes green): green in r12, never re-greened in r13,
-    and not already inside the r14 window."""
+def _r16_debt() -> set[str]:
+    """r16's rotation debt (assuming the r15 window goes green): the
+    last-green-r12 cohort members the r15 window had no slot for."""
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    return _green("12") - _green("13") - window
+    return _stale_cohort() - window
 
 
 def test_every_query_has_an_oracle_and_vice_versa():
@@ -105,34 +120,36 @@ def test_gate_window_boundary_is_pinned_by_name():
 
 def test_round_touched_queries_sit_inside_the_gate_window():
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = [n for n in R14_TOUCHED if n not in window]
+    missing = [n for n in R15_TOUCHED if n not in window]
     assert not missing, missing
 
 
 def test_stale_cohort_rotated_into_the_window():
-    """The window is EXACTLY rule-1/2 entries + the computed stale
-    cohort + the named rule-4 fill — no silent filler displacing a
-    debt entry, and no debt entry left out. The cohort size is
-    asserted too, so a missing or truncated CORRECTNESS file fails
-    loudly instead of silently shrinking the debt."""
+    """The window is EXACTLY the rule-2 touched list + the
+    alphabetical head of the remaining last-green-r12 debt — no
+    silent filler displacing a debt entry, and the cut position
+    derivable from the files alone. The cohort size is asserted too,
+    so a missing or truncated CORRECTNESS file fails loudly instead
+    of silently shrinking the debt."""
     cohort = _stale_cohort()
-    assert len(cohort) == 47, sorted(cohort)
+    assert len(cohort) == 45, sorted(cohort)
     window = set(list(entry_mod.queries())[:GATE_CAP])
-    missing = sorted(cohort - window)
-    assert not missing, missing
-    assert window == set(R14_TOUCHED) | cohort | set(R14_FILL)
-    assert len(R14_TOUCHED) + len(cohort) + len(R14_FILL) == GATE_CAP
+    fill = sorted(cohort - set(R15_TOUCHED))[: GATE_CAP - len(R15_TOUCHED)]
+    assert window == set(R15_TOUCHED) | set(fill), (
+        sorted(window - (set(R15_TOUCHED) | set(fill))),
+        sorted((set(R15_TOUCHED) | set(fill)) - window),
+    )
+    assert len(R15_TOUCHED) + len(fill) == GATE_CAP
 
 
-def test_r15_debt_is_recorded_and_outside_the_window():
-    """r15's rotation debt (the last-green-r12 cohort) is computed
-    now so the next round's window is planned against it: 45 queries
-    (48 in the raw cohort, minus the 2 rule-2 skew queries and the 1
-    rule-4 fill this window re-greens) — leaving ~5 free slots for
-    r15's new/touched queries."""
+def test_r16_debt_is_recorded_and_outside_the_window():
+    """r16's rotation debt is computed now so the next round's window
+    is planned against it: the 7 alphabetically-last members of the
+    last-green-r12 cohort (45 in the cohort, minus the 9 doubling as
+    rule-2 touched entries and the 29 rule-3 fill slots)."""
     names = list(entry_mod.queries())
-    debt = _r15_debt()
-    assert len(debt) == 45, len(debt)
+    debt = _r16_debt()
+    assert len(debt) == 7, sorted(debt)
     window = set(names[:GATE_CAP])
     for n in sorted(debt):
         assert n in names, n
