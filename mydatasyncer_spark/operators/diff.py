@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mydatasyncer_spark.functions.canonical import canonical_col, row_fingerprint
+from mydatasyncer_spark.operators.partitioning import ensure_min_parallelism
 
 _KEY = "_pk_canon"
 BEFORE_COL = "_before"
@@ -314,16 +315,23 @@ def diff_counts_pruned(
       :func:`changed_buckets` summary is aggregated FROM the pinned
       frame and the classification join filters the SAME frame, so
       the wide snapshot is read once per side.
-    - **Recompute path (small inputs):** the summary aggregates from
-      a lazy ``(bucket, fingerprint)`` projection, and the
-      classification re-derives ``(key, fingerprint)`` from a second
-      scan — with the changed-bucket filter applied BEFORE the
-      fingerprint projection, so only the surviving slice pays
-      canonicalization twice. Below the threshold the re-scan costs
-      less than the pin's materialization barrier + write (measured
-      at sf0.1: the pin path ran the pruned member of the localized
-      bench pair 2.7× slower than the unpruned baseline; this path
-      exists so pruning never loses where scans are cheap).
+    - **One-job path (small inputs):** the changed-bucket set is
+      never collected to the driver — it stays a ≤ ``n_buckets``-row
+      frame, broadcast, and each side prunes with a ``left_semi``
+      join on ``_bucket`` applied BEFORE the fingerprint projection
+      (only the surviving slice pays canonicalization on the second
+      scan). The whole query is then ONE Spark job with no pin
+      materialization, no driver barrier, and no extra analysis
+      round-trips; the summary subtree rides inside the broadcast
+      exchange and is reused across both semi-joins. Below the
+      threshold the second scan is page-cache-cheap, so this path
+      costs ≈ the unpruned diff's single pass while still shuffling
+      only the changed slice into the classification join (measured
+      at sf0.1: the r14 pin path ran the pruned member of the
+      localized bench pair 2.7× slower than the unpruned baseline;
+      the r15 collect-based recompute path still ran 2.2×; this
+      one-job form is what makes pruning never lose where scans are
+      cheap).
 
     Bucket selection and classification expressions are identical in
     both, so the counts are byte-identical to the full diff (pruning
@@ -351,11 +359,32 @@ def diff_counts_pruned(
         return with_canonical_key(b, primary_key)
 
     def narrow(k: DataFrame, fp_alias: str) -> DataFrame:
+        # project to the 17-byte/row frame BEFORE any widening
+        # exchange: the exchange then carries (bucket, key,
+        # fingerprint) instead of every sync column, and the
+        # fingerprint is computed exactly once per source row
         return k.select(
             "_bucket",
             F.col(_KEY),
             row_fingerprint(k, columns).alias(fp_alias),
         )
+
+    def summarize(s: DataFrame, fp_alias: str, side: str) -> DataFrame:
+        return s.groupBy("_bucket").agg(
+            F.count(F.lit(1)).alias(f"_n_{side}"),
+            F.bit_xor(fp_alias).alias(f"_x_{side}"),
+        )
+
+    def changed_of(fs_sum: DataFrame, ds_sum: DataFrame) -> DataFrame:
+        j = summarize(fs_sum, "_f_fp", "f").join(
+            summarize(ds_sum, "_d_fp", "d"), "_bucket", "full_outer"
+        )
+        return j.filter(
+            F.col("_n_f").isNull()
+            | F.col("_n_d").isNull()
+            | (F.col("_n_f") != F.col("_n_d"))
+            | (F.col("_x_f") != F.col("_x_d"))
+        ).select("_bucket")
 
     if pin:
         # the two pins are independent jobs — run them concurrently so
@@ -375,51 +404,41 @@ def diff_counts_pruned(
                     eager=True
                 )
             )
-            fs_sum, ds_sum = fut_f.result(), fut_d.result()
-
-        def pruned(s: DataFrame, buckets: list) -> DataFrame:
-            return s.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
-
-        fs_cls, ds_cls = pruned, pruned
-    else:
-        fk, dk = keyed(file_p), keyed(db_p)
-        fs_sum, ds_sum = narrow(fk, "_f_fp"), narrow(dk, "_d_fp")
-
-        def pruned_f(s: DataFrame, buckets: list) -> DataFrame:
-            # filter FIRST, fingerprint after — only the changed slice
-            # pays canonicalization on the second scan
-            return narrow(
-                fk.filter(F.col("_bucket").isin(buckets)), "_f_fp"
-            ).drop("_bucket")
-
-        def pruned_d(s: DataFrame, buckets: list) -> DataFrame:
-            return narrow(
-                dk.filter(F.col("_bucket").isin(buckets)), "_d_fp"
-            ).drop("_bucket")
-
-        fs_cls, ds_cls = pruned_f, pruned_d
-
-    def summarize(s: DataFrame, fp_alias: str, side: str) -> DataFrame:
-        return s.groupBy("_bucket").agg(
-            F.count(F.lit(1)).alias(f"_n_{side}"),
-            F.bit_xor(fp_alias).alias(f"_x_{side}"),
+            fs, ds = fut_f.result(), fut_d.result()
+        # the pins are already materialized, so the bounded collect
+        # (≤ n_buckets ints) costs one tiny job over narrow blocks
+        buckets = sorted(
+            r["_bucket"] for r in changed_of(fs, ds).collect()
         )
+        out = _classify_counts(
+            fs.filter(F.col("_bucket").isin(buckets)).drop("_bucket"),
+            ds.filter(F.col("_bucket").isin(buckets)).drop("_bucket"),
+            delete_not_in_file,
+        )
+    else:
+        # one narrow keyed-widen exchange per side, consumed by BOTH
+        # the summary subtree (inside the broadcast) and the
+        # classification leg — the exchanges are plan-identical, so
+        # AQE's runtime exchange reuse executes each side's
+        # scan+fingerprint ONCE (verified: the duplicate stages show
+        # as SKIPPED). The widen is keyed on the canonical join key
+        # (no sort-before-repartition on the serial source task, and
+        # the classification join inherits the partitioning — guide
+        # §2.4/§2.5); at scale the input already carries enough
+        # splits and the widen is a no-op.
+        fs = ensure_min_parallelism(narrow(keyed(file_p), "_f_fp"), _KEY)
+        ds = ensure_min_parallelism(narrow(keyed(db_p), "_d_fp"), _KEY)
+        changed = F.broadcast(changed_of(fs, ds))
 
-    j = summarize(fs_sum, "_f_fp", "f").join(
-        summarize(ds_sum, "_d_fp", "d"), "_bucket", "full_outer"
-    )
-    changed = j.filter(
-        F.col("_n_f").isNull()
-        | F.col("_n_d").isNull()
-        | (F.col("_n_f") != F.col("_n_d"))
-        | (F.col("_x_f") != F.col("_x_d"))
-    ).select("_bucket")
-    buckets = sorted(r["_bucket"] for r in changed.collect())
-    out = _classify_counts(
-        fs_cls(fs_sum, buckets),
-        ds_cls(ds_sum, buckets),
-        delete_not_in_file,
-    )
+        def pruned(s: DataFrame, fp_alias: str) -> DataFrame:
+            # broadcast semi-join on the changed set: no driver
+            # collect, no barrier — only the changed slice flows into
+            # the classification join
+            return s.join(changed, "_bucket", "left_semi").drop("_bucket")
+
+        out = _classify_counts(
+            pruned(fs, "_f_fp"), pruned(ds, "_d_fp"), delete_not_in_file
+        )
     return out.select(
         *[
             F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)

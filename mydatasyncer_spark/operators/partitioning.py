@@ -38,16 +38,26 @@ def fanout_spread(df: DataFrame) -> DataFrame:
     return df.repartition(cluster_parallelism(df))
 
 
-def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+def ensure_min_parallelism(df: DataFrame, *by: str) -> DataFrame:
     """Widen ONLY if the input is narrower than the cluster.
 
     For heavy-payload stages (binary columns into ``mapInPandas``) an
     unconditional repartition would shuffle every payload byte even
     when the source already has thousands of splits — so this checks
-    the actual partition count first and is a no-op at scale."""
+    the actual partition count first and is a no-op at scale.
+
+    With ``by`` columns, widens via HASH repartitioning on those
+    columns instead of round-robin: no sort-before-repartition on the
+    source task (a keyless ``repartition(n)`` locally sorts its input
+    first — SPARK-23207 — which serializes exactly the narrow source
+    this helper exists to fix), and a downstream join/groupBy keyed
+    the same way reuses the exchange (guide §2.4). Pick the dominant
+    downstream key."""
     n = cluster_parallelism(df)
     if df.rdd.getNumPartitions() >= n:
         return df
+    if by:
+        return df.repartition(n, *[F.col(c) for c in by])
     return df.repartition(n)
 
 
