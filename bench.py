@@ -368,17 +368,19 @@ def main() -> None:
         "shots": shots,
         "errors": errors,
     }
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_SIDECAR.json",
-            ),
-            "w",
-        ) as fh:
-            json.dump(sidecar, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # One file per core-count config (r15): the driver's 8-core
+    # scaling run used to clobber BENCH_SIDECAR.json and lose the
+    # 32-core per-shot record for the ~100 suppressed fast queries.
+    # The canonical name is still written (existing tooling reads
+    # it); the _c{N} twin survives a multi-config round.
+    cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "default")
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_SIDECAR.json", f"BENCH_SIDECAR_c{cpus_tag}.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(sidecar, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
 
     def payload(qdict: dict[str, float], suppressed: int) -> dict:
         out = {

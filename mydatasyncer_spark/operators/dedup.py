@@ -22,6 +22,16 @@ Five strategies, each designed for the 100 TB shape of the problem:
 Everything is expressed with built-in array/higher-order functions —
 no Python UDFs — and every hash routes through the cross-engine
 ``hash48`` family so DuckDB oracles reproduce results exactly.
+
+Pin contract (every eager ``localCheckpoint`` in this module): the
+pinned frame is a DERIVED intermediate built and consumed inside ONE
+query — blocks are executor-local and NOT replicated, so an executor
+loss mid-query fails lineage recovery and the query re-runs from the
+parquet source (acceptable: nothing durable depends on the pin;
+streaming-standing state lives in persisted stores instead, see
+streaming/continuous.py). Each site notes its size bound; any pin
+that can be corpus-sized also names the persisted store that replaces
+it as the standing 100 TB path.
 """
 
 from __future__ import annotations
@@ -1197,6 +1207,12 @@ def jaccard_self_join(
     # subtree embeds the tokenize + order-count passes — built
     # lazily, the corpus was re-tokenized once per leg (the
     # containment_join pin, applied to the symmetric join).
+    # Size bound: corpus-TOKEN-sized (one row per doc with its sorted
+    # token array) — the largest pin in this module; the standing
+    # 100 TB path is the persisted jaccard_prefix_store + ordered
+    # index (the jaccard_ingest_stored shape), this self-join is the
+    # one-off full-corpus analysis where one materialized pass beats
+    # four recomputes. Executor-loss recovery: module pin contract.
     ordered = _ordered_token_rows(toks, id_col, token_order).localCheckpoint(
         eager=True
     )
