@@ -86,6 +86,14 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # ... and the Arrow createDataFrame/collect machinery (store-frame
+    # builders resolve through it; its first use imports the pandas
+    # conversion stack — session setup, not query execution)
+    import pandas as _pd
+
+    spark.createDataFrame(
+        _pd.DataFrame({"i": _pd.Series([0], dtype="int32")})
+    ).collect()
     # Fixed calibration workload (pinned shape, no IO): measures this
     # box's compute speed at bench time so cross-round per-query
     # numbers can be normalized against machine drift (r5's uniform

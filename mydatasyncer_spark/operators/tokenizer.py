@@ -192,10 +192,27 @@ def bpe_merges_frame(
     meta: dict = {_BPE_FP_KEY: merges_fingerprint(merges)}
     if baseline_pieces_per_word is not None:
         meta[_BPE_BASE_KEY] = float(baseline_pieces_per_word)
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string",
-    ).select(
+    # pandas/Arrow build for the same reason as quality_model_frame
+    # (classify.py): a list-built frame pays a Python-worker job on
+    # every resolve collect; the Arrow frame collects driver-side.
+    # (An empty frame keeps the explicit-schema path: Arrow cannot
+    # infer string columns from zero rows.)
+    if not merges:
+        return spark.createDataFrame(
+            [], "rank int, left string, right string"
+        ).select(
+            F.col("rank").alias("rank", metadata=meta), "left", "right"
+        )
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(merges)), dtype="int32"),
+            "left": pd.Series([a for a, _ in merges], dtype="object"),
+            "right": pd.Series([b for _, b in merges], dtype="object"),
+        }
+    )
+    return spark.createDataFrame(pdf).select(
         F.col("rank").alias("rank", metadata=meta), "left", "right"
     )
 
