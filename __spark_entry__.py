@@ -3655,13 +3655,14 @@ def repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination scan: which corpus documents share a
-    word 4-gram with any 'benchmark' document (doc_id % 97 == 0
-    stands in for the benchmark set)? The benchmark gram set is tiny
-    by construction → broadcast to the exploded corpus grams; per-doc
-    dedup happens BEFORE the join so gram multiplicity never inflates
-    the pair space. At 100 TB this is one scan + one broadcast join."""
+def _contamination_hits(
+    spark: SparkSession, sf_dir: str, pin: bool = True
+) -> DataFrame:
+    """The contaminated ``(doc_id, gram, bench_id)`` triples —
+    corpus grams broadcast-joined against the tiny benchmark gram
+    set. Split out so the plan test can inspect the join shape with
+    ``pin=False`` (the eager pin truncates the explainable
+    lineage)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", X.tokens(F.col("text")).alias("toks")
@@ -3675,21 +3676,31 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("bench_id"), "gram")
     )
     corpus = grams.filter(F.col("doc_id") % 97 != 0)
-    # (doc_id, gram, bench_id) triples are distinct by construction:
-    # per-doc grams are array_distinct'd on BOTH sides before the
-    # join. The two countDistincts over one agg planned through the
-    # multi-DISTINCT Expand (every hit row duplicated 3×, deduped in
-    # a SortAggregate) — split instead into two plain hash-agg legs
-    # (r15, guide §2.3/§7.2). The hits frame is pinned once so the
-    # tokenize+explode+join subtree runs once, not per leg; it holds
-    # only the CONTAMINATED gram pairs (benchmark-overlap-sized, tiny
-    # next to the corpus at any scale; executor-local blocks — an
-    # executor loss recomputes from source, fine inside one query).
-    hits = (
-        corpus.join(F.broadcast(bench), "gram")
-        .select("doc_id", "gram", "bench_id")
-        .localCheckpoint(eager=True)
+    hits = corpus.join(F.broadcast(bench), "gram").select(
+        "doc_id", "gram", "bench_id"
     )
+    return hits.localCheckpoint(eager=True) if pin else hits
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share a
+    word 4-gram with any 'benchmark' document (doc_id % 97 == 0
+    stands in for the benchmark set)? The benchmark gram set is tiny
+    by construction → broadcast to the exploded corpus grams; per-doc
+    dedup happens BEFORE the join so gram multiplicity never inflates
+    the pair space. At 100 TB this is one scan + one broadcast join.
+
+    (doc_id, gram, bench_id) triples are distinct by construction:
+    per-doc grams are array_distinct'd on BOTH sides before the
+    join. The two countDistincts over one agg planned through the
+    multi-DISTINCT Expand (every hit row duplicated 3×, deduped in
+    a SortAggregate) — split instead into two plain hash-agg legs
+    (r15, guide §2.3/§7.2). The hits frame is pinned once so the
+    tokenize+explode+join subtree runs once, not per leg; it holds
+    only the CONTAMINATED gram pairs (benchmark-overlap-sized, tiny
+    next to the corpus at any scale; executor-local blocks — an
+    executor loss recomputes from source, fine inside one query)."""
+    hits = _contamination_hits(spark, sf_dir)
     grams_hit = (
         hits.select("doc_id", "gram")
         .distinct()

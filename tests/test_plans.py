@@ -113,8 +113,21 @@ def test_split_and_sample_are_narrow(spark, sf_dir):
 
 
 def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    """The r15 Expand split pins the hits frame, which truncates the
+    explainable lineage of the final plan — the broadcast-join shape
+    is asserted on the un-pinned hits subtree, and the final plan
+    must have lost its multi-DISTINCT Expand (the r15 rewrite's
+    point) without growing a cartesian pair space."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entry_mod._contamination_hits(spark, sf_dir, pin=False).explain(
+            "formatted"
+        )
+    hits_plan = buf.getvalue()
+    assert "BroadcastHashJoin" in hits_plan
+    assert "CartesianProduct" not in hits_plan
     plan = plan_of(spark, sf_dir, "contamination_check")
-    assert "BroadcastHashJoin" in plan
+    assert "Expand" not in plan
     assert "CartesianProduct" not in plan
 
 
