@@ -192,6 +192,8 @@ class TestSaltedJoinAuto:
 
 
 class TestSaltedJoinProperties:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r13 sweep pin: salted_join is a physical-distribution trick —
     result-identical to the plain join for EVERY (mode, salt count,
     hot-key set) over random frames with NULL keys on both sides and

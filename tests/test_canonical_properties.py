@@ -17,6 +17,11 @@ from pyspark.sql import types as T
 
 from mydatasyncer_spark.functions.canonical import canonical_str, is_nullish
 
+import pytest
+# full-suite-only: fuzz/property suite, excluded from the default
+# fast gate (pytest.ini); run with -m slow
+pytestmark = pytest.mark.slow
+
 SETTINGS = dict(
     max_examples=12,
     deadline=None,

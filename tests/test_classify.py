@@ -106,6 +106,8 @@ class TestScoring:
 
 
 class TestTraining:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     def test_loss_descends_and_separates(self, spark, separable):
         df, lab = separable
         w, b, losses = logreg_train(

@@ -467,6 +467,8 @@ class TestScd2:
 
 
 class TestScd2Randomized:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Seeded random epoch sequences folded through scd2_apply,
     checked against a pure-Python reference model of type-2 history
     — updates, deletes, rebirths, no-ops, and multi-epoch chains in

@@ -901,6 +901,8 @@ class TestAsofVsPandas:
 
 
 class TestKmeans:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     @pytest.fixture(scope="class")
     def blobs(self, spark):
         """Three well-separated directions with small perturbations."""
@@ -1553,6 +1555,8 @@ class TestQuantileAndThetaSketches:
 
 
 class TestJaccardSelfJoin:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Exact prefix-filtered Jaccard self-join: the blocking must be
     LOSSLESS (result identical to brute force) at any threshold."""
 
@@ -1953,6 +1957,8 @@ class TestJaccardOrderedIndex:
 
 
 class TestJaccardPrefixStore:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Persisted corpus prefix rows partitioned by token bucket (r8):
     the candidate join scan-prunes via dynamic partition pruning, and
     results stay brute-force-identical — including when the store was
@@ -2257,6 +2263,8 @@ class TestJaccardPrefixStore:
 
 
 class TestIdBucketedIndex:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r9: id-bucketed index layout — verification reads prune to the
     candidate ids' bucket directories (explicit IN on the partition
     column), results identical to the flat layout everywhere."""
@@ -2676,6 +2684,8 @@ class TestMinhashBandStore:
 
 
 class TestJaccardRefreeze:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r9 maintenance: re-freezing a drifted order keeps results
     brute-identical while collapsing the candidate-collision space
     that df-0 vocabulary drift inflates."""
@@ -3101,6 +3111,8 @@ class TestContainmentJoin:
 
 
 class TestContainmentInvertedStore:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r9: persisted token-bucketed inverted-index store for
     containment probe mode — per-probe corpus IO dynamic-partition-
     prunes to the probe's token buckets; threshold-free and
@@ -3352,6 +3364,8 @@ class TestContainmentInvertedStore:
 
 
 class TestSimilarityJoinRandomized:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Seeded randomized corpora: the prefix blocking of all three
     exact similarity joins must be LOSSLESS against brute force —
     template-like overlap, random lengths, shared vocab, empties."""
@@ -3561,6 +3575,8 @@ class TestExactJaccardClusterComposition:
 
 
 class TestEmbeddingFamilyRandomized:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Seeded randomized vector corpora: the embedding family's
     store/storeless, probe-depth, and degradation invariants — every
     comparison is engine-vs-engine (no Python float re-derivation),
@@ -3872,6 +3888,8 @@ class TestLshIndexStore:
 
 
 class TestProductQuantization:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r10: IVF-PQ — the compressed embedding scale path (Jégou et
     al. 2011). What 100 TB cares about: the scored bytes per
     candidate drop from dim doubles to m one-byte codes + a norm,
@@ -4209,6 +4227,8 @@ class TestProductQuantization:
 
 
 class TestPqRandomized:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Seeded randomized vector corpora: the PQ family's exactness
     and degradation invariants, engine-vs-engine — the refine path
     must equal IVF-Flat at full refine REGARDLESS of how lossy the
@@ -4426,6 +4446,8 @@ class TestPqReviewFixes:
 
 
 class TestResidualPq:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r11: the full IVFADC construction (Jégou et al. 2011, §IV) —
     codes quantize vec − centroid[bucket] instead of the raw vector.
     The coarse quantizer already encodes cluster position, so the

@@ -264,6 +264,8 @@ class TestCompactIvfIndex:
 
 
 class TestIvfRebuild:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r10: the retrain-and-rebuild maintenance op for the IVF index
     (the jaccard_refreeze of the embedding side), plus the centroid
     provenance guard it completes: after a rebuild, every reader of
@@ -840,6 +842,8 @@ class TestLshOccupancyReport:
 
 
 class TestStagedProtocolRandomized:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Seeded randomized op sequences against one store: appends,
     replayed appends, compactions, and simulated crash windows
     (complete staged copy + deleted store) in random order — after
@@ -993,6 +997,8 @@ class TestStagedProtocolRandomized:
 
 
 class TestPqMaintenance:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r10: the PQ store's maintenance lifecycle — compaction under
     the frozen-quantizer contract, the codebook drift report
     (decision signal), and the staged retrain-and-re-encode rebuild
@@ -1553,6 +1559,8 @@ class TestReportReviewFixes:
 
 
 class TestPqStoreRandomized:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """The staged-protocol fuzz, PQ-store flavored: random append /
     replay / crash-window / compact / REBUILD sequences against a
     bucket-partitioned IVF-PQ store — after every maintenance op the

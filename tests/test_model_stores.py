@@ -854,6 +854,8 @@ class TestRestoreGuards:
 
 
 class TestStagedProtocolFuzz:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r13 (r12 verdict, next-round #6): randomized crash-point
     injection over random store kinds — the r10 PQ staged-protocol
     fuzz applied to write_model_store / restore_model_store. For

@@ -172,6 +172,8 @@ class TestContinuousSync:
 
 
 class TestContinuousDedup:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Streaming ingestion with near-dup rejection: batch 2's dup of a
     batch-1 doc must be rejected via the GROWN signature index."""
 
@@ -700,6 +702,8 @@ def test_interval_join_streams_matches_batch(spark, sf_dir, event_dir):
 
 
 class TestContinuousAnnIndex:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Streaming IVF ingestion: the continuously-grown index must be
     row-identical to a batch ivf_index over the same corpus, probes
     must see vectors from every batch, and replays must be no-ops."""
@@ -1590,6 +1594,8 @@ class TestContinuousJoinView:
 
 
 class TestContinuousJoinViewBucketed:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r13 (r12 verdict, next-round #2): the join view's per-batch
     WRITE becomes delta-proportional like its repair compute —
     n_buckets stores the view partitioned on pmod(xxhash64(join_key),
@@ -2046,6 +2052,8 @@ class TestContinuousJoinViewBucketed:
 
 
 class TestContinuousSemanticDedup:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r9: the embedding twin of continuous_dedup — cross-batch
     semantic rejection through the grown bucket-partitioned IVF
     index, cluster-semantics survivor resolution, replay
@@ -2297,6 +2305,8 @@ class TestContinuousSemanticDedup:
 
 
 class TestContinuousJaccardIndex:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Streaming exact-Jaccard index: per-batch pairs equal the batch
     operator's, the index grows batch by batch, and replay with a
     fresh checkpoint neither duplicates index rows nor pairs."""
@@ -3382,6 +3392,8 @@ class TestContinuousScd2Randomized:
 
 
 class TestContinuousPqIndex:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r10: the compressed twin of continuous_ann_index — streaming
     IVF-PQ ingestion. The continuously-grown store must be
     row-identical to a batch pq_index over the same corpus (codes
@@ -3754,6 +3766,8 @@ class TestContinuousPqIndex:
 
 
 class TestContinuousCuration:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r10: the full curation pipeline as a standing stream — gate →
     cross-batch exact dedup (bucket-pruned content-key store) →
     cross-batch near-dup dedup (the shared dedup_apply_batch stage)
@@ -3984,6 +3998,8 @@ class TestContinuousCuration:
 
 
 class TestContinuousCurationModelGate:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r10: the stage-2 model gate rides the stream too — and the
     streamed result equals the batch pipeline with the same trained
     weights pinned in the config (the no-shared-vocabulary property:
@@ -4067,6 +4083,8 @@ class TestContinuousCurationModelGate:
 
 
 class TestContinuousCurationModelStore:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r11: the stage-2 gate's weights resolve from a self-describing
     quality_model_frame store — a scoring stream restarts CONFIGLESS
     (no weights threaded by hand), follows a retrain's rewrite, and a
@@ -4506,6 +4524,8 @@ class TestContinuousCurationModelStore:
 
 
 class TestContinuousPqIdBucketLayout:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r10: the PQ stream honors the delta-proportional-guard-reads
     contract like every other stream — n_id_buckets seeds the nested
     bucket/_id_bucket layout, the replay guard prunes to the batch
@@ -4825,6 +4845,8 @@ class TestContentKeyModulusFollowsStore:
 
 
 class TestContinuousCurationRandomized:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Seeded randomized corpora through the standing curation
     pipeline: random mixes of gate-fails, exact duplicates (in- and
     cross-batch), near-duplicates and unique docs, streamed in id
@@ -4931,6 +4953,8 @@ class TestContinuousCurationRandomized:
 
 
 class TestContinuousCurationFullConfig:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Everything-on integration: the curation stream with the model
     gate, the band store (delta-proportional candidate reads), the
     id-bucket index sub-layout (delta-proportional guard reads) and
@@ -5123,6 +5147,8 @@ class TestBucketedJoinViewScanPruning:
 
 
 class TestRollupCrashStateFuzz:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r13: randomized PROTOCOL-REACHABLE crash states injected
     between continuous-rollup batches — the staged_replace twin of
     the model-store fuzz. After any drawn sequence of (snapshot,
@@ -5233,6 +5259,8 @@ class TestRollupCrashStateFuzz:
 
 
 class TestStagedStateCrashLegs:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r13 targeted crash legs for the two whole-replace stores the
     fuzzes don't drive directly: the path-based SCD2 history (the ONE
     streaming state not rebuildable from the latest snapshot — before
@@ -5312,6 +5340,8 @@ class TestStagedStateCrashLegs:
 
 
 class TestContinuousRollupBucketed:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r13: the rollup twin of TestContinuousJoinViewBucketed — with
     n_buckets the state is group-hash partitioned and each batch
     rewrites only affected buckets, maintained by
@@ -5592,6 +5622,7 @@ class TestContinuousRollupBucketed:
         } == self._want(spark, s1)
 
 
+@pytest.mark.slow
 def test_sessionize_late_event_extends_envelope_not_rewinds(
     spark, tmp_path_factory
 ):
@@ -5647,6 +5678,7 @@ def test_sessionize_late_event_extends_envelope_not_rewinds(
     assert got == {(7, 1): (4, 2500.0)}
 
 
+@pytest.mark.slow
 def test_sessionize_null_event_time_is_excluded_not_fatal(
     spark, tmp_path_factory
 ):
@@ -5703,6 +5735,7 @@ def test_sessionize_null_event_time_is_excluded_not_fatal(
     assert got == {(7, 1): (2, 600.0)}
 
 
+@pytest.mark.slow
 def test_dedup_stream_null_ts_cross_batch_dup_passes_through(
     spark, tmp_path_factory
 ):

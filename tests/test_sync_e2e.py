@@ -200,6 +200,8 @@ class TestDryRun:
 
 
 class TestMultiTable:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     @pytest.fixture()
     def fk_db(self):
         conn = sqlite3.connect(":memory:")
@@ -282,6 +284,8 @@ class TestMultiTable:
 
 
 class TestStagingApplier:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     def test_stage_and_apply_set_based(self, spark, db):
         to_insert = spark.createDataFrame(
             [(4, "Dave", "fresh")], "id long, name string, value string"
@@ -383,6 +387,8 @@ class TestStagingApplier:
 
 
 class TestTimestampInjection:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     def test_timestamps_set_on_insert_and_update(self, spark):
         conn = sqlite3.connect(":memory:")
         conn.execute(

@@ -20,6 +20,10 @@ from mydatasyncer_spark.config import SyncConfig, TableSpec
 from mydatasyncer_spark.sinks.applier import DbApiBackend
 from mydatasyncer_spark.syncer import sync
 
+# full-suite-only: fuzz/property suite, excluded from the default
+# fast gate (pytest.ini); run with -m slow
+pytestmark = pytest.mark.slow
+
 VALUES = st.sampled_from(
     ["x", "y", "null", "", " padded ", "42", "42.0", "3.14", "true", "weird,val"]
 )

@@ -128,6 +128,8 @@ class TestMergeIntoTable:
 
 
 class TestScd2ApplyToTable:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """SCD2 maintenance as partition-scoped writes: closed history is
     append-only — its pre-existing files stay byte-identical."""
 
@@ -361,6 +363,8 @@ def assert_one_current_per_key(spark, name, pk):
 
 
 class TestScd2BucketedApply:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """Bucketed SCD2 layout: an apply rewrites ONLY the current-side
     buckets the delta touches; untouched current buckets stay
     byte-identical (write cost becomes delta-proportional, not
@@ -651,6 +655,8 @@ class TestScd2BucketedApply:
 
 
 class TestScd2AsofJoin:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     def test_each_fact_row_gets_its_effective_version(self, spark):
         from pyspark.sql import functions as F
 
@@ -799,6 +805,8 @@ class TestScd2AsofJoin:
 
 
 class TestScd2MixedChain:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     def test_interleaved_pruned_policies_converge(self, spark):
         """Four-day torture chain over one bucketed table mixing
         pruned and full applies, close-all and keep policies, a
@@ -907,6 +915,8 @@ def test_asof_join_reads_managed_bucketed_history(spark):
 
 
 class TestScd2PolicyComposition:
+    # full-suite-only (pytest.ini fast gate); run with -m slow
+    pytestmark = pytest.mark.slow
     """r13 (r12 verdict, next-round #6): Hypothesis over the diff
     empty-input policy matrix × the SCD2 keep policy. Random snapshot
     sequences — EMPTY snapshots included — with a random

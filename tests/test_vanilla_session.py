@@ -13,6 +13,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+# full-suite-only: fuzz/property suite, excluded from the default
+# fast gate (pytest.ini); run with -m slow
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
