@@ -21,6 +21,20 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let the planner/AQE pick shuffled-hash over sort-merge when the
+    # per-partition build side fits (guide §3.1). A/B over the 10 most
+    # join-heavy bench queries (r15, two interleaved median-of-3 runs,
+    # steal-metered): shuffled-hash ≤ sort-merge on 9 of 10, ratios
+    # 0.73–0.97 (sole exception scd2_asof_join_ts at 1.07 in one run).
+    # Results are strategy-independent (oracle parity re-proven after
+    # the flip). The 256 MB AQE local-map threshold bounds the build:
+    # a partition above it stays sort-merge, so the OOM risk SHJ
+    # carries is capped per task; on a real cluster both keys come
+    # from cluster conf like everything else here.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        256 * 1024 * 1024
+    ),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     # the events fixture stores TIMESTAMP(NANOS) which Spark rejects;
