@@ -370,9 +370,15 @@ def diff_counts_pruned(
         )
 
     def summarize(s: DataFrame, fp_alias: str, side: str) -> DataFrame:
+        # (count, xor, exact sum) — same triple as changed_buckets;
+        # the sum breaks XOR's duplicate-pair self-cancellation (the
+        # r14-sweep finding; see changed_buckets for the full note)
         return s.groupBy("_bucket").agg(
             F.count(F.lit(1)).alias(f"_n_{side}"),
             F.bit_xor(fp_alias).alias(f"_x_{side}"),
+            F.sum(F.col(fp_alias).cast("decimal(38,0)")).alias(
+                f"_s_{side}"
+            ),
         )
 
     def changed_of(fs_sum: DataFrame, ds_sum: DataFrame) -> DataFrame:
@@ -384,6 +390,7 @@ def diff_counts_pruned(
             | F.col("_n_d").isNull()
             | (F.col("_n_f") != F.col("_n_d"))
             | (F.col("_x_f") != F.col("_x_d"))
+            | (F.col("_s_f") != F.col("_s_d"))
         ).select("_bucket")
 
     if pin:
@@ -465,14 +472,18 @@ def changed_buckets(
     """Bucket ids whose content differs between the two snapshots.
 
     Each side collapses to ``n_buckets`` summary rows of
-    ``(count, bit_xor(row_fingerprint))`` — an order-independent
-    bucket fingerprint computed in one narrow scan with map-side
-    partial aggregation. A bucket matching on both statistics is
-    declared unchanged; mismatch (or one-sided presence) marks it
-    changed. The XOR pairing shares the fingerprint trade-off already
-    documented on :func:`row_differs`: a colliding change pattern
-    (e.g. two rows swapping fingerprints inside one bucket) would go
-    unseen with ~2^-64 probability.
+    ``(count, bit_xor(row_fingerprint), sum(row_fingerprint))`` — an
+    order-independent bucket fingerprint computed in one narrow scan
+    with map-side partial aggregation. A bucket matching on all three
+    statistics is declared unchanged; mismatch (or one-sided
+    presence) marks it changed. The triple shares the fingerprint
+    trade-off already documented on :func:`row_differs`: a change
+    pattern colliding on count AND xor AND exact sum goes unseen —
+    hash-collision-class odds. (Before r15 the pair was
+    ``(count, xor)`` only, and XOR's self-cancellation made a
+    duplicated-row-pair swap ``{A,A}→{C,C}`` invisible
+    DETERMINISTICALLY — the r14-sweep finding; the sum statistic
+    closes it.)
 
     The returned list is bounded by ``n_buckets`` (a driver-side
     collect of a few hundred ints, same class as the dry-run's
@@ -504,6 +515,16 @@ def changed_buckets(
             .agg(
                 F.count(F.lit(1)).alias(f"_n_{side}"),
                 F.bit_xor("_fp").alias(f"_x_{side}"),
+                # third statistic (r15, the r14-sweep finding): XOR
+                # alone self-cancels duplicate rows, so replacing a
+                # duplicated pair {A,A} with {C,C} inside one bucket
+                # preserved (count, xor) DETERMINISTICALLY. The exact
+                # decimal sum breaks the cancellation (overflow-safe
+                # under ANSI; order-independent); duplicates now
+                # collide only if xor AND sum both match.
+                F.sum(F.col("_fp").cast("decimal(38,0)")).alias(
+                    f"_s_{side}"
+                ),
             )
         )
     j = summarize(file_df, "f").join(summarize(db_df, "d"), "_bucket", "full_outer")
@@ -512,6 +533,7 @@ def changed_buckets(
         | F.col("_n_d").isNull()
         | (F.col("_n_f") != F.col("_n_d"))
         | (F.col("_x_f") != F.col("_x_d"))
+        | (F.col("_s_f") != F.col("_s_d"))
     ).select("_bucket")
     return sorted(r["_bucket"] for r in changed.collect())
 

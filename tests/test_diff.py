@@ -314,6 +314,27 @@ class TestPrunedDiffCounts:
             else:
                 spark.conf.set(PRUNE_PIN_THRESHOLD_CONF, old)
 
+    def test_duplicated_pair_swap_is_detected(self, spark):
+        """The r14-sweep blind spot, closed in r15: XOR self-cancels
+        duplicate rows, so a bucket swapping a duplicated row pair
+        {A,A} for {C,C} used to preserve (count, xor) and go unseen
+        DETERMINISTICALLY. The exact-sum third statistic must flag
+        the bucket."""
+        from mydatasyncer_spark.operators.diff import changed_buckets
+
+        f = spark.createDataFrame(
+            [(1, "x"), (1, "x")], "id long, v string"
+        )
+        d = spark.createDataFrame(
+            [(1, "y"), (1, "y")], "id long, v string"
+        )
+        assert changed_buckets(f, d, "id", n_buckets=4) != []
+        # and a genuinely identical duplicated pair stays unchanged
+        same = spark.createDataFrame(
+            [(1, "x"), (1, "x")], "id long, v string"
+        )
+        assert changed_buckets(f, same, "id", n_buckets=4) == []
+
     def test_identical_snapshots_count_zero_not_null(self, spark):
         """No changed buckets prunes EVERYTHING — the sums over the
         empty classification must coalesce to 0, exactly like count()
