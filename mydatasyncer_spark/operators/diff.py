@@ -266,12 +266,15 @@ def diff_changes(
 
 
 #: per-side size (Catalyst estimate, bytes) above which
-#: :func:`diff_counts_pruned` pins the narrow frame instead of
-#: recomputing it. Scale-adaptive, overridable per session.
+#: :func:`diff_counts_pruned` pins the narrow frame; inputs at or
+#: under it take the barrier-free one-job form. Default 0 = pin
+#: always (the measured winner at every size — lineage truncation
+#: beats the pin barrier; see the function docstring). Overridable
+#: per session.
 PRUNE_PIN_THRESHOLD_CONF = (
     "spark.mydatasyncer.diff.prunedPinThresholdBytes"
 )
-_PRUNE_PIN_THRESHOLD_DEFAULT = 1 << 30  # 1 GiB
+_PRUNE_PIN_THRESHOLD_DEFAULT = 0
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -300,38 +303,36 @@ def diff_counts_pruned(
     buckets whose fingerprints changed — the counts twin of
     :func:`diff_snapshots_pruned`.
 
-    Two result-identical execution strategies, picked by input size
-    (``spark.mydatasyncer.diff.prunedPinThresholdBytes``, default
-    1 GiB per side — the crossover where a second read of the wide
-    snapshot stops being page-cache-cheap):
+    Two result-identical execution strategies
+    (``spark.mydatasyncer.diff.prunedPinThresholdBytes``: inputs whose
+    Catalyst size estimate exceeds it take the pin path; default 0 =
+    pin always, the measured winner at every size — see below):
 
-    - **Pin path (large inputs, the 100 TB shape):** each side
+    - **Pin path (default; also the 100 TB shape):** each side
       collapses ONCE to the narrow ``(bucket, canonical key, row
-      fingerprint)`` frame, pinned with an eager ``localCheckpoint``
-      (~17 bytes/row of executor-local state per side — cheaper than a
-      second full read of every sync column; the blocks are NOT
-      replicated, so an executor loss mid-query recomputes from
-      source — acceptable for a derived frame inside one query). The
-      :func:`changed_buckets` summary is aggregated FROM the pinned
-      frame and the classification join filters the SAME frame, so
-      the wide snapshot is read once per side.
-    - **One-job path (small inputs):** the changed-bucket set is
-      never collected to the driver — it stays a ≤ ``n_buckets``-row
-      frame, broadcast, and each side prunes with a ``left_semi``
-      join on ``_bucket`` applied BEFORE the fingerprint projection
-      (only the surviving slice pays canonicalization on the second
-      scan). The whole query is then ONE Spark job with no pin
-      materialization, no driver barrier, and no extra analysis
-      round-trips; the summary subtree rides inside the broadcast
-      exchange and is reused across both semi-joins. Below the
-      threshold the second scan is page-cache-cheap, so this path
-      costs ≈ the unpruned diff's single pass while still shuffling
-      only the changed slice into the classification join (measured
-      at sf0.1: the r14 pin path ran the pruned member of the
-      localized bench pair 2.7× slower than the unpruned baseline;
-      the r15 collect-based recompute path still ran 2.2×; this
-      one-job form is what makes pruning never lose where scans are
-      cheap).
+      fingerprint)`` frame — widened through one keyed exchange first
+      so the fingerprint computes across the cluster even off a
+      single-split source (no-op at scale) — then pinned with an
+      eager ``localCheckpoint`` (~17 bytes/row of executor-local
+      state per side, cheaper than a second full read of every sync
+      column; blocks are NOT replicated, so an executor loss
+      mid-query recomputes from source — acceptable for a derived
+      frame inside one query). The :func:`changed_buckets` summary
+      aggregates FROM the pinned frame and the classification join
+      filters the SAME frame, so the wide snapshot is read once per
+      side — and every post-pin plan is lineage-truncated, which is
+      what makes this form fastest even on small inputs (driver
+      analysis of the pruned query's full DAG costs more than the
+      pin barrier; measured r15, counts fixture 1.8 vs 2.2 s,
+      localized 2.8 vs 3.8 s).
+    - **One-job path (raise the threshold to select it):** the
+      changed-bucket set is never collected to the driver — it stays
+      a ≤ ``n_buckets``-row frame, broadcast, and each side prunes
+      with a ``left_semi`` join on ``_bucket``; AQE's runtime
+      exchange reuse executes each side's scan+fingerprint once.
+      Barrier-free (no pin, no collect), kept as the selectable
+      strategy for environments where a localCheckpoint is
+      undesirable (e.g. no executor-local storage to spare).
 
     Bucket selection and classification expressions are identical in
     both, so the counts are byte-identical to the full diff (pruning
@@ -400,16 +401,23 @@ def diff_counts_pruned(
         # at sf0.1)
         from concurrent.futures import ThreadPoolExecutor
 
+        # widen (keyed on the join key) BEFORE the narrow projection,
+        # so the per-row fingerprint runs across the cluster instead
+        # of inside a single-split source task (the exchange then
+        # carries the wide rows once — measured: Spark does not move
+        # the projection below a repartition, so widening after
+        # narrow() would leave the fingerprint serial). A no-op at
+        # scale, where the scan already carries the splits.
         with ThreadPoolExecutor(max_workers=2) as pool:
             fut_f = pool.submit(
-                lambda: narrow(keyed(file_p), "_f_fp").localCheckpoint(
-                    eager=True
-                )
+                lambda: narrow(
+                    ensure_min_parallelism(keyed(file_p), _KEY), "_f_fp"
+                ).localCheckpoint(eager=True)
             )
             fut_d = pool.submit(
-                lambda: narrow(keyed(db_p), "_d_fp").localCheckpoint(
-                    eager=True
-                )
+                lambda: narrow(
+                    ensure_min_parallelism(keyed(db_p), _KEY), "_d_fp"
+                ).localCheckpoint(eager=True)
             )
             fs, ds = fut_f.result(), fut_d.result()
         # the pins are already materialized, so the bounded collect
