@@ -262,6 +262,79 @@ def main() -> None:
     finally:
         shutil.rmtree(jtmp, ignore_errors=True)
 
+    # Localized-diff scale probe (r15): at sf0.1 the localized pair's
+    # WALL times cannot show the pruning win — both members are
+    # dominated by single-split serial scans and per-job overhead on a
+    # 20 MB page-cache-resident fixture, and the small-input one-job
+    # pruned path deliberately trades extra (local, tiny) exchanges
+    # for barrier-freedom. The scale signal is SHUFFLE BYTES in the
+    # 100 TB configuration: the pruned path is forced onto its pin
+    # strategy (what a big input selects automatically) and the probe
+    # reads per-stage shuffleWriteBytes deltas from the UI API
+    # (deterministic, like the jaccard probe below). full shuffles
+    # every (key, fingerprint) row into the classification join;
+    # pruned-pin shuffles only the changed-bucket slice (3/64 of the
+    # fixture) plus 64-row bucket summaries. minParallelism=1
+    # reproduces the at-scale plan shape: the pin path's
+    # ensure_min_parallelism widen never fires on real multi-split
+    # inputs, and its local-fixture-only exchange would otherwise
+    # drown the scale signal this probe exists to record.
+    diff_localized_shuffle_mb: dict[str, float] = {}
+    try:
+        from mydatasyncer_spark.contract import (
+            localized_bucket,
+            snapshot_db_localized,
+            snapshot_file_localized,
+        )
+        from mydatasyncer_spark.operators.diff import (
+            PRUNE_PIN_THRESHOLD_CONF,
+            diff_counts,
+            diff_counts_pruned,
+        )
+        from mydatasyncer_spark.operators.partitioning import (
+            MIN_PARALLELISM_CONF,
+        )
+
+        spark.conf.set(MIN_PARALLELISM_CONF, "1")
+        _lf = snapshot_file_localized(spark, sf_dir)
+        _ld = snapshot_db_localized(spark, sf_dir)
+        for probe_name, probe_fn in (
+            (
+                "full",
+                lambda: diff_counts(_lf, _ld, "o_pk", _lf.columns),
+            ),
+            (
+                "pruned_pin",
+                lambda: diff_counts_pruned(
+                    _lf,
+                    _ld,
+                    "o_pk",
+                    _lf.columns,
+                    n_buckets=64,
+                    bucket_fn=localized_bucket,
+                ),
+            ),
+        ):
+            if probe_name == "pruned_pin":
+                spark.conf.set(PRUNE_PIN_THRESHOLD_CONF, "0")
+            try:
+                before = shuffle_by_stage()
+                probe_fn().count()
+                after = shuffle_by_stage()
+            finally:
+                spark.conf.unset(PRUNE_PIN_THRESHOLD_CONF)
+            diff_localized_shuffle_mb[probe_name] = round(
+                sum(v for k, v in after.items() if k not in before) / 1e6,
+                3,
+            )
+    except Exception as exc:
+        errors["diff_localized_probe"] = f"{type(exc).__name__}: {exc}"[:200]
+    finally:
+        try:
+            spark.conf.unset(MIN_PARALLELISM_CONF)
+        except Exception:
+            pass
+
     # Deployment-shape IVF-PQ probe pair (r12): the PQ gate queries
     # build the encoding INLINE, so their wall time is dominated by
     # constant driver-side analysis/codegen of the doubled literal
@@ -403,6 +476,8 @@ def main() -> None:
         }
         if jaccard_shuffle_mb:
             out["jaccard_ingest_shuffle_mb"] = jaccard_shuffle_mb
+        if diff_localized_shuffle_mb:
+            out["diff_localized_shuffle_mb"] = diff_localized_shuffle_mb
         if suppressed:
             out["suppressed_fast_queries"] = suppressed
         if errors:

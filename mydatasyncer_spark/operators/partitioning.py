@@ -38,6 +38,16 @@ def fanout_spread(df: DataFrame) -> DataFrame:
     return df.repartition(cluster_parallelism(df))
 
 
+#: overrides the widening floor of :func:`ensure_min_parallelism`.
+#: Unset (default): the cluster parallelism. Set to ``1`` to disable
+#: widening entirely — reproduces the at-scale plan shape (where
+#: inputs already carry enough splits and the widen never fires) on
+#: single-split local fixtures; the bench's shuffle-bytes probes use
+#: this so a local-only widening exchange cannot pollute a
+#: scale-contract measurement.
+MIN_PARALLELISM_CONF = "spark.mydatasyncer.minParallelism"
+
+
 def ensure_min_parallelism(df: DataFrame, *by: str) -> DataFrame:
     """Widen ONLY if the input is narrower than the cluster.
 
@@ -53,8 +63,9 @@ def ensure_min_parallelism(df: DataFrame, *by: str) -> DataFrame:
     this helper exists to fix), and a downstream join/groupBy keyed
     the same way reuses the exchange (guide §2.4). Pick the dominant
     downstream key."""
-    n = cluster_parallelism(df)
-    if df.rdd.getNumPartitions() >= n:
+    floor = df.sparkSession.conf.get(MIN_PARALLELISM_CONF, None)
+    n = int(floor) if floor is not None else cluster_parallelism(df)
+    if n <= 1 or df.rdd.getNumPartitions() >= n:
         return df
     if by:
         return df.repartition(n, *[F.col(c) for c in by])
