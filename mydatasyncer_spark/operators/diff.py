@@ -351,7 +351,11 @@ def diff_counts_pruned(
             PRUNE_PIN_THRESHOLD_CONF, str(_PRUNE_PIN_THRESHOLD_DEFAULT)
         )
     )
-    pin = (
+    # only pay the Catalyst size estimate (two driver-side optimizer
+    # invocations, ~0.1-0.5 s on the localized plans) when the
+    # threshold actually needs a decision — at the default 0 the pin
+    # path is unconditional
+    pin = threshold <= 0 or (
         max(_plan_size_bytes(file_p), _plan_size_bytes(db_p)) > threshold
     )
 
