@@ -276,6 +276,15 @@ PRUNE_PIN_THRESHOLD_CONF = (
 )
 _PRUNE_PIN_THRESHOLD_DEFAULT = 0
 
+#: widen cap for the pruned diff's single-split-input widening: the
+#: post-exchange work is ONE narrow fingerprint pass (not a fan-out),
+#: so full-cluster width pays more task-wave scheduling than the
+#: extra cores return — width 8 beat width 32 on 8-core AND 32-core
+#: configs (data-regime-derived, not core-count-derived; see
+#: ensure_min_parallelism). Irrelevant at scale, where inputs carry
+#: their own splits and the widen never fires.
+_PIN_WIDEN_TARGET = 8
+
 
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the frame (file sizes propagated
@@ -415,12 +424,18 @@ def diff_counts_pruned(
         with ThreadPoolExecutor(max_workers=2) as pool:
             fut_f = pool.submit(
                 lambda: narrow(
-                    ensure_min_parallelism(keyed(file_p), _KEY), "_f_fp"
+                    ensure_min_parallelism(
+                        keyed(file_p), _KEY, target=_PIN_WIDEN_TARGET
+                    ),
+                    "_f_fp",
                 ).localCheckpoint(eager=True)
             )
             fut_d = pool.submit(
                 lambda: narrow(
-                    ensure_min_parallelism(keyed(db_p), _KEY), "_d_fp"
+                    ensure_min_parallelism(
+                        keyed(db_p), _KEY, target=_PIN_WIDEN_TARGET
+                    ),
+                    "_d_fp",
                 ).localCheckpoint(eager=True)
             )
             fs, ds = fut_f.result(), fut_d.result()
@@ -445,8 +460,12 @@ def diff_counts_pruned(
         # the classification join inherits the partitioning — guide
         # §2.4/§2.5); at scale the input already carries enough
         # splits and the widen is a no-op.
-        fs = ensure_min_parallelism(narrow(keyed(file_p), "_f_fp"), _KEY)
-        ds = ensure_min_parallelism(narrow(keyed(db_p), "_d_fp"), _KEY)
+        fs = ensure_min_parallelism(
+            narrow(keyed(file_p), "_f_fp"), _KEY, target=_PIN_WIDEN_TARGET
+        )
+        ds = ensure_min_parallelism(
+            narrow(keyed(db_p), "_d_fp"), _KEY, target=_PIN_WIDEN_TARGET
+        )
         changed = F.broadcast(changed_of(fs, ds))
 
         def pruned(s: DataFrame, fp_alias: str) -> DataFrame:

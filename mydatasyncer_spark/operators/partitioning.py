@@ -48,8 +48,10 @@ def fanout_spread(df: DataFrame) -> DataFrame:
 MIN_PARALLELISM_CONF = "spark.mydatasyncer.minParallelism"
 
 
-def ensure_min_parallelism(df: DataFrame, *by: str) -> DataFrame:
-    """Widen ONLY if the input is narrower than the cluster.
+def ensure_min_parallelism(
+    df: DataFrame, *by: str, target: int | None = None
+) -> DataFrame:
+    """Widen ONLY if the input is narrower than the floor.
 
     For heavy-payload stages (binary columns into ``mapInPandas``) an
     unconditional repartition would shuffle every payload byte even
@@ -62,9 +64,23 @@ def ensure_min_parallelism(df: DataFrame, *by: str) -> DataFrame:
     first — SPARK-23207 — which serializes exactly the narrow source
     this helper exists to fix), and a downstream join/groupBy keyed
     the same way reuses the exchange (guide §2.4). Pick the dominant
-    downstream key."""
+    downstream key.
+
+    ``target`` caps the widened width below the cluster parallelism —
+    for stages whose post-exchange work is one cheap pass (not a
+    fan-out), a small-input widen to FULL cluster width pays more in
+    task-wave scheduling than the extra cores return (measured: on
+    single-split sf0.1 fixtures a width-8 widen beat width-32 on an
+    8-core AND a 32-core config — the number is data-regime-derived,
+    not core-count-derived). The ``MIN_PARALLELISM_CONF`` session
+    conf overrides everything (``1`` disables widening)."""
     floor = df.sparkSession.conf.get(MIN_PARALLELISM_CONF, None)
-    n = int(floor) if floor is not None else cluster_parallelism(df)
+    if floor is not None:
+        n = int(floor)
+    elif target is not None:
+        n = min(target, cluster_parallelism(df))
+    else:
+        n = cluster_parallelism(df)
     if n <= 1 or df.rdd.getNumPartitions() >= n:
         return df
     if by:
